@@ -13,9 +13,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table. Parquet scan → Catalyst handles pushdown/pruning. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Load one table. Parquet scan → Catalyst handles pushdown/pruning.
+    * `events.ts` is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
+    * read it as nanos-since-epoch long and convert to a microsecond
+    * timestamp (`div 1000` in integer space — a double division would lose
+    * precision above 2^53).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Register every table as a temp view (for spark.sql paths). */
   def views(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time window operators over the `events` table — the batch analogs
+  * of Flock's window drivers (SURVEY §2.9, reference
+  * flock-function/src/aws/window/{tumbling,hopping,session,global}.rs).
+  *
+  * Spark-first: `window()` / `session_window()` group-bys compile to a
+  * single hash-aggregate over an event-time bucket expression — no custom
+  * state machine needed in batch. The streaming variants (with watermarks,
+  * Flock has none — SURVEY §2.9 "late data") live in graft.streaming.
+  *
+  * Window starts are emitted as formatted strings (see Relational's
+  * conventions) and oracles reproduce Spark's epoch-aligned bucketing with
+  * arithmetic on `epoch(ts)`.
+  */
+object Windows {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    "q22_tumbling_window" -> ((s, d) => q22(s, d)),
+    "q23_hopping_window" -> ((s, d) => q23(s, d)),
+    "q24_session_window" -> ((s, d) => q24(s, d)),
+    "q25_ysb_campaign" -> ((s, d) => q25(s, d)),
+    "q26_json_extract" -> ((s, d) => q26(s, d)),
+    "q27_proctime_global" -> ((s, d) => q27(s, d))
+  )
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** Tumbling(1h) per event_type — Flock Tumbling (tumbling.rs:31-188). */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", fmt).as("w_start"), $"event_type",
+        $"n_events", $"sum_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Hopping(1h, 30m) — overlapping windows (hopping.rs:54-121). Each event
+    * lands in exactly w/hop = 2 windows.
+    */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"))
+      .select(date_format($"w.start", fmt).as("w_start"), $"n_events", $"sum_value")
+      .orderBy($"w_start")
+  }
+
+  /** Session(6h gap) keyed by user — Flock Session (session.rs:64-179).
+    * Spark's session_window merges events while the next event falls before
+    * current session end (start + gap, half-open).
+    */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .groupBy(session_window($"ts", "6 hours").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("sum_value"))
+      .select($"user_id", date_format($"w.start", fmt).as("s_start"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  /** YSB analog (reference benchmarks/src/ysb/ysb.sql): filter one event
+    * type, broadcast-join the (small) campaign-like dim, tumbling count.
+    */
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+    Tables(s, d, "events")
+      .filter($"event_type" === "view")
+      .join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy(window($"ts", "1 day").as("w"), $"c_mktsegment")
+      .agg(count(lit(1)).as("n_views"))
+      .select(date_format($"w.start", fmt).as("w_start"), $"c_mktsegment", $"n_views")
+      .orderBy($"w_start", $"c_mktsegment")
+  }
+
+  /** Scalar JSON extraction at ingest (reference parses JSON event bytes
+    * against a schema — transmute.rs:255-266; here: a JSON props column).
+    */
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .filter($"event_id" % 97 === 0)
+      .select($"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k"),
+        $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** Processing-time global window analog (NEXMark q12, global.rs:42-148):
+    * stamp p_time = now(), window on it. Inherently nondeterministic → no
+    * oracle (rows-only check); exact semantics tested in streaming specs.
+    */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .withColumn("p_time", current_timestamp())
+      .groupBy(window($"p_time", "10 seconds").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"event_type", $"n_events")
+      .orderBy($"event_type")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q22_tumbling_window" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS w_start,
+         event_type, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q23_hopping_window" ->
+      """SELECT strftime(make_timestamp(CAST((CAST(floor(epoch(ts)/1800) AS BIGINT) - k)*1800*1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS w_start,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value),2) AS sum_value
+         FROM events CROSS JOIN (SELECT unnest([0,1]) AS k) ks
+         GROUP BY 1 ORDER BY 1""",
+    "q24_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sessions AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM marked)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value),2) AS sum_value
+         FROM sessions GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "q25_ysb_campaign" ->
+      """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/86400)*86400*1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS w_start,
+         c_mktsegment, CAST(count(*) AS BIGINT) AS n_views
+         FROM events JOIN customer ON user_id = c_custkey
+         WHERE event_type = 'view'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q26_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         event_type
+         FROM events WHERE event_id % 97 = 0 ORDER BY event_id"""
+  )
+}
