@@ -11,7 +11,8 @@ object SparkEntry {
   private def catalogs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (operators.Relational.defs, operators.Relational.oracles),
-      (operators.Windows.defs, operators.Windows.oracles)
+      (operators.Windows.defs, operators.Windows.oracles),
+      (operators.TextOps.defs, operators.TextOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftInternal.{column, expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic per-row text-hashing expressions for dedup at scale.
+  *
+  * Design note (100 TB): MinHash/SimHash signatures are computed per row in
+  * a single map pass — no explode, no crossJoin against a seed table, no
+  * shuffle until the (tiny) signature is banded. The reference has no dedup
+  * surface at all (SURVEY §2.10 — no UDF registry); these are part of the
+  * LLM-pipeline extension mandated by BASELINE.json's north star.
+  *
+  * All hashing is MurmurHash3 (scala stdlib) over UTF-8 bytes with fixed
+  * seeds → stable across JVMs, executors, and rounds.
+  */
+object TextHashes {
+
+  /** k minhash values over w-shingles of the token array. */
+  def minhashSig(tokens: Column, k: Int, shingle: Int): Column =
+    column(MinHashSigExpr(expression(tokens), k, shingle))
+
+  /** 64-bit simhash of the token array. */
+  def simhash64(tokens: Column): Column = column(SimHash64Expr(expression(tokens)))
+
+  /** Winnowed rolling-hash fingerprints (doc fingerprinting, window w). */
+  def winnowFingerprints(tokens: Column, window: Int): Column =
+    column(WinnowExpr(expression(tokens), window))
+
+  private[functions] def tokenHash(s: String, seed: Int): Int =
+    MurmurHash3.bytesHash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  /** Reference Scala impls (shared by the expressions and the specs). */
+  def minhashSigScala(tokens: Seq[String], k: Int, shingle: Int): Array[Long] = {
+    val shingles: Iterator[String] =
+      if (tokens.length < shingle) Iterator(tokens.mkString(" "))
+      else tokens.sliding(shingle).map(_.mkString(" "))
+    val mins = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val base = tokenHash(sh, 0x9747b28c)
+      val base2 = tokenHash(sh, 0x85ebca6b)
+      val h64 = (base.toLong << 32) | (base2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < k) {
+        // Independent permutation per index: splitmix64 finalizer over the
+        // 64-bit shingle hash offset by i·golden-gamma. (A linear
+        // h1 + i·h2 family is NOT independent enough for minhash — the
+        // argmin correlates across i and similarity is overestimated.)
+        val h = splitmix64(h64 + i.toLong * 0x9E3779B97F4A7C15L)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    mins
+  }
+
+  /** splitmix64 finalizer — a high-quality 64-bit mixer. */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def simhash64Scala(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h1 = tokenHash(t, 0x9747b28c).toLong & 0xffffffffL
+      val h2 = tokenHash(t, 0x85ebca6b).toLong & 0xffffffffL
+      val h = (h1 << 32) | h2
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def winnowScala(tokens: Seq[String], window: Int): Array[Long] = {
+    if (tokens.isEmpty) return Array.empty
+    val hashes = tokens.map(t => tokenHash(t, 0x1b873593).toLong & 0xffffffffL).toArray
+    if (hashes.length <= window) return Array(hashes.min)
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    var i = 0
+    while (i + window <= hashes.length) {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** array<string> → array<long> of k minhash values over w-shingles. */
+case class MinHashSigExpr(child: Expression, k: Int, shingle: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val tokens = (0 until arr.numElements()).map(i =>
+      arr.getUTF8String(i).toString)
+    new GenericArrayData(TextHashes.minhashSigScala(tokens, k, shingle))
+  }
+  override def prettyName: String = "minhash_sig"
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+}
+
+/** array<string> → 64-bit simhash (long). */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val tokens = (0 until arr.numElements()).map(i =>
+      arr.getUTF8String(i).toString)
+    TextHashes.simhash64Scala(tokens)
+  }
+  override def prettyName: String = "simhash64"
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
+}
+
+/** array<string> → array<long> winnowed fingerprints. */
+case class WinnowExpr(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val tokens = (0 until arr.numElements()).map(i =>
+      arr.getUTF8String(i).toString)
+    new GenericArrayData(TextHashes.winnowScala(tokens, window))
+  }
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def withNewChildInternal(c: Expression): WinnowExpr = copy(child = c)
+}

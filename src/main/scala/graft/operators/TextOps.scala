@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextHashes
+
+/** Text-analysis + deduplication operators over `documents` — the
+  * LLM-data-pipeline surface (BASELINE.json north star; the reference has
+  * no text ops, SURVEY §2.10).
+  *
+  * Scale design: every per-document metric/signature is a narrow map-side
+  * projection (codegen'd built-ins or a per-row Catalyst expression). The
+  * only shuffles are (a) grouped aggregations over small keys and (b) the
+  * LSH band-bucket join, whose input is signatures (k longs/doc), not text.
+  * Exact all-pairs Jaccard (q32) uses an inverted token index — the classic
+  * sparse all-pairs trick — and is restricted to a candidate subset; the
+  * scale path is q33's MinHash-LSH with an exact re-check on candidates.
+  */
+object TextOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    "q28_token_stats" -> ((s, d) => q28(s, d)),
+    "q29_quality_score" -> ((s, d) => q29(s, d)),
+    "q30_lang_stats" -> ((s, d) => q30(s, d)),
+    "q31_dedup_exact" -> ((s, d) => q31(s, d)),
+    "q32_ngram_jaccard" -> ((s, d) => q32(s, d)),
+    "q33_minhash_lsh_pairs" -> ((s, d) => q33(s, d)),
+    "q34_simhash_pairs" -> ((s, d) => q34(s, d)),
+    "q35_langid" -> ((s, d) => q35(s, d)),
+    "q36_winnow_fingerprints" -> ((s, d) => q36(s, d))
+  )
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").withColumn("toks", split($"text", "\\s+"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex token estimate. */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_tokens"),
+        size(array_distinct($"toks")).cast("long").as("n_distinct"),
+        regexp_count($"text", lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("long").as("n_bpeish"),
+        round(length(regexp_replace($"text", " ", "")).cast("double") / size($"toks"), 4)
+          .as("avg_tok_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: stopword ratio + type-token ratio + keep flag. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_stop",
+        size(expr("filter(toks, t -> t IN ('a', 'the', 'of', 'and', 'to'))")))
+      .select($"doc_id",
+        round($"n_stop".cast("double") / $"n_tokens", 4).as("stop_ratio"),
+        round(size(array_distinct($"toks")).cast("double") / $"n_tokens", 4).as("ttr"),
+        ($"n_tokens" >= 20 && $"n_tokens" <= 1000).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-language corpus stats. */
+  private def q30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 4).as("avg_chars"),
+        round(avg(size($"toks")), 4).as("avg_tokens"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"lang")
+  }
+
+  /** Exact dedup: hash-group identical texts, keep min doc_id. */
+  private def q31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"n_copies", length($"text").cast("long").as("text_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact all-pairs token-set Jaccard via inverted index (candidate
+    * subset): explode distinct tokens → self-join on token → pair
+    * intersection counts → Jaccard from set sizes.
+    */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, d).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", array_distinct($"toks").as("set"))
+    val toks = base.select($"doc_id", explode($"set").as("tok"))
+    val sizes = base.select($"doc_id", size($"set").cast("long").as("sz"))
+    val inter = toks.as("a")
+      .join(toks.as("b"), col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard", $"inter" / ($"sz1" + $"sz2" - $"inter"))
+      .filter($"jaccard" > 0.8)
+      .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id1", $"id2")
+  }
+
+  /** MinHash + LSH banding near-dup candidates, exact-Jaccard re-checked.
+    * k=32 minhashes, 8 bands × 4 rows; candidates sharing any band bucket
+    * are re-checked against exact token-set Jaccard > 0.8.
+    */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 32; val bands = 8; val rows = k / bands
+    val base = docs(s, d).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", array_distinct($"toks").as("set"))
+      .withColumn("sig", TextHashes.minhashSig(array_sort($"set"), k, 1))
+    val banded = base.select($"doc_id", $"set",
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rows + 1, $rows))")))
+      .select($"doc_id", $"set", $"pos".as("band"), $"col".as("bandval"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.set").as("set1"), col("b.set").as("set2"))
+      .distinct()
+    cand
+      .withColumn("inter", size(array_intersect($"set1", $"set2")).cast("double"))
+      .withColumn("uni", size(array_union($"set1", $"set2")).cast("double"))
+      .withColumn("jaccard", $"inter" / $"uni")
+      .filter($"jaccard" > 0.8)
+      .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id1", $"id2")
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, 4×16-bit band blocking,
+    * Hamming-distance filter on candidates.
+    */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, d).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", TextHashes.simhash64($"toks").as("sh"))
+    val banded = base.select($"doc_id", $"sh",
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(sh, b*16) & 65535)")))
+      .select($"doc_id", $"sh", $"pos".as("band"), $"col".as("bandval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh1 ^ sh2)"))
+      .filter($"hamming" <= 16)
+      .select($"id1", $"id2", $"hamming".cast("long").as("hamming"))
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Language-ID heuristic: stopword-list voting (n-gram-free variant
+    * suited to whitespace languages; deterministic argmax with
+    * lexicographic tiebreak).
+    */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Map(
+      "en" -> Seq("a", "the", "of", "and", "to", "in", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "des"))
+    val scored = stop.toSeq.sortBy(_._1).foldLeft(docs(s, d)) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        size(expr(s"filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))")))
+    }
+    scored
+      .withColumn("best", greatest(lit(0), $"score_en", $"score_de", $"score_es", $"score_fr"))
+      .withColumn("predicted",
+        when($"best" === 0, "unknown")
+          .when($"score_de" === $"best", "de")
+          .when($"score_en" === $"best", "en")
+          .when($"score_es" === $"best", "es")
+          .otherwise("fr"))
+      .select($"doc_id", $"lang", $"predicted")
+      .orderBy($"doc_id")
+  }
+
+  /** Winnowed rolling-hash document fingerprints (window 4). */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", TextHashes.winnowFingerprints($"toks", 4).as("fps"))
+      .select($"doc_id", size($"fps").cast("long").as("n_fp"),
+        array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+      .orderBy($"doc_id")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q28_token_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS BIGINT) AS n_distinct,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish,
+         round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+           / len(string_split_regex(text, '\s+')), 4) AS avg_tok_len
+         FROM documents ORDER BY doc_id""",
+    "q29_quality_score" ->
+      """SELECT doc_id,
+         round(CAST(len(list_filter(string_split_regex(text, '\s+'),
+             t -> t IN ('a', 'the', 'of', 'and', 'to'))) AS DOUBLE)
+           / len(string_split_regex(text, '\s+')), 4) AS stop_ratio,
+         round(CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+           / len(string_split_regex(text, '\s+')), 4) AS ttr,
+         len(string_split_regex(text, '\s+')) BETWEEN 20 AND 1000 AS keep
+         FROM documents ORDER BY doc_id""",
+    "q30_lang_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         round(avg(n_chars), 4) AS avg_chars,
+         round(avg(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q31_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(length(text) AS BIGINT) AS text_len
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "q32_ngram_jaccard" ->
+      """WITH base AS (
+           SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS s
+           FROM documents WHERE doc_id % 5 = 0),
+         toks AS (SELECT doc_id, unnest(s) AS tok FROM base),
+         sizes AS (SELECT doc_id, len(s) AS sz FROM base),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2,
+           round(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 4) AS jaccard
+         FROM inter
+         JOIN sizes s1 ON s1.doc_id = id1
+         JOIN sizes s2 ON s2.doc_id = id2
+         WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) > 0.8
+         ORDER BY id1, id2"""
+  )
+}

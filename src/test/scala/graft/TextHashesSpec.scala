@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.TextHashes
+import graft.operators.TextOps
+
+/** Value-level verification for the non-SQL-expressible dedup operators
+  * (MinHash/LSH, SimHash, winnowing, langid) — the driver gate only
+  * rows-checks these, so the real assertions live here.
+  */
+class TextHashesSpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(7)
+  private def randDoc(n: Int): Seq[String] =
+    Seq.fill(n)("w" + rnd.nextInt(1000))
+
+  test("minhash: identical docs → identical signatures") {
+    val d = randDoc(80)
+    assert(TextHashes.minhashSigScala(d, 32, 1).toSeq ==
+      TextHashes.minhashSigScala(d, 32, 1).toSeq)
+  }
+
+  test("minhash: signature similarity estimates Jaccard") {
+    val a = randDoc(200).distinct
+    // 90% overlap near-dup
+    val b = a.take((a.length * 0.9).toInt) ++ Seq.fill(a.length / 10)("x" + rnd.nextInt(1000))
+    val c = randDoc(200).distinct // unrelated
+    def est(x: Seq[String], y: Seq[String]): Double = {
+      val (sx, sy) = (TextHashes.minhashSigScala(x, 128, 1),
+        TextHashes.minhashSigScala(y, 128, 1))
+      sx.zip(sy).count { case (p, q) => p == q } / 128.0
+    }
+    def jac(x: Seq[String], y: Seq[String]): Double = {
+      val (s1, s2) = (x.toSet, y.toSet)
+      s1.intersect(s2).size.toDouble / s1.union(s2).size
+    }
+    assert(math.abs(est(a, b) - jac(a, b)) < 0.15, "near-dup estimate off")
+    assert(math.abs(est(a, c) - jac(a, c)) < 0.15, "unrelated estimate off")
+    assert(est(a, b) > est(a, c), "ordering must hold")
+  }
+
+  test("simhash: hamming distance tracks similarity") {
+    val a = randDoc(300)
+    val b = a.updated(0, "CHANGED").updated(5, "ALSO")
+    val c = randDoc(300)
+    val (ha, hb, hc) = (TextHashes.simhash64Scala(a),
+      TextHashes.simhash64Scala(b), TextHashes.simhash64Scala(c))
+    assert(TextHashes.hamming64(ha, ha) == 0)
+    assert(TextHashes.hamming64(ha, hb) < TextHashes.hamming64(ha, hc),
+      "near-dup must be closer than unrelated")
+    assert(TextHashes.hamming64(ha, hc) > 10, "unrelated should be far")
+  }
+
+  test("winnow: shared runs produce shared fingerprints") {
+    val shared = randDoc(60)
+    val a = randDoc(30) ++ shared ++ randDoc(30)
+    val b = randDoc(25) ++ shared ++ randDoc(35)
+    val c = randDoc(120)
+    val (fa, fb, fc) = (TextHashes.winnowScala(a, 4).toSet,
+      TextHashes.winnowScala(b, 4).toSet, TextHashes.winnowScala(c, 4).toSet)
+    val overlapNear = fa.intersect(fb).size.toDouble / fa.union(fb).size
+    val overlapFar = fa.intersect(fc).size.toDouble / fa.union(fc).size
+    assert(overlapNear > overlapFar, "shared-run docs must share more fingerprints")
+    assert(overlapNear > 0.2)
+  }
+
+  test("LSH candidates are a subset of exact pairs with high recall") {
+    // q33 re-checks candidates with exact Jaccard > 0.8, so precision
+    // vs q32 (exhaustive exact > 0.8 on the same subset) must be 1.0;
+    // banding (8 bands x 4 rows) should recall most pairs above 0.8.
+    val exact = operators.TextOps.defs("q32_ngram_jaccard")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = operators.TextOps.defs("q33_minhash_lsh_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${lsh -- exact}")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall > 0.6, s"LSH recall too low: $recall")
+    }
+  }
+
+  test("langid is deterministic and votes by stopwords") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of a house is big", "en"),
+      (2L, "der hund und die katze ist ein tier", "de"),
+      (3L, "el perro y la casa es un lugar", "es"),
+      (4L, "le chien et la maison est un lieu", "fr")
+    ).toDF("doc_id", "text", "lang")
+    df.createOrReplaceTempView("documents_synthetic")
+    // reuse the operator logic by writing the synthetic docs to a temp dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_langid").toString
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.defs("q35_langid")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"), out.toString)
+  }
+}
