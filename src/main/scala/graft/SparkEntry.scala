@@ -12,7 +12,8 @@ object SparkEntry {
     Seq(
       (operators.Relational.defs, operators.Relational.oracles),
       (operators.Windows.defs, operators.Windows.oracles),
-      (operators.TextOps.defs, operators.TextOps.oracles)
+      (operators.TextOps.defs, operators.TextOps.oracles),
+      (operators.VectorOps.defs, operators.VectorOps.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

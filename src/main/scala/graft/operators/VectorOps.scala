@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorHashes
+
+/** Similarity search over the `embeddings` table (LLM-pipeline surface).
+  *
+  * q37 brute-force cosine top-k is the oracled correctness baseline: the
+  * scan side stays distributed, the (tiny) query set is broadcast, and
+  * per-query ranking is a window over the scored pairs. All float math is
+  * done in double with a deterministic left-to-right fold so the DuckDB
+  * oracle (explicit list arithmetic — NOT list_cosine_similarity, which
+  * computes in float32) matches bit-for-bit before rounding.
+  *
+  * q38/q40 are the scale paths: sign-LSH multi-probe and IVF-style coarse
+  * quantization. Both keep candidate generation map-side; recall is
+  * measured in specs on constructed clustered data (driver embeddings are
+  * near-orthogonal random vectors — recall on them is meaningless).
+  */
+object VectorOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    "q37_knn_bruteforce" -> ((s, d) => q37(s, d)),
+    "q38_ann_lsh" -> ((s, d) => q38(s, d)),
+    "q39_norm_stats" -> ((s, d) => q39(s, d)),
+    "q40_ann_ivf" -> ((s, d) => q40(s, d))
+  )
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** embeddings with double vector + precomputed norm. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "embeddings")
+      .withColumn("v", transform($"embedding", x => x.cast("double")))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+  }
+
+  /** Brute-force cosine top-5 per query (query set = vec_id % 100 = 0). */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor")
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        round(dot($"v", $"qv") / ($"nrm" * $"qn"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Sign-LSH ANN: 4 hyperplanes → 16 buckets, multi-probe Hamming ≤ 1.
+    * Candidates = vectors in any probed bucket; top-5 by exact cosine.
+    */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nPlanes = 4
+    val e = vecs(s, d)
+      .withColumn("bucket", VectorHashes.hyperplaneBucket($"v", nPlanes))
+    val q = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"),
+        explode(array((0 to nPlanes).map {
+          case 0 => col("bucket")
+          case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+        }: _*)).as("probe"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor")
+    e.join(broadcast(q), $"bucket" === $"probe" && $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        round(dot($"v", $"qv") / ($"nrm" * $"qn"), 6).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Per-label norm statistics (oracled). */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    vecs(s, d)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg($"nrm"), 4).as("avg_norm"),
+        round(min($"nrm"), 4).as("min_norm"),
+        round(max($"nrm"), 4).as("max_norm"))
+      .orderBy($"label")
+  }
+
+  /** IVF-style ANN: coarse centroids = vectors with vec_id < 16; every
+    * vector is assigned to its nearest centroid (one distributed pass);
+    * queries probe their 2 nearest centroid cells; exact cosine re-rank
+    * inside the probed cells.
+    */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    val assigned = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"v", $"nrm", $"cent_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("csim"))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter($"crank" === 1)
+      .select($"vec_id", $"v", $"nrm", $"cent_id")
+    val queries = e.filter($"vec_id" % 100 === 0).crossJoin(broadcast(cents))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"), $"cent_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("csim"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"csim".desc, $"cent_id")))
+      .filter($"crank" <= 2)
+      .select($"query_id", $"qv", $"qn", $"cent_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor")
+    assigned.join(broadcast(queries), Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        round(dot($"v", $"qv") / ($"nrm" * $"qn"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q37_knn_bruteforce" ->
+      """WITH n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+           FROM n),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+               FROM m WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT query_id, m.vec_id AS neighbor,
+             round(list_sum(list_transform(list_zip(m.v, qv), x -> x[1]*x[2]))
+               / (nrm * qn), 6) AS cosine
+           FROM m, q WHERE m.vec_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT query_id, neighbor, cosine, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q39_norm_stats" ->
+      """WITH m AS (
+           SELECT label,
+             sqrt(list_sum(list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x*x))) AS nrm
+           FROM embeddings)
+         SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+         FROM m GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+import graft.functions.VectorHashes
+
+/** ANN quality tests on constructed clustered embeddings (the driver
+  * embeddings are near-orthogonal random vectors, so recall there is
+  * meaningless — see VectorOps scaladoc).
+  */
+class VectorOpsSpec extends SparkSpec {
+
+  private lazy val clusteredDir: String = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val centroids = Array.fill(8, dim)(rnd.nextGaussian())
+    val rows = (0L until 400L).map { id =>
+      val c = (id % 8).toInt
+      val v = centroids(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+      (id, v.toSeq, c)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    tmp
+  }
+
+  private def topk(name: String): Map[Long, Set[Long]] =
+    VectorOps.defs(name)(spark, clusteredDir)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("LSH ANN recalls most true neighbors on clustered data") {
+    val exact = topk("q37_knn_bruteforce")
+    val approx = topk("q38_ann_lsh")
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.7, s"LSH mean recall too low: $mean")
+  }
+
+  test("IVF ANN recalls most true neighbors on clustered data") {
+    val exact = topk("q37_knn_bruteforce")
+    val approx = topk("q40_ann_ivf")
+    val recalls = exact.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean > 0.7, s"IVF mean recall too low: $mean")
+  }
+
+  test("hyperplane bucket is deterministic and respects nPlanes range") {
+    val v = Seq.fill(32)(scala.util.Random.nextGaussian())
+    val b1 = VectorHashes.bucketScala(v, 4)
+    val b2 = VectorHashes.bucketScala(v, 4)
+    assert(b1 == b2)
+    assert(b1 >= 0 && b1 < 16)
+    assert(VectorHashes.probeBuckets(b1, 4).size == 5)
+  }
+
+  test("brute-force kNN: cosine of identical vectors ranks first") {
+    import spark.implicits._
+    val dupDir = {
+      val rnd = new scala.util.Random(17)
+      val base = (0L until 200L).map(id => (id, Seq.fill(16)(rnd.nextGaussian().toFloat), 0))
+      // vec 100 duplicates vec 0 (a query id): must be its top neighbor
+      val fixed = base.map { case (id, v, l) => (id, if (id == 100L) base(0)._2 else v, l) }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_vec_dup").toString
+      fixed.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      tmp
+    }
+    val res = VectorOps.defs("q37_knn_bruteforce")(spark, dupDir)
+      .filter($"query_id" === 0 && $"rank" === 1)
+      .collect()
+    assert(res.length == 1 && res(0).getLong(1) == 100L,
+      s"duplicate vector must rank first: ${res.mkString}")
+    assert(math.abs(res(0).getDouble(2) - 1.0) < 1e-9)
+  }
+}
