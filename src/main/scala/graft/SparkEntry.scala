@@ -13,7 +13,8 @@ object SparkEntry {
       (operators.Relational.defs, operators.Relational.oracles),
       (operators.Windows.defs, operators.Windows.oracles),
       (operators.TextOps.defs, operators.TextOps.oracles),
-      (operators.VectorOps.defs, operators.VectorOps.oracles)
+      (operators.VectorOps.defs, operators.VectorOps.oracles),
+      (operators.NexmarkQueries.defs, Map.empty[String, String])
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
