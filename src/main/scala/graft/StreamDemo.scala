@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+
+/** End-to-end streaming smoke: rate-source NEXMark bids → tumbling window
+  * counts → memory sink; prints the observed windows. Usage:
+  *   runMain graft.StreamDemo [eventsPerSecond] [seconds]
+  */
+object StreamDemo {
+  def main(args: Array[String]): Unit = {
+    val eps = args.headOption.map(_.toInt).getOrElse(1000)
+    val secs = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val bids = StreamOps.bidStream(spark, eps)
+    val q = StreamOps.toMemory(
+      StreamOps.tumblingCounts(bids.toDF(), "2 seconds", "0 seconds"),
+      "demo", OutputMode.Complete)
+    q.awaitTermination(secs * 1000L)
+    q.stop()
+    val out = spark.table("demo")
+    val rows = out.count()
+    val total = out.agg(org.apache.spark.sql.functions.sum("num")).head.getLong(0)
+    println(s"STREAM_DEMO windows=$rows total_bids=$total")
+    spark.stop()
+  }
+}

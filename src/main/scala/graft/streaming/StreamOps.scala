@@ -1,0 +1,140 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import java.sql.Timestamp
+import graft.sources.Nexmark.Bid
+
+/** Structured Streaming operators — the streaming half of the reference's
+  * capability surface (SURVEY §2.9; window drivers in
+  * /root/reference/flock-function/src/aws/window/). The reference assumes
+  * in-order event time and has no watermark concept; Spark requires
+  * watermarks for stateful append-mode queries, so every transform takes a
+  * `watermark` delay — parity with the reference holds for in-order data
+  * with any watermark ≥ 0 (SURVEY §7 hardness #5).
+  *
+  * Sinks: parquet path (reference S3 DataSink analog, datasink/mod.rs),
+  * memory (test), noop (blackhole). Checkpoint location = state-backend
+  * analog (state/mod.rs).
+  */
+object StreamOps {
+
+  /** Rate-source-driven NEXMark bid stream: `rate` rows/sec = events/sec,
+    * each row's value is the event id (deterministic regeneration —
+    * mirrors the reference's "regenerate events inside the source
+    * function" design, nexmark/source.rs:32-77).
+    */
+  def bidStream(spark: SparkSession, eventsPerSecond: Int): Dataset[Bid] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", eventsPerSecond.toString)
+      .load()
+      .select($"value")
+      .as[Long]
+      .filter((i: Long) => graft.sources.Nexmark.kindOf(i) == 2)
+      .map((i: Long) => graft.sources.Nexmark.genBid(i, eventsPerSecond.toLong))
+  }
+
+  /** ElementWise analog: per-micro-batch projection, no state. */
+  def elementwise(bids: DataFrame): DataFrame =
+    bids.select(col("auction"), col("bidder"),
+      (lit(0.908) * col("price")).as("price"), col("b_date_time"))
+
+  /** Tumbling window counts (tumbling.rs analog). */
+  def tumblingCounts(bids: DataFrame, window: String, watermark: String): DataFrame =
+    bids.withWatermark("b_date_time", watermark)
+      .groupBy(functions.window(col("b_date_time"), window).as("w"), col("auction"))
+      .agg(count(lit(1)).as("num"))
+      .select(col("w.start").as("w_start"), col("auction"), col("num"))
+
+  /** Hopping window counts (hopping.rs analog). */
+  def hoppingCounts(bids: DataFrame, window: String, slide: String,
+      watermark: String): DataFrame =
+    bids.withWatermark("b_date_time", watermark)
+      .groupBy(functions.window(col("b_date_time"), window, slide).as("w"), col("auction"))
+      .agg(count(lit(1)).as("num"))
+      .select(col("w.start").as("w_start"), col("auction"), col("num"))
+
+  /** Session windows via Spark's native session_window (session.rs analog,
+    * element-level gap semantics).
+    */
+  def sessionCounts(bids: DataFrame, gap: String, watermark: String): DataFrame =
+    bids.withWatermark("b_date_time", watermark)
+      .groupBy(session_window(col("b_date_time"), gap).as("w"), col("bidder"))
+      .agg(count(lit(1)).as("bid_count"))
+      .select(col("bidder"), col("w.start").as("s_start"),
+        col("w.end").as("s_end"), col("bid_count"))
+
+  private val functions = org.apache.spark.sql.functions
+
+  case class Session(bidder: Int, s_start: Timestamp, s_end_exclusive: Timestamp,
+      bid_count: Long)
+  case class SessionState(start: Long, last: Long, count: Long)
+
+  /** Flock-exact keyed sessions via flatMapGroupsWithState
+    * (session.rs:64-179): a session closes when the next event's time is
+    * ≥ last + gap, or when event time passes last + gap with no activity
+    * (event-time timeout). Emits closed sessions only (append mode).
+    */
+  def flockSessions(bids: Dataset[Bid], gapMs: Long, watermark: String): Dataset[Session] = {
+    import bids.sparkSession.implicits._
+    bids.withWatermark("b_date_time", watermark)
+      .groupByKey(_.bidder)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bidder: Int, events: Iterator[Bid], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(bidder, new Timestamp(s.start),
+              new Timestamp(s.last + gapMs), s.count))
+          } else {
+            val sorted = events.toSeq.sortBy(_.b_date_time.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            sorted.foreach { b =>
+              val t = b.b_date_time.getTime
+              cur match {
+                case Some(s) if t - s.last < gapMs =>
+                  cur = Some(SessionState(s.start, t, s.count + 1))
+                case Some(s) =>
+                  closed += Session(bidder, new Timestamp(s.start),
+                    new Timestamp(s.last + gapMs), s.count)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Sinks (datasink/mod.rs analogs). */
+  def toParquet(df: DataFrame, path: String, checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
+    df.writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
+  def toMemory(df: DataFrame, name: String, mode: OutputMode,
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    df.writeStream.format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(trigger)
+      .start()
+
+  /** Blackhole sink (reference DataSinkType::Blackhole). */
+  def toNoop(df: DataFrame): StreamingQuery =
+    df.writeStream.format("noop").start()
+}

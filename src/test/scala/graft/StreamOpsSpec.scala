@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+import graft.sources.Nexmark
+import graft.sources.Nexmark.Bid
+import graft.streaming.StreamOps
+
+/** Streaming vs batch equivalence: the same generated bids through the
+  * streaming window operators (via MemoryStream micro-batches) must match
+  * the batch formulation — the reference's local-launcher tests play the
+  * same role (SURVEY §3.3).
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  private def mkBids(n: Long): Seq[Bid] =
+    (0L until n).filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
+
+  test("streaming tumbling counts equal batch window counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bids = mkBids(5000)
+    val in = MemoryStream[Bid]
+    val q = StreamOps.toMemory(
+      StreamOps.tumblingCounts(in.toDF(), "10 seconds", "0 seconds"),
+      "tumbling_test", OutputMode.Complete)
+    try {
+      // two micro-batches to exercise incremental state
+      in.addData(bids.take(2000))
+      q.processAllAvailable()
+      in.addData(bids.drop(2000))
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .select($"w_start", $"auction", $"num")
+        .collect().toSet
+      val batch = bids.toDF()
+        .groupBy(window($"b_date_time", "10 seconds").as("w"), $"auction")
+        .agg(count(lit(1)).as("num"))
+        .select($"w.start".as("w_start"), $"auction", $"num")
+        .collect().toSet
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming hopping counts equal batch hopping counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bids = mkBids(3000)
+    val in = MemoryStream[Bid]
+    val q = StreamOps.toMemory(
+      StreamOps.hoppingCounts(in.toDF(), "10 seconds", "5 seconds", "0 seconds"),
+      "hopping_test", OutputMode.Complete)
+    try {
+      in.addData(bids)
+      q.processAllAvailable()
+      val streamed = spark.table("hopping_test").collect().toSet
+      val batch = bids.toDF()
+        .groupBy(window($"b_date_time", "10 seconds", "5 seconds").as("w"), $"auction")
+        .agg(count(lit(1)).as("num"))
+        .select($"w.start".as("w_start"), $"auction", $"num")
+        .collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("flock-exact sessions close on gap and match batch gaps-and-islands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 10000L
+    val bids = mkBids(5000)
+    val maxTs = bids.map(_.b_date_time.getTime).max
+    // sentinel far-future bid per bidder is unnecessary: one global future
+    // event advances the watermark past every session's timeout.
+    val sentinel = Bid(auction = 0, bidder = -1, price = 1,
+      b_date_time = new Timestamp(maxTs + 10 * gapMs))
+    val in = MemoryStream[Bid]
+    val q = StreamOps.toMemory(
+      StreamOps.flockSessions(in.toDS(), gapMs, "0 seconds").toDF(),
+      "sessions_test", OutputMode.Append)
+    try {
+      in.addData(bids.take(2500))
+      q.processAllAvailable()
+      in.addData(bids.drop(2500))
+      q.processAllAvailable()
+      in.addData(Seq(sentinel))
+      q.processAllAvailable()
+      // one extra empty-ish batch lets event-time timeouts fire
+      in.addData(Seq(sentinel.copy(b_date_time = new Timestamp(maxTs + 20 * gapMs))))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_test")
+        .filter($"bidder" >= 0)
+        .select($"bidder", $"s_start", $"bid_count")
+        .collect().toSet
+      val batch = bids.toDF()
+        .groupBy(session_window($"b_date_time", "10 seconds").as("w"), $"bidder")
+        .agg(count(lit(1)).as("bid_count"))
+        .select($"bidder", $"w.start".as("s_start"), $"bid_count")
+        .collect().toSet
+      assert(streamed == batch,
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("parquet sink round-trips a streamed projection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bids = mkBids(1000)
+    val in = MemoryStream[Bid]
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val q = StreamOps.toParquet(StreamOps.elementwise(in.toDF()),
+      s"$tmp/out", s"$tmp/ckpt",
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    in.addData(bids)
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(s"$tmp/out")
+    assert(written.count() == bids.size)
+    assert(written.columns.toSet == Set("auction", "bidder", "price", "b_date_time"))
+  }
+}
