@@ -14,7 +14,9 @@ object SparkEntry {
       (operators.Windows.defs, operators.Windows.oracles),
       (operators.TextOps.defs, operators.TextOps.oracles),
       (operators.VectorOps.defs, operators.VectorOps.oracles),
-      (operators.NexmarkQueries.defs, Map.empty[String, String])
+      (operators.NexmarkQueries.defs, Map.empty[String, String]),
+      (operators.SqlShapes.defs, operators.SqlShapes.oracles),
+      (operators.Multimodal.defs, Map.empty[String, String])
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.ByteBuffer
+
+/** Multimodal (image/audio/video) columns as opaque binary + typed
+  * metadata — the LLM-pipeline extension (BASELINE.json north star).
+  *
+  * Container constraint: no image/audio codec libraries exist in this
+  * environment, so the DECODE step is a deterministic fake (a 16-byte
+  * header we synthesize and parse); everything around it — binary columns
+  * in DataFrames, schema, mapPartitions batch shape, per-partition
+  * amortized "decoder" initialization, feature vectors, frame explosion —
+  * is the real Spark plumbing a production decode path would use. Swap
+  * `FakeCodec` for a real codec (JavaCV/TwelveMonkeys) without touching
+  * the operator shapes.
+  *
+  * Scale design: decode/features are mapPartitions (no shuffle, codec
+  * init amortized per partition, batch-iterator form identical to
+  * mapInPandas' batch shape); frame sampling uses explode on a bounded
+  * sequence; all outputs carry asset_id so downstream joins co-partition.
+  */
+object Multimodal {
+
+  case class Asset(asset_id: Long, kind: String, bytes: Array[Byte])
+  case class Meta(asset_id: Long, kind: String, width: Int, height: Int,
+      n_frames: Int, payload_len: Int)
+  case class Feature(asset_id: Long, feature: Array[Float])
+
+  private val Magic: Int = 0x47465442 // "GFTB"
+
+  /** The stand-in codec. A real implementation would decode actual media;
+    * this one writes/parses a deterministic 16-byte header:
+    * [magic, width, height, n_frames] big-endian + payload bytes.
+    */
+  object FakeCodec {
+    def encode(width: Int, height: Int, nFrames: Int, payload: Array[Byte]): Array[Byte] = {
+      val buf = ByteBuffer.allocate(16 + payload.length)
+      buf.putInt(Magic).putInt(width).putInt(height).putInt(nFrames).put(payload)
+      buf.array()
+    }
+
+    /** STUB: real codecs would decode pixels/samples here. */
+    def decodeHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (bytes.length < 16) return None
+      val buf = ByteBuffer.wrap(bytes)
+      if (buf.getInt() != Magic) None
+      else Some((buf.getInt(), buf.getInt(), buf.getInt(), bytes.length - 16))
+    }
+
+    /** STUB feature extractor: a real model would embed decoded content;
+      * this derives a deterministic pseudo-embedding from payload bytes so
+      * the plumbing (fixed-dim float vectors per asset) is testable.
+      */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        out(i % dim) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Deterministic synthetic asset table (no driver table has binary
+    * columns): kinds rotate image/audio/video; sizes vary by id.
+    */
+  def assets(spark: SparkSession, n: Long): Dataset[Asset] = {
+    import spark.implicits._
+    spark.range(0, n).map { id =>
+      val rng = new graft.sources.Nexmark.Rng(id)
+      val kind = Seq("image", "audio", "video")((id % 3).toInt)
+      val (w, h, f) = kind match {
+        case "image" => (64 + rng.nextInt(512), 64 + rng.nextInt(512), 1)
+        case "audio" => (0, 0, 1 + rng.nextInt(1000))
+        case "video" => (320, 240, 1 + rng.nextInt(120))
+      }
+      val payload = new Array[Byte](64 + rng.nextInt(192))
+      var i = 0
+      while (i < payload.length) { payload(i) = (rng.nextLong() & 0xff).toByte; i += 1 }
+      Asset(id, kind, FakeCodec.encode(w, h, f, payload))
+    }
+  }
+
+  /** Decode metadata from the binary column — mapPartitions so a real
+    * codec would init once per partition, not per row.
+    */
+  def decodeMeta(assets: Dataset[Asset]): Dataset[Meta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // (real codec handle would be created here, once per partition)
+      it.flatMap { a =>
+        FakeCodec.decodeHeader(a.bytes).map { case (w, h, f, len) =>
+          Meta(a.asset_id, a.kind, w, h, f, len)
+        }
+      }
+    }
+  }
+
+  /** Fixed-dim feature vectors per asset (batch-iterator shape). */
+  def extractFeatures(assets: Dataset[Asset], dim: Int): Dataset[Feature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map(a => Feature(a.asset_id, FakeCodec.features(a.bytes.drop(16), dim)))
+    }
+  }
+
+  /** Frame sampling: one output row per sampled frame index (video/audio
+    * assets), bounded explode — no driver-side loops.
+    */
+  def sampleFrames(meta: Dataset[Meta], everyN: Int): DataFrame = {
+    import meta.sparkSession.implicits._
+    meta.toDF()
+      .filter($"n_frames" > 1)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(everyN))))
+      .select($"asset_id", $"kind", $"frame_idx")
+  }
+
+  /** "Resize": rewrite header dims, payload untouched (STUB for a real
+    * pixel resample), preserving binary-column shape.
+    */
+  def resize(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        FakeCodec.decodeHeader(a.bytes) match {
+          case Some((_, _, f, _)) =>
+            a.copy(bytes = FakeCodec.encode(w, h, f, a.bytes.drop(16)))
+          case None => a
+        }
+      }
+    }
+  }
+
+  /** Catalog entries (synthetic assets — sfDir-independent, rows-only). */
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> ((s, _) =>
+      decodeMeta(assets(s, 2000)).toDF()
+        .orderBy(col("asset_id"))),
+    "mm_features" -> ((s, _) =>
+      extractFeatures(assets(s, 2000), 32).toDF()
+        .select(col("asset_id"), col("feature"))
+        .orderBy(col("asset_id"))),
+    "mm_frame_sample" -> ((s, _) =>
+      sampleFrames(decodeMeta(assets(s, 2000)), 10)
+        .orderBy(col("asset_id"), col("frame_idx")))
+  )
+}

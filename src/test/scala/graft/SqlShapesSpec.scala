@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, SqlShapes}
+import graft.functions.GraftFunctions
+import graft.sources.FileSources
+
+class SqlShapesSpec extends SparkSpec {
+
+  test("approx_count_distinct is within 5% of exact") {
+    import spark.implicits._
+    val approx: Map[String, (Long, Long)] =
+      SqlShapes.defs("q45_approx_distinct")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey"), countDistinct($"l_partkey"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (eo, ep)) =>
+      val (ao, ap) = approx(k)
+      assert(math.abs(ao - eo).toDouble / eo < 0.05, s"$k orders: $ao vs $eo")
+      assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$k parts: $ap vs $ep")
+    }
+  }
+
+  test("SQL-registered functions match the Column API expressions") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Tables(spark, sfDir, "documents")
+      .withColumn("toks", split($"text", "\\s+"))
+      .createOrReplaceTempView("docs_fn_test")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(toks) AS sh, minhash_sig(toks, 8, 1) AS mh,
+         winnow_fingerprints(toks, 4) AS fp FROM docs_fn_test""")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2), r.getSeq[Long](3))).toSeq
+    val viaApi = Tables(spark, sfDir, "documents")
+      .withColumn("toks", split($"text", "\\s+"))
+      .select($"doc_id",
+        graft.functions.TextHashes.simhash64($"toks").as("sh"),
+        graft.functions.TextHashes.minhashSig($"toks", 8, 1).as("mh"),
+        graft.functions.TextHashes.winnowFingerprints($"toks", 4).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2), r.getSeq[Long](3))).toSeq
+    assert(viaSql.toSet == viaApi.toSet)
+    // non-literal k must fail clearly
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(toks, doc_id + 1, 1) FROM docs_fn_test").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"), err.getMessage)
+  }
+
+  test("CSV and JSON round-trip lineitem with explicit schemas") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_files").toString
+    FileSources.writeCsv(li, s"$tmp/csv")
+    FileSources.writeJsonLines(li, s"$tmp/json")
+    val backCsv = FileSources.readCsv(spark, s"$tmp/csv", li.schema)
+    val backJson = FileSources.readJsonLines(spark, s"$tmp/json", li.schema)
+    assert(backCsv.schema == li.schema)
+    assert(backJson.schema == li.schema)
+    val orig = li.collect().toSet
+    assert(backCsv.collect().toSet == orig, "csv round-trip")
+    assert(backJson.collect().toSet == orig, "json round-trip")
+  }
+
+  test("partitioned parquet sink prunes partitions on read") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = operators.NexmarkQueries.q10(spark)
+    FileSources.writePartitioned(df, s"$tmp/bids", Seq("p_date", "p_hour"))
+    val back = spark.read.parquet(s"$tmp/bids").filter($"p_hour" === 0)
+    assert(back.count() > 0)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(back.inputFiles.forall(_.contains("p_hour=0")),
+      "partition pruning must restrict input files")
+  }
+
+  test("multimodal: decode, features, frames are consistent") {
+    val assets = Multimodal.assets(spark, 500)
+    val meta = Multimodal.decodeMeta(assets)
+    assert(meta.count() == 500, "all synthetic assets must decode")
+    val feats = Multimodal.extractFeatures(assets, 32)
+    assert(feats.collect().forall(_.feature.length == 32))
+    val frames = Multimodal.sampleFrames(meta, 10)
+    import spark.implicits._
+    val audioVideo = meta.filter($"n_frames" > 1).count()
+    assert(frames.select("asset_id").distinct().count() == audioVideo)
+    // resize rewrites header only
+    val resized = Multimodal.decodeMeta(Multimodal.resize(assets, 128, 128))
+    assert(resized.collect().forall(m => m.width == 128 && m.height == 128))
+    val origLens = meta.collect().map(m => m.asset_id -> m.payload_len).toMap
+    assert(resized.collect().forall(m => m.payload_len == origLens(m.asset_id)),
+      "resize stub must preserve payload")
+  }
+}
