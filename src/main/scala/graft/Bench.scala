@@ -1,23 +1,68 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): times the headline queries on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Measurement: each query is fully materialized through the noop sink —
+  * `.count()` would let Catalyst prune projections and undercount the real
+  * work. One warmup query first so JVM/codegen/session init doesn't land
+  * in the first measurement.
+  */
 object Bench {
+
+  /** Representative subset across the operator inventory: scans+agg,
+    * joins (broadcast + shuffled), window functions, event-time windows,
+    * sessions, text + dedup, vectors, NEXMark workload.
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary",
+    "q03_join_topk",
+    "q04_range_join_agg",
+    "q06_rank_per_key",
+    "q13_broadcast_side_join",
+    "q17_multi_join_revenue",
+    "q21_having",
+    "q22_tumbling_window",
+    "q24_session_window",
+    "q28_token_stats",
+    "q31_dedup_exact",
+    "q33_minhash_lsh_pairs",
+    "q37_knn_bruteforce",
+    "nx_q04_avg_final_price",
+    "nx_q05_hot_items",
+    "nx_q09_winning_bids",
+    "nx_ysb_campaigns")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    run("q01_pricing_summary") // warmup: session + codegen init
+    val results = headline.map(n => n -> run(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -120,16 +120,22 @@ object TextOps {
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id", array_distinct($"toks").as("set"))
       .withColumn("sig", TextHashes.minhashSig(array_sort($"set"), k, 1))
-    val banded = base.select($"doc_id", $"set",
+    // Band join carries only (doc_id, band, bandval): candidate pair dedup
+    // happens on two longs, and token sets are re-attached afterwards —
+    // shuffling full arrays through the join + distinct is the scale trap.
+    val banded = base.select($"doc_id",
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rows + 1, $rows))")))
-      .select($"doc_id", $"set", $"pos".as("band"), $"col".as("bandval"))
-    val cand = banded.as("a")
+      .select($"doc_id", $"pos".as("band"), $"col".as("bandval"))
+    val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.set").as("set1"), col("b.set").as("set2"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    val sets = base.select($"doc_id", $"set")
+    val cand = candIds
+      .join(sets.select($"doc_id".as("id1"), $"set".as("set1")), "id1")
+      .join(sets.select($"doc_id".as("id2"), $"set".as("set2")), "id2")
     cand
       .withColumn("inter", size(array_intersect($"set1", $"set2")).cast("double"))
       .withColumn("uni", size(array_union($"set1", $"set2")).cast("double"))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, VectorOps}
+
+/** Physical-plan quality gates — the 100 TB design assertions. A query can
+  * be value-correct and still carry a plan that dies at scale; these tests
+  * pin the plan shapes we designed for (broadcasts actually broadcast,
+  * scans prune columns, top-k avoids global sorts, codegen covers the hot
+  * path).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("broadcast joins are BroadcastHashJoin, not shuffled") {
+    val p13 = plan(Relational.defs("q13_broadcast_side_join")(spark, sfDir))
+    assert(p13.contains("BroadcastHashJoin"), p13.take(800))
+    val p17 = plan(Relational.defs("q17_multi_join_revenue")(spark, sfDir))
+    assert(p17.contains("BroadcastHashJoin"), "dims must broadcast in q17")
+    val p37 = plan(VectorOps.defs("q37_knn_bruteforce")(spark, sfDir))
+    assert(p37.contains("BroadcastNestedLoopJoin") || p37.contains("BroadcastHashJoin"),
+      "query vectors must broadcast in kNN")
+  }
+
+  test("parquet scans prune columns to what the query needs") {
+    val df = Relational.defs("q03_join_topk")(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).filter(_.contains("parquet"))
+    assert(scans.nonEmpty)
+    // orders scan must not read o_orderstatus/o_orderpriority
+    val ordersScan = scans.find(_.contains("orders")).get
+    assert(!ordersScan.contains("o_orderstatus"),
+      s"unpruned orders scan: ${ordersScan.take(400)}")
+    assert(!ordersScan.contains("o_orderpriority"))
+  }
+
+  test("filters push down to the parquet scan") {
+    import spark.implicits._
+    val df = Tables(spark, sfDir, "lineitem")
+      .filter($"l_quantity" > 45.0)
+      .select($"l_orderkey", $"l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("parquet")).get
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(l_quantity"),
+      s"filter not pushed: ${scan.take(400)}")
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject (top-k, no global sort)") {
+    val p = plan(Relational.defs("q12_sort_limit")(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("aggregation is two-phase (partial then final)") {
+    val p = plan(Relational.defs("q01_pricing_summary")(spark, sfDir))
+    assert(p.contains("HashAggregate"), p.take(500))
+    // partial + final = at least two HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "expected partial+final aggregate")
+  }
+
+  test("the hot relational path stays inside whole-stage codegen") {
+    // AQE finalizes the plan only on execution; run it, then inspect.
+    val df = Relational.defs("q01_pricing_summary")(spark, sfDir)
+    df.collect() // finalizes THIS QueryExecution's adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the "*(n)" stage prefix in plan strings
+    assert(p.contains("*("), p.take(800))
+  }
+}
