@@ -16,6 +16,7 @@ object SparkEntry {
       (operators.VectorOps.defs, operators.VectorOps.oracles),
       (operators.NexmarkQueries.defs, Map.empty[String, String]),
       (operators.SqlShapes.defs, operators.SqlShapes.oracles),
+      (operators.TpchLike.defs, operators.TpchLike.oracles),
       (operators.Multimodal.defs, Map.empty[String, String])
     )
 
