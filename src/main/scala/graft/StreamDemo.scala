@@ -23,12 +23,20 @@ object StreamDemo {
     val q = StreamOps.toMemory(
       StreamOps.tumblingCounts(bids.toDF(), "2 seconds", "0 seconds"),
       "demo", OutputMode.Complete)
+    // KV-sink path: foreachBatch upserts per-auction counts (DynamoDB-style)
+    val store = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    import org.apache.spark.sql.functions._
+    val kv = StreamOps.toForeachBatch(
+      StreamOps.bidStream(spark, eps).toDF()
+        .groupBy(col("auction")).agg(count(lit(1)).as("n"))) { (batch, _) =>
+      batch.collect().foreach(r => store.put(r.getInt(0), r.getLong(1)))
+    }
     q.awaitTermination(secs * 1000L)
-    q.stop()
+    q.stop(); kv.stop()
     val out = spark.table("demo")
     val rows = out.count()
-    val total = out.agg(org.apache.spark.sql.functions.sum("num")).head.getLong(0)
-    println(s"STREAM_DEMO windows=$rows total_bids=$total")
+    val total = out.agg(sum("num")).head.getLong(0)
+    println(s"STREAM_DEMO windows=$rows total_bids=$total kv_keys=${store.size}")
     spark.stop()
   }
 }

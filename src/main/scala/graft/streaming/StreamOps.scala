@@ -137,4 +137,12 @@ object StreamOps {
   /** Blackhole sink (reference DataSinkType::Blackhole). */
   def toNoop(df: DataFrame): StreamingQuery =
     df.writeStream.format("noop").start()
+
+  /** Key-value-store sink pattern (reference DynamoDB/SQS sinks,
+    * datasink/mod.rs:68-101): foreachBatch hands each micro-batch to an
+    * idempotent upsert callback keyed by batchId for exactly-once sinks.
+    */
+  def toForeachBatch(df: DataFrame, mode: OutputMode = OutputMode.Update)(
+      f: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream.outputMode(mode).foreachBatch(f).start()
 }
