@@ -16,8 +16,19 @@ object SqlShapes {
     "q42_correlated_subquery" -> ((s, d) => q42(s, d)),
     "q43_rollup" -> ((s, d) => q43(s, d)),
     "q44_cube" -> ((s, d) => q44(s, d)),
-    "q45_approx_distinct" -> ((s, d) => q45(s, d))
+    "q45_approx_distinct" -> ((s, d) => q45(s, d)),
+    "q51_salted_agg" -> ((s, d) => q51(s, d))
   )
+
+  /** Skew-safe grouped count via graft.plans.Scale salting — value-equal
+    * to the plain GROUP BY (which is the DuckDB oracle).
+    */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.Scale.saltedCount(Tables(s, d, "lineitem"), "l_suppkey", 8)
+      .select($"l_suppkey", $"cnt")
+      .orderBy($"l_suppkey")
+  }
 
   /** TPC-H Q17 shape: correlated scalar subquery — small-quantity orders
     * below 20% of the part's average quantity. Spark decorrelates this to
@@ -85,6 +96,9 @@ object SqlShapes {
     "q44_cube" ->
       """SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
          FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
-         ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""
+         ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""",
+    "q51_salted_agg" ->
+      """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }
