@@ -31,12 +31,21 @@ object StreamDemo {
         .groupBy(col("auction")).agg(count(lit(1)).as("n"))) { (batch, _) =>
       batch.collect().foreach(r => store.put(r.getInt(0), r.getLong(1)))
     }
+    // stream-stream join path: auctions ⋈ bids with range residual
+    val ssj = StreamOps.toMemory(
+      StreamOps.winningBidJoin(
+        StreamOps.auctionStream(spark, eps).toDF(),
+        StreamOps.bidStream(spark, eps).toDF(),
+        "0 seconds", "1 hour")
+        .select(col("a_id"), col("price")),
+      "ssj", OutputMode.Append)
     q.awaitTermination(secs * 1000L)
-    q.stop(); kv.stop()
+    q.stop(); kv.stop(); ssj.stop()
     val out = spark.table("demo")
     val rows = out.count()
     val total = out.agg(sum("num")).head.getLong(0)
-    println(s"STREAM_DEMO windows=$rows total_bids=$total kv_keys=${store.size}")
+    val joinRows = spark.table("ssj").count()
+    println(s"STREAM_DEMO windows=$rows total_bids=$total kv_keys=${store.size} join_rows=$joinRows")
     spark.stop()
   }
 }

@@ -36,6 +36,18 @@ object StreamOps {
       .map((i: Long) => graft.sources.Nexmark.genBid(i, eventsPerSecond.toLong))
   }
 
+  /** Rate-source auction stream (same per-id regeneration as bidStream). */
+  def auctionStream(spark: SparkSession, eventsPerSecond: Int): Dataset[graft.sources.Nexmark.Auction] = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", eventsPerSecond.toString)
+      .load()
+      .select($"value")
+      .as[Long]
+      .filter((i: Long) => graft.sources.Nexmark.kindOf(i) == 1)
+      .map((i: Long) => graft.sources.Nexmark.genAuction(i, eventsPerSecond.toLong))
+  }
+
   /** ElementWise analog: per-micro-batch projection, no state. */
   def elementwise(bids: DataFrame): DataFrame =
     bids.select(col("auction"), col("bidder"),
@@ -116,6 +128,30 @@ object StreamOps {
           }
       }
   }
+
+  /** Stream-stream inner join: auctions ⋈ bids with the NEXMark range
+    * residual (q4/q6/q9 shape, executed-corpus q4.sql:5-9). Spark needs an
+    * interval bound between the two watermarked event-time columns to age
+    * state out; `maxAuctionLength` provides it, and the data-dependent
+    * `expires` bound applies as a residual predicate on top.
+    */
+  def winningBidJoin(auctions: DataFrame, bids: DataFrame,
+      watermark: String, maxAuctionLength: String): DataFrame =
+    auctions.withWatermark("a_date_time", watermark)
+      .join(bids.withWatermark("b_date_time", watermark),
+        expr(s"""a_id = auction
+                 AND b_date_time >= a_date_time
+                 AND b_date_time <= a_date_time + INTERVAL $maxAuctionLength
+                 AND b_date_time <= expires"""),
+        "inner")
+
+  /** Configure a builder for the RocksDB state store provider — the
+    * disk-backed state backend (reference S3/EFS backends, state/mod.rs;
+    * Spark's answer is checkpointed RocksDB instead of remote puts).
+    */
+  def withRocksDBState(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
   /** Sinks (datasink/mod.rs analogs). */
   def toParquet(df: DataFrame, path: String, checkpoint: String,

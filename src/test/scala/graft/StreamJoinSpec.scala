@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.sources.Nexmark
+import graft.sources.Nexmark.{Auction, Bid}
+import graft.streaming.StreamOps
+
+class StreamJoinSpec extends SparkSpec {
+
+  test("stream-stream winning-bid join equals the batch range join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 5000L
+    val auctions = (0L until n).filter(Nexmark.kindOf(_) == 1).map(Nexmark.genAuction(_, 1000))
+    val bids = (0L until n).filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
+    val inA = MemoryStream[Auction]
+    val inB = MemoryStream[Bid]
+    val joined = StreamOps.winningBidJoin(
+        inA.toDF(), inB.toDF(), "0 seconds", "1 hour")
+      .select($"a_id", $"auction", $"price", $"b_date_time")
+    val q = StreamOps.toMemory(joined, "ssjoin_test", OutputMode.Append)
+    try {
+      // interleave arrivals across micro-batches
+      inA.addData(auctions.take(auctions.size / 2))
+      inB.addData(bids.take(bids.size / 2))
+      q.processAllAvailable()
+      inA.addData(auctions.drop(auctions.size / 2))
+      inB.addData(bids.drop(bids.size / 2))
+      q.processAllAvailable()
+      val streamed = spark.table("ssjoin_test").collect().toSet
+      val batch = auctions.toDF().join(bids.toDF(),
+          expr("""a_id = auction AND b_date_time >= a_date_time
+                  AND b_date_time <= a_date_time + INTERVAL 1 HOUR
+                  AND b_date_time <= expires"""))
+        .select($"a_id", $"auction", $"price", $"b_date_time")
+        .collect().toSet
+      assert(streamed == batch,
+        s"stream=${streamed.size} batch=${batch.size} " +
+          s"only-stream=${(streamed -- batch).take(2)} only-batch=${(batch -- streamed).take(2)}")
+    } finally q.stop()
+  }
+
+  test("session windows run on the RocksDB state store provider") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bids = (0L until 3000L).filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
+      val in = MemoryStream[Bid]
+      val q = StreamOps.toMemory(
+        StreamOps.tumblingCounts(in.toDF(), "10 seconds", "0 seconds"),
+        "rocksdb_test", OutputMode.Complete)
+      try {
+        in.addData(bids)
+        q.processAllAvailable()
+        val total = spark.table("rocksdb_test").agg(sum($"num")).head.getLong(0)
+        assert(total == bids.size, s"RocksDB-backed agg lost rows: $total")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
