@@ -17,8 +17,61 @@ object SqlShapes {
     "q43_rollup" -> ((s, d) => q43(s, d)),
     "q44_cube" -> ((s, d) => q44(s, d)),
     "q45_approx_distinct" -> ((s, d) => q45(s, d)),
-    "q51_salted_agg" -> ((s, d) => q51(s, d))
+    "q51_salted_agg" -> ((s, d) => q51(s, d)),
+    "q52_asof_join" -> ((s, d) => q52(s, d)),
+    "q53_moving_avg" -> ((s, d) => q53(s, d))
   )
+
+  /** As-of join (SURVEY §2.3 names it among shapes absent from the
+    * executed corpus): for each event, the latest order of the same
+    * customer at or before the event time. Spark lacks a native ASOF —
+    * composed as tagged union + last-ignoring-nulls over an event-time
+    * window, which keeps it a single shuffle on (key, time). DuckDB's
+    * native ASOF JOIN is the oracle.
+    */
+  private def q52(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, d, "events").filter($"event_id" % 11 === 0)
+      .select($"user_id".as("key"), $"ts", $"event_id",
+        lit(null).cast("long").as("o_key"), lit(1).as("is_left"))
+    // one order per (custkey, date): ASOF tie-breaking at equal timestamps
+    // is engine-defined, so remove the ties before joining
+    val ord = Tables(s, d, "orders")
+      .groupBy($"o_custkey".as("key"), $"o_orderdate".as("ts"))
+      .agg(max($"o_orderkey").as("o_key"))
+      .select($"key", $"ts", lit(null).cast("long").as("event_id"),
+        $"o_key", lit(0).as("is_left"))
+    // right rows sort before left rows at equal ts => "at or before"
+    val w = Window.partitionBy($"key")
+      .orderBy($"ts", $"is_left", $"o_key")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("asof_order", last($"o_key", ignoreNulls = true).over(w))
+      .filter($"is_left" === 1 && $"asof_order".isNotNull)
+      .select($"event_id", $"key".as("user_id"), $"asof_order")
+      .orderBy($"event_id")
+  }
+
+  /** Bounded-frame moving average (reference q6 original text uses ROWS
+    * BETWEEN 10 PRECEDING AND CURRENT ROW, nexmark/queries/q6.sql:12-18).
+    */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(-10, Window.currentRow)
+    // prices are 2-dp: sum exact integer cents in the frame, divide once —
+    // float frame-avg accumulation orders differ between engines and flip
+    // round() at the boundary
+    Tables(s, d, "orders")
+      .filter($"o_custkey" % 25 === 0)
+      .withColumn("cents", round($"o_totalprice" * 100, 0).cast("long"))
+      .select($"o_orderkey", $"o_custkey",
+        round(sum($"cents").over(w) / (count(lit(1)).over(w) * 100.0), 2)
+          .as("mov_avg"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
 
   /** Skew-safe grouped count via graft.plans.Scale salting — value-equal
     * to the plain GROUP BY (which is the DuckDB oracle).
@@ -99,6 +152,22 @@ object SqlShapes {
          ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""",
     "q51_salted_agg" ->
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q52_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 11 = 0),
+         o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_key
+               FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, o.o_key AS asof_order
+         FROM e ASOF JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
+    "q53_moving_avg" ->
+      """SELECT o_orderkey, o_custkey,
+         round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w
+           / (count(*) OVER w * 100.0), 2) AS mov_avg
+         FROM orders WHERE o_custkey % 25 = 0
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey"""
   )
 }
