@@ -30,6 +30,11 @@ object Bench {
     "q31_dedup_exact",
     "q33_minhash_lsh_pairs",
     "q37_knn_bruteforce",
+    "q42_correlated_subquery",
+    "q47_top_customers",
+    "q52_asof_join",
+    "q53_moving_avg",
+    "mm_features",
     "nx_q04_avg_final_price",
     "nx_q05_hot_items",
     "nx_q09_winning_bids",

@@ -132,10 +132,12 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    // token sets are one row per doc — broadcast both re-attach joins so
+    // the (large) candidate pair set never shuffles
     val sets = base.select($"doc_id", $"set")
     val cand = candIds
-      .join(sets.select($"doc_id".as("id1"), $"set".as("set1")), "id1")
-      .join(sets.select($"doc_id".as("id2"), $"set".as("set2")), "id2")
+      .join(broadcast(sets.select($"doc_id".as("id1"), $"set".as("set1"))), "id1")
+      .join(broadcast(sets.select($"doc_id".as("id2"), $"set".as("set2"))), "id2")
     cand
       .withColumn("inter", size(array_intersect($"set1", $"set2")).cast("double"))
       .withColumn("uni", size(array_union($"set1", $"set2")).cast("double"))
