@@ -87,6 +87,28 @@ class NexmarkSpec extends SparkSpec {
     }
   }
 
+  test("q5/q7 windowed dual formulation: DataFrame equals SQL window()") {
+    import spark.implicits._
+    Nexmark.bids(spark, NexmarkQueries.N).toDF().createOrReplaceTempView("bid")
+    val q5sql = spark.sql(
+      """WITH counts AS (
+           SELECT window(b_date_time, '10 seconds', '5 seconds') AS w,
+                  auction, count(*) AS num
+           FROM bid GROUP BY 1, 2),
+         maxn AS (SELECT w, max(num) AS maxn FROM counts GROUP BY 1)
+         SELECT counts.w.start AS w_start, auction, num
+         FROM counts JOIN maxn ON counts.w = maxn.w AND num = maxn""")
+      .collect().toSet
+    assert(NexmarkQueries.q5(spark).collect().toSet == q5sql)
+    val q7sql = spark.sql(
+      """WITH b AS (SELECT *, window(b_date_time, '10 seconds') AS w FROM bid),
+         mx AS (SELECT w, max(price) AS maxprice FROM b GROUP BY 1)
+         SELECT b.w.start AS w_start, auction, price, bidder, b_date_time
+         FROM b JOIN mx ON b.w = mx.w AND price = maxprice""")
+      .collect().toSet
+    assert(NexmarkQueries.q7(spark).collect().toSet == q7sql)
+  }
+
   test("q5 hot items: every window's winners have the window max count") {
     import spark.implicits._
     val out = NexmarkQueries.q5(spark)
