@@ -39,13 +39,19 @@ object StreamDemo {
         "0 seconds", "1 hour")
         .select(col("a_id"), col("price")),
       "ssj", OutputMode.Append)
+    // per-window finalize path: streaming q5 hot items
+    val nWinners = new java.util.concurrent.atomic.AtomicLong()
+    val hot = StreamOps.hotItemsStream(
+      StreamOps.bidStream(spark, eps).toDF(), "0 seconds") { winners =>
+      nWinners.addAndGet(winners.count())
+    }
     q.awaitTermination(secs * 1000L)
-    q.stop(); kv.stop(); ssj.stop()
+    q.stop(); kv.stop(); ssj.stop(); hot.stop()
     val out = spark.table("demo")
     val rows = out.count()
-    val total = out.agg(sum("num")).head.getLong(0)
+    val total = out.agg(sum("num")).head().getLong(0)
     val joinRows = spark.table("ssj").count()
-    println(s"STREAM_DEMO windows=$rows total_bids=$total kv_keys=${store.size} join_rows=$joinRows")
+    println(s"STREAM_DEMO windows=$rows total_bids=$total kv_keys=${store.size} join_rows=$joinRows hot_winners=${nWinners.get()}")
     spark.stop()
   }
 }

@@ -153,6 +153,25 @@ object StreamOps {
     b.config("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+  /** Streaming NEXMark q5 (hot items): append-mode hopping counts emit
+    * each window once its watermark closes; the per-window max is then a
+    * small per-batch reduction in foreachBatch — the same
+    * collect-window-then-finalize structure as the reference's hopping
+    * driver (hopping.rs:54-121) with Spark managing the window state.
+    */
+  def hotItemsStream(bids: DataFrame, watermark: String)(
+      onWinners: DataFrame => Unit): StreamingQuery = {
+    val counts = hoppingCounts(bids, "10 seconds", "5 seconds", watermark)
+    toForeachBatch(counts, OutputMode.Append) { (batch, _) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("w_start")).orderBy(col("num").desc, col("auction"))
+      onWinners(batch
+        .withColumn("rnk", org.apache.spark.sql.functions.rank().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("w_start"), col("auction"), col("num")))
+    }
+  }
+
   /** Sinks (datasink/mod.rs analogs). */
   def toParquet(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
