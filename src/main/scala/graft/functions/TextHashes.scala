@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftInternal.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -104,46 +104,57 @@ object TextHashes {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ArrayData-typed entry points invoked from generated code (doGenCode
+  // emits static calls to these — the StaticInvoke pattern Spark's own
+  // collection expressions use; keeps the whole stage codegen'd without
+  // hand-writing the hash loops in Java strings).
+  private def toTokens(arr: ArrayData): Seq[String] =
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+
+  def minhashSigFromArrayData(arr: ArrayData, k: Int, shingle: Int): ArrayData =
+    new GenericArrayData(minhashSigScala(toTokens(arr), k, shingle))
+
+  def simhash64FromArrayData(arr: ArrayData): Long =
+    simhash64Scala(toTokens(arr))
+
+  def winnowFromArrayData(arr: ArrayData, window: Int): ArrayData =
+    new GenericArrayData(winnowScala(toTokens(arr), window))
 }
 
 /** array<string> → array<long> of k minhash values over w-shingles. */
 case class MinHashSigExpr(child: Expression, k: Int, shingle: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val tokens = (0 until arr.numElements()).map(i =>
-      arr.getUTF8String(i).toString)
-    new GenericArrayData(TextHashes.minhashSigScala(tokens, k, shingle))
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.minhashSigFromArrayData(input.asInstanceOf[ArrayData], k, shingle)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.minhashSigFromArrayData($c, $k, $shingle)")
   override def prettyName: String = "minhash_sig"
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
 }
 
 /** array<string> → 64-bit simhash (long). */
-case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val tokens = (0 until arr.numElements()).map(i =>
-      arr.getUTF8String(i).toString)
-    TextHashes.simhash64Scala(tokens)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.simhash64FromArrayData(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.simhash64FromArrayData($c)")
   override def prettyName: String = "simhash64"
   override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(child = c)
 }
 
 /** array<string> → array<long> winnowed fingerprints. */
-case class WinnowExpr(child: Expression, window: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WinnowExpr(child: Expression, window: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val tokens = (0 until arr.numElements()).map(i =>
-      arr.getUTF8String(i).toString)
-    new GenericArrayData(TextHashes.winnowScala(tokens, window))
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.winnowFromArrayData(input.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.winnowFromArrayData($c, $window)")
   override def prettyName: String = "winnow_fingerprints"
   override protected def withNewChildInternal(c: Expression): WinnowExpr = copy(child = c)
 }

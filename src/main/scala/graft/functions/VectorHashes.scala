@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftInternal.{column, expression}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -47,22 +47,39 @@ object VectorHashes {
   /** Buckets at Hamming distance ≤ 1 from b (multi-probe LSH). */
   def probeBuckets(b: Long, nPlanes: Int): Seq[Long] =
     b +: (0 until nPlanes).map(p => b ^ (1L << p))
+
+  /** ArrayData entry points for generated code. */
+  def bucketFromFloatArrayData(arr: ArrayData, nPlanes: Int): Long =
+    bucketScala(arr.toFloatArray().toSeq.map(_.toDouble), nPlanes)
+
+  def bucketFromDoubleArrayData(arr: ArrayData, nPlanes: Int): Long =
+    bucketScala(arr.toDoubleArray().toSeq, nPlanes)
 }
 
 /** array<double> (or array<float>) → long bucket id. */
 case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val elemType = child.dataType.asInstanceOf[ArrayType].elementType
-    val v: Seq[Double] = elemType match {
-      case FloatType => arr.toFloatArray().toSeq.map(_.toDouble)
-      case DoubleType => arr.toDoubleArray().toSeq
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
       case other => throw new IllegalArgumentException(s"unsupported $other")
     }
-    VectorHashes.bucketScala(v, nPlanes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (isFloat) VectorHashes.bucketFromFloatArrayData(arr, nPlanes)
+    else VectorHashes.bucketFromDoubleArrayData(arr, nPlanes)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "bucketFromFloatArrayData" else "bucketFromDoubleArrayData"
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorHashes.$fn($c, $nPlanes)")
+  }
+
   override def prettyName: String = "hyperplane_bucket"
   override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr = copy(child = c)
 }

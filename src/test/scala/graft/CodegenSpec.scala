@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextHashes, VectorHashes}
+
+/** The custom expressions must generate COMPILABLE code — Spark silently
+  * falls back to interpreted eval when codegen fails, so these run with
+  * the fallback disabled and whole-stage forced on.
+  */
+class CodegenSpec extends SparkSpec {
+
+  private def withStrictCodegen[T](f: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try f finally {
+      spark.conf.set("spark.sql.codegen.fallback", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("text-hash expressions compile under strict codegen") {
+    import spark.implicits._
+    withStrictCodegen {
+      val out = Tables(spark, sfDir, "documents")
+        .withColumn("toks", split($"text", "\\s+"))
+        .select($"doc_id",
+          TextHashes.simhash64($"toks").as("sh"),
+          TextHashes.minhashSig($"toks", 16, 1).as("mh"),
+          TextHashes.winnowFingerprints($"toks", 4).as("fp"))
+        .collect()
+      assert(out.length == Tables(spark, sfDir, "documents").count())
+      assert(out.forall(_.getSeq[Long](2).length == 16))
+    }
+  }
+
+  test("hyperplane bucket compiles under strict codegen for both types") {
+    import spark.implicits._
+    withStrictCodegen {
+      val f = Tables(spark, sfDir, "embeddings")
+        .select(VectorHashes.hyperplaneBucket($"embedding", 4).as("b"))
+        .collect().map(_.getLong(0))
+      assert(f.forall(b => b >= 0 && b < 16))
+      val d = Tables(spark, sfDir, "embeddings")
+        .withColumn("v", transform($"embedding", x => x.cast("double")))
+        .select(VectorHashes.hyperplaneBucket($"v", 4).as("b"))
+        .collect().map(_.getLong(0))
+      assert(f.toSeq == d.toSeq, "float and double paths must agree")
+    }
+  }
+}
