@@ -61,15 +61,17 @@ object SqlShapes {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
       .rowsBetween(-10, Window.currentRow)
-    // prices are 2-dp: sum exact integer cents in the frame, divide once —
-    // float frame-avg accumulation orders differ between engines and flip
-    // round() at the boundary
+    // prices are 2-dp: sum exact integer cents in the frame and round
+    // half-up IN INTEGER SPACE — float frame-avg accumulation differs
+    // between engines, and even exact .xx5 halves round differently
+    // (Spark rounds the decimal string, DuckDB rounds via float math)
     Tables(s, d, "orders")
       .filter($"o_custkey" % 25 === 0)
       .withColumn("cents", round($"o_totalprice" * 100, 0).cast("long"))
+      .withColumn("sumc", sum($"cents").over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
       .select($"o_orderkey", $"o_custkey",
-        round(sum($"cents").over(w) / (count(lit(1)).over(w) * 100.0), 2)
-          .as("mov_avg"))
+        (expr("(2 * sumc + cnt) div (2 * cnt)") / 100.0).as("mov_avg"))
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
@@ -163,8 +165,9 @@ object SqlShapes {
          ORDER BY e.event_id""",
     "q53_moving_avg" ->
       """SELECT o_orderkey, o_custkey,
-         round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w
-           / (count(*) OVER w * 100.0), 2) AS mov_avg
+         ((2 * sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) OVER w
+             + count(*) OVER w)
+           // (2 * count(*) OVER w)) / 100.0 AS mov_avg
          FROM orders WHERE o_custkey % 25 = 0
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
