@@ -31,6 +31,17 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("round-robin repartition and coalesce conserve rows (SURVEY §2.8)") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val n = li.count()
+    val rr = li.repartition(8) // RoundRobinPartitioning
+    assert(rr.rdd.getNumPartitions == 8)
+    assert(rr.count() == n)
+    val co = rr.coalesce(2) // narrow, no shuffle
+    assert(co.rdd.getNumPartitions == 2)
+    assert(co.count() == n)
+  }
+
   test("bucketed join plan has no shuffle exchange on either side") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
