@@ -27,8 +27,27 @@ object Windows {
     "q24_session_window" -> ((s, d) => q24(s, d)),
     "q25_ysb_campaign" -> ((s, d) => q25(s, d)),
     "q26_json_extract" -> ((s, d) => q26(s, d)),
-    "q27_proctime_global" -> ((s, d) => q27(s, d))
+    "q27_proctime_global" -> ((s, d) => q27(s, d)),
+    "q59_rows_window" -> ((s, d) => q59(s, d))
   )
+
+  /** Row-count windows — the reference's Schedule::Rows trigger
+    * (flock/src/stream/window.rs:39-76, declared for Sliding/Stagger but
+    * never executed there): per key, consecutive blocks of 20 events in
+    * event-time order form one window.
+    */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("win", (($"rn" - 1) / 20).cast("long"))
+      .groupBy($"user_id", $"win")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 4).as("sum_value"))
+      .orderBy($"user_id", $"win")
+  }
 
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
@@ -156,6 +175,15 @@ object Windows {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
          event_type
-         FROM events WHERE event_id % 97 = 0 ORDER BY event_id"""
+         FROM events WHERE event_id % 97 = 0 ORDER BY event_id""",
+    "q59_rows_window" ->
+      """WITH t AS (
+           SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 20 AS win
+           FROM events)
+         SELECT user_id, CAST(win AS BIGINT) AS win,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }
