@@ -28,8 +28,35 @@ object VectorOps {
     "q37_knn_bruteforce" -> ((s, d) => q37(s, d)),
     "q38_ann_lsh" -> ((s, d) => q38(s, d)),
     "q39_norm_stats" -> ((s, d) => q39(s, d)),
-    "q40_ann_ivf" -> ((s, d) => q40(s, d))
+    "q40_ann_ivf" -> ((s, d) => q40(s, d)),
+    "q60_cosine_dedup" -> ((s, d) => q60(s, d))
   )
+
+  /** Embedding-cosine near-dup similarity JOIN (corpus × corpus): sign-LSH
+    * multi-probe self-join generates candidates, exact cosine re-checks.
+    * The dedup-by-embedding mode of the LLM pipeline; recall measured on
+    * clustered data in VectorOpsSpec (driver vectors are near-orthogonal).
+    */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nPlanes = 4
+    val e = vecs(s, d)
+      .withColumn("bucket", VectorHashes.hyperplaneBucket($"v", nPlanes))
+    val probed = e.select($"vec_id", $"v", $"nrm",
+      explode(array((0 to nPlanes).map {
+        case 0 => col("bucket")
+        case p => col("bucket").bitwiseXOR(lit(1L << (p - 1)))
+      }: _*)).as("probe"))
+    e.as("a")
+      .join(probed.as("b"),
+        col("a.bucket") === col("b.probe") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .distinct()
+      .filter($"cosine" > 0.35)
+      .select($"id1", $"id2", round($"cosine", 6).as("cosine"))
+      .orderBy($"id1", $"id2")
+  }
 
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

@@ -129,6 +129,16 @@ object StreamOps {
       }
   }
 
+  /** Stream-static broadcast join (NEXMark q13 streaming form): each
+    * micro-batch of bids joins the bounded side-input table; the static
+    * side broadcasts once, no stream state.
+    */
+  def sideInputJoinStream(bids: DataFrame, side: DataFrame): DataFrame =
+    bids.join(org.apache.spark.sql.functions.broadcast(side),
+      pmod(col("auction"), lit(10000)) === col("key"))
+      .select(col("auction"), col("bidder"), col("price"),
+        col("b_date_time"), col("value"))
+
   /** Stream-stream inner join: auctions ⋈ bids with the NEXMark range
     * residual (q4/q6/q9 shape, executed-corpus q4.sql:5-9). Spark needs an
     * interval bound between the two watermarked event-time columns to age

@@ -65,4 +65,25 @@ class StreamJoinSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("stream-static side-input join equals batch q13") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bids = (0L until 3000L).filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
+    val side = Nexmark.sideInput(spark)
+    val in = MemoryStream[Bid]
+    val q = StreamOps.toMemory(
+      StreamOps.sideInputJoinStream(in.toDF(), side),
+      "sideinput_test", OutputMode.Append)
+    try {
+      in.addData(bids.take(1500)); q.processAllAvailable()
+      in.addData(bids.drop(1500)); q.processAllAvailable()
+      val streamed = spark.table("sideinput_test").collect().toSet
+      val batch = bids.toDF().join(broadcast(side),
+          pmod($"auction", lit(10000)) === $"key")
+        .select($"auction", $"bidder", $"price", $"b_date_time", $"value")
+        .collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
 }

@@ -80,4 +80,26 @@ class VectorOpsSpec extends SparkSpec {
       s"duplicate vector must rank first: ${res.mkString}")
     assert(math.abs(res(0).getDouble(2) - 1.0) < 1e-9)
   }
+
+  test("cosine-dedup similarity join recalls clustered near-dup pairs") {
+    import spark.implicits._
+    // brute-force all pairs above threshold on the clustered corpus
+    val e = VectorOps.defs("q60_cosine_dedup")(spark, clusteredDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val V = spark.read.parquet(s"$clusteredDir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = V.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids; j <- ids if i < j
+      if cos(V(i), V(j)) > 0.35
+    } yield (i, j)).toSet
+    assert(e.subsetOf(truth), s"non-true pairs: ${(e -- truth).take(3)}")
+    val recall = if (truth.isEmpty) 1.0 else e.size.toDouble / truth.size
+    assert(recall > 0.6, s"similarity-join recall too low: $recall")
+  }
 }
