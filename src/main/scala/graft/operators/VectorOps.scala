@@ -180,6 +180,40 @@ object VectorOps {
            FROM pairs)
          SELECT query_id, neighbor, cosine, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q40_ann_ivf" ->
+      """WITH m AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM m),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+               FROM n WHERE vec_id < 16),
+         scored AS (
+           SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+             list_sum(list_transform(list_zip(n.v, c.cv), x -> x[1]*x[2]))
+               / (n.nrm * c.cn) AS csim
+           FROM n, c),
+         assign AS (
+           SELECT vec_id, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, cent_id) AS crank
+           FROM scored),
+         assigned AS (SELECT vec_id, v, nrm, cent_id FROM assign WHERE crank = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id
+               FROM assign WHERE crank <= 2 AND vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.query_id, a.vec_id AS neighbor,
+             round(list_sum(list_transform(list_zip(a.v, q.qv), x -> x[1]*x[2]))
+               / (a.nrm * q.qn), 6) AS cosine
+           FROM assigned a JOIN q ON a.cent_id = q.cent_id
+           WHERE a.vec_id <> q.query_id),
+         ranked2 AS (
+           SELECT query_id, neighbor, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT query_id, neighbor, cosine, rank FROM ranked2
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q39_norm_stats" ->
       """WITH m AS (
            SELECT label,
