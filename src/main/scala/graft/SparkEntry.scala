@@ -17,6 +17,7 @@ object SparkEntry {
       (operators.NexmarkQueries.defs, Map.empty[String, String]),
       (operators.SqlShapes.defs, operators.SqlShapes.oracles),
       (operators.TpchLike.defs, operators.TpchLike.oracles),
+      (operators.TpchFull.defs, operators.TpchFull.oracles),
       (operators.Multimodal.defs, Map.empty[String, String])
     )
 

@@ -140,9 +140,18 @@ object Multimodal {
     "mm_decode_meta" -> ((s, _) =>
       decodeMeta(assets(s, 2000)).toDF()
         .orderBy(col("asset_id"))),
+    // feature arrays are scalarized (dim + L2 norm + first element) — the
+    // driver's compare sorts/hashes output columns, and a raw float array
+    // column is unhashable there; the full vector path is exercised in
+    // VectorOps and the specs.
     "mm_features" -> ((s, _) =>
       extractFeatures(assets(s, 2000), 32).toDF()
-        .select(col("asset_id"), col("feature"))
+        .select(col("asset_id"),
+          size(col("feature")).cast("long").as("dim"),
+          round(sqrt(aggregate(transform(col("feature"),
+            x => x.cast("double") * x.cast("double")),
+            lit(0.0), (acc, x) => acc + x)), 3).as("l2_norm"),
+          round(element_at(col("feature"), 1).cast("double"), 3).as("f0"))
         .orderBy(col("asset_id"))),
     "mm_frame_sample" -> ((s, _) =>
       sampleFrames(decodeMeta(assets(s, 2000)), 10)

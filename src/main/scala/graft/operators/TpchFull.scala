@@ -1,0 +1,726 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The complete TPC-H 22-query suite, wired to execution.
+  *
+  * The reference declares all 8 TPC-H schemas and ships the 22 query texts
+  * (/root/reference/flock/src/datasource/tpch/mod.rs:24-122,
+  * /root/reference/flock/src/datasource/tpch/queries/q{1..22}.sql) but has
+  * no execution path for them; we wire every query against the driver
+  * testdata. The driver schema is a TPC-H subset (no partsupp table, no
+  * l_shipmode/l_commitdate/l_receiptdate, no address/phone/comment
+  * columns), so a few queries use documented proxies that preserve the
+  * canonical query SHAPE (the plan-level challenge) with adapted filters:
+  *
+  *  - supply cost (q2/q11/q16/q20): derived from lineitem —
+  *    min(l_extendedprice/l_quantity) per (part, supplier);
+  *  - lateness (q4/q12/q21): l_shipdate > o_orderdate + N days stands in
+  *    for receipt/commit-date comparisons;
+  *  - country code (q22): digits of c_name stand in for phone prefixes;
+  *  - ship mode (q12): l_returnflag stands in for l_shipmode classes.
+  *
+  * Scale notes: nation/region (and other sub-broadcast-threshold dims) are
+  * explicitly broadcast; every query aggregates before any sort; top-k
+  * sorts go through orderBy+limit → TakeOrderedAndProject (no global
+  * sort); all money aggregates are rounded on both engines per the oracle
+  * conventions (see Relational's scaladoc).
+  */
+object TpchFull {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    "tpch_q01" -> ((s, d) => q01(s, d)),
+    "tpch_q02" -> ((s, d) => q02(s, d)),
+    "tpch_q03" -> ((s, d) => q03(s, d)),
+    "tpch_q04" -> ((s, d) => q04(s, d)),
+    "tpch_q05" -> ((s, d) => q05(s, d)),
+    "tpch_q06" -> ((s, d) => q06(s, d)),
+    "tpch_q07" -> ((s, d) => q07(s, d)),
+    "tpch_q08" -> ((s, d) => q08(s, d)),
+    "tpch_q09" -> ((s, d) => q09(s, d)),
+    "tpch_q10" -> ((s, d) => q10(s, d)),
+    "tpch_q11" -> ((s, d) => q11(s, d)),
+    "tpch_q12" -> ((s, d) => q12(s, d)),
+    "tpch_q13" -> ((s, d) => q13(s, d)),
+    "tpch_q14" -> ((s, d) => q14(s, d)),
+    "tpch_q15" -> ((s, d) => q15(s, d)),
+    "tpch_q16" -> ((s, d) => q16(s, d)),
+    "tpch_q17" -> ((s, d) => q17(s, d)),
+    "tpch_q18" -> ((s, d) => q18(s, d)),
+    "tpch_q19" -> ((s, d) => q19(s, d)),
+    "tpch_q20" -> ((s, d) => q20(s, d)),
+    "tpch_q21" -> ((s, d) => q21(s, d)),
+    "tpch_q22" -> ((s, d) => q22(s, d))
+  )
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables(s, d, name)
+
+  private def rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Q1 — pricing summary report (full aggregate list). */
+  private def q01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" <= lit("2001-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(rev), 2).as("sum_disc_price"),
+        round(sum(rev * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Q2 — minimum-cost supplier (supply cost derived from lineitem). */
+  private def q02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val euSup = t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "EUROPE")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val supplies = t(s, d, "lineitem")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min($"l_extendedprice" / $"l_quantity").as("cost"))
+    val euSupplies = supplies
+      .join(euSup, $"l_suppkey" === $"s_suppkey")
+    val minCost = euSupplies.groupBy($"l_partkey".as("mc_partkey"))
+      .agg(min($"cost").as("min_cost"))
+    t(s, d, "part")
+      .filter($"p_size".between(10, 15) && $"p_type" === "LARGE")
+      .join(euSupplies, $"p_partkey" === $"l_partkey")
+      .join(minCost, $"p_partkey" === $"mc_partkey" && $"cost" === $"min_cost")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        $"s_suppkey", $"cost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** Q3 — shipping-priority top 10 unshipped orders. */
+  private def q03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "customer").filter($"c_mktsegment" === "BUILDING")
+      .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+      .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum(rev), 2).as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** Q4 — order-priority checking (late = shipped >60 days after order). */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, d, "orders")
+      .filter($"o_orderdate" >= lit("1997-07-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1997-10-01").cast("timestamp"))
+    val late = t(s, d, "lineitem")
+      .join(o.select($"o_orderkey".as("lo_orderkey"), $"o_orderdate".as("lo_date")),
+        $"l_orderkey" === $"lo_orderkey")
+      .filter($"l_shipdate" > $"lo_date" + expr("INTERVAL 60 DAYS"))
+      .select($"l_orderkey").distinct()
+    o.join(late, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Q5 — local supplier volume (ASIA, 1997; customer and supplier in the
+    * same nation).
+    */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(t(s, d, "supplier"),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+      .filter($"r_name" === "ASIA")
+      .groupBy($"n_name")
+      .agg(round(sum(rev), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Q6 — forecasting revenue change. */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"))
+  }
+
+  /** Q7 — volume shipping between NATION_1 and NATION_2, by year. */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sn = broadcast(t(s, d, "nation")).select(
+      $"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val cn = broadcast(t(s, d, "nation")).select(
+      $"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(sn, $"s_nationkey" === $"sn_key")
+      .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+      .join(cn, $"c_nationkey" === $"cn_key")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(round(sum(rev), 2).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** Q8 — NATION_1 market share in AMERICA for STANDARD parts. */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val supNation = broadcast(t(s, d, "nation")).select(
+      $"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    t(s, d, "part").filter($"p_type" === "STANDARD")
+      .join(t(s, d, "lineitem"), $"p_partkey" === $"l_partkey")
+      .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(supNation, $"s_nationkey" === $"sn_key")
+      .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(s, d, "nation"))
+        .select($"n_nationkey".as("cn_key"), $"n_regionkey".as("cn_region")),
+        $"c_nationkey" === $"cn_key")
+      .join(broadcast(t(s, d, "region")), $"cn_region" === $"r_regionkey")
+      .filter($"r_name" === "AMERICA")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(round(
+        sum(when($"supp_nation" === "NATION_1", rev).otherwise(lit(0.0))) / sum(rev),
+        6).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** Q9 — product-type profit ('red' parts; supply cost proxied by
+    * 0.5 × p_retailprice per unit).
+    */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "part").filter($"p_name".contains("red"))
+      .join(t(s, d, "lineitem"), $"p_partkey" === $"l_partkey")
+      .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name".as("nation"),
+        year($"o_orderdate").cast("long").as("o_year"))
+      .agg(round(sum(rev - lit(0.5) * $"p_retailprice" * $"l_quantity"), 2)
+        .as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  /** Q10 — returned-item reporting, top 20 customers by lost revenue. */
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "customer")
+      .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" >= lit("1999-10-01").cast("timestamp") &&
+        $"o_orderdate" < lit("2000-01-01").cast("timestamp"))
+      .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .filter($"l_returnflag" === "R")
+      .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(round(sum(rev), 2).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** Q11 — important stock: per-part value of NATION_3-supplied lines vs a
+    * global-fraction threshold (partsupp proxied by lineitem).
+    */
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n3 = t(s, d, "lineitem")
+      .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name" === "NATION_3")
+      .select($"l_partkey", rev.as("v"))
+    val total = n3.agg(sum($"v").as("total"))
+    n3.groupBy($"l_partkey")
+      .agg(sum($"v").as("value"))
+      .join(broadcast(total))
+      .filter($"value" > $"total" * 0.002)
+      .select($"l_partkey", round($"value", 2).as("value"))
+      .orderBy($"value".desc, $"l_partkey")
+  }
+
+  /** Q12 — shipping-mode priority split (mode proxied by l_returnflag;
+    * late = shipped >90 days after order).
+    */
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+      .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Q13 — customer order-count distribution (including zero-order
+    * customers via left outer join).
+    */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, d, "orders")
+      .filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+    t(s, d, "customer")
+      .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** Q14 — promotion effect for one ship month. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-06-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-07-01").cast("timestamp"))
+      .join(t(s, d, "part"), $"l_partkey" === $"p_partkey")
+      .agg(round(
+        lit(100.0) * sum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0))) / sum(rev),
+        4).as("promo_revenue"))
+  }
+
+  /** Q15 — top supplier by quarterly revenue (max over a revenue view). */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val revenue = t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(rev).as("total_revenue"))
+    val mx = revenue.agg(max($"total_revenue").as("max_revenue"))
+    revenue.join(broadcast(mx)).filter($"total_revenue" === $"max_revenue")
+      .join(t(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", round($"total_revenue", 2).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q16 — parts/supplier relationship counts (partsupp proxied by
+    * distinct lineitem pairs; complaint suppliers proxied by negative
+    * account balance).
+    */
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val badSup = t(s, d, "supplier").filter($"s_acctbal" < 0)
+      .select($"s_suppkey".as("bad_suppkey"))
+    t(s, d, "part")
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
+      .join(t(s, d, "lineitem"), $"p_partkey" === $"l_partkey")
+      .join(broadcast(badSup), $"l_suppkey" === $"bad_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** Q17 — small-quantity-order revenue for one brand (quantity below
+    * 20% of the part's average).
+    */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, d, "lineitem")
+    val partAvg = li.groupBy($"l_partkey".as("pa_partkey"))
+      .agg(avg($"l_quantity").as("avg_qty"))
+    t(s, d, "part").filter($"p_brand" === "Brand#2")
+      .join(li, $"p_partkey" === $"l_partkey")
+      .join(partAvg, $"p_partkey" === $"pa_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg(round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** Q18 — large-volume orders (quantity sum over 300). */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, d, "lineitem")
+      .groupBy($"l_orderkey".as("big_orderkey"))
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 300)
+    t(s, d, "orders")
+      .join(big, $"o_orderkey" === $"big_orderkey")
+      .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  /** Q19 — disjunctive brand/size/quantity predicate revenue. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .join(t(s, d, "part"), $"l_partkey" === $"p_partkey" && (
+        ($"p_brand" === "Brand#10" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#20" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#25" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30))))
+      .agg(round(sum(rev), 2).as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** Q20 — potential part promotion: NATION_4 suppliers who shipped >50
+    * units of 'red' parts in 1998 (availqty proxied by shipped volume).
+    */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val redParts = t(s, d, "part").filter($"p_name".startsWith("red"))
+      .select($"p_partkey")
+    val shipped = t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1998-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1999-01-01").cast("timestamp"))
+      .join(redParts, $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .filter($"qty" > 50)
+      .select($"l_suppkey")
+    t(s, d, "supplier")
+      .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+      .filter($"n_name" === "NATION_4")
+      .join(shipped, $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  /** Q21 — suppliers who kept finished multi-supplier orders waiting
+    * (sole late supplier on the order; late = >90 days after order date).
+    */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, d, "orders").filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val li = t(s, d, "lineitem").join(o, $"l_orderkey" === $"o_orderkey")
+    val l1 = li.filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .select($"l_orderkey".as("w_orderkey"), $"l_suppkey".as("w_suppkey"))
+      .distinct()
+    val others = li.select($"l_orderkey".as("x_orderkey"), $"l_suppkey".as("x_suppkey"))
+      .distinct()
+    val lateOthers = l1.select($"w_orderkey".as("y_orderkey"), $"w_suppkey".as("y_suppkey"))
+    val waiting = l1
+      .join(others,
+        $"w_orderkey" === $"x_orderkey" && $"w_suppkey" =!= $"x_suppkey", "left_semi")
+      .join(lateOthers,
+        $"w_orderkey" === $"y_orderkey" && $"w_suppkey" =!= $"y_suppkey", "left_anti")
+    waiting
+      .join(t(s, d, "supplier"), $"w_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  /** Q22 — global sales opportunity: rich inactive customers grouped by a
+    * "country code" (last two digits of c_name stand in for phone prefix;
+    * inactive = no orders since 2000 — every customer in this data has at
+    * least one lifetime order, so the canonical "no orders at all" filter
+    * would be vacuous).
+    */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = t(s, d, "customer")
+      .withColumn("cntrycode", substring($"c_name", 17, 2))
+      .filter($"cntrycode".isin("00", "11", "22", "33", "44", "55", "66"))
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    val recent = t(s, d, "orders")
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+    cust.join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"cntrycode")
+      .agg(count(lit(1)).as("numcust"), round(sum($"c_acctbal"), 2).as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
+  def oracles: Map[String, String] = Map(
+    "tpch_q01" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 4) AS avg_qty,
+         round(avg(l_extendedprice), 4) AS avg_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         CAST(count(*) AS BIGINT) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "tpch_q02" ->
+      """WITH eu_sup AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         supplies AS (
+           SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+           FROM lineitem GROUP BY 1, 2),
+         eu_supplies AS (
+           SELECT * FROM supplies JOIN eu_sup ON l_suppkey = s_suppkey),
+         min_cost AS (
+           SELECT l_partkey AS mc_partkey, min(cost) AS min_cost
+           FROM eu_supplies GROUP BY 1)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey, cost
+         FROM part
+         JOIN eu_supplies ON p_partkey = l_partkey
+         JOIN min_cost ON p_partkey = mc_partkey AND cost = min_cost
+         WHERE p_size BETWEEN 10 AND 15 AND p_type = 'LARGE'
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         LIMIT 100""",
+    "tpch_q03" ->
+      """SELECT l_orderkey,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15'
+           AND l_shipdate > TIMESTAMP '1998-03-15'
+         GROUP BY 1, 3, 4
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "tpch_q04" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+           AND o_orderdate < TIMESTAMP '1997-10-01'
+           AND EXISTS (
+             SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q05" ->
+      """SELECT n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY revenue DESC, n_name""",
+    "tpch_q06" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
+    "tpch_q07" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "tpch_q08" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(sum(CASE WHEN sn.n_name = 'NATION_1'
+             THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+           / sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         WHERE p_type = 'STANDARD' AND r_name = 'AMERICA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q09" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(sum(l_extendedprice * (1.0 - l_discount)
+           - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
+    "tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1999-10-01'
+           AND o_orderdate < TIMESTAMP '2000-01-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q11" ->
+      """WITH n3 AS (
+           SELECT l_partkey, l_extendedprice * (1.0 - l_discount) AS v
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_3')
+         SELECT l_partkey, round(sum(v), 2) AS value
+         FROM n3 GROUP BY 1
+         HAVING sum(v) > 0.002 * (SELECT sum(v) FROM n3)
+         ORDER BY value DESC, l_partkey""",
+    "tpch_q12" ->
+      """SELECT l_returnflag,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+           AND l_shipdate < TIMESTAMP '1999-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY 1 ORDER BY 1""",
+    "tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         FROM (
+           SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+           FROM customer
+           LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '4-NOT SPECIFIED'
+           GROUP BY 1)
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    "tpch_q14" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+           / sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+           AND l_shipdate < TIMESTAMP '1998-07-01'""",
+    "tpch_q15" ->
+      """WITH revenue AS (
+           SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             AND l_shipdate < TIMESTAMP '1998-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         ORDER BY s_suppkey""",
+    "tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+         CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM part
+         JOIN lineitem ON p_partkey = l_partkey
+         WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+           AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "tpch_q17" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#2'
+           AND l_quantity < 0.2 * (
+             SELECT avg(l_quantity) FROM lineitem l2
+             WHERE l2.l_partkey = part.p_partkey)""",
+    "tpch_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice,
+         sum_qty
+         FROM orders
+         JOIN (SELECT l_orderkey AS big_orderkey, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+           ON o_orderkey = big_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "tpch_q19" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "tpch_q20" ->
+      """SELECT s_suppkey, s_name
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_4'
+           AND s_suppkey IN (
+             SELECT l_suppkey FROM lineitem
+             WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+               AND l_shipdate >= TIMESTAMP '1998-01-01'
+               AND l_shipdate < TIMESTAMP '1999-01-01'
+             GROUP BY 1 HAVING sum(l_quantity) > 50)
+         ORDER BY s_suppkey""",
+    "tpch_q21" ->
+      """WITH li AS (
+           SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         l1 AS (
+           SELECT DISTINCT l_orderkey AS w_orderkey, l_suppkey AS w_suppkey
+           FROM li WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM l1
+         JOIN supplier ON w_suppkey = s_suppkey
+         WHERE EXISTS (
+             SELECT 1 FROM li x
+             WHERE x.l_orderkey = w_orderkey AND x.l_suppkey <> w_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM l1 y
+             WHERE y.w_orderkey = l1.w_orderkey AND y.w_suppkey <> l1.w_suppkey)
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""",
+    "tpch_q22" ->
+      """WITH cust AS (
+           SELECT *, substring(c_name, 17, 2) AS cntrycode FROM customer
+           WHERE substring(c_name, 17, 2) IN ('00','11','22','33','44','55','66'))
+         SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+         FROM cust
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0.0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')
+         GROUP BY 1 ORDER BY 1"""
+  )
+}
