@@ -14,7 +14,7 @@ object SparkEntry {
       (operators.Windows.defs, operators.Windows.oracles),
       (operators.TextOps.defs, operators.TextOps.oracles),
       (operators.VectorOps.defs, operators.VectorOps.oracles),
-      (operators.NexmarkQueries.defs, Map.empty[String, String]),
+      (operators.NexmarkQueries.defs, operators.NexmarkQueries.oracles),
       (operators.SqlShapes.defs, operators.SqlShapes.oracles),
       (operators.TpchLike.defs, operators.TpchLike.oracles),
       (operators.TpchFull.defs, operators.TpchFull.oracles),

@@ -18,9 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => prefixes.exists(name.startsWith) }
-      .foreach { case (name, fn) =>
+    // NEXMark/YSB inputs are generated, not driver tables — dump them to
+    // parquet so their DuckDB oracles can read the same relations.
+    if (selected.keys.exists(_.startsWith("nx_")))
+      try operators.NexmarkQueries.dumpOracleInputs(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] oracle input dump failed: ${e.getMessage}")
+      }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -13,9 +13,12 @@ import graft.sources.{Nexmark, Ysb}
   * q7/q8 tumbling 10s, q11 session 10s, q12 proc-time 10s, rest
   * element-wise).
   *
-  * These run on generated events (no driver-table oracle → rows-only in the
-  * correctness gate); value-level checks are dual-formulation SQL-vs-
-  * DataFrame equality + invariants in NexmarkSpec.
+  * The generator is deterministic, so the queries ARE oracle-checkable:
+  * Verify dumps the generated input relations to parquet under
+  * [[DumpDir]], and each oracle SQL recomputes the query in DuckDB from
+  * that dump (an independent formulation — e.g. session windows become a
+  * gaps-and-islands window-function computation). q12 (processing time)
+  * stays rows-only: its output depends on the wall clock.
   */
 object NexmarkQueries {
 
@@ -25,23 +28,78 @@ object NexmarkQueries {
   val N: Long = 50000
   val Eps: Long = 1000
 
-  def defs: Map[String, Q] = Map(
-    "nx_q00_passthrough" -> ((s, _) => q0(s)),
-    "nx_q01_currency" -> ((s, _) => q1(s)),
-    "nx_q02_filter" -> ((s, _) => q2(s)),
-    "nx_q03_local_sellers" -> ((s, _) => q3(s)),
-    "nx_q04_avg_final_price" -> ((s, _) => q4(s)),
-    "nx_q05_hot_items" -> ((s, _) => q5(s)),
-    "nx_q06_avg_seller_price" -> ((s, _) => q6(s)),
-    "nx_q07_highest_bid" -> ((s, _) => q7(s)),
-    "nx_q08_new_sellers" -> ((s, _) => q8(s)),
-    "nx_q09_winning_bids" -> ((s, _) => q9(s)),
-    "nx_q10_bid_log" -> ((s, _) => q10(s)),
-    "nx_q11_bid_sessions" -> ((s, _) => q11(s)),
-    "nx_q12_proctime_bids" -> ((s, _) => q12(s)),
-    "nx_q13_side_input_join" -> ((s, _) => q13(s)),
-    "nx_ysb_campaigns" -> ((s, _) => ysb(s))
-  )
+  /** Fixed location Verify dumps generator inputs to for the DuckDB
+    * oracle (the driver registers only the sf-dir tables; generated
+    * relations must travel by parquet path).
+    */
+  val DumpDir = "/tmp/graft_oracle_inputs"
+
+  def dumpOracleInputs(s: SparkSession): Unit = {
+    def w(df: DataFrame, name: String): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$DumpDir/$name.parquet")
+    w(bids(s), "bids")
+    w(auctions(s), "auctions")
+    w(persons(s), "persons")
+    w(Nexmark.sideInput(s), "side_input")
+    w(Ysb.adEvents(s, N, Eps).toDF(), "ysb_events")
+    w(Ysb.campaigns(s).toDF(), "ysb_campaigns")
+  }
+
+  // Output normalization for the driver compare: timestamps to strings,
+  // deterministic total order. b_date_time is unique across bids (one
+  // event per millisecond), so it totally orders bid-level outputs.
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSS"
+  private val WinFmt = "yyyy-MM-dd HH:mm:ss"
+
+  def defs: Map[String, Q] = {
+    import org.apache.spark.sql.Column
+    def fmt(c: Column) = date_format(c, TsFmt)
+    def wfmt(c: Column) = date_format(c, WinFmt)
+    Map(
+      "nx_q00_passthrough" -> ((s, _) => q0(s)
+        .withColumn("b_date_time", fmt(col("b_date_time")))
+        .orderBy("b_date_time")),
+      "nx_q01_currency" -> ((s, _) => q1(s)
+        .withColumn("b_date_time", fmt(col("b_date_time")))
+        .orderBy("b_date_time")),
+      "nx_q02_filter" -> ((s, _) => q2(s).orderBy("auction", "price")),
+      "nx_q03_local_sellers" -> ((s, _) => q3(s).orderBy("a_id")),
+      "nx_q04_avg_final_price" -> ((s, _) => q4(s)
+        .select(col("category"), round(col("avg_final"), 4).as("avg_final"))
+        .orderBy("category")),
+      "nx_q05_hot_items" -> ((s, _) => q5(s)
+        .withColumn("w_start", wfmt(col("w_start")))
+        .orderBy("w_start", "auction")),
+      "nx_q06_avg_seller_price" -> ((s, _) => q6(s)
+        .select(col("seller"), round(col("avg_price"), 4).as("avg_price"))
+        .orderBy("seller")),
+      "nx_q07_highest_bid" -> ((s, _) => q7(s)
+        .withColumn("w_start", wfmt(col("w_start")))
+        .withColumn("b_date_time", fmt(col("b_date_time")))
+        .orderBy("w_start", "b_date_time")),
+      "nx_q08_new_sellers" -> ((s, _) => q8(s)
+        .withColumn("w_start", wfmt(col("w_start")))
+        .orderBy("w_start", "p_id")),
+      "nx_q09_winning_bids" -> ((s, _) => q9(s)
+        .withColumn("b_date_time", fmt(col("b_date_time")))
+        .orderBy("auction", "b_date_time")),
+      "nx_q10_bid_log" -> ((s, _) => q10(s)
+        .withColumn("b_date_time", fmt(col("b_date_time")))
+        .withColumn("p_hour", col("p_hour").cast("long"))
+        .orderBy("b_date_time")),
+      "nx_q11_bid_sessions" -> ((s, _) => q11(s)
+        .withColumn("start_time", fmt(col("start_time")))
+        .withColumn("end_time", fmt(col("end_time")))
+        .orderBy("bidder", "start_time")),
+      "nx_q12_proctime_bids" -> ((s, _) => q12(s)),
+      "nx_q13_side_input_join" -> ((s, _) => q13(s)
+        .withColumn("b_date_time", fmt(col("b_date_time")))
+        .orderBy("b_date_time")),
+      "nx_ysb_campaigns" -> ((s, _) => ysb(s)
+        .withColumn("w_start", wfmt(col("w_start")))
+        .orderBy("w_start", "campaign_id"))
+    )
+  }
 
   private def bids(s: SparkSession): DataFrame = Nexmark.bids(s, N, Eps).toDF()
   private def auctions(s: SparkSession): DataFrame = Nexmark.auctions(s, N, Eps).toDF()
@@ -96,12 +154,15 @@ object NexmarkQueries {
       .select($"w.start".as("w_start"), $"auction", $"num")
   }
 
-  /** q6: average price of the last 10 winning bids per seller. */
+  /** q6: average price of the last 10 winning bids per seller.
+    * Window orders carry full tiebreaks (bidder / a_id) so row_number is
+    * deterministic across engines.
+    */
   def q6(s: SparkSession): DataFrame = {
     import s.implicits._
     val wPrice = Window.partitionBy($"a_id")
-      .orderBy($"price".desc, $"b_date_time")
-    val wTime = Window.partitionBy($"seller").orderBy($"b_date_time".desc)
+      .orderBy($"price".desc, $"b_date_time", $"bidder")
+    val wTime = Window.partitionBy($"seller").orderBy($"b_date_time".desc, $"a_id")
     val winning = auctions(s)
       .join(bids(s), $"a_id" === $"auction" &&
         $"b_date_time".between($"a_date_time", $"expires"))
@@ -196,5 +257,163 @@ object NexmarkQueries {
       .groupBy(window($"event_time", "10 seconds").as("w"), $"campaign_id")
       .agg(count(lit(1)).as("n_views"))
       .select($"w.start".as("w_start"), $"campaign_id", $"n_views")
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracles over the [[DumpDir]] parquet dump. Window assignment is
+  // recomputed from epoch milliseconds (BaseTime is 5 s-aligned, matching
+  // Spark's epoch-aligned windows); sessions are a gaps-and-islands
+  // computation — independent of Spark's session_window operator.
+  // ---------------------------------------------------------------------
+
+  private def srcSql(name: String): String =
+    s"read_parquet('$DumpDir/$name.parquet/*.parquet')"
+
+  private val FmtMs = "%Y-%m-%d %H:%M:%S.%g"
+  private val FmtS = "%Y-%m-%d %H:%M:%S"
+
+  def oracles: Map[String, String] = {
+    val bid = s"bid AS (SELECT * FROM ${srcSql("bids")})"
+    val auction = s"auction AS (SELECT * FROM ${srcSql("auctions")})"
+    val person = s"person AS (SELECT * FROM ${srcSql("persons")})"
+    Map(
+      "nx_q00_passthrough" ->
+        s"""WITH $bid
+           SELECT auction, bidder, price,
+             strftime(b_date_time, '$FmtMs') AS b_date_time
+           FROM bid ORDER BY 4""",
+      "nx_q01_currency" ->
+        s"""WITH $bid
+           SELECT auction, bidder, 0.908e0 * price AS price,
+             strftime(b_date_time, '$FmtMs') AS b_date_time
+           FROM bid ORDER BY 4""",
+      "nx_q02_filter" ->
+        s"""WITH $bid
+           SELECT auction, price FROM bid
+           WHERE auction % 123 = 0 ORDER BY 1, 2""",
+      "nx_q03_local_sellers" ->
+        s"""WITH $auction, $person
+           SELECT name, city, state, a_id
+           FROM auction JOIN person ON seller = p_id
+           WHERE category = 10 AND state IN ('or', 'id', 'ca')
+           ORDER BY a_id""",
+      "nx_q04_avg_final_price" ->
+        s"""WITH $auction, $bid,
+           win AS (
+             SELECT a_id, category, max(price) AS final
+             FROM auction JOIN bid ON a_id = auction
+               AND b_date_time BETWEEN a_date_time AND expires
+             GROUP BY 1, 2)
+           SELECT category, round(avg(final), 4) AS avg_final
+           FROM win GROUP BY 1 ORDER BY 1""",
+      "nx_q05_hot_items" ->
+        s"""WITH $bid,
+           wins AS (
+             SELECT make_timestamp(
+               (CAST(floor(epoch_ms(b_date_time) / 5000) AS BIGINT) - k) * 5000000)
+               AS w_start, auction
+             FROM bid, unnest([0, 1]) AS t(k)),
+           counts AS (
+             SELECT w_start, auction, CAST(count(*) AS BIGINT) AS num
+             FROM wins GROUP BY 1, 2),
+           maxn AS (SELECT w_start, max(num) AS maxn FROM counts GROUP BY 1)
+           SELECT strftime(c.w_start, '$FmtS') AS w_start, auction, num
+           FROM counts c JOIN maxn m ON c.w_start = m.w_start AND num = maxn
+           ORDER BY 1, 2""",
+      "nx_q06_avg_seller_price" ->
+        s"""WITH $auction, $bid,
+           j AS (
+             SELECT a_id, seller, price, b_date_time, bidder
+             FROM auction JOIN bid ON a_id = auction
+               AND b_date_time BETWEEN a_date_time AND expires),
+           win AS (
+             SELECT *, row_number() OVER (
+               PARTITION BY a_id ORDER BY price DESC, b_date_time, bidder) AS pr
+             FROM j),
+           r AS (
+             SELECT seller, price, row_number() OVER (
+               PARTITION BY seller ORDER BY b_date_time DESC, a_id) AS tr
+             FROM win WHERE pr = 1)
+           SELECT seller, round(avg(price), 4) AS avg_price
+           FROM r WHERE tr <= 10 GROUP BY 1 ORDER BY 1""",
+      "nx_q07_highest_bid" ->
+        s"""WITH $bid,
+           b AS (
+             SELECT *, make_timestamp(
+               CAST(floor(epoch_ms(b_date_time) / 10000) AS BIGINT) * 10000000)
+               AS w_start
+             FROM bid),
+           mx AS (SELECT w_start, max(price) AS maxprice FROM b GROUP BY 1)
+           SELECT strftime(b.w_start, '$FmtS') AS w_start, auction, price, bidder,
+             strftime(b_date_time, '$FmtMs') AS b_date_time
+           FROM b JOIN mx ON b.w_start = mx.w_start AND price = maxprice
+           ORDER BY 1, 5""",
+      "nx_q08_new_sellers" ->
+        s"""WITH $auction, $person,
+           p AS (
+             SELECT p_id, name, make_timestamp(
+               CAST(floor(epoch_ms(p_date_time) / 10000) AS BIGINT) * 10000000)
+               AS w FROM person),
+           a AS (
+             SELECT seller, make_timestamp(
+               CAST(floor(epoch_ms(a_date_time) / 10000) AS BIGINT) * 10000000)
+               AS wa FROM auction)
+           SELECT DISTINCT p_id, name, strftime(w, '$FmtS') AS w_start
+           FROM p JOIN a ON p_id = seller AND w = wa
+           ORDER BY 3, 1""",
+      "nx_q09_winning_bids" ->
+        s"""WITH $auction, $bid,
+           finals AS (
+             SELECT a_id AS id, max(price) AS final
+             FROM auction JOIN bid ON a_id = auction
+               AND b_date_time BETWEEN a_date_time AND expires
+             GROUP BY 1)
+           SELECT auction, bidder, price,
+             strftime(b_date_time, '$FmtMs') AS b_date_time
+           FROM bid JOIN finals ON auction = id AND price = final
+           ORDER BY 1, 4""",
+      "nx_q10_bid_log" ->
+        s"""WITH $bid
+           SELECT auction, bidder, price,
+             strftime(b_date_time, '$FmtMs') AS b_date_time,
+             strftime(b_date_time, '%Y-%m-%d') AS p_date,
+             CAST(hour(b_date_time) AS BIGINT) AS p_hour
+           FROM bid ORDER BY 4""",
+      "nx_q11_bid_sessions" ->
+        s"""WITH $bid,
+           flagged AS (
+             SELECT bidder, b_date_time,
+               CASE WHEN lag(b_date_time) OVER w IS NULL
+                 OR epoch_ms(b_date_time)
+                   - epoch_ms(lag(b_date_time) OVER w) >= 10000
+                 THEN 1 ELSE 0 END AS new_s
+             FROM bid
+             WINDOW w AS (PARTITION BY bidder ORDER BY b_date_time)),
+           sess AS (
+             SELECT bidder, b_date_time,
+               sum(new_s) OVER (PARTITION BY bidder ORDER BY b_date_time
+                 ROWS UNBOUNDED PRECEDING) AS sid
+             FROM flagged)
+           SELECT bidder, CAST(count(*) AS BIGINT) AS bid_count,
+             strftime(min(b_date_time), '$FmtMs') AS start_time,
+             strftime(max(b_date_time), '$FmtMs') AS end_time
+           FROM sess GROUP BY bidder, sid ORDER BY bidder, start_time""",
+      "nx_q13_side_input_join" ->
+        s"""WITH $bid, side AS (SELECT * FROM ${srcSql("side_input")})
+           SELECT auction, bidder, price,
+             strftime(b_date_time, '$FmtMs') AS b_date_time, value
+           FROM bid JOIN side ON auction % 10000 = key
+           ORDER BY 4""",
+      "nx_ysb_campaigns" ->
+        s"""WITH ev AS (SELECT * FROM ${srcSql("ysb_events")}),
+           camp AS (SELECT * FROM ${srcSql("ysb_campaigns")})
+           SELECT strftime(make_timestamp(
+               CAST(floor(epoch_ms(event_time) / 10000) AS BIGINT) * 10000000),
+               '$FmtS') AS w_start,
+             campaign_id, CAST(count(*) AS BIGINT) AS n_views
+           FROM ev JOIN camp ON ad_id = c_ad_id
+           WHERE event_type = 'view'
+           GROUP BY 1, 2 ORDER BY 1, 2"""
+    )
   }
 }
