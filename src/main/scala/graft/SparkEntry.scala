@@ -18,7 +18,7 @@ object SparkEntry {
       (operators.SqlShapes.defs, operators.SqlShapes.oracles),
       (operators.TpchLike.defs, operators.TpchLike.oracles),
       (operators.TpchFull.defs, operators.TpchFull.oracles),
-      (operators.Multimodal.defs, Map.empty[String, String])
+      (operators.Multimodal.defs, operators.Multimodal.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -22,11 +22,14 @@ object Verify {
       .filter { case (name, _) => prefixes.exists(name.startsWith) }
     // NEXMark/YSB inputs are generated, not driver tables — dump them to
     // parquet so their DuckDB oracles can read the same relations.
-    if (selected.keys.exists(_.startsWith("nx_")))
-      try operators.NexmarkQueries.dumpOracleInputs(spark)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] oracle input dump failed: ${e.getMessage}")
-      }
+    def dump(prefix: String, f: SparkSession => Unit): Unit =
+      if (selected.keys.exists(_.startsWith(prefix)))
+        try f(spark)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $prefix oracle input dump failed: ${e.getMessage}")
+        }
+    dump("nx_", operators.NexmarkQueries.dumpOracleInputs)
+    dump("mm_", operators.Multimodal.dumpOracleInputs)
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

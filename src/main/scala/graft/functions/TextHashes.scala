@@ -105,6 +105,41 @@ object TextHashes {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** k minhash values over the token SET with md5-derived base hashes —
+    * the cross-engine-reproducible variant: md5 is available in DuckDB
+    * too, so the whole signature (and the LSH pipeline on top) can be
+    * recomputed by the oracle. h = first 60 bits of md5(token); the i-th
+    * permutation is splitmix64(h + i·gamma); min is UNSIGNED (DuckDB
+    * UBIGINT min) — signed Long min would pick different tokens.
+    */
+  def md5MinhashSigScala(tokens: Seq[String], k: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(-1L) // unsigned max
+    tokens.distinct.foreach { t =>
+      val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = h >>> 4 // 60 bits == first 15 hex chars
+      var i = 0
+      while (i < k) {
+        val v = splitmix64Pub(h + i.toLong * 0x9E3779B97F4A7C15L)
+        if (java.lang.Long.compareUnsigned(v, mins(i)) < 0) mins(i) = v
+        i += 1
+      }
+    }
+    mins
+  }
+
+  /** splitmix64 exposed for the md5-minhash path (same mixer as above). */
+  def splitmix64Pub(x: Long): Long = splitmix64(x)
+
+  def md5MinhashSig(tokens: Column, k: Int): Column =
+    column(Md5MinHashSigExpr(expression(tokens), k))
+
+  def md5MinhashSigFromArrayData(arr: ArrayData, k: Int): ArrayData =
+    new GenericArrayData(md5MinhashSigScala(toTokens(arr), k))
+
   // ArrayData-typed entry points invoked from generated code (doGenCode
   // emits static calls to these — the StaticInvoke pattern Spark's own
   // collection expressions use; keeps the whole stage codegen'd without
@@ -120,6 +155,19 @@ object TextHashes {
 
   def winnowFromArrayData(arr: ArrayData, window: Int): ArrayData =
     new GenericArrayData(winnowScala(toTokens(arr), window))
+}
+
+/** array<string> → array<long> of k md5-based minhash values (token set). */
+case class Md5MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.md5MinhashSigFromArrayData(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.md5MinhashSigFromArrayData($c, $k)")
+  override def prettyName: String = "md5_minhash_sig"
+  override protected def withNewChildInternal(c: Expression): Md5MinHashSigExpr = copy(child = c)
 }
 
 /** array<string> → array<long> of k minhash values over w-shingles. */

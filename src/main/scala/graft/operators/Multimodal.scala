@@ -155,6 +155,23 @@ object Multimodal {
         .orderBy(col("asset_id"))),
     "mm_frame_sample" -> ((s, _) =>
       sampleFrames(decodeMeta(assets(s, 2000)), 10)
+        .withColumn("frame_idx", col("frame_idx").cast("long"))
         .orderBy(col("asset_id"), col("frame_idx")))
+  )
+
+  /** Decoded metadata dumped for the oracle: DuckDB recomputes the frame
+    * sampling (sequence semantics) from it — the decode step itself has no
+    * independent implementation in the container (see FakeCodec note).
+    */
+  def dumpOracleInputs(s: SparkSession): Unit =
+    decodeMeta(assets(s, 2000)).toDF().coalesce(1).write.mode("overwrite")
+      .parquet(s"${NexmarkQueries.DumpDir}/mm_meta.parquet")
+
+  def oracles: Map[String, String] = Map(
+    "mm_frame_sample" ->
+      s"""SELECT asset_id, kind,
+         unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, 10)) AS frame_idx
+         FROM read_parquet('${NexmarkQueries.DumpDir}/mm_meta.parquet/*.parquet')
+         WHERE n_frames > 1 ORDER BY asset_id, frame_idx"""
   )
 }

@@ -122,19 +122,33 @@ object SqlShapes {
       .orderBy($"c_mktsegment".asc_nulls_first, $"c_nationkey".asc_nulls_first)
   }
 
-  /** approx_count_distinct (HLL++). Sketches are engine-specific → no
-    * DuckDB oracle; the error bound vs exact is asserted in SqlShapesSpec.
+  /** approx_count_distinct (HLL++). Sketch values are engine-specific, so
+    * the oracle checks the exact counts plus a within-5%-of-exact flag on
+    * the estimate (TRUE on both engines when the sketch is sane).
     */
   private def q45(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables(s, d, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+      .agg(countDistinct($"l_orderkey").as("exact_orders"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
         approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+      .select($"l_returnflag", $"exact_orders", $"exact_parts",
+        (abs($"approx_orders" - $"exact_orders").cast("double") / $"exact_orders" <= 0.05)
+          .as("orders_ok"),
+        (abs($"approx_parts" - $"exact_parts").cast("double") / $"exact_parts" <= 0.05)
+          .as("parts_ok"))
       .orderBy($"l_returnflag")
   }
 
   def oracles: Map[String, String] = Map(
+    "q45_approx_distinct" ->
+      """SELECT l_returnflag,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         TRUE AS orders_ok, TRUE AS parts_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q42_correlated_subquery" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
          CAST(count(*) AS BIGINT) AS n_lines

@@ -17,6 +17,26 @@ import graft.functions.TextHashes
   * sparse all-pairs trick — and is restricted to a candidate subset; the
   * scale path is q33's MinHash-LSH with an exact re-check on candidates.
   */
+/** Shared DuckDB macro prologue for oracles that replicate our 64-bit
+  * hashing: wraparound multiply via 32-bit limbs in HUGEINT, xor/shift in
+  * UBIGINT, composing to the splitmix64 finalizer (validated against the
+  * JVM implementation: sm64(0) = 0xE220A8397B1DCDAF).
+  */
+object DuckMacros {
+  val Sm64: String =
+    """CREATE OR REPLACE MACRO mm64(a, b) AS
+      ((a % 4294967296) * (b % 4294967296)
+       + (((a % 4294967296) * (b // 4294967296)
+          + (a // 4294967296) * (b % 4294967296)) % 4294967296) * 4294967296)
+      % 18446744073709551616;
+    CREATE OR REPLACE MACRO xsr(x, s) AS
+      CAST(xor(CAST(x AS UBIGINT), CAST(x AS UBIGINT) >> s) AS HUGEINT);
+    CREATE OR REPLACE MACRO sm64(x0) AS
+      xsr(mm64(xsr(mm64(xsr((x0 + 11400714819323198485) % 18446744073709551616, 30),
+        13787848793156543929), 27), 10723151780598845931), 31);
+    """
+}
+
 object TextOps {
 
   type Q = (SparkSession, String) => DataFrame
@@ -30,7 +50,8 @@ object TextOps {
     "q33_minhash_lsh_pairs" -> ((s, d) => q33(s, d)),
     "q34_simhash_pairs" -> ((s, d) => q34(s, d)),
     "q35_langid" -> ((s, d) => q35(s, d)),
-    "q36_winnow_fingerprints" -> ((s, d) => q36(s, d))
+    "q36_winnow_fingerprints" -> ((s, d) => q36(s, d)),
+    "q61_minhash_md5" -> ((s, d) => q61(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -198,6 +219,39 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** MinHash-LSH near-dup pairs with md5-derived, oracle-reproducible
+    * signatures: k=16 minhashes over the token set, 4 bands × 4 rows,
+    * candidates re-checked against exact Jaccard > 0.8. Same pipeline
+    * shape as q33 (which uses the faster murmur hashes) but every stage
+    * is recomputed independently by the DuckDB oracle.
+    */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 16; val bands = 4; val rows = k / bands
+    val base = docs(s, d).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", array_distinct($"toks").as("set"))
+      .withColumn("sig", TextHashes.md5MinhashSig($"set", k))
+    val banded = base.select($"doc_id",
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rows + 1, $rows))")))
+      .select($"doc_id", $"pos".as("band"), $"col".as("bandval"))
+    val candIds = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sets = base.select($"doc_id", $"set")
+    candIds
+      .join(broadcast(sets.select($"doc_id".as("id1"), $"set".as("set1"))), "id1")
+      .join(broadcast(sets.select($"doc_id".as("id2"), $"set".as("set2"))), "id2")
+      .withColumn("inter", size(array_intersect($"set1", $"set2")).cast("double"))
+      .withColumn("uni", size(array_union($"set1", $"set2")).cast("double"))
+      .withColumn("jaccard", $"inter" / $"uni")
+      .filter($"jaccard" > 0.8)
+      .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id1", $"id2")
+  }
+
   /** Winnowed rolling-hash document fingerprints (window 4). */
   private def q36(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -252,6 +306,55 @@ object TextOps {
          JOIN sizes s1 ON s1.doc_id = id1
          JOIN sizes s2 ON s2.doc_id = id2
          WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) > 0.8
-         ORDER BY id1, id2"""
+         ORDER BY id1, id2""",
+    "q35_langid" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+             len(list_filter(toks, t -> t IN ('a','the','of','and','to','in','is'))) AS sc_en,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS sc_de,
+             len(list_filter(toks, t -> t IN ('el','la','los','de','y','es','un'))) AS sc_es,
+             len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','des'))) AS sc_fr
+           FROM t),
+         b AS (SELECT *, greatest(0, sc_en, sc_de, sc_es, sc_fr) AS best FROM s)
+         SELECT doc_id, lang,
+           CASE WHEN best = 0 THEN 'unknown'
+                WHEN sc_de = best THEN 'de'
+                WHEN sc_en = best THEN 'en'
+                WHEN sc_es = best THEN 'es'
+                ELSE 'fr' END AS predicted
+         FROM b ORDER BY doc_id""",
+    "q61_minhash_md5" ->
+      (DuckMacros.Sm64 +
+      """WITH base AS (
+           SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS s
+           FROM documents WHERE doc_id % 5 = 0),
+         hs AS (
+           SELECT doc_id, s, list_transform(s,
+             t -> CAST('0x' || substring(md5(t), 1, 15) AS UBIGINT)) AS hh
+           FROM base),
+         sigs AS (
+           SELECT doc_id, s, list_transform(generate_series(0, 15), i ->
+             list_min(list_transform(hh, h ->
+               CAST(sm64((CAST(h AS HUGEINT) + i * 11400714819323198485)
+                 % 18446744073709551616) AS UBIGINT)))) AS sig
+           FROM hs),
+         banded AS (
+           SELECT doc_id, s, b, sig[b*4 + 1 : b*4 + 4] AS bandval
+           FROM sigs, unnest([0, 1, 2, 3]) AS t(b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.s AS s1, b.s AS s2
+           FROM banded a JOIN banded b
+             ON a.b = b.b AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+         j AS (
+           SELECT id1, id2,
+             CAST(len(list_intersect(s1, s2)) AS DOUBLE)
+               / (len(s1) + len(s2) - len(list_intersect(s1, s2))) AS jaccard
+           FROM cand)
+         SELECT id1, id2, round(jaccard, 4) AS jaccard
+         FROM j WHERE jaccard > 0.8 ORDER BY id1, id2""")
   )
 }

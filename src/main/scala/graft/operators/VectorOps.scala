@@ -157,7 +157,66 @@ object VectorOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The hyperplane family in DuckDB: sign p at dim i = low bit of
+    * splitmix64(p·1000003 + i) (see [[graft.functions.VectorHashes]]);
+    * the sm64 macro chain reproduces the JVM mixer exactly.
+    */
+  private def bucketSql(v: String): String =
+    (0 until 4).map { p =>
+      s"""(CASE WHEN list_sum(list_transform($v, (x, i) ->
+         CASE WHEN sm64(CAST(${p}*1000003 + i - 1 AS HUGEINT)) % 2 = 1
+         THEN x ELSE -x END)) >= 0 THEN ${1 << p} ELSE 0 END)"""
+    }.mkString(" + ")
+
   def oracles: Map[String, String] = Map(
+    "q38_ann_lsh" ->
+      (graft.operators.DuckMacros.Sm64 +
+      s"""WITH m AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM m),
+         bkt AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+         q AS (
+           SELECT vec_id AS query_id, v AS qv, nrm AS qn,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) AS probe
+           FROM bkt WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT DISTINCT query_id, e.vec_id AS neighbor,
+             round(list_sum(list_transform(list_zip(e.v, qv), x -> x[1]*x[2]))
+               / (e.nrm * qn), 6) AS cosine
+           FROM bkt e JOIN q ON e.bucket = probe AND e.vec_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT query_id, neighbor, cosine, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""),
+    "q60_cosine_dedup" ->
+      (graft.operators.DuckMacros.Sm64 +
+      s"""WITH m AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM m),
+         bkt AS (SELECT vec_id, v, nrm, ${bucketSql("v")} AS bucket FROM n),
+         probed AS (
+           SELECT vec_id,
+             unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                     xor(bucket, 4), xor(bucket, 8)]) AS probe
+           FROM bkt),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+           FROM bkt a JOIN probed b ON a.bucket = b.probe AND a.vec_id < b.vec_id),
+         scored AS (
+           SELECT id1, id2,
+             list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]))
+               / (x.nrm * y.nrm) AS cosine
+           FROM cand JOIN n x ON id1 = x.vec_id JOIN n y ON id2 = y.vec_id)
+         SELECT id1, id2, round(cosine, 6) AS cosine
+         FROM scored WHERE cosine > 0.35 ORDER BY 1, 2"""),
     "q37_knn_bruteforce" ->
       """WITH n AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
