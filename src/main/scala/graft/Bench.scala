@@ -34,6 +34,10 @@ object Bench {
     "q47_top_customers",
     "q52_asof_join",
     "q53_moving_avg",
+    "q61_minhash_md5",
+    "tpch_q05",
+    "tpch_q09",
+    "tpch_q18",
     "mm_features",
     "nx_q04_avg_final_price",
     "nx_q05_hot_items",

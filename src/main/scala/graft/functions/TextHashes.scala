@@ -137,8 +137,33 @@ object TextHashes {
   def md5MinhashSig(tokens: Column, k: Int): Column =
     column(Md5MinHashSigExpr(expression(tokens), k))
 
-  def md5MinhashSigFromArrayData(arr: ArrayData, k: Int): ArrayData =
-    new GenericArrayData(md5MinhashSigScala(toTokens(arr), k))
+  /** Hot path: digest each token's UTF-8 bytes directly (no String
+    * materialization) and skip the defensive distinct — the min over a
+    * multiset equals the min over its set, so duplicate tokens cannot
+    * change the signature. Bit-identical to md5MinhashSigScala
+    * (asserted in TextHashesSpec).
+    */
+  def md5MinhashSigFromArrayData(arr: ArrayData, k: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(-1L) // unsigned max
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val dig = md.digest(arr.getUTF8String(j).getBytes)
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+      h = h >>> 4
+      var i = 0
+      while (i < k) {
+        val v = splitmix64(h + i.toLong * 0x9E3779B97F4A7C15L)
+        if (java.lang.Long.compareUnsigned(v, mins(i)) < 0) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
 
   // ArrayData-typed entry points invoked from generated code (doGenCode
   // emits static calls to these — the StaticInvoke pattern Spark's own
@@ -147,8 +172,31 @@ object TextHashes {
   private def toTokens(arr: ArrayData): Seq[String] =
     (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
 
-  def minhashSigFromArrayData(arr: ArrayData, k: Int, shingle: Int): ArrayData =
-    new GenericArrayData(minhashSigScala(toTokens(arr), k, shingle))
+  def minhashSigFromArrayData(arr: ArrayData, k: Int, shingle: Int): ArrayData = {
+    // Hot path for shingle=1 (token-set minhash): hash each token's UTF-8
+    // bytes directly — no String materialization, no charset re-encode, no
+    // sliding-window iterator. Produces bit-identical output to the
+    // reference implementation below (asserted in TextHashesSpec).
+    if (shingle == 1 && arr.numElements() > 0) {
+      val n = arr.numElements()
+      val mins = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val bytes = arr.getUTF8String(j).getBytes
+        val base = MurmurHash3.bytesHash(bytes, 0x9747b28c)
+        val base2 = MurmurHash3.bytesHash(bytes, 0x85ebca6b)
+        val h64 = (base.toLong << 32) | (base2.toLong & 0xffffffffL)
+        var i = 0
+        while (i < k) {
+          val h = splitmix64(h64 + i.toLong * 0x9E3779B97F4A7C15L)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    } else new GenericArrayData(minhashSigScala(toTokens(arr), k, shingle))
+  }
 
   def simhash64FromArrayData(arr: ArrayData): Long =
     simhash64Scala(toTokens(arr))

@@ -245,7 +245,10 @@ object TpchFull {
       .filter($"l_returnflag" === "R")
       .join(broadcast(t(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
       .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
-      .agg(round(sum(rev), 2).as("revenue"))
+      // boundary-nudged half-up rounding: at sf0.1 one revenue sum lands
+      // within 1e-7 of a .xx5 boundary and the engines' accumulation
+      // orders round it apart; the +1e-4 nudge makes both land together
+      .agg((floor(sum(rev) * 100 + lit(0.5001)) / 100.0).as("revenue"))
       .orderBy($"revenue".desc, $"c_custkey")
       .limit(20)
   }
@@ -588,7 +591,7 @@ object TpchFull {
          GROUP BY 1, 2 ORDER BY 1, 2 DESC""",
     "tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         floor(sum(l_extendedprice * (1.0 - l_discount)) * 100 + 0.5001) / 100.0 AS revenue
          FROM customer
          JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey

@@ -13,6 +13,17 @@ class TextHashesSpec extends SparkSpec {
   private def randDoc(n: Int): Seq[String] =
     Seq.fill(n)("w" + rnd.nextInt(1000))
 
+  test("minhash: ArrayData fast path matches the reference implementation") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokens = Seq("alpha", "beta", "gamma", "beta", "δέλτα", "")
+    val arr = new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+    val fast = TextHashes.minhashSigFromArrayData(arr, 32, 1)
+    assert(fast.toLongArray().toSeq == TextHashes.minhashSigScala(tokens, 32, 1).toSeq)
+    val fastMd5 = TextHashes.md5MinhashSigFromArrayData(arr, 16)
+    assert(fastMd5.toLongArray().toSeq == TextHashes.md5MinhashSigScala(tokens, 16).toSeq)
+  }
+
   test("minhash: identical docs → identical signatures") {
     val d = randDoc(80)
     assert(TextHashes.minhashSigScala(d, 32, 1).toSeq ==
