@@ -159,15 +159,30 @@ object Multimodal {
         .orderBy(col("asset_id"), col("frame_idx")))
   )
 
-  /** Decoded metadata dumped for the oracle: DuckDB recomputes the frame
-    * sampling (sequence semantics) from it — the decode step itself has no
-    * independent implementation in the container (see FakeCodec note).
+  /** Oracle inputs: decoded metadata (for the frame-sampling recompute)
+    * and the raw asset bytes as hex strings — DuckDB re-parses the
+    * big-endian header from the hex independently, so the decode path IS
+    * cross-checked even without a codec in the container.
     */
-  def dumpOracleInputs(s: SparkSession): Unit =
+  def dumpOracleInputs(s: SparkSession): Unit = {
     decodeMeta(assets(s, 2000)).toDF().coalesce(1).write.mode("overwrite")
       .parquet(s"${NexmarkQueries.DumpDir}/mm_meta.parquet")
+    assets(s, 2000).toDF()
+      .select(col("asset_id"), col("kind"), hex(col("bytes")).as("hexb"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${NexmarkQueries.DumpDir}/mm_assets_hex.parquet")
+  }
 
   def oracles: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      s"""SELECT asset_id, kind,
+         CAST(('0x' || substring(hexb, 9, 8))::UBIGINT AS INTEGER) AS width,
+         CAST(('0x' || substring(hexb, 17, 8))::UBIGINT AS INTEGER) AS height,
+         CAST(('0x' || substring(hexb, 25, 8))::UBIGINT AS INTEGER) AS n_frames,
+         CAST((length(hexb) - 32) // 2 AS INTEGER) AS payload_len
+         FROM read_parquet('${NexmarkQueries.DumpDir}/mm_assets_hex.parquet/*.parquet')
+         WHERE length(hexb) >= 32 AND substring(hexb, 1, 8) = '47465442'
+         ORDER BY asset_id""",
     "mm_frame_sample" ->
       s"""SELECT asset_id, kind,
          unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, 10)) AS frame_idx

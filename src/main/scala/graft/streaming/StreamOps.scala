@@ -182,6 +182,55 @@ object StreamOps {
     }
   }
 
+  /** A timestamped document on the ingestion stream (public: Spark
+    * encoders need a public case class at codegen time).
+    */
+  case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
+
+  /** Streaming exact dedup (LLM-pipeline ingestion): keep the first
+    * occurrence of each content hash, with state aged out by the
+    * watermark horizon — the streaming form of batch q31. The hash keys
+    * the state store instead of the full text, so state size is
+    * O(distinct docs in horizon) × 8 bytes, not × document size.
+    */
+  def dedupExactStream(docs: Dataset[DocEvent], watermark: String): DataFrame =
+    docs.toDF()
+      .withColumn("content_hash", xxhash64(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash")
+
+  /** Streaming near-dup dedup: documents with an identical md5-minhash
+    * signature (k=16 over the token set) are near-identical with high
+    * probability; keeping the first per signature is the streaming
+    * counterpart of the q61 batch pipeline's bucketing stage. Signature
+    * state, like the hash above, is constant-size per distinct doc.
+    */
+  def dedupSignatureStream(docs: Dataset[DocEvent], watermark: String): DataFrame =
+    docs.toDF()
+      .withColumn("sig",
+        graft.functions.TextHashes.md5MinhashSig(split(col("text"), "\\s+"), 16))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
+      .drop("sig")
+
+  /** Kafka source/sink configuration (reference ships Kafka/Kinesis as
+    * untested stubs — datasource/kafka.rs:48-111; same stance here: the
+    * connector package isn't in this container, so these return the fully
+    * configured reader/writer without starting it).
+    */
+  def kafkaReader(spark: SparkSession, brokers: String, topic: String) =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+
+  def kafkaWriter(df: DataFrame, brokers: String, topic: String, checkpoint: String) =
+    df.selectExpr("CAST(value AS STRING) AS value").writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** Sinks (datasink/mod.rs analogs). */
   def toParquet(df: DataFrame, path: String, checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery =
