@@ -47,4 +47,26 @@ object Scale {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Cluster-tuned session configuration — the analog of the reference's
+    * flock.toml knobs (SURVEY §6): zstd everywhere the reference used zstd
+    * payloads (encoding.rs:52-56), scan split size in place of its
+    * payload granules (flock.toml:59-61), AQE for runtime re-planning of
+    * skew/partition-count (its Arena/HashDiff re-partitioning analog).
+    * Shuffle-partition count is the caller's (cores × 2-3 locally; ~2-3×
+    * total executor cores on a cluster).
+    */
+  def tunedConf(shufflePartitions: Int): Map[String, String] = Map(
+    "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+    "spark.io.compression.codec" -> "zstd",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.files.maxPartitionBytes" -> (128L * 1024 * 1024).toString,
+    "spark.sql.parquet.compression.codec" -> "zstd",
+    "spark.sql.session.timeZone" -> "UTC")
+
+  def tuned(b: org.apache.spark.sql.SparkSession.Builder,
+      shufflePartitions: Int): org.apache.spark.sql.SparkSession.Builder =
+    tunedConf(shufflePartitions).foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 }

@@ -68,6 +68,24 @@ object StreamOps {
       .agg(count(lit(1)).as("num"))
       .select(col("w.start").as("w_start"), col("auction"), col("num"))
 
+  /** Stagger windows (reference `Window::Stagger`, stream/window.rs:80-113
+    * — declared there but never executed; we wire it): tumbling windows
+    * whose phase offset varies per key, spreading window-close work across
+    * time instead of synchronizing every key's emission. Phase =
+    * hash(key) mod window; stateless column math, so it runs identically
+    * in batch and in streaming (update/complete mode — Spark's append-mode
+    * watermark tracking requires its native window functions).
+    */
+  def staggerCounts(bids: DataFrame, windowMs: Long, keyCol: String = "auction"): DataFrame = {
+    val phase = pmod(xxhash64(col(keyCol)), lit(windowMs))
+    val tMs = unix_millis(col("b_date_time"))
+    val start = tMs - pmod(tMs - phase, lit(windowMs))
+    bids
+      .withColumn("w_start", timestamp_millis(start))
+      .groupBy(col("w_start"), col(keyCol))
+      .agg(count(lit(1)).as("num"))
+  }
+
   /** Session windows via Spark's native session_window (session.rs analog,
     * element-level gap semantics).
     */

@@ -69,4 +69,24 @@ class PlanSpec extends SparkSpec {
     // codegen'd operators carry the "*(n)" stage prefix in plan strings
     assert(p.contains("*("), p.take(800))
   }
+
+  test("TPC-H plans broadcast dims and push filters into the fact scan") {
+    val p3 = plan(graft.operators.TpchFull.defs("tpch_q03")(spark, sfDir))
+    assert(p3.contains("PushedFilters: [IsNotNull(c_mktsegment"),
+      "segment filter must reach the customer scan")
+    val p5 = plan(graft.operators.TpchFull.defs("tpch_q05")(spark, sfDir))
+    assert(p5.contains("BroadcastHashJoin"), "nation/region must broadcast")
+    assert(p5.contains("PushedFilters: [IsNotNull(o_orderdate"),
+      "date range must reach the orders scan")
+  }
+
+  test("rank-k window filters compile to WindowGroupLimit (partial top-k)") {
+    // Spark 3.5+ plants WindowGroupLimit below the shuffle for
+    // row_number()-filter patterns — per-partition top-k BEFORE the
+    // exchange. This is why no custom rank-1 operator/rule is needed
+    // (SURVEY §4 conclusion, re-validated on Spark 4.1).
+    val p = plan(Relational.defs("q06_rank_per_key")(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("Partial"), "expected partial (pre-shuffle) group limit")
+  }
 }

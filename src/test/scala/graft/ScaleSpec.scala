@@ -67,4 +67,12 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("tuned session config carries the flock.toml-analog knobs") {
+    val c = graft.plans.Scale.tunedConf(7)
+    assert(c("spark.sql.shuffle.partitions") == "7")
+    assert(c("spark.io.compression.codec") == "zstd")
+    assert(c("spark.sql.adaptive.skewJoin.enabled") == "true")
+    assert(c("spark.sql.files.maxPartitionBytes").toLong == 128L * 1024 * 1024)
+  }
 }

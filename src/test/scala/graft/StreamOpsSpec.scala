@@ -104,6 +104,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stagger windows: per-key phase, full coverage, stream equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w = 10000L
+    val bids = mkBids(5000)
+    val batch = StreamOps.staggerCounts(bids.toDF(), w)
+    // invariants: every window start carries its key's phase, and counts
+    // conserve the input
+    val rows = batch.select($"w_start", $"auction", $"num").collect()
+    assert(rows.map(_.getLong(2)).sum == bids.size)
+    rows.foreach { r =>
+      val startMs = r.getTimestamp(0).getTime
+      val phase = Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          r.getInt(1), org.apache.spark.sql.types.IntegerType, 42L), w)
+      assert(Math.floorMod(startMs, w) == phase,
+        s"window start ${startMs} not phase-aligned for key ${r.getInt(1)}")
+    }
+    // streaming (complete mode) equals batch
+    val in = MemoryStream[Bid]
+    val q = StreamOps.toMemory(StreamOps.staggerCounts(in.toDF(), w),
+      "stagger_test", OutputMode.Complete)
+    try {
+      in.addData(bids.take(2000)); q.processAllAvailable()
+      in.addData(bids.drop(2000)); q.processAllAvailable()
+      assert(spark.table("stagger_test").collect().toSet == rows.toSet)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first occurrence per content hash and signature") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
