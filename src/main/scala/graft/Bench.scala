@@ -35,6 +35,7 @@ object Bench {
     "q52_asof_join",
     "q53_moving_avg",
     "q61_minhash_md5",
+    "q62_asof_native",
     "tpch_q05",
     "tpch_q09",
     "tpch_q18",

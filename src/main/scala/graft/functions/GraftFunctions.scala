@@ -35,11 +35,15 @@ object GraftFunctions {
     }
 }
 
-/** Injection point for spark.sql.extensions. */
+/** Injection point for spark.sql.extensions: SQL functions + the native
+  * as-of join planner strategy.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

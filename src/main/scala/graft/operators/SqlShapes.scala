@@ -19,6 +19,7 @@ object SqlShapes {
     "q45_approx_distinct" -> ((s, d) => q45(s, d)),
     "q51_salted_agg" -> ((s, d) => q51(s, d)),
     "q52_asof_join" -> ((s, d) => q52(s, d)),
+    "q62_asof_native" -> ((s, d) => q62(s, d)),
     "q53_moving_avg" -> ((s, d) => q53(s, d))
   )
 
@@ -50,6 +51,25 @@ object SqlShapes {
       .withColumn("asof_order", last($"o_key", ignoreNulls = true).over(w))
       .filter($"is_left" === 1 && $"asof_order".isNotNull)
       .select($"event_id", $"key".as("user_id"), $"asof_order")
+      .orderBy($"event_id")
+  }
+
+  /** The same as-of semantics through the NATIVE custom operator
+    * (graft.plans.AsOfJoin: logical node + strategy + sort-merge
+    * physical plan) — q52's union+window formulation and this must agree
+    * with the DuckDB ASOF JOIN oracle identically.
+    */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events").filter($"event_id" % 11 === 0)
+      .select($"event_id", $"user_id", $"ts")
+    val ord = Tables(s, d, "orders")
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_key"))
+    graft.plans.AsOfJoinOp.asofJoin(ev, ord,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTimeCol = "ts", rightTimeCol = "o_orderdate")
+      .select($"event_id", $"user_id", $"o_key".as("asof_order"))
       .orderBy($"event_id")
   }
 
@@ -170,6 +190,14 @@ object SqlShapes {
       """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q52_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 11 = 0),
+         o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_key
+               FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, o.o_key AS asof_order
+         FROM e ASOF JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY e.event_id""",
+    "q62_asof_native" ->
       """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 11 = 0),
          o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_key
                FROM orders GROUP BY 1, 2)

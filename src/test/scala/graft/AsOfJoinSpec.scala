@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsOfJoinOp
+import java.sql.Timestamp
+
+/** The native as-of operator (custom LogicalPlan + Strategy + SparkPlan)
+  * against the composed union+window formulation and hand-computed cases.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(sec: Int) = new Timestamp(1_436_918_400_000L + sec * 1000L)
+
+  test("asof join picks the last right row at or before each left time") {
+    import spark.implicits._
+    val quotes = Seq( // key, qt, px
+      (1, ts(0), 100.0), (1, ts(10), 101.0), (1, ts(20), 102.0),
+      (2, ts(5), 200.0)).toDF("qkey", "qt", "px")
+    val trades = Seq( // key, tt
+      (1, ts(9)),   // -> 100.0 (t0)
+      (1, ts(10)),  // -> 101.0 (tie: at-or-before includes equal)
+      (1, ts(25)),  // -> 102.0
+      (2, ts(4)),   // no quote yet -> dropped (inner)
+      (2, ts(6)),   // -> 200.0
+      (3, ts(1))    // unknown key -> dropped
+    ).toDF("tkey", "tt")
+    val out = AsOfJoinOp.asofJoin(trades, quotes, "tkey", "qkey", "tt", "qt")
+      .select($"tkey", $"tt", $"px").collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      (1, ts(9), 100.0), (1, ts(10), 101.0), (1, ts(25), 102.0),
+      (2, ts(6), 200.0)))
+  }
+
+  test("native operator equals the union+window formulation on testdata") {
+    import spark.implicits._
+    val native = operators.SqlShapes.defs("q62_asof_native")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val composed = operators.SqlShapes.defs("q52_asof_join")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(native == composed)
+  }
+
+  test("physical plan is the custom exec with one exchange+sort per side") {
+    import spark.implicits._
+    val l = Seq((1, ts(1))).toDF("k", "t")
+    val r = Seq((1, ts(0), 5.0)).toDF("rk", "rt", "v")
+    val df = AsOfJoinOp.asofJoin(l, r, "k", "rk", "t", "rt")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p.take(600))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p.take(800))
+    assert(df.collect().length == 1)
+  }
+
+  test("duplicate left timestamps and empty right side behave") {
+    import spark.implicits._
+    val l = Seq((1, ts(5)), (1, ts(5)), (1, ts(6))).toDF("k", "t")
+    val r = Seq((1, ts(5), 1.0)).toDF("rk", "rt", "v")
+    val out = AsOfJoinOp.asofJoin(l, r, "k", "rk", "t", "rt").collect()
+    assert(out.length == 3) // both t=5 lefts match the t=5 right (<=)
+    val empty = Seq.empty[(Int, Timestamp, Double)].toDF("rk", "rt", "v")
+    assert(AsOfJoinOp.asofJoin(l, empty, "k", "rk", "t", "rt").collect().isEmpty)
+  }
+}
