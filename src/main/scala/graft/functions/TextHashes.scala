@@ -137,6 +137,71 @@ object TextHashes {
   def md5MinhashSig(tokens: Column, k: Int): Column =
     column(Md5MinHashSigExpr(expression(tokens), k))
 
+  /** md5-derived 60-bit token hash (shared by the oracle-reproducible
+    * minhash/simhash/winnow family: first 15 hex chars of md5).
+    */
+  private def md5h60(md: java.security.MessageDigest, t: String): Long = {
+    val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var b = 0
+    while (b < 8) { h = (h << 8) | (dig(b) & 0xffL); b += 1 }
+    h >>> 4
+  }
+
+  /** 64-bit simhash with md5 token hashes (oracle-reproducible sibling of
+    * simhash64Scala): bit b set iff the +1/-1 vote over (h>>b)&1 is
+    * positive. Tokens keep multiplicity (simhash weights repeats).
+    */
+  def md5Simhash64Scala(tokens: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = md5h60(md, t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Winnow fingerprints with md5 token hashes: distinct sliding-window
+    * minima (window w) in first-occurrence order. 60-bit hashes, so
+    * signed and unsigned comparisons agree with DuckDB's UBIGINT min.
+    */
+  def md5WinnowScala(tokens: Seq[String], window: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (tokens.isEmpty) return Array.empty
+    val hashes = tokens.map(t => md5h60(md, t)).toArray
+    if (hashes.length <= window) return Array(hashes.min)
+    val out = scala.collection.mutable.LinkedHashSet[Long]()
+    var i = 0
+    while (i + window <= hashes.length) {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+
+  def md5Simhash64(tokens: Column): Column =
+    column(Md5SimHash64Expr(expression(tokens)))
+
+  def md5Simhash64FromArrayData(arr: ArrayData): Long =
+    md5Simhash64Scala(toTokens(arr))
+
+  def md5Winnow(tokens: Column, window: Int): Column =
+    column(Md5WinnowExpr(expression(tokens), window))
+
+  def md5WinnowFromArrayData(arr: ArrayData, window: Int): ArrayData =
+    new GenericArrayData(md5WinnowScala(toTokens(arr), window))
+
   /** Hot path: digest each token's UTF-8 bytes directly (no String
     * materialization) and skip the defensive distinct — the min over a
     * multiset equals the min over its set, so duplicate tokens cannot
@@ -203,6 +268,30 @@ object TextHashes {
 
   def winnowFromArrayData(arr: ArrayData, window: Int): ArrayData =
     new GenericArrayData(winnowScala(toTokens(arr), window))
+}
+
+/** array<string> → 64-bit md5-based simhash (long). */
+case class Md5SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.md5Simhash64FromArrayData(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.md5Simhash64FromArrayData($c)")
+  override def prettyName: String = "md5_simhash64"
+  override protected def withNewChildInternal(c: Expression): Md5SimHash64Expr = copy(child = c)
+}
+
+/** array<string> → array<long> md5-based winnow fingerprints. */
+case class Md5WinnowExpr(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.md5WinnowFromArrayData(input.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.md5WinnowFromArrayData($c, $window)")
+  override def prettyName: String = "md5_winnow_fingerprints"
+  override protected def withNewChildInternal(c: Expression): Md5WinnowExpr = copy(child = c)
 }
 
 /** array<string> → array<long> of k md5-based minhash values (token set). */

@@ -107,6 +107,27 @@ object Multimodal {
     }
   }
 
+  /** Integer feature vectors: per-dim SUMS of payload bytes (exact, so the
+    * DuckDB oracle recomputes them from the hex dump bit-for-bit — the
+    * float variant above accumulates in float32, which no independent
+    * engine reproduces).
+    */
+  def extractFeaturesInt(assets: Dataset[Asset], dim: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val payload = a.bytes.drop(16)
+        val out = new Array[Long](dim)
+        var i = 0
+        while (i < payload.length) {
+          out(i % dim) += (payload(i) & 0xff)
+          i += 1
+        }
+        (a.asset_id, out)
+      }
+    }.toDF("asset_id", "feature")
+  }
+
   /** Frame sampling: one output row per sampled frame index (video/audio
     * assets), bounded explode — no driver-side loops.
     */
@@ -156,7 +177,15 @@ object Multimodal {
     "mm_frame_sample" -> ((s, _) =>
       sampleFrames(decodeMeta(assets(s, 2000)), 10)
         .withColumn("frame_idx", col("frame_idx").cast("long"))
-        .orderBy(col("asset_id"), col("frame_idx")))
+        .orderBy(col("asset_id"), col("frame_idx"))),
+    "mm_features_int" -> ((s, _) =>
+      extractFeaturesInt(assets(s, 2000), 32)
+        .select(col("asset_id"),
+          element_at(col("feature"), 1).as("f0"),
+          element_at(col("feature"), 2).as("f1"),
+          element_at(col("feature"), 32).as("f31"),
+          aggregate(col("feature"), lit(0L), (acc, x) => acc + x).as("total"))
+        .orderBy(col("asset_id")))
   )
 
   /** Oracle inputs: decoded metadata (for the frame-sampling recompute)
@@ -187,6 +216,23 @@ object Multimodal {
       s"""SELECT asset_id, kind,
          unnest(generate_series(0, CAST(n_frames AS BIGINT) - 1, 10)) AS frame_idx
          FROM read_parquet('${NexmarkQueries.DumpDir}/mm_meta.parquet/*.parquet')
-         WHERE n_frames > 1 ORDER BY asset_id, frame_idx"""
+         WHERE n_frames > 1 ORDER BY asset_id, frame_idx""",
+    "mm_features_int" ->
+      s"""WITH b AS (
+           SELECT asset_id, substring(hexb, 33) AS ph
+           FROM read_parquet('${NexmarkQueries.DumpDir}/mm_assets_hex.parquet/*.parquet')),
+         e AS (
+           SELECT asset_id, list_transform(generate_series(1, length(ph) // 2),
+             i -> CAST(('0x' || substring(ph, i*2 - 1, 2))::UBIGINT AS BIGINT)) AS bytes
+           FROM b)
+         SELECT asset_id,
+           CAST(list_sum(list_transform(generate_series(1, len(bytes)),
+             i -> CASE WHEN (i - 1) % 32 = 0 THEN bytes[i] ELSE 0 END)) AS BIGINT) AS f0,
+           CAST(list_sum(list_transform(generate_series(1, len(bytes)),
+             i -> CASE WHEN (i - 1) % 32 = 1 THEN bytes[i] ELSE 0 END)) AS BIGINT) AS f1,
+           CAST(list_sum(list_transform(generate_series(1, len(bytes)),
+             i -> CASE WHEN (i - 1) % 32 = 31 THEN bytes[i] ELSE 0 END)) AS BIGINT) AS f31,
+           CAST(list_sum(bytes) AS BIGINT) AS total
+         FROM e ORDER BY asset_id"""
   )
 }

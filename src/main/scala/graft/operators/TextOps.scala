@@ -51,7 +51,9 @@ object TextOps {
     "q34_simhash_pairs" -> ((s, d) => q34(s, d)),
     "q35_langid" -> ((s, d) => q35(s, d)),
     "q36_winnow_fingerprints" -> ((s, d) => q36(s, d)),
-    "q61_minhash_md5" -> ((s, d) => q61(s, d))
+    "q61_minhash_md5" -> ((s, d) => q61(s, d)),
+    "q63_winnow_md5" -> ((s, d) => q63(s, d)),
+    "q64_simhash_md5" -> ((s, d) => q64(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -270,6 +272,42 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** q36's oracle-reproducible sibling: winnow fingerprints over md5
+    * token hashes (window 4), summarized as count/min/max.
+    */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", TextHashes.md5Winnow($"toks", 4).as("fps"))
+      .select($"doc_id", size($"fps").cast("long").as("n_fp"),
+        array_min($"fps").as("min_fp"), array_max($"fps").as("max_fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** q34's oracle-reproducible sibling: md5-based 64-bit simhash,
+    * 4×16-bit band blocking, Hamming ≤ 16 on candidates.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, d).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", TextHashes.md5Simhash64($"toks").as("sh"))
+    val banded = base.select($"doc_id", $"sh",
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(sh, b*16) & 65535)")))
+      .select($"doc_id", $"sh", $"pos".as("band"), $"col".as("bandval"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh1 ^ sh2)"))
+      .filter($"hamming" <= 16)
+      .select($"id1", $"id2", $"hamming".cast("long").as("hamming"))
+      .orderBy($"id1", $"id2")
+  }
+
   def oracles: Map[String, String] = Map(
     "q28_token_stats" ->
       """SELECT doc_id,
@@ -315,6 +353,49 @@ object TextOps {
          JOIN sizes s2 ON s2.doc_id = id2
          WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) > 0.8
          ORDER BY id1, id2""",
+    "q63_winnow_md5" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),
+         h AS (
+           SELECT doc_id, list_transform(toks,
+             t -> ('0x' || substring(md5(t), 1, 15))::UBIGINT) AS hh
+           FROM t),
+         f AS (
+           SELECT doc_id,
+             CASE WHEN len(hh) <= 4 THEN [list_min(hh)]
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(hh) - 3), i -> list_min(hh[i:i+3])))
+             END AS fps
+           FROM h)
+         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS min_fp,
+           CAST(list_max(fps) AS BIGINT) AS max_fp
+         FROM f ORDER BY doc_id""",
+    "q64_simhash_md5" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents WHERE doc_id % 5 = 0),
+         h AS (
+           SELECT doc_id, list_transform(toks,
+             t -> ('0x' || substring(md5(t), 1, 15))::UBIGINT) AS hh
+           FROM t),
+         s AS (
+           SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 63), b ->
+             CASE WHEN list_sum(list_transform(hh,
+                 x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END)) AS UBIGINT) AS sh
+           FROM h),
+         banded AS (
+           SELECT doc_id, sh, b, (sh >> (b * 16)) & 65535 AS bandval
+           FROM s, unnest([0, 1, 2, 3]) AS u(b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.sh AS sh1, b.sh AS sh2
+           FROM banded a JOIN banded b
+             ON a.b = b.b AND a.bandval = b.bandval AND a.doc_id < b.doc_id)
+         SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sh1, sh2)) <= 16 ORDER BY 1, 2""",
     "q35_langid" ->
       """WITH t AS (
            SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
