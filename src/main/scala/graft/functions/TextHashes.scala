@@ -105,6 +105,29 @@ object TextHashes {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    column(SortedIntersectSizeExpr(expression(a), expression(b)))
+
+  /** |A ∩ B| for two SORTED string arrays via a linear two-pointer merge —
+    * no per-pair hash set. UTF8String.compareTo is binary order, the same
+    * order array_sort produces, so sorting once per document replaces
+    * hashing once per candidate PAIR (the LSH recheck hot loop).
+    */
+  def sortedIntersectSizeFromArrayData(a: ArrayData, b: ArrayData): Long = {
+    var i = 0
+    var j = 0
+    var n = 0L
+    val an = a.numElements()
+    val bn = b.numElements()
+    while (i < an && j < bn) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** k minhash values over the token SET with md5-derived base hashes —
     * the cross-engine-reproducible variant: md5 is available in DuckDB
     * too, so the whole signature (and the LSH pipeline on top) can be
@@ -268,6 +291,22 @@ object TextHashes {
 
   def winnowFromArrayData(arr: ArrayData, window: Int): ArrayData =
     new GenericArrayData(winnowScala(toTokens(arr), window))
+}
+
+/** (sorted array<string>, sorted array<string>) → long intersection size. */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sortedIntersectSizeFromArrayData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashes.sortedIntersectSizeFromArrayData($a, $b)")
+  override def prettyName: String = "sorted_intersect_size"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectSizeExpr =
+    copy(left = l, right = r)
 }
 
 /** array<string> → 64-bit md5-based simhash (long). */

@@ -140,10 +140,11 @@ object TextOps {
   private def q33(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 32; val bands = 8; val rows = k / bands
-    // no array_sort: a shingle-1 minhash is an unordered-set signature,
-    // so sorting the tokens first only buys the sort's own cost
+    // sets are kept SORTED (once per doc) so the pair recheck can use the
+    // linear-merge intersect instead of a hash set per candidate pair;
+    // the shingle-1 minhash itself is order-independent
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
-      .select($"doc_id", array_distinct($"toks").as("set"))
+      .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
       .withColumn("sig", TextHashes.minhashSig($"set", k, 1))
     // Band join carries only (doc_id, band, bandval): candidate pair dedup
     // happens on two longs, and token sets are re-attached afterwards —
@@ -166,9 +167,9 @@ object TextOps {
     candIds
       .join(broadcast(sets.select($"doc_id".as("id1"), $"set".as("set1"))), "id1")
       .join(broadcast(sets.select($"doc_id".as("id2"), $"set".as("set2"))), "id2")
-      .withColumn("inter", size(array_intersect($"set1", $"set2")).cast("double"))
-      // sets are distinct ⇒ |A∪B| = |A|+|B|−|A∩B|; skipping array_union
-      // halves the per-pair hash-set work in the recheck
+      .withColumn("inter",
+        TextHashes.sortedIntersectSize($"set1", $"set2").cast("double"))
+      // sets are distinct ⇒ |A∪B| = |A|+|B|−|A∩B|
       .withColumn("uni",
         (size($"set1") + size($"set2")).cast("double") - $"inter")
       .withColumn("jaccard", $"inter" / $"uni")
@@ -237,8 +238,9 @@ object TextOps {
   private def q61(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 16; val bands = 4; val rows = k / bands
+    // sorted sets: see q33 — linear-merge intersect in the recheck
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
-      .select($"doc_id", array_distinct($"toks").as("set"))
+      .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
       .withColumn("sig", TextHashes.md5MinhashSig($"set", k))
     val banded = base.select($"doc_id",
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rows + 1, $rows))")))
@@ -253,7 +255,8 @@ object TextOps {
     candIds
       .join(broadcast(sets.select($"doc_id".as("id1"), $"set".as("set1"))), "id1")
       .join(broadcast(sets.select($"doc_id".as("id2"), $"set".as("set2"))), "id2")
-      .withColumn("inter", size(array_intersect($"set1", $"set2")).cast("double"))
+      .withColumn("inter",
+        TextHashes.sortedIntersectSize($"set1", $"set2").cast("double"))
       .withColumn("uni",
         (size($"set1") + size($"set2")).cast("double") - $"inter")
       .withColumn("jaccard", $"inter" / $"uni")

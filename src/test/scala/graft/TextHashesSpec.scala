@@ -24,6 +24,20 @@ class TextHashesSpec extends SparkSpec {
     assert(fastMd5.toLongArray().toSeq == TextHashes.md5MinhashSigScala(tokens, 16).toSeq)
   }
 
+  test("sorted_intersect_size equals array_intersect size on sorted sets") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toString).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(20).toString).distinct.sorted
+      def ad(x: Seq[String]) =
+        new GenericArrayData(x.map(UTF8String.fromString).toArray[Any])
+      val got = TextHashes.sortedIntersectSizeFromArrayData(ad(a), ad(b))
+      assert(got == a.toSet.intersect(b.toSet).size.toLong, s"a=$a b=$b")
+    }
+  }
+
   test("minhash: identical docs → identical signatures") {
     val d = randDoc(80)
     assert(TextHashes.minhashSigScala(d, 32, 1).toSeq ==
