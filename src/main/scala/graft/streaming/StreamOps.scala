@@ -232,6 +232,57 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("sig")
       .drop("sig")
 
+  /** A rate/reference-data update on the right side of a streaming as-of
+    * join (public: encoder requirement).
+    */
+  case class RateUpdate(rkey: Int, rtime: Timestamp, rate: Double)
+  case class PricedBid(auction: Int, bidder: Int, price: Int,
+      b_date_time: Timestamp, rate: Double)
+  // public: Spark encoders need a public case class at codegen time
+  case class AsOfTagged(key: Int, t: Long, bid: Option[Bid],
+      rate: Option[RateUpdate])
+
+  /** Streaming as-of join: each bid is enriched with the LAST rate update
+    * (key = auction mod 10) at or before its event time. State per key is
+    * one (time, rate) pair — the streaming counterpart of the native
+    * batch AsOfJoin operator. Like the reference, this assumes per-key
+    * event-time order across micro-batches over the MERGED inputs — a
+    * batch must not deliver right-side updates whose time is ahead of
+    * left rows still to come (the generator's epoch pacing guarantees
+    * this; SURVEY §2.9 "no late data"). Within a batch events are sorted,
+    * and rate updates at the same timestamp win over bids (at-or-before).
+    */
+  def asofStream(bids: Dataset[Bid], rates: Dataset[RateUpdate]): Dataset[PricedBid] = {
+    val spark = bids.sparkSession
+    import spark.implicits._
+    val tagged = bids
+      .map(b => AsOfTagged(b.auction % 10, b.b_date_time.getTime, Some(b), None))
+      .union(rates.map(r => AsOfTagged(r.rkey, r.rtime.getTime, None, Some(r))))
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState[(Long, Double), PricedBid](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, events: Iterator[AsOfTagged], state: GroupState[(Long, Double)]) =>
+          // rate updates (bid.isEmpty) sort first at equal timestamps
+          val ordered = events.toSeq.sortBy(e => (e.t, e.bid.isDefined))
+          val out = scala.collection.mutable.ArrayBuffer[PricedBid]()
+          var cur = state.getOption
+          ordered.foreach { e =>
+            e.rate match {
+              case Some(r) => cur = Some((e.t, r.rate))
+              case None =>
+                val b = e.bid.get
+                cur match {
+                  case Some((rt, rv)) if rt <= e.t =>
+                    out += PricedBid(b.auction, b.bidder, b.price, b.b_date_time, rv)
+                  case _ => // no rate yet: drop (inner as-of)
+                }
+            }
+          }
+          cur match { case Some(s) => state.update(s); case None => }
+          out.iterator
+      }
+  }
+
   /** Kafka source/sink configuration (reference ships Kafka/Kinesis as
     * untested stubs — datasource/kafka.rs:48-111; same stance here: the
     * connector package isn't in this container, so these return the fully

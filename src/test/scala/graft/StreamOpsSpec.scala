@@ -171,6 +171,45 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming as-of join equals the native batch as-of operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.{PricedBid, RateUpdate}
+    val t0 = 1_436_918_400_000L
+    val bids = mkBids(3000) // event times span [t0, t0+3s)
+    // rate updates per key every 500 ms inside the bid horizon, offset per
+    // key; key 0 updates at exact bid timestamps (tie coverage)
+    val rates = for (k <- 0 until 10; s <- 0 until 6)
+      yield RateUpdate(k, new Timestamp(t0 + s * 500L + k * 30L),
+        1.0 + k + s / 100.0)
+    val in = MemoryStream[Bid]
+    val rin = MemoryStream[RateUpdate]
+    val q = StreamOps.toMemory(
+      StreamOps.asofStream(in.toDS(), rin.toDS()).toDF(),
+      "asof_stream_test", OutputMode.Append)
+    // the operator's contract is per-key event-time order across batches
+    // (merged over both inputs) — split both streams at the same cut time
+    val cut = t0 + 1500L
+    try {
+      rin.addData(rates.filter(_.rtime.getTime < cut))
+      in.addData(bids.filter(_.b_date_time.getTime < cut))
+      q.processAllAvailable()
+      rin.addData(rates.filter(_.rtime.getTime >= cut))
+      in.addData(bids.filter(_.b_date_time.getTime >= cut))
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream_test")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getTimestamp(3), r.getDouble(4))).toSet
+      val batchLeft = bids.toDF().withColumn("bkey", pmod($"auction", lit(10)))
+      val expected = graft.plans.AsOfJoinOp.asofJoin(
+          batchLeft, rates.toDF(), "bkey", "rkey", "b_date_time", "rtime")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+          r.getTimestamp(3), r.getDouble(7))).toSet
+      assert(streamed == expected,
+        s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
+    } finally q.stop()
+  }
+
   test("kafka reader/writer stubs configure without a connector") {
     val r = StreamOps.kafkaReader(spark, "broker:9092", "bids")
     assert(r != null) // format+options applied; .load() needs the connector jar
