@@ -53,7 +53,8 @@ object TextOps {
     "q36_winnow_fingerprints" -> ((s, d) => q36(s, d)),
     "q61_minhash_md5" -> ((s, d) => q61(s, d)),
     "q63_winnow_md5" -> ((s, d) => q63(s, d)),
-    "q64_simhash_md5" -> ((s, d) => q64(s, d))
+    "q64_simhash_md5" -> ((s, d) => q64(s, d)),
+    "q65_pipeline" -> ((s, d) => q65(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -311,7 +312,73 @@ object TextOps {
       .orderBy($"id1", $"id2")
   }
 
+  /** The LLM ingestion pipeline END-TO-END as one composed query:
+    * exact dedup (keep min doc_id per text) → quality filter (token
+    * count in [20, 1000]) → language-ID (stopword argmax, q35 logic) →
+    * per-language corpus stats. Demonstrates that the catalog's stages
+    * compose into the actual production pipeline shape — dedup and the
+    * final stats are the only shuffles; filter+langid stay map-side.
+    */
+  private def q65(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val deduped = Tables(s, d, "documents")
+      .groupBy($"text")
+      .agg(min($"doc_id").as("doc_id"))
+      .withColumn("toks", split($"text", "\\s+"))
+      .withColumn("n_tokens", size($"toks"))
+      .filter($"n_tokens".between(20, 1000))
+    val stop = Map(
+      "en" -> Seq("a", "the", "of", "and", "to", "in", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "des"))
+    val scored = stop.toSeq.sortBy(_._1).foldLeft(deduped) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        size(expr(s"filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))")))
+    }
+    scored
+      .withColumn("best", greatest(lit(0), $"score_en", $"score_de", $"score_es", $"score_fr"))
+      .withColumn("predicted",
+        when($"best" === 0, "unknown")
+          .when($"score_de" === $"best", "de")
+          .when($"score_en" === $"best", "en")
+          .when($"score_es" === $"best", "es")
+          .otherwise("fr"))
+      .groupBy($"predicted")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        round(avg($"n_tokens"), 4).as("avg_tokens"))
+      .orderBy($"predicted")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q65_pipeline" ->
+      """WITH dedup AS (
+           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         qual AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks,
+             len(string_split_regex(text, '\s+')) AS n_tokens
+           FROM dedup
+           WHERE len(string_split_regex(text, '\s+')) BETWEEN 20 AND 1000),
+         sc AS (
+           SELECT doc_id, n_tokens,
+             len(list_filter(toks, t -> t IN ('a','the','of','and','to','in','is'))) AS sc_en,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein'))) AS sc_de,
+             len(list_filter(toks, t -> t IN ('el','la','los','de','y','es','un'))) AS sc_es,
+             len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','des'))) AS sc_fr
+           FROM qual),
+         lab AS (
+           SELECT doc_id, n_tokens,
+             CASE WHEN greatest(0, sc_en, sc_de, sc_es, sc_fr) = 0 THEN 'unknown'
+                  WHEN sc_de = greatest(0, sc_en, sc_de, sc_es, sc_fr) THEN 'de'
+                  WHEN sc_en = greatest(0, sc_en, sc_de, sc_es, sc_fr) THEN 'en'
+                  WHEN sc_es = greatest(0, sc_en, sc_de, sc_es, sc_fr) THEN 'es'
+                  ELSE 'fr' END AS predicted
+           FROM sc)
+         SELECT predicted, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens
+         FROM lab GROUP BY 1 ORDER BY 1""",
     "q28_token_stats" ->
       """SELECT doc_id,
          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
