@@ -25,7 +25,14 @@ object GraftFunctions {
     "winnow_fingerprints" -> ((es: Seq[Expression]) =>
       WinnowExpr(es.head, intLit(es(1), "window"))),
     "hyperplane_bucket" -> ((es: Seq[Expression]) =>
-      HyperplaneBucketExpr(es.head, intLit(es(1), "nPlanes")))
+      HyperplaneBucketExpr(es.head, intLit(es(1), "nPlanes"))),
+    "md5_minhash_sig" -> ((es: Seq[Expression]) =>
+      Md5MinHashSigExpr(es.head, intLit(es(1), "k"))),
+    "md5_simhash64" -> ((es: Seq[Expression]) => Md5SimHash64Expr(es.head)),
+    "md5_winnow_fingerprints" -> ((es: Seq[Expression]) =>
+      Md5WinnowExpr(es.head, intLit(es(1), "window"))),
+    "sorted_intersect_size" -> ((es: Seq[Expression]) =>
+      SortedIntersectSizeExpr(es.head, es(1)))
   )
 
   def register(spark: SparkSession): Unit =
