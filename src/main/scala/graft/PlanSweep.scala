@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit sweep: per-query physical-operator census over the whole
+  * catalog to spot scale hazards — cartesian products, unexpected global
+  * sorts, missed broadcasts. Round-2 audit: zero CartesianProduct;
+  * BroadcastNestedLoopJoin only for broadcast query vectors (q37/q40)
+  * and 1-row scalar-subquery joins; SortMergeJoin only where both sides
+  * are large (q50, tpch_q04/q21); each query's single final Sort is the
+  * small result-set ordering the driver compare requires.
+  * Usage: runMain graft.PlanSweep [sfDir]
+  */
+object PlanSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("CartesianProduct", "BroadcastNestedLoopJoin",
+      "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "Sort ",
+      "TakeOrderedAndProject", "Exchange", "WindowGroupLimit")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!name.startsWith("nx_") && !name.startsWith("mm_")) {
+        try {
+          val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val census = interesting.map(op =>
+            op.trim -> op.r.findAllIn(p).length).filter(_._2 > 0)
+          println(s"[sweep] $name :: ${census.map { case (k, v) => s"$k=$v" }.mkString(" ")}")
+        } catch { case e: Throwable =>
+          println(s"[sweep] $name :: ERROR ${e.getMessage.take(80)}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
