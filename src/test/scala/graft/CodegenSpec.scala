@@ -33,6 +33,26 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("md5-family and merge-intersect expressions compile under strict codegen") {
+    import spark.implicits._
+    withStrictCodegen {
+      val out = Tables(spark, sfDir, "documents")
+        .withColumn("toks", split($"text", "\\s+"))
+        .withColumn("set", array_sort(array_distinct($"toks")))
+        .select($"doc_id",
+          TextHashes.md5MinhashSig($"set", 16).as("mh"),
+          TextHashes.md5Simhash64($"toks").as("sh"),
+          TextHashes.md5Winnow($"toks", 4).as("fp"),
+          TextHashes.sortedIntersectSize($"set", $"set").as("self_inter"),
+          size($"set").as("sz"))
+        .collect()
+      assert(out.nonEmpty)
+      assert(out.forall(_.getSeq[Long](1).length == 16))
+      // self-intersection of a set is its size — cheap end-to-end sanity
+      assert(out.forall(r => r.getLong(4) == r.getInt(5).toLong))
+    }
+  }
+
   test("hyperplane bucket compiles under strict codegen for both types") {
     import spark.implicits._
     withStrictCodegen {
