@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.sources.Nexmark
+import graft.sources.Nexmark.Bid
+import graft.streaming.StreamOps
+
+/** Streaming throughput bench — the reference's canonical invocation is
+  * NEXMark q5 at 1000 events/s for 10 s (BASELINE.md row 1); Spark
+  * ingests far faster than the reference's paced generator, so this
+  * measures the SUSTAINED rate: pre-generated bids pushed through the
+  * hopping-window hot-items aggregation (q5's shape) in fixed-size
+  * micro-batches, reporting bids/second of end-to-end processing.
+  *
+  * Usage: runMain graft.StreamBench [nBids] [batchSize] [cpus]
+  * Prints one line: streaming_q5_eps=<n> (bids/s) and the session
+  * variant streaming_q11_eps.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val nBids = args.headOption.map(_.toInt).getOrElse(200000)
+    val batchSize = args.lift(1).map(_.toInt).getOrElse(20000)
+    val cpus = args.lift(2).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // events must exist before timing starts: the generator's cost is the
+    // source's, not the engine's (the reference also pre-generates epochs)
+    val bids: Seq[Bid] = (0L until (nBids.toLong * Nexmark.ProportionDenominator
+        / Nexmark.BidProportion))
+      .filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
+
+    def run(name: String, build: MemoryStream[Bid] => org.apache.spark.sql.DataFrame,
+        mode: OutputMode): Double = {
+      val in = MemoryStream[Bid]
+      val q = build(in).writeStream.format("noop").outputMode(mode).start()
+      val t0 = System.nanoTime()
+      bids.grouped(batchSize).foreach { chunk =>
+        in.addData(chunk)
+        q.processAllAvailable()
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      bids.size / secs
+    }
+
+    val q5Eps = run("q5",
+      in => StreamOps.hoppingCounts(in.toDF(), "10 seconds", "5 seconds", "0 seconds"),
+      OutputMode.Append)
+    val q11Eps = run("q11",
+      in => StreamOps.sessionCounts(in.toDF(), "10 seconds", "0 seconds"),
+      OutputMode.Append)
+    println(f"streaming_q5_eps=${q5Eps}%.0f streaming_q11_eps=${q11Eps}%.0f " +
+      s"(n=${bids.size}, batch=$batchSize, cpus=$cpus)")
+    spark.stop()
+  }
+}
