@@ -20,6 +20,7 @@ object SqlShapes {
     "q51_salted_agg" -> ((s, d) => q51(s, d)),
     "q52_asof_join" -> ((s, d) => q52(s, d)),
     "q62_asof_native" -> ((s, d) => q62(s, d)),
+    "q66_quantiles" -> ((s, d) => q66(s, d)),
     "q53_moving_avg" -> ((s, d) => q53(s, d))
   )
 
@@ -71,6 +72,25 @@ object SqlShapes {
         leftTimeCol = "ts", rightTimeCol = "o_orderdate")
       .select($"event_id", $"user_id", $"o_key".as("asof_order"))
       .orderBy($"event_id")
+  }
+
+  /** Ordered-statistics aggregation: exact interpolated percentiles
+    * (both engines sort + type-7 interpolate → oracled with rounding)
+    * plus the t-digest approx_percentile checked as a within-5% flag
+    * (sketch values are engine-specific, same stance as q45's HLL).
+    */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"))
+      .select($"l_returnflag",
+        round($"p50", 4).as("p50"), round($"p95", 4).as("p95"),
+        (abs($"ap50" - $"p50") / $"p50" <= 0.05).as("ap50_ok"))
+      .orderBy($"l_returnflag")
   }
 
   /** Bounded-frame moving average (reference q6 original text uses ROWS
@@ -168,6 +188,12 @@ object SqlShapes {
          CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
          CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
          TRUE AS orders_ok, TRUE AS parts_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q66_quantiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+         TRUE AS ap50_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q42_correlated_subquery" ->
       """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
