@@ -52,6 +52,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(df.collect().length == 1)
   }
 
+  test("native operator matches a reference Scala as-of on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 5).foreach { trial =>
+      val lefts = Seq.fill(200)((rnd.nextInt(8), ts(rnd.nextInt(60))))
+      val rights = Seq.fill(60)((rnd.nextInt(8), ts(rnd.nextInt(60)), rnd.nextDouble()))
+        // dedupe (key, time): equal-time right duplicates are documented
+        // as last-in-sort-order, which a map-based reference can't model
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val out = AsOfJoinOp.asofJoin(
+          lefts.toDF("k", "t"), rights.toDF("rk", "rt", "v"),
+          "k", "rk", "t", "rt")
+        .select($"k", $"t", $"v").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1), r.getDouble(2)))
+        .sortBy(x => (x._1, x._2.getTime, x._3))
+      val expected = lefts.flatMap { case (k, t) =>
+        rights.filter(r => r._1 == k && !r._2.after(t))
+          .sortBy(_._2.getTime).lastOption.map(r => (k, t, r._3))
+      }.sortBy(x => (x._1, x._2.getTime, x._3))
+      assert(out.toSeq == expected, s"trial $trial")
+    }
+  }
+
   test("duplicate left timestamps and empty right side behave") {
     import spark.implicits._
     val l = Seq((1, ts(5)), (1, ts(5)), (1, ts(6))).toDF("k", "t")

@@ -210,6 +210,33 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late events — the documented delta from the reference") {
+    // The reference never drops late data (it assumes in-order sources,
+    // SURVEY §2.9); Spark's watermark is additive capability. This pins
+    // the semantics: an event arriving behind the watermark is excluded
+    // from its (already finalized) window.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1_436_918_400_000L
+    def bid(sec: Int, auction: Int) =
+      Bid(auction, 1, 100, new Timestamp(t0 + sec * 1000L))
+    val in = MemoryStream[Bid]
+    val q = StreamOps.toMemory(
+      StreamOps.tumblingCounts(in.toDF(), "10 seconds", "0 seconds"),
+      "late_test", OutputMode.Append)
+    try {
+      in.addData(Seq(bid(1, 7), bid(2, 7))); q.processAllAvailable()
+      // advance event time well past the first window -> it finalizes
+      in.addData(Seq(bid(25, 9))); q.processAllAvailable()
+      // a late arrival for the first window: behind the watermark, dropped
+      in.addData(Seq(bid(3, 7))); q.processAllAvailable()
+      in.addData(Seq(bid(45, 9))); q.processAllAvailable()
+      val counts = spark.table("late_test")
+        .collect().map(r => (r.getTimestamp(0).getTime - t0) / 1000 -> r.getLong(2)).toMap
+      assert(counts(0L) == 2, s"late event must not reopen window 0: $counts")
+    } finally q.stop()
+  }
+
   test("kafka reader/writer stubs configure without a connector") {
     val r = StreamOps.kafkaReader(spark, "broker:9092", "bids")
     assert(r != null) // format+options applied; .load() needs the connector jar
