@@ -21,6 +21,48 @@ object Windows {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Banded interval self-join: event pairs of the same user within one
+    * hour of each other. The scale path for time-proximity joins: each
+    * event lands in time bucket t/1h and joins buckets {b−1, b, b+1} of
+    * its user — equi-join on (user, bucket) + exact residual — instead of
+    * the quadratic theta join a naive |t1−t2| ≤ 1h predicate plans to.
+    */
+  private def qIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = 3600000L
+    val ev = graft.Tables(s, d, "events").filter($"event_id" % 3 === 0)
+      .select($"event_id", $"user_id", $"ts",
+        // integer bucket: Column./ is double division, which would make
+        // every bucket fractional-unique and the equi-join vacuous
+        expr(s"unix_millis(ts) div $w").as("bucket"))
+    // probe b−1/b/b+1: any pair within the band differs by at most one
+    // bucket in either direction (id order does not imply time order)
+    val probed = ev.select($"event_id".as("id2"), $"user_id".as(("u2")),
+      $"ts".as("ts2"),
+      explode(array($"bucket" - 1, $"bucket", $"bucket" + 1)).as("b2"))
+    ev.join(probed,
+        $"user_id" === $"u2" && $"bucket" === $"b2" && $"event_id" < $"id2")
+      .filter(abs(unix_millis($"ts") - unix_millis($"ts2")) <= w)
+      .select($"user_id", $"event_id".as("id1"), $"id2",
+        (unix_millis($"ts2") - unix_millis($"ts")).as("gap_ms"))
+      .distinct()
+      .orderBy($"user_id", $"id1", $"id2")
+  }
+
+  /** Vocabulary heavy hitters: exact top-20 tokens by corpus frequency
+    * (explode → count → top-k; ties broken by token). The pipeline op
+    * behind vocabulary building / stopword mining.
+    */
+  private def qTopTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables(s, d, "documents")
+      .select(explode(split($"text", "\\s+")).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy($"freq".desc, $"token")
+      .limit(20)
+  }
+
   def defs: Map[String, Q] = Map(
     "q22_tumbling_window" -> ((s, d) => q22(s, d)),
     "q23_hopping_window" -> ((s, d) => q23(s, d)),
@@ -28,7 +70,9 @@ object Windows {
     "q25_ysb_campaign" -> ((s, d) => q25(s, d)),
     "q26_json_extract" -> ((s, d) => q26(s, d)),
     "q27_proctime_global" -> ((s, d) => q27(s, d)),
-    "q59_rows_window" -> ((s, d) => q59(s, d))
+    "q59_rows_window" -> ((s, d) => q59(s, d)),
+    "q67_interval_join" -> ((s, d) => qIntervalJoin(s, d)),
+    "q68_top_tokens" -> ((s, d) => qTopTokens(s, d))
   )
 
   /** Row-count windows — the reference's Schedule::Rows trigger
@@ -134,6 +178,20 @@ object Windows {
   }
 
   def oracles: Map[String, String] = Map(
+    "q67_interval_join" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_id % 3 = 0)
+         SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+           epoch_ms(b.ts) - epoch_ms(a.ts) AS gap_ms
+         FROM ev a JOIN ev b
+           ON a.user_id = b.user_id AND a.event_id < b.event_id
+           AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 3600000
+         ORDER BY a.user_id, id1, id2""",
+    "q68_top_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
+               FROM documents)
+         GROUP BY 1 ORDER BY freq DESC, token LIMIT 20""",
     "q22_tumbling_window" ->
       """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)),
            '%Y-%m-%d %H:%M:%S') AS w_start,
