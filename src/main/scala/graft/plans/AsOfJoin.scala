@@ -100,26 +100,37 @@ case class AsOfJoinExec(
       var candKey: UnsafeRow = null
       lIter.flatMap { l =>
         val lKey = keyProjL(l)
-        val lT = timeL.eval(l).asInstanceOf[Long]
-        // discard right rows keyed before the current left key — left keys
-        // only grow, so they can never match again
-        while (rBuf.hasNext && keyOrd.compare(keyProjR(rBuf.head), lKey) < 0)
-          rBuf.next()
-        // absorb equal-key rows up to the as-of time; the last one wins.
-        // Rows with time > lT stay buffered for later (later lefts have
-        // later times within the key).
-        var scanning = true
-        while (scanning && rBuf.hasNext) {
-          val head = rBuf.head
-          if (keyOrd.compare(keyProjR(head), lKey) == 0 &&
-              timeR.eval(head).asInstanceOf[Long] <= lT) {
-            cand = rBuf.next().copy()
-            candKey = lKey.copy()
-          } else scanning = false
+        val lTBoxed = timeL.eval(l)
+        // inner-join null semantics: a null key or null time never matches
+        if (lKey.anyNull || lTBoxed == null) Iterator.empty
+        else {
+          val lT = lTBoxed.asInstanceOf[Long]
+          // discard right rows keyed before the current left key — left keys
+          // only grow, so they can never match again
+          while (rBuf.hasNext && keyOrd.compare(keyProjR(rBuf.head), lKey) < 0)
+            rBuf.next()
+          // absorb equal-key rows up to the as-of time; the last one wins.
+          // Rows with time > lT stay buffered for later (later lefts have
+          // later times within the key). Null-keyed / null-timed right rows
+          // are consumed and discarded — they can never join.
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val head = rBuf.head
+            val hKey = keyProjR(head)
+            if (hKey.anyNull) { rBuf.next() }
+            else if (keyOrd.compare(hKey, lKey) == 0) {
+              val hT = timeR.eval(head)
+              if (hT == null) { rBuf.next() }
+              else if (hT.asInstanceOf[Long] <= lT) {
+                cand = rBuf.next().copy()
+                candKey = lKey.copy()
+              } else scanning = false
+            } else scanning = false
+          }
+          if (cand != null && candKey != null && keyOrd.compare(candKey, lKey) == 0)
+            Iterator.single(resultProj(joined(l, cand)).asInstanceOf[InternalRow])
+          else Iterator.empty
         }
-        if (cand != null && candKey != null && keyOrd.compare(candKey, lKey) == 0)
-          Iterator.single(resultProj(joined(l, cand)).asInstanceOf[InternalRow])
-        else Iterator.empty
       }
     }
   }
@@ -140,9 +151,13 @@ object AsOfJoinOp {
       leftKey: String, rightKey: String,
       leftTimeCol: String, rightTimeCol: String): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // check-and-append under a lock: concurrent first calls must not
+    // double-register (GraftExtensions-injected sessions already carry it)
+    AsOfJoinOp.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
     val lPlan = org.apache.spark.sql.GraftInternal.logicalPlan(left)
     val rPlan = org.apache.spark.sql.GraftInternal.logicalPlan(right)
     def attr(plan: LogicalPlan, name: String): Attribute =

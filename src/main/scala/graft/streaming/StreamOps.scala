@@ -206,14 +206,19 @@ object StreamOps {
   case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
   /** Streaming exact dedup (LLM-pipeline ingestion): keep the first
-    * occurrence of each content hash, with state aged out by the
-    * watermark horizon — the streaming form of batch q31. The hash keys
-    * the state store instead of the full text, so state size is
-    * O(distinct docs in horizon) × 8 bytes, not × document size.
+    * occurrence of each content fingerprint, with state aged out by the
+    * watermark horizon — the streaming form of batch q31. The fingerprint
+    * keys the state store instead of the full text, so state size is
+    * O(distinct docs in horizon) × ~50 bytes, not × document size. The
+    * fingerprint is 160 bits — (length, xxhash64, md5) — so a collision
+    * between distinct documents needs simultaneous 64- AND 128-bit hash
+    * agreement at equal length: negligible even at multi-billion-doc
+    * corpus scale (a lone 64-bit hash would hit the birthday bound there).
     */
   def dedupExactStream(docs: Dataset[DocEvent], watermark: String): DataFrame =
     docs.toDF()
-      .withColumn("content_hash", xxhash64(col("text")))
+      .withColumn("content_hash",
+        struct(length(col("text")), xxhash64(col("text")), md5(col("text"))))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("content_hash")

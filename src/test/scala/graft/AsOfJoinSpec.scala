@@ -75,6 +75,25 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("null keys and null times never match (inner-join null semantics)") {
+    import spark.implicits._
+    val l = Seq(
+      (Some(1), Some(ts(10))),   // normal: matches
+      (Some(1), None),           // null time: dropped, NOT treated as epoch 0
+      (None, Some(ts(10))),      // null key: dropped (null != null)
+      (Some(9), Some(ts(10)))    // key only present as null-time right: dropped
+    ).toDF("k", "t")
+    val r = Seq(
+      (Some(1), Some(ts(0)), 1.0),
+      (None, Some(ts(0)), 2.0),   // null right key: never a candidate
+      (Some(9), None, 3.0)        // null right time: never a candidate
+    ).toDF("rk", "rt", "v")
+    val out = AsOfJoinOp.asofJoin(l, r, "k", "rk", "t", "rt")
+      .select($"k", $"t", $"v").collect()
+      .map(rr => (rr.getInt(0), rr.getTimestamp(1), rr.getDouble(2))).toSet
+    assert(out == Set((1, ts(10), 1.0)))
+  }
+
   test("duplicate left timestamps and empty right side behave") {
     import spark.implicits._
     val l = Seq((1, ts(5)), (1, ts(5)), (1, ts(6))).toDF("k", "t")

@@ -10,16 +10,21 @@ import org.apache.spark.sql.DataFrame
   */
 class TpchSqlSpec extends SparkSpec {
 
-  private def collectSet(df: DataFrame) = df.collect().map(_.toSeq).toSet
+  // multiset (row -> count): a Set would hide duplicate-multiplicity and
+  // top-k tie-break divergence between the two formulations
+  private def collectBag(df: DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq).groupBy(identity).map { case (k, v) => k -> v.length }
 
   private lazy val ready: Unit = Tables.views(spark, sfDir)
 
   private def check(name: String, sql: String): Unit = {
     ready
-    val viaSql = collectSet(spark.sql(sql))
-    val viaDf = collectSet(operators.TpchFull.defs(name)(spark, sfDir))
-    assert(viaSql == viaDf, s"$name: sql-only=${(viaSql -- viaDf).take(2)} " +
-      s"df-only=${(viaDf -- viaSql).take(2)}")
+    val viaSql = collectBag(spark.sql(sql))
+    val viaDf = collectBag(operators.TpchFull.defs(name)(spark, sfDir))
+    val onlySql = viaSql.filter { case (r, n) => viaDf.getOrElse(r, 0) != n }
+    val onlyDf = viaDf.filter { case (r, n) => viaSql.getOrElse(r, 0) != n }
+    assert(viaSql == viaDf, s"$name: sql-side diff=${onlySql.take(2)} " +
+      s"df-side diff=${onlyDf.take(2)}")
   }
 
   private val texts: Seq[(String, String)] = Seq(
