@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // processing-time queries replay a deterministic arrival model here
+      // so their DuckDB oracles can recompute them (graft.functions.ProcTime)
+      .config(graft.functions.ProcTime.ModeKey,
+        graft.functions.ProcTime.Deterministic)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -91,7 +91,10 @@ object NexmarkQueries {
         .withColumn("start_time", fmt(col("start_time")))
         .withColumn("end_time", fmt(col("end_time")))
         .orderBy("bidder", "start_time")),
-      "nx_q12_proctime_bids" -> ((s, _) => q12(s)),
+      "nx_q12_proctime_bids" -> ((s, _) => q12(s)
+        .withColumn("start_time", fmt(col("start_time")))
+        .withColumn("end_time", fmt(col("end_time")))
+        .orderBy("bidder", "start_time")),
       "nx_q13_side_input_join" -> ((s, _) => q13(s)
         .withColumn("b_date_time", fmt(col("b_date_time")))
         .orderBy("b_date_time")),
@@ -230,10 +233,16 @@ object NexmarkQueries {
       .select($"bidder", $"bid_count", $"start_time", $"end_time")
   }
 
-  /** q12: processing-time 10 s windows per bidder. */
+  /** q12: processing-time 10 s windows per bidder (reference
+    * benchmarks/src/nexmark/query/q12.sql stamps `now()`). The clock is
+    * injectable ([[graft.functions.ProcTime]]): wall clock by default, a
+    * paced-replay model (b_date_time + 2 s pipeline latency) in
+    * deterministic mode so the DuckDB oracle can recompute the windows.
+    */
   def q12(s: SparkSession): DataFrame = {
     import s.implicits._
-    bids(s).withColumn("p_time", current_timestamp())
+    bids(s).withColumn("p_time", graft.functions.ProcTime.stamp(
+        s, $"b_date_time" + expr("INTERVAL 2 SECONDS")))
       .groupBy(window($"p_time", "10 seconds"), $"bidder")
       .agg(count(lit(1)).as("bid_count"),
         min($"p_time").as("start_time"),
@@ -398,6 +407,16 @@ object NexmarkQueries {
              strftime(min(b_date_time), '$FmtMs') AS start_time,
              strftime(max(b_date_time), '$FmtMs') AS end_time
            FROM sess GROUP BY bidder, sid ORDER BY bidder, start_time""",
+      "nx_q12_proctime_bids" ->
+        s"""WITH $bid,
+           w AS (SELECT bidder, b_date_time + INTERVAL 2 SECOND AS p_time
+                 FROM bid)
+           SELECT bidder, CAST(count(*) AS BIGINT) AS bid_count,
+             strftime(min(p_time), '$FmtMs') AS start_time,
+             strftime(max(p_time), '$FmtMs') AS end_time
+           FROM w
+           GROUP BY bidder, CAST(floor(epoch_ms(p_time)/10000) AS BIGINT)
+           ORDER BY bidder, start_time""",
       "nx_q13_side_input_join" ->
         s"""WITH $bid, side AS (SELECT * FROM ${srcSql("side_input")})
            SELECT auction, bidder, price,

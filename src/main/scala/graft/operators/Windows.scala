@@ -163,18 +163,26 @@ object Windows {
       .orderBy($"event_id")
   }
 
-  /** Processing-time global window analog (NEXMark q12, global.rs:42-148):
-    * stamp p_time = now(), window on it. Inherently nondeterministic → no
-    * oracle (rows-only check); exact semantics tested in streaming specs.
+  /** Processing-time tumbling window analog (NEXMark q12, global.rs:42-148):
+    * stamp p_time at ingest, window on the stamp. The clock is injectable
+    * ([[graft.functions.ProcTime]]): wall clock in production; under
+    * spark.graft.proctime.mode=deterministic a paced-replay arrival model
+    * (event time + 2 s constant pipeline latency), which makes the output
+    * a pure function of the input and therefore DuckDB-oracle-checkable —
+    * SURVEY §7's "processing-time determinism" hard point. The +2 s shift
+    * de-aligns window boundaries from the event-time hour grid, so this is
+    * NOT q22 under another name: events near hour edges land differently.
     */
   private def q27(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables(s, d, "events")
-      .withColumn("p_time", current_timestamp())
-      .groupBy(window($"p_time", "10 seconds").as("w"), $"event_type")
+      .withColumn("p_time", graft.functions.ProcTime.stamp(
+        s, $"ts" + expr("INTERVAL 2 SECONDS")))
+      .groupBy(window($"p_time", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n_events"))
-      .select($"event_type", $"n_events")
-      .orderBy($"event_type")
+      .select(date_format($"w.start", fmt).as("w_start"), $"event_type",
+        $"n_events")
+      .orderBy($"w_start", $"event_type")
   }
 
   def oracles: Map[String, String] = Map(
@@ -197,6 +205,12 @@ object Windows {
            '%Y-%m-%d %H:%M:%S') AS w_start,
          event_type, CAST(count(*) AS BIGINT) AS n_events,
          round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    "q27_proctime_global" ->
+      """SELECT strftime(make_timestamp(
+           CAST(floor(epoch(ts + INTERVAL 2 SECOND)/3600)*3600*1000000 AS BIGINT)),
+           '%Y-%m-%d %H:%M:%S') AS w_start,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
          FROM events GROUP BY 1,2 ORDER BY 1,2""",
     "q23_hopping_window" ->
       """SELECT strftime(make_timestamp(CAST((CAST(floor(epoch(ts)/1800) AS BIGINT) - k)*1800*1000000 AS BIGINT)),
