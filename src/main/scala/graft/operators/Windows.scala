@@ -49,6 +49,26 @@ object Windows {
       .orderBy($"user_id", $"id1", $"id2")
   }
 
+  /** Pure inequality join (no equi key): pairs of sampled events where
+    * the first precedes the second in time yet carries the larger value —
+    * the dominance/skyline query shape. Runs on the native IEJoin-style
+    * operator (plans.InequalityJoin): Spark's own planner would pick
+    * BroadcastNestedLoopJoin, O(|A|·|B|) per partition; the sweep is
+    * O((|A|+|B|) log |A| + output).
+    */
+  private def qInequalityJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables(s, d, "events")
+    val a = ev.filter($"event_id" % 101 === 0)
+      .select($"event_id".as("id1"), $"ts".as("ts1"), $"value".as("v1"))
+    val b = ev.filter($"event_id" % 103 === 0)
+      .select($"event_id".as("id2"), $"ts".as("ts2"), $"value".as("v2"))
+    graft.plans.InequalityJoinOp.ieJoin(a, b,
+        ("ts1", "<", "ts2"), ("v1", ">", "v2"))
+      .select($"id1", $"id2", ($"v1" - $"v2").as("v_gap"))
+      .orderBy($"id1", $"id2")
+  }
+
   /** Vocabulary heavy hitters: exact top-20 tokens by corpus frequency
     * (explode → count → top-k; ties broken by token). The pipeline op
     * behind vocabulary building / stopword mining.
@@ -72,7 +92,8 @@ object Windows {
     "q27_proctime_global" -> ((s, d) => q27(s, d)),
     "q59_rows_window" -> ((s, d) => q59(s, d)),
     "q67_interval_join" -> ((s, d) => qIntervalJoin(s, d)),
-    "q68_top_tokens" -> ((s, d) => qTopTokens(s, d))
+    "q68_top_tokens" -> ((s, d) => qTopTokens(s, d)),
+    "q69_inequality_join" -> ((s, d) => qInequalityJoin(s, d))
   )
 
   /** Row-count windows — the reference's Schedule::Rows trigger
@@ -200,6 +221,14 @@ object Windows {
          FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token
                FROM documents)
          GROUP BY 1 ORDER BY freq DESC, token LIMIT 20""",
+    "q69_inequality_join" ->
+      """WITH a AS (SELECT event_id AS id1, ts AS ts1, value AS v1
+                    FROM events WHERE event_id % 101 = 0),
+           b AS (SELECT event_id AS id2, ts AS ts2, value AS v2
+                 FROM events WHERE event_id % 103 = 0)
+         SELECT id1, id2, v1 - v2 AS v_gap
+         FROM a JOIN b ON ts1 < ts2 AND v1 > v2
+         ORDER BY id1, id2""",
     "q22_tumbling_window" ->
       """SELECT strftime(make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT)),
            '%Y-%m-%d %H:%M:%S') AS w_start,
