@@ -48,6 +48,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local-iteration helpers (the driver passes no args): arg0 = comma-
+    // separated name-prefix filter, arg1 = repetitions per query
+    val prefixes = args.headOption.map(_.split(",").toSeq)
+    val reps = args.lift(1).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,7 +73,11 @@ object Bench {
     }
 
     run("q01_pricing_summary") // warmup: session + codegen init
-    val results = headline.map(n => n -> run(n))
+    val selected = prefixes match {
+      case Some(ps) => headline.filter(n => ps.exists(n.startsWith))
+      case None => headline
+    }
+    val results = selected.map(n => n -> (0 until reps).map(_ => run(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

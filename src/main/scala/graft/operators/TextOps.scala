@@ -54,7 +54,9 @@ object TextOps {
     "q61_minhash_md5" -> ((s, d) => q61(s, d)),
     "q63_winnow_md5" -> ((s, d) => q63(s, d)),
     "q64_simhash_md5" -> ((s, d) => q64(s, d)),
-    "q65_pipeline" -> ((s, d) => q65(s, d))
+    "q65_pipeline" -> ((s, d) => q65(s, d)),
+    "q70_hash_split" -> ((s, d) => q70(s, d)),
+    "q71_regex_redact" -> ((s, d) => q71(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -147,12 +149,14 @@ object TextOps {
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
       .withColumn("sig", TextHashes.minhashSig($"set", k, 1))
-    // Band join carries only (doc_id, band, bandval): candidate pair dedup
-    // happens on two longs, and token sets are re-attached afterwards —
-    // shuffling full arrays through the join + distinct is the scale trap.
+    // Band join carries only (doc_id, bandhash): each band (index + its
+    // minhash slice) folds to ONE xxhash64 long, so the self-join
+    // shuffles and compares a single long instead of an array — the pair
+    // dedup then runs on two longs. A 64-bit band collision can only ADD
+    // a candidate, and candidates are exact-rechecked below.
     val banded = base.select($"doc_id",
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rows + 1, $rows))")))
-      .select($"doc_id", $"pos".as("band"), $"col".as("bandval"))
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
     // Candidate pairs dedup on two longs via distinct (a first-matching-
     // band filter would avoid this shuffle, but the per-row slice
     // comparisons cost ~3× the shuffle it saves — measured at sf0.1);
@@ -160,19 +164,23 @@ object TextOps {
     // shuffles arrays.
     val candIds = banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+        col("a.bandhash") === col("b.bandhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val sets = base.select($"doc_id", $"set")
+    // ONE broadcast of the (small) sets, reused by both attach joins
+    // (ReusedExchange) — two differently-aliased broadcasts would each
+    // recompute the scan+tokenize+sort lineage.
+    val setsB = broadcast(docs(s, d).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", array_sort(array_distinct($"toks")).as("set")))
     candIds
-      .join(broadcast(sets.select($"doc_id".as("id1"), $"set".as("set1"))), "id1")
-      .join(broadcast(sets.select($"doc_id".as("id2"), $"set".as("set2"))), "id2")
+      .join(setsB.as("s1"), $"id1" === col("s1.doc_id"))
+      .join(setsB.as("s2"), $"id2" === col("s2.doc_id"))
       .withColumn("inter",
-        TextHashes.sortedIntersectSize($"set1", $"set2").cast("double"))
+        TextHashes.sortedIntersectSize(col("s1.set"), col("s2.set")).cast("double"))
       // sets are distinct ⇒ |A∪B| = |A|+|B|−|A∩B|
       .withColumn("uni",
-        (size($"set1") + size($"set2")).cast("double") - $"inter")
+        (size(col("s1.set")) + size(col("s2.set"))).cast("double") - $"inter")
       .withColumn("jaccard", $"inter" / $"uni")
       .filter($"jaccard" > 0.8)
       .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
@@ -243,23 +251,25 @@ object TextOps {
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
       .withColumn("sig", TextHashes.md5MinhashSig($"set", k))
+    // band → single xxhash64 long; see q33 for the rationale
     val banded = base.select($"doc_id",
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> slice(sig, b*$rows + 1, $rows))")))
-      .select($"doc_id", $"pos".as("band"), $"col".as("bandval"))
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
     val candIds = banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+        col("a.bandhash") === col("b.bandhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val sets = base.select($"doc_id", $"set")
+    val setsB = broadcast(docs(s, d).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", array_sort(array_distinct($"toks")).as("set")))
     candIds
-      .join(broadcast(sets.select($"doc_id".as("id1"), $"set".as("set1"))), "id1")
-      .join(broadcast(sets.select($"doc_id".as("id2"), $"set".as("set2"))), "id2")
+      .join(setsB.as("s1"), $"id1" === col("s1.doc_id"))
+      .join(setsB.as("s2"), $"id2" === col("s2.doc_id"))
       .withColumn("inter",
-        TextHashes.sortedIntersectSize($"set1", $"set2").cast("double"))
+        TextHashes.sortedIntersectSize(col("s1.set"), col("s2.set")).cast("double"))
       .withColumn("uni",
-        (size($"set1") + size($"set2")).cast("double") - $"inter")
+        (size(col("s1.set")) + size(col("s2.set"))).cast("double") - $"inter")
       .withColumn("jaccard", $"inter" / $"uni")
       .filter($"jaccard" > 0.8)
       .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
@@ -351,7 +361,66 @@ object TextOps {
       .orderBy($"predicted")
   }
 
+  /** Deterministic train/val/test split — the training-data-pipeline
+    * assignment op. The split is a pure function of the stable doc id
+    * (md5, 60-bit prefix → bucket mod 100: 80/10/10), so it is
+    * reproducible across runs, engines, and resharding — never
+    * rand()-based, which would re-deal membership every execution.
+    * One map pass + one tiny aggregation; at 100 TB the split column is
+    * a cheap projection feeding a partitioned write.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    Tables(s, d, "documents")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"split")
+  }
+
+  /** Regex scrubbing stats — the PII-redaction pipeline shape: count
+    * pattern matches per corpus slice and measure the redacted output
+    * size. The pattern here is a token class present in the synthetic
+    * corpus; a production run swaps in email/phone/ssn patterns — the
+    * plan (per-row regex in one codegen'd map pass, tiny aggregate) is
+    * identical.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pat = "ta[a-z]+"
+    Tables(s, d, "documents")
+      .withColumn("n_matches", size(regexp_extract_all($"text", lit(pat), lit(0))))
+      .withColumn("redacted", regexp_replace($"text", pat, "<X>"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_matches").as("n_matches"),
+        sum(length($"redacted")).as("redacted_chars"))
+      .orderBy($"source")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q70_hash_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 100
+               AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "q71_regex_redact" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, 'ta[a-z]+'))) AS BIGINT)
+             AS n_matches,
+           CAST(sum(length(regexp_replace(text, 'ta[a-z]+', '<X>', 'g')))
+             AS BIGINT) AS redacted_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
     "q65_pipeline" ->
       """WITH dedup AS (
            SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

@@ -41,4 +41,25 @@ object FileSources {
   /** Partitioned parquet sink (NEXMark q10's date-partitioned log). */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Streaming file source over a landing directory — the S3-drop ingest
+    * pattern (the reference's S3 hand-off baseline, SURVEY §2.8 row
+    * "S3-communication baseline"). New files become micro-batch input as
+    * they arrive; `maxFilesPerTrigger` bounds per-batch work so one big
+    * backlog drop cannot blow an executor. Schema declared, never
+    * inferred (SURVEY §1.3).
+    */
+  def streamParquet(spark: SparkSession, path: String, schema: StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .parquet(path)
+
+  /** Streaming CSV landing-directory source (side-input refresh shape). */
+  def streamCsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream.schema(schema)
+      .option("header", header.toString)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .csv(path)
 }

@@ -31,6 +31,36 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    import spark.implicits._
+    // thresholds scaled down so the unit-test data triggers the same
+    // runtime re-plan a hot key would at production scale
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one scorching key (40k rows) among 50 cold ones
+      val left = spark.range(40000).select(lit(0L).as("k"), $"id".as("v"))
+        .union(spark.range(500).select(($"id" % 50 + 1).as("k"), $"id".as("v")))
+      val right = spark.range(51).select($"id".as("rk"), ($"id" * 10).as("rv"))
+      val joined = left.join(right, $"k" === $"rk")
+      // collect() executes THIS dataset's plan, finalizing the AQE re-plan
+      // (count() would spawn a separate QueryExecution)
+      assert(joined.collect().length == 40500)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("round-robin repartition and coalesce conserve rows (SURVEY §2.8)") {
     val li = Tables(spark, sfDir, "lineitem")
     val n = li.count()
