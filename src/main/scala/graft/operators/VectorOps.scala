@@ -29,8 +29,44 @@ object VectorOps {
     "q38_ann_lsh" -> ((s, d) => q38(s, d)),
     "q39_norm_stats" -> ((s, d) => q39(s, d)),
     "q40_ann_ivf" -> ((s, d) => q40(s, d)),
-    "q60_cosine_dedup" -> ((s, d) => q60(s, d))
+    "q60_cosine_dedup" -> ((s, d) => q60(s, d)),
+    "q72_kmeans_assign" -> ((s, d) => q72(s, d))
   )
+
+  /** k-means assignment step — the Lloyd-iteration core and the IVF
+    * coarse-quantizer training primitive. Vectors are quantized to exact
+    * integers (floor(1000·x + 0.5) computed in double space — identical
+    * IEEE result on any engine) so distances live in int64 and the oracle
+    * is EXACT, not float-rounded (sliding-sum lesson: no rounding
+    * precision is safe across engines' summation trees).
+    *
+    * Scale: k centroids broadcast; one map pass computes all k distances
+    * per vector; the per-vector argmin packs (dist, cid) into ONE long
+    * (dist·16 + cid — dist < 2³² for unit-scale vectors, cid < 16), so
+    * `min(packed)` IS the lexicographic (dist, cid) argmin and stays in
+    * HashAggregate with map-side combine (`min(struct(...))` would fall
+    * back to SortAggregate). The shuffle carries one long per vector;
+    * per-centroid stats shuffle k rows. No window, no N×k shuffle.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"
+      ).as("qv"))
+    val cents = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy($"vec_id")
+      .agg(min($"dist" * 16 + $"cid").as("packed"))
+      .select($"vec_id", pmod($"packed", lit(16)).as("cid"),
+        expr("packed div 16").as("dist"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"), sum($"dist").as("sum_dist"))
+      .orderBy($"cid")
+  }
 
   /** Embedding-cosine near-dup similarity JOIN (corpus × corpus): sign-LSH
     * multi-probe self-join generates candidates, exact cosine re-checks.
@@ -169,6 +205,23 @@ object VectorOps {
     }.mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q72_kmeans_assign" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 10),
+         d AS (
+           SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+           FROM q, c),
+         a AS (SELECT vec_id, cid, dist,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d)
+         SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(dist) AS BIGINT) AS sum_dist
+         FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
     "q38_ann_lsh" ->
       (graft.operators.DuckMacros.Sm64 +
       s"""WITH m AS (

@@ -102,4 +102,27 @@ class VectorOpsSpec extends SparkSpec {
     val recall = if (truth.isEmpty) 1.0 else e.size.toDouble / truth.size
     assert(recall > 0.6, s"similarity-join recall too low: $recall")
   }
+
+  test("q72 kmeans assignment matches a driver-side Lloyd step exactly") {
+    val out = VectorOps.defs("q72_kmeans_assign")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference: same quantization + argmin computed in plain Scala
+    val V = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    val cents = V.filter(_._1 < 10)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val assigned = V.map { case (id, v) =>
+      val (cid, dist) = cents.map { case (cid, cv) => (cid, d2(v, cv)) }
+        .minBy { case (cid, dist) => (dist, cid) }
+      (cid, dist)
+    }
+    val expected = assigned.groupBy(_._1).map { case (cid, xs) =>
+      (cid, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected)
+    assert(out.map(_._2).sum == V.length) // every vector assigned once
+  }
 }
