@@ -56,7 +56,8 @@ object TextOps {
     "q64_simhash_md5" -> ((s, d) => q64(s, d)),
     "q65_pipeline" -> ((s, d) => q65(s, d)),
     "q70_hash_split" -> ((s, d) => q70(s, d)),
-    "q71_regex_redact" -> ((s, d) => q71(s, d))
+    "q71_regex_redact" -> ((s, d) => q71(s, d)),
+    "q73_seq_pack" -> ((s, d) => q73(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -382,6 +383,38 @@ object TextOps {
       .orderBy($"split")
   }
 
+  /** Sequence packing — the training-data op that bins documents into
+    * fixed-token-budget packed sequences (greedy, in stable doc_id order:
+    * bin = global-tokens-before div budget). The global prefix sum is
+    * computed as a distributed TWO-PHASE scan, not one giant window: a
+    * per-bucket window (parallel, partitioned by doc_id div 100), plus a
+    * bucket-offset table (one row per bucket) cumulated on the driver-size
+    * side and broadcast back. A naive `Window.orderBy(doc_id)` with no
+    * partitioning would pull the whole corpus through ONE task — the
+    * classic 100 TB cliff this formulation avoids.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 4096L
+    val toks = Tables(s, d, "documents")
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n_tok"))
+      .withColumn("b", expr("doc_id div 100"))
+    val wIn = Window.partitionBy($"b").orderBy($"doc_id")
+    val within = toks.withColumn("cum_in", sum($"n_tok").over(wIn))
+    // one row per bucket: the tiny global window is over buckets, not docs
+    val wOff = Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy($"b").agg(sum($"n_tok").as("btot"))
+      .withColumn("off", coalesce(sum($"btot").over(wOff), lit(0L)))
+      .select($"b", $"off")
+    within.join(broadcast(offsets), "b")
+      .withColumn("cum_before", $"off" + $"cum_in" - $"n_tok")
+      .withColumn("bin", expr(s"cum_before div $budget"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      .orderBy($"bin")
+  }
+
   /** Regex scrubbing stats — the PII-redaction pipeline shape: count
     * pattern matches per corpus slice and measure the redacted output
     * size. The pattern here is a token class present in the synthetic
@@ -414,6 +447,20 @@ object TextOps {
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q73_seq_pack" ->
+      """WITH t AS (
+           SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tok,
+             COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+           FROM t)
+         SELECT cum_before // 4096 AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1 ORDER BY 1""",
     "q71_regex_redact" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(regexp_extract_all(text, 'ta[a-z]+'))) AS BIGINT)

@@ -61,6 +61,24 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("two-phase prefix sum (q73 packing) equals the single-window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val twoPhase = operators.TextOps.defs("q73_seq_pack")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val naive = Tables(spark, sfDir, "documents")
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum_before",
+        coalesce(sum($"n_tok").over(Window.orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr("cum_before div 4096"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      .orderBy($"bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(twoPhase == naive && twoPhase.nonEmpty)
+  }
+
   test("round-robin repartition and coalesce conserve rows (SURVEY §2.8)") {
     val li = Tables(spark, sfDir, "lineitem")
     val n = li.count()
