@@ -293,6 +293,22 @@ object StreamOps {
     * connector package isn't in this container, so these return the fully
     * configured reader/writer without starting it).
     */
+  /** YSB streaming query (reference benchmarks/src/ysb/ysb.sql): filter
+    * one event type, broadcast-join the static campaign dimension, count
+    * per campaign per tumbling window. The canonical stream ⋈ static-dim
+    * shape: the dim broadcasts once, no stream-side shuffle before the
+    * windowed aggregation's own exchange.
+    */
+  def ysbStream(adEvents: DataFrame, campaigns: DataFrame,
+      window: String, watermark: String): DataFrame =
+    adEvents.filter(col("event_type") === "view")
+      .withWatermark("event_time", watermark)
+      .join(broadcast(campaigns), col("ad_id") === col("c_ad_id"))
+      .groupBy(org.apache.spark.sql.functions.window(col("event_time"), window).as("w"),
+        col("campaign_id"))
+      .agg(count(lit(1)).as("n_views"))
+      .select(col("w.start").as("w_start"), col("campaign_id"), col("n_views"))
+
   def kafkaReader(spark: SparkSession, brokers: String, topic: String) =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)

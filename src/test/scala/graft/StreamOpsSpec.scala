@@ -237,6 +237,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming YSB equals the batch campaign counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = graft.sources.Ysb.adEvents(spark, 5000).collect().toSeq
+    val campaigns = graft.sources.Ysb.campaigns(spark).toDF()
+    val in = MemoryStream[graft.sources.Ysb.AdEvent]
+    val q = StreamOps.toMemory(
+      StreamOps.ysbStream(in.toDF(), campaigns, "10 seconds", "0 seconds"),
+      "ysb_stream_test", OutputMode.Complete)
+    try {
+      in.addData(events.take(2500))
+      q.processAllAvailable()
+      in.addData(events.drop(2500))
+      q.processAllAvailable()
+      val streamed = spark.table("ysb_stream_test").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = events.toDF().filter($"event_type" === "view")
+        .join(broadcast(campaigns), $"ad_id" === $"c_ad_id")
+        .groupBy(window($"event_time", "10 seconds").as("w"), $"campaign_id")
+        .agg(count(lit(1)).as("n_views"))
+        .select($"w.start", $"campaign_id", $"n_views").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("kafka reader/writer stubs configure without a connector") {
     val r = StreamOps.kafkaReader(spark, "broker:9092", "bids")
     assert(r != null) // format+options applied; .load() needs the connector jar
