@@ -21,8 +21,35 @@ object SqlShapes {
     "q52_asof_join" -> ((s, d) => q52(s, d)),
     "q62_asof_native" -> ((s, d) => q62(s, d)),
     "q66_quantiles" -> ((s, d) => q66(s, d)),
-    "q53_moving_avg" -> ((s, d) => q53(s, d))
+    "q53_moving_avg" -> ((s, d) => q53(s, d)),
+    "q76_hll_union" -> ((s, d) => q76(s, d))
   )
+
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via Spark
+    * built-ins): one sketch per event_type, then the per-group sketches
+    * MERGE into the global sketch without touching the raw data again —
+    * the mergeability property that makes sketch rollups free at 100 TB
+    * (partial aggregates combine associatively across partitions, days,
+    * or tiers). Exact distinct counts ride along; the estimate must land
+    * within 5% (HLL lgK=12 gives ~1.6% standard error).
+    */
+  private def q76(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events")
+    val sk = ev.groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"),
+        countDistinct($"user_id").as("exact_users"))
+    val per = sk.select($"event_type", $"exact_users",
+      (abs(hll_sketch_estimate($"sk") - $"exact_users").cast("double")
+        / $"exact_users" <= 0.05).as("est_ok"))
+    val globalExact = ev.agg(countDistinct($"user_id").as("g_exact"))
+    val global = sk.agg(hll_union_agg($"sk").as("gsk"))
+      .crossJoin(globalExact)
+      .select(lit("ALL").as("event_type"), $"g_exact".as("exact_users"),
+        (abs(hll_sketch_estimate($"gsk") - $"g_exact").cast("double")
+          / $"g_exact" <= 0.05).as("est_ok"))
+    per.union(global).orderBy($"event_type")
+  }
 
   /** As-of join (SURVEY §2.3 names it among shapes absent from the
     * executed corpus): for each event, the latest order of the same
@@ -189,6 +216,19 @@ object SqlShapes {
          CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
          TRUE AS orders_ok, TRUE AS parts_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q76_hll_union" ->
+      """WITH p AS (
+           SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             TRUE AS est_ok
+           FROM events GROUP BY 1),
+         g AS (
+           SELECT 'ALL' AS event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             TRUE AS est_ok
+           FROM events)
+         SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM g)
+         ORDER BY event_type""",
     "q66_quantiles" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

@@ -57,7 +57,8 @@ object TextOps {
     "q65_pipeline" -> ((s, d) => q65(s, d)),
     "q70_hash_split" -> ((s, d) => q70(s, d)),
     "q71_regex_redact" -> ((s, d) => q71(s, d)),
-    "q73_seq_pack" -> ((s, d) => q73(s, d))
+    "q73_seq_pack" -> ((s, d) => q73(s, d)),
+    "q74_stratified_sample" -> ((s, d) => q74(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -415,6 +416,26 @@ object TextOps {
       .orderBy($"bin")
   }
 
+  /** Stratified sampling stats — per-stratum deterministic downsampling
+    * (rate by language: 10% for the dominant 'en', 50% elsewhere — the
+    * rebalancing move every corpus-mixing pipeline makes). Membership is
+    * a pure function of the doc id (same md5-bucket rule as the q70
+    * split), so the sample is reproducible and resharding-stable, unlike
+    * rand()-based TABLESAMPLE which re-deals every run.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    Tables(s, d, "documents")
+      .withColumn("b", bucket)
+      .withColumn("rate", when($"lang" === "en", lit(10)).otherwise(lit(50)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"b" < $"rate", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"lang")
+  }
+
   /** Regex scrubbing stats — the PII-redaction pipeline shape: count
     * pattern matches per corpus slice and measure the redacted output
     * size. The pattern here is a token class present in the synthetic
@@ -446,6 +467,17 @@ object TextOps {
                      WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM b GROUP BY 1 ORDER BY 1""",
+    "q74_stratified_sample" ->
+      """WITH b AS (
+           SELECT lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT % 100
+               AS bkt,
+             CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS rate
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN bkt < rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
          FROM b GROUP BY 1 ORDER BY 1""",
     "q73_seq_pack" ->
       """WITH t AS (
