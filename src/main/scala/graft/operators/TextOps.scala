@@ -58,7 +58,9 @@ object TextOps {
     "q70_hash_split" -> ((s, d) => q70(s, d)),
     "q71_regex_redact" -> ((s, d) => q71(s, d)),
     "q73_seq_pack" -> ((s, d) => q73(s, d)),
-    "q74_stratified_sample" -> ((s, d) => q74(s, d))
+    "q74_stratified_sample" -> ((s, d) => q74(s, d)),
+    "q77_native_pivot" -> ((s, d) => q77(s, d)),
+    "q78_bounded_topk_agg" -> ((s, d) => q78(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -436,6 +438,37 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Native pivot: lang × source document-count matrix via the
+    * `.pivot(col, values)` API (explicit value list → deterministic
+    * columns and a single pass; without the list Spark runs an extra
+    * distinct job to discover them).
+    */
+  private def q77(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sources = (0 until 20).map(i => s"src$i")
+    Tables(s, d, "documents")
+      .groupBy($"lang")
+      .pivot("source", sources)
+      .count()
+      .na.fill(0L)
+      .orderBy($"lang")
+  }
+
+  /** Bounded-state typed aggregation: the 5 smallest doc ids per language
+    * via a custom `Aggregator[Long, Buf, String]`
+    * (functions.BoundedAggs.kSmallest) — O(k) state per group with
+    * associative partial merges (map-side combined), vs the window-rank
+    * formulation that sorts every row per group.
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .groupBy($"lang")
+      .agg(graft.functions.BoundedAggs.kSmallest($"doc_id", 5).as("smallest"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
   /** Regex scrubbing stats — the PII-redaction pipeline shape: count
     * pattern matches per corpus slice and measure the redacted output
     * size. The pattern here is a token class present in the synthetic
@@ -468,6 +501,27 @@ object TextOps {
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q77_native_pivot" -> {
+      val cols = (0 until 20).map(i =>
+        s"CAST(sum(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END) AS BIGINT) AS src$i")
+        .mkString(",\n           ")
+      s"""SELECT lang,
+           $cols
+         FROM documents GROUP BY 1 ORDER BY 1"""
+    },
+    "q78_bounded_topk_agg" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents),
+         s AS (
+           SELECT lang,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS smallest
+           FROM r WHERE rn <= 5 GROUP BY 1),
+         t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY 1)
+         SELECT s.lang, smallest, n_docs FROM s JOIN t ON s.lang = t.lang
+         ORDER BY 1""",
     "q74_stratified_sample" ->
       """WITH b AS (
            SELECT lang,
