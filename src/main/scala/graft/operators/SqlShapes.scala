@@ -22,8 +22,26 @@ object SqlShapes {
     "q62_asof_native" -> ((s, d) => q62(s, d)),
     "q66_quantiles" -> ((s, d) => q66(s, d)),
     "q53_moving_avg" -> ((s, d) => q53(s, d)),
-    "q76_hll_union" -> ((s, d) => q76(s, d))
+    "q76_hll_union" -> ((s, d) => q76(s, d)),
+    "q79_grouping_sets" -> ((s, d) => q79(s, d))
   )
+
+  /** Arbitrary GROUPING SETS (beyond the rollup q43 / cube q44 special
+    * cases): per-(lang, source), per-lang, and grand-total document
+    * counts in one pass. Null grouping keys are coalesced to 'ALL' so
+    * the output avoids the engines' null-ordering divergence (Spark
+    * sorts nulls first, DuckDB last).
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    Tables(s, d, "documents").createOrReplaceTempView("docs_q79")
+    s.sql("""
+      SELECT coalesce(lang, 'ALL') AS lang,
+             coalesce(source, 'ALL') AS source,
+             count(*) AS n_docs
+      FROM docs_q79
+      GROUP BY GROUPING SETS ((lang, source), (lang), ())
+      ORDER BY lang, source""")
+  }
 
   /** Mergeable distinct-count sketches (Apache DataSketches HLL via Spark
     * built-ins): one sketch per event_type, then the per-group sketches
@@ -216,6 +234,13 @@ object SqlShapes {
          CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
          TRUE AS orders_ok, TRUE AS parts_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q79_grouping_sets" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+           coalesce(source, 'ALL') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM documents
+         GROUP BY GROUPING SETS ((lang, source), (lang), ())
+         ORDER BY lang, source""",
     "q76_hll_union" ->
       """WITH p AS (
            SELECT event_type,

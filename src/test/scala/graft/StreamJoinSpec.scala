@@ -42,6 +42,47 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits null-extended rows after watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1_436_918_400_000L + sec * 1000L)
+    val inL = MemoryStream[Bid]
+    val inR = MemoryStream[StreamOps.RateUpdate]
+    val lw = inL.toDF().withWatermark("b_date_time", "0 seconds")
+    val rw = inR.toDF().withWatermark("rtime", "0 seconds")
+    // outer stream-stream joins need watermarks on both sides plus a
+    // time-range condition so unmatched state can be evicted and emitted
+    val joined = lw.join(rw,
+      expr("""auction = rkey AND rtime >= b_date_time - INTERVAL 5 SECONDS
+              AND rtime <= b_date_time"""),
+      "left_outer")
+      .select($"auction", $"b_date_time", $"rate")
+    val q = StreamOps.toMemory(joined, "louter_test", OutputMode.Append)
+    try {
+      inL.addData(Seq(
+        Bid(1, 10, 100, ts(10)),  // matched by rate at ts(8)
+        Bid(2, 11, 200, ts(10)),  // no rate for key 2 -> null-extended
+        Bid(3, 12, 300, ts(11)))) // rate exists but outside the 5 s range
+      inR.addData(Seq(
+        StreamOps.RateUpdate(1, ts(8), 0.5),
+        StreamOps.RateUpdate(3, ts(2), 0.9)))
+      q.processAllAvailable()
+      // sentinels push both watermarks far past the join windows; the
+      // extra batch lets the new watermark evict + emit unmatched rows
+      inL.addData(Seq(Bid(99, 0, 1, ts(100))))
+      inR.addData(Seq(StreamOps.RateUpdate(99, ts(100), 1.0)))
+      q.processAllAvailable()
+      inL.addData(Seq(Bid(98, 0, 1, ts(101))))
+      q.processAllAvailable()
+      val rows = spark.table("louter_test").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSet
+      assert(rows.contains((1, Some(0.5))), s"matched row missing: $rows")
+      assert(rows.contains((2, None)), s"null-extended row for key 2 missing: $rows")
+      assert(rows.contains((3, None)), s"out-of-range key 3 must be null-extended: $rows")
+    } finally q.stop()
+  }
+
   test("session windows run on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
