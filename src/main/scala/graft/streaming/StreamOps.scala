@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import java.sql.Timestamp
@@ -293,6 +293,27 @@ object StreamOps {
     * connector package isn't in this container, so these return the fully
     * configured reader/writer without starting it).
     */
+  /** Flock's Global window (window/global.rs:42-148): per-key tumbling
+    * on PROCESSING time — stamp p_time at ingest, then keyed tumbling
+    * windows over the stamp. The clock is the injectable
+    * [[graft.functions.ProcTime]]: wall clock in production; under
+    * deterministic mode the supplied arrival model, which makes the spec
+    * comparable to its batch recomputation (the reference never tests
+    * its global window against a fixed clock — SURVEY §7 hard point 3).
+    */
+  def globalCounts(bids: DataFrame, window: String, watermark: String,
+      arrivalModel: Column): DataFrame = {
+    val spark = bids.sparkSession
+    val stamped = bids.withColumn("p_time",
+      graft.functions.ProcTime.stamp(spark, arrivalModel))
+    stamped
+      .withWatermark("p_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("p_time"), window).as("w"),
+        col("bidder"))
+      .agg(count(lit(1)).as("n_bids"))
+      .select(col("w.start").as("w_start"), col("bidder"), col("n_bids"))
+  }
+
   /** YSB streaming query (reference benchmarks/src/ysb/ysb.sql): filter
     * one event type, broadcast-join the static campaign dimension, count
     * per campaign per tumbling window. The canonical stream ⋈ static-dim

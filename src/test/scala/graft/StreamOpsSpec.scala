@@ -237,6 +237,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("global (processing-time) window equals batch under the fixed clock") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(graft.functions.ProcTime.ModeKey,
+      graft.functions.ProcTime.Deterministic)
+    try {
+      val bids = mkBids(5000)
+      val in = MemoryStream[Bid]
+      val arrival = expr("b_date_time + INTERVAL 2 SECONDS")
+      val q = StreamOps.toMemory(
+        StreamOps.globalCounts(in.toDF(), "10 seconds", "0 seconds", arrival),
+        "global_test", OutputMode.Complete)
+      try {
+        in.addData(bids.take(2000)); q.processAllAvailable()
+        in.addData(bids.drop(2000)); q.processAllAvailable()
+        val streamed = spark.table("global_test").collect()
+          .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+        val batch = bids.toDF()
+          .withColumn("p_time", expr("b_date_time + INTERVAL 2 SECONDS"))
+          .groupBy(window($"p_time", "10 seconds").as("w"), $"bidder")
+          .agg(count(lit(1)).as("n_bids"))
+          .select($"w.start", $"bidder", $"n_bids").collect()
+          .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2))).toSet
+        assert(streamed == batch && streamed.nonEmpty)
+      } finally q.stop()
+    } finally spark.conf.unset(graft.functions.ProcTime.ModeKey)
+  }
+
   test("streaming YSB equals the batch campaign counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
