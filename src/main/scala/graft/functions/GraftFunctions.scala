@@ -53,5 +53,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.InequalityJoinStrategy)
+    // plain joins with two pure inequality predicates (API or SQL text)
+    // transparently become the native IEJoin-style operator
+    ext.injectOptimizerRule(_ => graft.plans.InequalityJoinRewrite)
   }
 }

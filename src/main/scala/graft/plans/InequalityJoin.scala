@@ -146,6 +146,65 @@ case class InequalityJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: transparently rewrites an INNER join whose condition
+  * is exactly two pure inequality predicates (and no equi predicate —
+  * with one, Spark's hash joins are already right) into the native
+  * [[InequalityJoin]], provided the right side is broadcast-small (same
+  * statistics gate as Spark's own broadcast decision). With this rule a
+  * user writes plain `a.join(b, a("x") < b("x") && a("y") > b("y"))` —
+  * or the equivalent SQL text — and gets the IEJoin-style sweep instead
+  * of BroadcastNestedLoopJoin's quadratic probe.
+  */
+object InequalityJoinRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+
+  private def flip(op: String): String = op match {
+    case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
+  }
+
+  /** Orient one comparison as (leftSideExpr, op, rightSideExpr); None if
+    * it straddles sides or isn't a plain inequality.
+    */
+  private def orient(e: Expression, l: LogicalPlan, r: LogicalPlan)
+      : Option[(Expression, String, Expression)] = {
+    val parts = e match {
+      case LessThan(a, b) => Some((a, "<", b))
+      case LessThanOrEqual(a, b) => Some((a, "<=", b))
+      case GreaterThan(a, b) => Some((a, ">", b))
+      case GreaterThanOrEqual(a, b) => Some((a, ">=", b))
+      case _ => None
+    }
+    parts.flatMap { case (a, op, b) =>
+      if (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet))
+        Some((a, op, b))
+      else if (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet))
+        Some((b, flip(op), a))
+      else None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case j @ Join(l, r, Inner, Some(cond), _)
+        if r.stats.sizeInBytes >= 0 &&
+          r.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold =>
+      splitConjunctivePredicates(cond) match {
+        case Seq(c1, c2) =>
+          (orient(c1, l, r), orient(c2, l, r)) match {
+            case (Some((lx, ox, rx)), Some((ly, oy, ry)))
+                if lx.dataType == rx.dataType && ly.dataType == ry.dataType =>
+              InequalityJoin(l, r, lx, ox, rx, ly, oy, ry)
+            case _ => j
+          }
+        case _ => j
+      }
+  }
+}
+
 /** Dataset-level API for the native inequality join. */
 object InequalityJoinOp {
 

@@ -71,6 +71,67 @@ class InequalityJoinSpec extends SparkSpec {
     assert(df.collect().map(x => (x.getInt(2), x.getInt(5))).toSeq == Seq((3, 9)))
   }
 
+  test("optimizer rule rewrites a plain two-inequality join, SQL included") {
+    import spark.implicits._
+    import graft.plans.{InequalityJoinRewrite, InequalityJoinStrategy}
+    val savedOpt = spark.experimental.extraOptimizations
+    val savedStrat = spark.experimental.extraStrategies
+    spark.experimental.extraOptimizations = savedOpt :+ InequalityJoinRewrite
+    if (!savedStrat.contains(InequalityJoinStrategy))
+      spark.experimental.extraStrategies = savedStrat :+ InequalityJoinStrategy
+    try {
+      val rnd = new scala.util.Random(13)
+      val big = Seq.fill(300)((rnd.nextInt(50), rnd.nextInt(50), rnd.nextInt(999)))
+        .toDF("lx", "ly", "lid")
+      val dim = Seq.fill(40)((rnd.nextInt(50), rnd.nextInt(50), rnd.nextInt(999)))
+        .toDF("rx", "ry", "rid")
+      // plain Dataset API join — no explicit InequalityJoinOp call
+      val joined = big.join(dim, $"lx" < $"rx" && $"ly" > $"ry")
+      assert(joined.queryExecution.executedPlan.toString.contains("InequalityJoin"),
+        joined.queryExecution.executedPlan.toString.take(500))
+      // SQL text takes the same path
+      big.createOrReplaceTempView("ineq_l")
+      dim.createOrReplaceTempView("ineq_r")
+      val viaSql = spark.sql(
+        "SELECT lid, rid FROM ineq_l JOIN ineq_r ON lx < rx AND ly > ry")
+      assert(viaSql.queryExecution.executedPlan.toString.contains("InequalityJoin"))
+      // and the rewritten result matches the un-rewritten BNLJ result
+      spark.experimental.extraOptimizations = savedOpt
+      val expected = big.join(dim, $"lx" < $"rx" && $"ly" > $"ry")
+        .select($"lid", $"rid").collect().map(r => (r.getInt(0), r.getInt(1)))
+        .sorted.toSeq
+      spark.experimental.extraOptimizations = savedOpt :+ InequalityJoinRewrite
+      val got = viaSql.collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      assert(got == expected && got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations = savedOpt
+      spark.experimental.extraStrategies = savedStrat
+    }
+  }
+
+  test("rule leaves equi and oversized joins alone") {
+    import spark.implicits._
+    import graft.plans.{InequalityJoinRewrite, InequalityJoinStrategy}
+    val savedOpt = spark.experimental.extraOptimizations
+    val savedStrat = spark.experimental.extraStrategies
+    spark.experimental.extraOptimizations = savedOpt :+ InequalityJoinRewrite
+    if (!savedStrat.contains(InequalityJoinStrategy))
+      spark.experimental.extraStrategies = savedStrat :+ InequalityJoinStrategy
+    try {
+      val a = Seq((1, 2, 3)).toDF("lx", "ly", "lid")
+      val b = Seq((1, 2, 3)).toDF("rx", "ry", "rid")
+      // an equi predicate present: hash join territory, no rewrite
+      val equi = a.join(b, $"lx" === $"rx" && $"ly" > $"ry")
+      assert(!equi.queryExecution.executedPlan.toString.contains("InequalityJoin"))
+      // three conjuncts: outside the rule's exact-two shape
+      val three = a.join(b, $"lx" < $"rx" && $"ly" > $"ry" && $"lid" =!= $"rid")
+      assert(!three.queryExecution.executedPlan.toString.contains("InequalityJoin"))
+    } finally {
+      spark.experimental.extraOptimizations = savedOpt
+      spark.experimental.extraStrategies = savedStrat
+    }
+  }
+
   test("empty sides produce empty output") {
     import spark.implicits._
     val l = Seq((1, 2, 3)).toDF("lx", "ly", "lid")
