@@ -60,7 +60,8 @@ object TextOps {
     "q73_seq_pack" -> ((s, d) => q73(s, d)),
     "q74_stratified_sample" -> ((s, d) => q74(s, d)),
     "q77_native_pivot" -> ((s, d) => q77(s, d)),
-    "q78_bounded_topk_agg" -> ((s, d) => q78(s, d))
+    "q78_bounded_topk_agg" -> ((s, d) => q78(s, d)),
+    "q80_doc_chunking" -> ((s, d) => q80(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -469,6 +470,26 @@ object TextOps {
       .orderBy($"lang")
   }
 
+  /** Document chunking — fixed-size token windows with overlap (chunk 64,
+    * stride 48), the context-window preprocessing step for training/RAG
+    * pipelines. A bounded explode per document (ceil(n/stride) chunks),
+    * all arithmetic in exact integers; the chunk text itself would be a
+    * `slice(toks, s+1, 64)` projection — omitted here so the verified
+    * output stays scalar.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunk = 64L; val stride = 48L
+    Tables(s, d, "documents")
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n_tok"))
+      .filter($"n_tok" > 0)
+      .select($"doc_id", $"n_tok",
+        explode(sequence(lit(0L), $"n_tok" - 1, lit(stride))).as("start"))
+      .select($"doc_id", expr(s"start div $stride").as("chunk_id"),
+        least(lit(chunk), $"n_tok" - $"start").as("chunk_len"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** Regex scrubbing stats — the PII-redaction pipeline shape: count
     * pattern matches per corpus slice and measure the redacted output
     * size. The pattern here is a token class present in the synthetic
@@ -501,6 +522,16 @@ object TextOps {
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q80_doc_chunking" ->
+      """WITH t AS (
+           SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok
+           FROM documents),
+         e AS (
+           SELECT doc_id, n_tok, unnest(range(0, n_tok, 48)) AS start
+           FROM t WHERE n_tok > 0)
+         SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+           CAST(least(64, n_tok - start) AS BIGINT) AS chunk_len
+         FROM e ORDER BY doc_id, chunk_id""",
     "q77_native_pivot" -> {
       val cols = (0 until 20).map(i =>
         s"CAST(sum(CASE WHEN source = 'src$i' THEN 1 ELSE 0 END) AS BIGINT) AS src$i")
