@@ -185,7 +185,24 @@ object Multimodal {
           element_at(col("feature"), 2).as("f1"),
           element_at(col("feature"), 32).as("f31"),
           aggregate(col("feature"), lit(0L), (acc, x) => acc + x).as("total"))
-        .orderBy(col("asset_id")))
+        .orderBy(col("asset_id"))),
+    // binary-content dedup: a 1-in-10 subset is re-ingested under new ids
+    // (the re-crawl scenario); grouping on the payload hash finds each
+    // duplicate family and keeps the smallest id. Only the 16-byte-ish
+    // hash shuffles, never the payload — the binary-column dedup shape
+    // at 100 TB.
+    "mm_dedup" -> ((s, _) => {
+      val base = assets(s, 2000).toDF()
+      val recrawled = base.filter(col("asset_id") % 10 === 0)
+        .withColumn("asset_id", col("asset_id") + 100000L)
+      base.union(recrawled)
+        .withColumn("h", md5(hex(col("bytes"))))
+        .groupBy(col("h"))
+        .agg(min(col("asset_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("min_keep"))
+        .orderBy(col("n_copies"))
+    })
   )
 
   /** Oracle inputs: decoded metadata (for the frame-sampling recompute)
@@ -203,6 +220,22 @@ object Multimodal {
   }
 
   def oracles: Map[String, String] = Map(
+    "mm_dedup" ->
+      s"""WITH a AS (
+           SELECT asset_id, hexb
+           FROM read_parquet('${NexmarkQueries.DumpDir}/mm_assets_hex.parquet/*.parquet')),
+         all_a AS (
+           SELECT asset_id, hexb FROM a
+           UNION ALL
+           SELECT asset_id + 100000, hexb FROM a WHERE asset_id % 10 = 0),
+         g AS (
+           SELECT md5(hexb) AS h, min(asset_id) AS keep_id,
+             count(*) AS n_copies
+           FROM all_a GROUP BY 1)
+         SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           min(keep_id) AS min_keep
+         FROM g GROUP BY 1 ORDER BY 1""",
     "mm_decode_meta" ->
       s"""SELECT asset_id, kind,
          CAST(('0x' || substring(hexb, 9, 8))::UBIGINT AS INTEGER) AS width,
