@@ -293,6 +293,18 @@ object StreamOps {
     * connector package isn't in this container, so these return the fully
     * configured reader/writer without starting it).
     */
+  /** NEXMark q3 in streaming form (local item — q3.sql): category-10
+    * auctions stream joined against the (slow-changing, here static)
+    * person dimension filtered to OR/ID/CA. Stateless stream-static
+    * equi join: each micro-batch joins and emits immediately, no
+    * watermark or state store needed.
+    */
+  def localSellersStream(auctions: DataFrame, persons: DataFrame): DataFrame =
+    auctions.filter(col("category") === 10)
+      .join(persons.filter(col("state").isin("or", "id", "ca")),
+        col("seller") === col("p_id"))
+      .select(col("name"), col("city"), col("state"), col("a_id"))
+
   /** Flock's Global window (window/global.rs:42-148): per-key tumbling
     * on PROCESSING time — stamp p_time at ingest, then keyed tumbling
     * windows over the stamp. The clock is the injectable

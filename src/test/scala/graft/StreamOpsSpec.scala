@@ -265,6 +265,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally spark.conf.unset(graft.functions.ProcTime.ModeKey)
   }
 
+  test("streaming NEXMark q3 equals the batch local-sellers join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val n = 5000L
+    val auctions = (0L until n).filter(Nexmark.kindOf(_) == 1)
+      .map(Nexmark.genAuction(_, 1000))
+    val persons = (0L until n).filter(Nexmark.kindOf(_) == 0)
+      .map(Nexmark.genPerson(_, 1000)).toDF()
+    val in = MemoryStream[Nexmark.Auction]
+    val q = StreamOps.toMemory(
+      StreamOps.localSellersStream(in.toDF(), persons),
+      "nxq3_stream_test", OutputMode.Append)
+    try {
+      in.addData(auctions.take(auctions.size / 2)); q.processAllAvailable()
+      in.addData(auctions.drop(auctions.size / 2)); q.processAllAvailable()
+      val streamed = spark.table("nxq3_stream_test").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+      val batch = auctions.toDF().filter($"category" === 10)
+        .join(persons.filter($"state".isin("or", "id", "ca")), $"seller" === $"p_id")
+        .select($"name", $"city", $"state", $"a_id").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming YSB equals the batch campaign counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
