@@ -574,7 +574,7 @@ object TextOps {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                AS cum_before
            FROM t)
-         SELECT cum_before // 4096 AS bin,
+         SELECT CAST(cum_before // 4096 AS BIGINT) AS bin,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS sum_tokens
          FROM c GROUP BY 1 ORDER BY 1""",
