@@ -13,6 +13,7 @@ object SparkEntry {
       (operators.Relational.defs, operators.Relational.oracles),
       (operators.Windows.defs, operators.Windows.oracles),
       (operators.TextOps.defs, operators.TextOps.oracles),
+      (operators.PipelineOps.defs, operators.PipelineOps.oracles),
       (operators.VectorOps.defs, operators.VectorOps.oracles),
       (operators.NexmarkQueries.defs, operators.NexmarkQueries.oracles),
       (operators.SqlShapes.defs, operators.SqlShapes.oracles),

@@ -1,0 +1,359 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-production operators — the steps a large-scale training-data
+  * pipeline runs BETWEEN the per-document metrics (TextOps) and the
+  * training job: duplicate-cluster resolution, benchmark decontamination,
+  * rule-based quality filtering, vocabulary scoring, and the centroid
+  * update of clustering. The reference has no such surface (SURVEY §2.10
+  * — no UDF registry); these extend the LLM-pipeline north star
+  * (BASELINE.json) with the operators that make the dedup/similarity
+  * primitives actionable.
+  *
+  * Scale notes are per-operator; the common theme: per-document work is
+  * one codegen'd map pass, cross-document work shuffles only small
+  * derived relations (pairs, labels, n-gram digests, per-group sums) —
+  * never the corpus text.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def defs: Map[String, Q] = Map(
+    "q81_dup_clusters" -> ((s, d) => q81(s, d)),
+    "q82_decontaminate" -> ((s, d) => q82(s, d)),
+    "q83_gopher_rules" -> ((s, d) => q83(s, d)),
+    "q84_tfidf_topk" -> ((s, d) => q84(s, d)),
+    "q85_kmeans_update" -> ((s, d) => q85(s, d))
+  )
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "documents").withColumn("toks", split($"text", "\\s+"))
+  }
+
+  /** Duplicate-CLUSTER resolution: near-dup PAIRS (the md5-LSH pipeline
+    * shared with q61) are only half of fuzzy dedup — production pipelines
+    * must resolve the pair graph into connected components and keep one
+    * representative per component (transitively: A~B, B~C ⇒ {A,B,C} is
+    * ONE cluster even if A,C never paired). Labels propagate by iterated
+    * min-neighbor joins until a fixpoint.
+    *
+    * Scale: the iteration state is (node, label) — two longs per UNIQUE
+    * doc that appears in any pair, orders of magnitude smaller than the
+    * corpus. Each round is one self-equi-join on the (cached) edge list +
+    * a map-side-combined min aggregate; rounds = cluster diameter (near-
+    * dup clusters are shallow — typically ≤3). Convergence is detected by
+    * the label-sum action: labels only ever decrease, so an unchanged sum
+    * IS the fixpoint (no row-by-row comparison join). The 100 TB upgrade
+    * path (alternating large-star/small-star to collapse diameter
+    * logarithmically) keeps this exact dataflow shape.
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextOps.md5LshScoredPairs(s, d).select($"id1", $"id2")
+    // symmetrize: min-labels must flow both directions along an edge
+    val edges = pairs.union(pairs.select($"id2", $"id1"))
+      .toDF("src", "dst").persist()
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("rep", $"id").persist()
+    var tot = labels.agg(sum($"rep")).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbr = edges.join(labels, $"src" === $"id")
+        .groupBy($"dst").agg(min($"rep").as("nrep"))
+      val next = labels.join(nbr, labels("id") === nbr("dst"))
+        .select(labels("id"), least($"rep", $"nrep").as("rep"))
+        .persist()
+      val ntot = next.agg(sum($"rep")).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = ntot == tot
+      tot = ntot
+      iter += 1
+    }
+    labels
+      .groupBy($"rep")
+      .agg(count(lit(1)).as("n_docs"))
+      .select($"rep".as("rep_id"), $"n_docs",
+        ($"n_docs" - 1).as("n_removed"))
+      .orderBy($"rep_id")
+  }
+
+  /** Benchmark DECONTAMINATION: flag training documents sharing any
+    * 8-gram with the held-out eval set (doc_id % 97 = 0 plays the
+    * benchmark here). The canonical pre-training hygiene step.
+    *
+    * Scale: the eval side is tiny by construction, so its distinct
+    * 8-gram digest BROADCASTS; the train side explodes n-grams map-side
+    * and the contamination test is a broadcast semi-join — the corpus
+    * text never shuffles, and the only exchange is the distinct on
+    * contaminated doc ids (bounded by the hit count). At 100 TB the
+    * digest would be xxhash64(gram) longs instead of strings — same
+    * plan, 8× narrower broadcast.
+    */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = docs(s, d)
+      .withColumn("ngs",
+        when(size($"toks") < 8, array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))")))
+    val evalGrams = grams.filter($"doc_id" % 97 === 0)
+      .select(explode($"ngs").as("ng")).distinct()
+    val train = grams.filter($"doc_id" % 97 =!= 0)
+    val contaminated = train
+      .select($"doc_id", explode($"ngs").as("ng"))
+      .join(broadcast(evalGrams), "ng")
+      .select($"doc_id").distinct()
+    train
+      .join(contaminated.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_clean"))
+      .orderBy($"lang")
+  }
+
+  /** Gopher-style rule-based quality filter: five repro-exact rules per
+    * document, aggregated per source. Every rule is INTEGER arithmetic
+    * (ratio thresholds cross-multiplied, e.g. mean-token-length ∈ [3,10]
+    * ⇔ 3n ≤ Σlen ≤ 10n) so the oracle comparison is exact — no float
+    * boundary can flip a keep bit between engines.
+    *
+    * Rules: r1 token count ∈ [50, 100k]; r2 mean token length ∈ [3,10];
+    * r3 ≥80% alphabetic tokens; r4 ≥2 English stopwords; r5 duplicate-
+    * bigram fraction ≤20%. One codegen'd map pass, then a tiny grouped
+    * aggregate — the whole filter is shuffle-free until the per-source
+    * rollup.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = docs(s, d)
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("sum_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("n_alpha",
+        expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('a', 'the', 'of', 'and', 'to')))").cast("long"))
+      .withColumn("n_bg_distinct",
+        when($"n_tok" < 2, lit(0L)).otherwise(size(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
+          .cast("long")))
+      .withColumn("r1", $"n_tok".between(50L, 100000L))
+      .withColumn("r2", lit(3L) * $"n_tok" <= $"sum_len" && $"sum_len" <= lit(10L) * $"n_tok")
+      .withColumn("r3", lit(5L) * $"n_alpha" >= lit(4L) * $"n_tok")
+      .withColumn("r4", $"n_stop" >= 2L)
+      .withColumn("r5",
+        $"n_tok" < 2L || lit(5L) * $"n_bg_distinct" >= lit(4L) * ($"n_tok" - 1L))
+    m.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"r1" && $"r2" && $"r3" && $"r4" && $"r5", 1L).otherwise(0L)).as("n_keep"),
+        sum(when(!$"r1", 1L).otherwise(0L)).as("f_ntok"),
+        sum(when(!$"r2", 1L).otherwise(0L)).as("f_meanlen"),
+        sum(when(!$"r3", 1L).otherwise(0L)).as("f_alpha"),
+        sum(when(!$"r4", 1L).otherwise(0L)).as("f_stop"),
+        sum(when(!$"r5", 1L).otherwise(0L)).as("f_repeat"))
+      .orderBy($"source")
+  }
+
+  /** Per-language vocabulary scoring — tf-idf with a QUANTIZED idf
+    * (idf_q = (10⁶ · N_lang) div df, score = tf · idf_q) so scoring and
+    * ranking live entirely in int64: `ln`'s last-ulp differences between
+    * libm implementations cannot reorder the top-k (the float-rounding
+    * lesson from the moving-average oracle, applied to ranking).
+    *
+    * Scale: explode(tokens) → two-phase grouped aggregate on
+    * (lang, token) with map-side combine — the classic vocabulary-build
+    * shuffle, keyed wide enough (token) to spread evenly; the per-lang
+    * doc counts broadcast back, and the final top-5-per-lang ranks only
+    * the (small) distinct-vocabulary relation, not the corpus.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ex = docs(s, d).select($"lang", $"doc_id", explode($"toks").as("tok"))
+    val nl = docs(s, d).groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val tf = ex.groupBy($"lang", $"tok")
+      .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+    val w = Window.partitionBy($"lang").orderBy($"score".desc, $"tok")
+    tf.join(broadcast(nl), "lang")
+      .withColumn("idf_q", expr("(1000000L * n_docs) div df"))
+      .withColumn("score", $"tf" * $"idf_q")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"lang", $"tok", $"tf", $"df", $"score", $"rank")
+      .orderBy($"lang", $"rank")
+  }
+
+  /** k-means centroid UPDATE — the other half of the Lloyd iteration
+    * (q72 is the assignment half): per-centroid element-wise vector sums
+    * + counts, in the same exact-integer space as q72 (floor(1000x+0.5)),
+    * via the typed [[graft.functions.VecSum]] Aggregator. Output keeps
+    * sums unscaled (plus the dim-1 sum and the L1 mass) so every value
+    * is exact int64 — no division whose negative-operand rounding could
+    * differ between engines.
+    *
+    * Scale: assignment reuses q72's packed-argmin (broadcast centroids,
+    * one long per vector through the shuffle); the update aggregates
+    * dim-length arrays with map-side combine — k×dim longs per
+    * partition, NOT one row per (vector × dimension) as a posexplode
+    * formulation would shuffle.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"
+      ).as("qv"))
+    val cents = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    // packed (dist, cid) argmin — see q72 for the encoding rationale
+    val assign = emb.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy($"vec_id")
+      .agg(min($"dist" * 16 + $"cid").as("packed"))
+      .select($"vec_id", pmod($"packed", lit(16)).as("cid"))
+    assign.join(emb, "vec_id")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        graft.functions.BoundedAggs.vecSum($"qv").as("sums"))
+      .select($"cid", $"n_vecs",
+        expr("aggregate(sums, 0L, (acc, x) -> acc + abs(x))").as("l1"),
+        element_at($"sums", 1).as("sum_d1"))
+      .orderBy($"cid")
+  }
+
+  def oracles: Map[String, String] = Map(
+    // pairs materialize into a temp table first — a recursive CTE would
+    // otherwise re-evaluate the whole LSH chain every iteration
+    "q81_dup_clusters" ->
+      (DuckMacros.Sm64 +
+      "CREATE OR REPLACE TEMP TABLE q81_pairs AS WITH " + TextOps.Md5LshChainSql +
+      """
+         SELECT id1, id2 FROM j WHERE jaccard > 0.8;
+         WITH RECURSIVE
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM q81_pairs
+           UNION ALL SELECT id2, id1 FROM q81_pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src)
+         SELECT rep AS rep_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - 1 AS BIGINT) AS n_removed
+         FROM lab GROUP BY 1 ORDER BY 1"""),
+    "q82_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, lang,
+             CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(toks) - 7),
+                    i -> array_to_string(toks[i:i+7], ' '))
+             END AS ngs
+           FROM t),
+         ev AS (
+           SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 97 = 0),
+         tr AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+         hits AS (
+           SELECT DISTINCT doc_id
+           FROM (SELECT doc_id, unnest(ngs) AS ng FROM tr) x
+           JOIN ev USING (ng))
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN hits.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_contaminated,
+           CAST(sum(CASE WHEN hits.doc_id IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clean
+         FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
+         GROUP BY 1 ORDER BY 1""",
+    "q83_gopher_rules" ->
+      """WITH t AS (
+           SELECT source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT source,
+             len(toks) AS n_tok,
+             list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_filter(toks, x -> x IN ('a', 'the', 'of', 'and', 'to')))
+               AS n_stop,
+             CASE WHEN len(toks) < 2 THEN 0
+                  ELSE len(list_distinct(list_transform(
+                    generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])))
+             END AS n_bg_distinct
+           FROM t),
+         r AS (
+           SELECT source,
+             n_tok BETWEEN 50 AND 100000 AS r1,
+             3 * n_tok <= sum_len AND sum_len <= 10 * n_tok AS r2,
+             5 * n_alpha >= 4 * n_tok AS r3,
+             n_stop >= 2 AS r4,
+             n_tok < 2 OR 5 * n_bg_distinct >= 4 * (n_tok - 1) AS r5
+           FROM m)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS f_ntok,
+           CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS f_meanlen,
+           CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+           CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+           CAST(sum(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT) AS f_repeat
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q84_tfidf_topk" ->
+      """WITH ex AS (
+           SELECT lang, doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         nl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         tf AS (
+           SELECT lang, tok, CAST(count(*) AS BIGINT) AS tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM ex GROUP BY 1, 2),
+         sc AS (
+           SELECT tf.lang, tok, tf, df,
+             tf * ((1000000 * n_docs) // df) AS score
+           FROM tf JOIN nl ON tf.lang = nl.lang),
+         rk AS (
+           SELECT lang, tok, tf, df, CAST(score AS BIGINT) AS score,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY score DESC, tok) AS BIGINT) AS rank
+           FROM sc)
+         SELECT lang, tok, tf, df, score, rank FROM rk
+         WHERE rank <= 5 ORDER BY lang, rank""",
+    "q85_kmeans_update" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 10),
+         d AS (
+           SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+           FROM q, c),
+         a AS (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+               FROM d),
+         asg AS (
+           SELECT q.vec_id, a.cid, q.qv
+           FROM a JOIN q ON a.vec_id = q.vec_id WHERE rn = 1),
+         dim AS (
+           SELECT cid, i, sum(qv[i]) AS sdim
+           FROM asg, generate_series(1, 64) AS t(i)
+           GROUP BY 1, 2)
+         SELECT asg.cid, CAST(count(DISTINCT asg.vec_id) AS BIGINT) AS n_vecs,
+           (SELECT CAST(sum(abs(sdim)) AS BIGINT) FROM dim
+            WHERE dim.cid = asg.cid) AS l1,
+           CAST(sum(qv[1]) AS BIGINT) AS sum_d1
+         FROM asg GROUP BY asg.cid ORDER BY asg.cid"""
+  )
+}

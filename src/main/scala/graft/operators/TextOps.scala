@@ -247,9 +247,11 @@ object TextOps {
     * signatures: k=16 minhashes over the token set, 4 bands × 4 rows,
     * candidates re-checked against exact Jaccard > 0.8. Same pipeline
     * shape as q33 (which uses the faster murmur hashes) but every stage
-    * is recomputed independently by the DuckDB oracle.
+    * is recomputed independently by the DuckDB oracle. Shared with the
+    * duplicate-cluster resolution step (PipelineOps q81), which runs
+    * connected components over exactly these pairs.
     */
-  private def q61(s: SparkSession, d: String): DataFrame = {
+  private[graft] def md5LshScoredPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 16; val bands = 4; val rows = k / bands
     // sorted sets: see q33 — linear-merge intersect in the recheck
@@ -277,6 +279,12 @@ object TextOps {
         (size(col("s1.set")) + size(col("s2.set"))).cast("double") - $"inter")
       .withColumn("jaccard", $"inter" / $"uni")
       .filter($"jaccard" > 0.8)
+      .select($"id1", $"id2", $"jaccard")
+  }
+
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    md5LshScoredPairs(s, d)
       .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
       .orderBy($"id1", $"id2")
   }
@@ -719,8 +727,18 @@ object TextOps {
                 ELSE 'fr' END AS predicted
          FROM b ORDER BY doc_id""",
     "q61_minhash_md5" ->
-      (DuckMacros.Sm64 +
-      """WITH base AS (
+      (DuckMacros.Sm64 + "WITH " + Md5LshChainSql +
+      """
+         SELECT id1, id2, round(jaccard, 4) AS jaccard
+         FROM j WHERE jaccard > 0.8 ORDER BY id1, id2""")
+  )
+
+  /** The q61 oracle's CTE chain (without the WITH keyword), ending at `j`
+    * = scored candidate pairs. q81's oracle prepends WITH RECURSIVE and
+    * appends the connected-components closure over the same pairs.
+    */
+  private[operators] val Md5LshChainSql: String =
+    """base AS (
            SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS s
            FROM documents WHERE doc_id % 5 = 0),
          hs AS (
@@ -745,8 +763,5 @@ object TextOps {
            SELECT id1, id2,
              CAST(len(list_intersect(s1, s2)) AS DOUBLE)
                / (len(s1) + len(s2) - len(list_intersect(s1, s2))) AS jaccard
-           FROM cand)
-         SELECT id1, id2, round(jaccard, 4) AS jaccard
-         FROM j WHERE jaccard > 0.8 ORDER BY id1, id2""")
-  )
+           FROM cand)"""
 }

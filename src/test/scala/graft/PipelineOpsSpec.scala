@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{PipelineOps, TextOps}
+
+/** Value-level checks for the corpus-production operators (PipelineOps):
+  * the CC clustering gets a brute-force transitive-closure cross-check,
+  * the rest sanity-check invariants the DuckDB oracle can't express
+  * (e.g. clusters partition the pair graph, decontamination is monotone).
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def run(name: String) =
+    PipelineOps.defs(name)(spark, sfDir)
+
+  test("q81: cluster labels equal brute-force transitive closure of the pairs") {
+    import spark.implicits._
+    val pairs = TextOps.md5LshScoredPairs(spark, sfDir)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    // brute-force union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    pairs.foreach { case (a, b) => union(a, b) }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.groupBy(find).map { case (rep, members) =>
+      (rep, members.length.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = run("q81_dup_clusters")
+      .select($"rep_id", $"n_docs").as[(Long, Long)].collect().toSeq
+    assert(got == expected)
+    // clusters partition the node set
+    assert(got.map(_._2).sum == nodes.length.toLong)
+  }
+
+  test("q82: eval docs are excluded and counts are consistent") {
+    import spark.implicits._
+    val out = run("q82_decontaminate").cache()
+    val perLang = out.select($"n_train", $"n_contaminated" + $"n_clean")
+      .as[(Long, Long)].collect()
+    perLang.foreach { case (total, split) => assert(total == split) }
+    val nTrain = out.agg(sum($"n_train")).head.getLong(0)
+    val expectedTrain = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 97 =!= 0).count()
+    assert(nTrain == expectedTrain)
+  }
+
+  test("q83: failure counts bound the keep count") {
+    import spark.implicits._
+    run("q83_gopher_rules").collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val keep = r.getAs[Long]("n_keep")
+      val fails = Seq("f_ntok", "f_meanlen", "f_alpha", "f_stop", "f_repeat")
+        .map(r.getAs[Long](_))
+      assert(keep <= n)
+      // every non-kept doc fails at least one rule
+      assert(n - keep <= fails.sum)
+      // no single rule fails more docs than were dropped... (not true in
+      // general) — but each failure count is bounded by n
+      fails.foreach(f => assert(f <= n))
+    }
+  }
+
+  test("q84: exactly top-5 per language, scores non-increasing, ranks 1..5") {
+    import spark.implicits._
+    val out = run("q84_tfidf_topk")
+      .select($"lang", $"score", $"rank").as[(String, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1L to byRank.length).toSeq)
+      assert(byRank.length <= 5)
+      // scores are non-increasing in rank
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 >= b._2)
+        case _ =>
+      }
+    }
+  }
+
+  test("q85: per-centroid counts match q72's assignment and sums are exact") {
+    import spark.implicits._
+    val upd = run("q85_kmeans_update").cache()
+    val q72 = operators.VectorOps.defs("q72_kmeans_assign")(spark, sfDir)
+    val nUpd = upd.select($"cid", $"n_vecs").as[(Long, Long)].collect().toMap
+    val n72 = q72.select($"cid", $"n_vecs").as[(Long, Long)].collect().toMap
+    assert(nUpd == n72)
+    // total mass: sum of per-centroid counts = corpus size
+    assert(nUpd.values.sum == Tables(spark, sfDir, "embeddings").count())
+    // l1 >= |sum_d1| for every centroid (dim-1 contribution is included)
+    upd.select($"l1", abs($"sum_d1")).as[(Long, Long)].collect()
+      .foreach { case (l1, s1) => assert(l1 >= s1) }
+  }
+}
