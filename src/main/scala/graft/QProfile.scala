@@ -35,12 +35,14 @@ object QProfile {
     def base = docs.filter($"doc_id" % 5 === 0)
       .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
       .withColumn("sig", TextHashes.minhashSig($"set", k, 1))
-    def banded = base.select($"doc_id",
+    def banded = base.select($"doc_id", size($"set").as("sz"),
       explode(expr(s"transform(sequence(0, ${bands - 1}), " +
         s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
     def candIds = banded.as("a")
       .join(banded.as("b"),
-        col("a.bandhash") === col("b.bandhash") && col("a.doc_id") < col("b.doc_id"))
+        col("a.bandhash") === col("b.bandhash") && col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * least(col("a.sz"), col("b.sz")) >
+            lit(4) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
 

@@ -108,6 +108,31 @@ object TextHashes {
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedIntersectSizeExpr(expression(a), expression(b)))
 
+  def sortedLongIntersectSize(a: Column, b: Column): Column =
+    column(SortedLongIntersectSizeExpr(expression(a), expression(b)))
+
+  /** |A ∩ B| for two SORTED long arrays — the 8-byte-compare variant of
+    * the merge intersect, for pipelines whose sets are already token
+    * HASHES (q33's recheck): primitive compares instead of UTF8String
+    * byte-order walks, and the candidate broadcast carries 8 bytes per
+    * token instead of the token text.
+    */
+  def sortedLongIntersectSizeFromArrayData(a: ArrayData, b: ArrayData): Long = {
+    var i = 0
+    var j = 0
+    var n = 0L
+    val an = a.numElements()
+    val bn = b.numElements()
+    while (i < an && j < bn) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** |A ∩ B| for two SORTED string arrays via a linear two-pointer merge —
     * no per-pair hash set. UTF8String.compareTo is binary order, the same
     * order array_sort produces, so sorting once per document replaces
@@ -306,6 +331,22 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
   override def prettyName: String = "sorted_intersect_size"
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): SortedIntersectSizeExpr =
+    copy(left = l, right = r)
+}
+
+/** (sorted array<long>, sorted array<long>) → long intersection size. */
+case class SortedLongIntersectSizeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashes.sortedLongIntersectSizeFromArrayData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.TextHashes.sortedLongIntersectSizeFromArrayData($a, $b)")
+  override def prettyName: String = "sorted_long_intersect_size"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongIntersectSizeExpr =
     copy(left = l, right = r)
 }
 

@@ -41,7 +41,7 @@ object NexmarkQueries {
     w(auctions(s), "auctions")
     w(persons(s), "persons")
     w(Nexmark.sideInput(s), "side_input")
-    w(Ysb.adEvents(s, N, Eps).toDF(), "ysb_events")
+    w(cached(s, "ysb_events")(Ysb.adEvents(s, N, Eps).toDF()), "ysb_events")
     w(Ysb.campaigns(s).toDF(), "ysb_campaigns")
   }
 
@@ -104,9 +104,24 @@ object NexmarkQueries {
     )
   }
 
-  private def bids(s: SparkSession): DataFrame = Nexmark.bids(s, N, Eps).toDF()
-  private def auctions(s: SparkSession): DataFrame = Nexmark.auctions(s, N, Eps).toDF()
-  private def persons(s: SparkSession): DataFrame = Nexmark.persons(s, N, Eps).toDF()
+  /** The generated relations are deterministic functions of (N, Eps), and
+    * every nx_ query re-derives them from `spark.range` — so cache the
+    * materialized Dataset per session (MEMORY_ONLY, ~50k narrow rows):
+    * one generation pass serves all 15 queries in a Verify/Bench run
+    * instead of one per query. The cluster analog is a generated source
+    * staged once and read many times.
+    */
+  private val genCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def cached(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    genCache.computeIfAbsent((s, key), _ => build.persist())
+
+  private def bids(s: SparkSession): DataFrame =
+    cached(s, "bids")(Nexmark.bids(s, N, Eps).toDF())
+  private def auctions(s: SparkSession): DataFrame =
+    cached(s, "auctions")(Nexmark.auctions(s, N, Eps).toDF())
+  private def persons(s: SparkSession): DataFrame =
+    cached(s, "persons")(Nexmark.persons(s, N, Eps).toDF())
 
   /** q0: passthrough. */
   def q0(s: SparkSession): DataFrame = bids(s)
@@ -261,7 +276,8 @@ object NexmarkQueries {
   /** YSB: campaign view counts per tumbling 10 s window. */
   def ysb(s: SparkSession): DataFrame = {
     import s.implicits._
-    val ev = Ysb.adEvents(s, N, Eps).toDF().filter($"event_type" === "view")
+    val ev = cached(s, "ysb_events")(Ysb.adEvents(s, N, Eps).toDF())
+      .filter($"event_type" === "view")
     ev.join(broadcast(Ysb.campaigns(s).toDF()), $"ad_id" === $"c_ad_id")
       .groupBy(window($"event_time", "10 seconds").as("w"), $"campaign_id")
       .agg(count(lit(1)).as("n_views"))

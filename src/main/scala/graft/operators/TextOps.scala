@@ -154,38 +154,54 @@ object TextOps {
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
       .withColumn("sig", TextHashes.minhashSig($"set", k, 1))
-    // Band join carries only (doc_id, bandhash): each band (index + its
-    // minhash slice) folds to ONE xxhash64 long, so the self-join
-    // shuffles and compares a single long instead of an array — the pair
-    // dedup then runs on two longs. A 64-bit band collision can only ADD
-    // a candidate, and candidates are exact-rechecked below.
-    val banded = base.select($"doc_id",
+    // Band join carries only (doc_id, set size, bandhash): each band
+    // (index + its minhash slice) folds to ONE xxhash64 long, so the
+    // self-join shuffles and compares a single long instead of an array —
+    // the pair dedup then runs on two longs. A 64-bit band collision can
+    // only ADD a candidate, and candidates are exact-rechecked below.
+    val banded = base.select($"doc_id", size($"set").as("sz"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
     // Candidate pairs dedup on two longs via distinct (a first-matching-
     // band filter would avoid this shuffle, but the per-row slice
     // comparisons cost ~3× the shuffle it saves — measured at sf0.1);
     // token sets re-attach afterwards by broadcast so the pair set never
-    // shuffles arrays.
+    // shuffles arrays. The size-compatibility predicate is output-neutral
+    // pruning: |A∩B| ≤ min ⇒ J ≤ min/max, so 5·min ≤ 4·max can never
+    // pass the J > 0.8 recheck — dropping those pairs INSIDE the join
+    // prunes most of the candidate set before the distinct shuffle and
+    // skips their exact-intersect recheck entirely (the recheck, not the
+    // banding, dominates at scale — measured 348k candidates at sf0.1).
     val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.bandhash") === col("b.bandhash") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * least(col("a.sz"), col("b.sz")) >
+            lit(4) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     // ONE broadcast of the (small) sets, reused by both attach joins
     // (ReusedExchange) — two differently-aliased broadcasts would each
-    // recompute the scan+tokenize+sort lineage.
+    // recompute the scan+tokenize+sort lineage. The recheck intersects
+    // sorted xxhash64 TOKEN HASHES, not token strings: primitive 8-byte
+    // compares in the hot merge loop and an 8-bytes-per-token broadcast.
+    // A 64-bit collision could inflate one pair's Jaccard with
+    // probability ~|set|²/2⁶⁴ — the spec still pins LSH ⊆ exact-string
+    // pairs (TextHashesSpec), and the hash-free q61 sibling stays the
+    // oracle-exact path.
     val setsB = broadcast(docs(s, d).filter($"doc_id" % 5 === 0)
-      .select($"doc_id", array_sort(array_distinct($"toks")).as("set")))
+      .select($"doc_id",
+        array_sort(expr("transform(array_distinct(toks), t -> xxhash64(t))"))
+          .as("hset")))
     candIds
       .join(setsB.as("s1"), $"id1" === col("s1.doc_id"))
       .join(setsB.as("s2"), $"id2" === col("s2.doc_id"))
       .withColumn("inter",
-        TextHashes.sortedIntersectSize(col("s1.set"), col("s2.set")).cast("double"))
+        TextHashes.sortedLongIntersectSize(col("s1.hset"), col("s2.hset"))
+          .cast("double"))
       // sets are distinct ⇒ |A∪B| = |A|+|B|−|A∩B|
       .withColumn("uni",
-        (size(col("s1.set")) + size(col("s2.set"))).cast("double") - $"inter")
+        (size(col("s1.hset")) + size(col("s2.hset"))).cast("double") - $"inter")
       .withColumn("jaccard", $"inter" / $"uni")
       .filter($"jaccard" > 0.8)
       .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
@@ -258,14 +274,18 @@ object TextOps {
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
       .withColumn("sig", TextHashes.md5MinhashSig($"set", k))
-    // band → single xxhash64 long; see q33 for the rationale
-    val banded = base.select($"doc_id",
+    // band → single xxhash64 long + size-compatibility prune inside the
+    // join; see q33 for both rationales (the prune cannot change the
+    // output: J ≤ min/max ≤ 0.8 pairs fail the strict > 0.8 recheck)
+    val banded = base.select($"doc_id", size($"set").as("sz"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
     val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.bandhash") === col("b.bandhash") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * least(col("a.sz"), col("b.sz")) >
+            lit(4) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     val setsB = broadcast(docs(s, d).filter($"doc_id" % 5 === 0)
