@@ -55,11 +55,18 @@ object PipelineOps {
   private def q81(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = TextOps.md5LshScoredPairs(s, d).select($"id1", $"id2")
-    // symmetrize: min-labels must flow both directions along an edge
+    // symmetrize: min-labels must flow both directions along an edge.
+    // Eager localCheckpoint (not persist) on the loop state: each
+    // iteration references `labels` twice (neighbor-min + re-join), so
+    // an uncut lineage DOUBLES per round — 2^k joins in the analyzed
+    // plan by iteration k, a driver-side planning cliff long before any
+    // data problem. Checkpointing truncates the plan to the materialized
+    // blocks, the standard shape for iterative dataflows (GraphX does
+    // the same); per-iteration plans stay O(1).
     val edges = pairs.union(pairs.select($"id2", $"id1"))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
-      .withColumn("rep", $"id").persist()
+      .withColumn("rep", $"id").localCheckpoint(true)
     var tot = labels.agg(sum($"rep")).head.getLong(0)
     var converged = false
     var iter = 0
@@ -68,7 +75,7 @@ object PipelineOps {
         .groupBy($"dst").agg(min($"rep").as("nrep"))
       val next = labels.join(nbr, labels("id") === nbr("dst"))
         .select(labels("id"), least($"rep", $"nrep").as("rep"))
-        .persist()
+        .localCheckpoint(true)
       val ntot = next.agg(sum($"rep")).head.getLong(0)
       labels.unpersist()
       labels = next
