@@ -27,7 +27,8 @@ object PipelineOps {
     "q82_decontaminate" -> ((s, d) => q82(s, d)),
     "q83_gopher_rules" -> ((s, d) => q83(s, d)),
     "q84_tfidf_topk" -> ((s, d) => q84(s, d)),
-    "q85_kmeans_update" -> ((s, d) => q85(s, d))
+    "q85_kmeans_update" -> ((s, d) => q85(s, d)),
+    "q86_dedup_pipeline" -> ((s, d) => q86(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -52,19 +53,14 @@ object PipelineOps {
     * path (alternating large-star/small-star to collapse diameter
     * logarithmically) keeps this exact dataflow shape.
     */
-  private def q81(s: SparkSession, d: String): DataFrame = {
+  /** Min-label propagation to a fixpoint over symmetric `(src, dst)`
+    * edges → one `(id, rep)` row per node that appears in any edge.
+    * Shared by q81 (cluster summary) and q86 (composed dedup pipeline);
+    * see q81's doc for the convergence and lineage-truncation design.
+    */
+  private def ccLabels(s: SparkSession, edges0: DataFrame): DataFrame = {
     import s.implicits._
-    val pairs = TextOps.md5LshScoredPairs(s, d).select($"id1", $"id2")
-    // symmetrize: min-labels must flow both directions along an edge.
-    // Eager localCheckpoint (not persist) on the loop state: each
-    // iteration references `labels` twice (neighbor-min + re-join), so
-    // an uncut lineage DOUBLES per round — 2^k joins in the analyzed
-    // plan by iteration k, a driver-side planning cliff long before any
-    // data problem. Checkpointing truncates the plan to the materialized
-    // blocks, the standard shape for iterative dataflows (GraphX does
-    // the same); per-iteration plans stay O(1).
-    val edges = pairs.union(pairs.select($"id2", $"id1"))
-      .toDF("src", "dst").localCheckpoint(true)
+    val edges = edges0.localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()
       .withColumn("rep", $"id").localCheckpoint(true)
     var tot = labels.agg(sum($"rep")).head.getLong(0)
@@ -84,6 +80,20 @@ object PipelineOps {
       iter += 1
     }
     labels
+  }
+
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextOps.md5LshScoredPairs(s, d).select($"id1", $"id2")
+    // symmetrize: min-labels must flow both directions along an edge.
+    // Loop state uses eager localCheckpoint (not persist): each
+    // iteration references `labels` twice (neighbor-min + re-join), so
+    // an uncut lineage DOUBLES per round — 2^k joins in the analyzed
+    // plan by iteration k, a driver-side planning cliff long before any
+    // data problem. Checkpointing truncates the plan to the materialized
+    // blocks, the standard shape for iterative dataflows (GraphX does
+    // the same); per-iteration plans stay O(1).
+    ccLabels(s, pairs.union(pairs.select($"id2", $"id1")).toDF("src", "dst"))
       .groupBy($"rep")
       .agg(count(lit(1)).as("n_docs"))
       .select($"rep".as("rep_id"), $"n_docs",
@@ -238,7 +248,69 @@ object PipelineOps {
       .orderBy($"cid")
   }
 
+  /** The fuzzy-dedup pipeline COMPOSED end-to-end over the LSH corpus
+    * slice: near-dup pairs (md5-LSH, shared chain) → connected-components
+    * clusters → keep one representative per cluster (min doc_id; exact
+    * duplicates band identically, so exact dedup is subsumed) → quality
+    * filter (token count ∈ [20, 1000]) → per-language yield accounting.
+    * The production shape q31/q61/q81 build toward, verified as ONE
+    * query: every count is exact and the oracle recomputes the whole
+    * chain including the closure.
+    *
+    * Scale: the corpus text flows through exactly one map pass; the
+    * iteration and joins touch only (id, label) pairs; the final
+    * accounting is a per-language rollup of booleans.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextOps.md5LshScoredPairs(s, d).select($"id1", $"id2")
+    val dropIds = ccLabels(s,
+        pairs.union(pairs.select($"id2", $"id1")).toDF("src", "dst"))
+      .filter($"id" =!= $"rep")
+      .select($"id".as("doc_id"))
+    docs(s, d).filter($"doc_id" % 5 === 0)
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .join(dropIds.withColumn("is_dup", lit(1)), Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_in"),
+        sum(when($"is_dup".isNotNull, 1L).otherwise(0L)).as("n_fuzzy_removed"),
+        sum(when($"is_dup".isNull && $"n_tok".between(20L, 1000L), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when($"is_dup".isNull && $"n_tok".between(20L, 1000L), $"n_tok")
+          .otherwise(0L)).as("sum_tokens"))
+      .orderBy($"lang")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q86_dedup_pipeline" ->
+      (DuckMacros.Sm64 +
+      "CREATE OR REPLACE TEMP TABLE q86_pairs AS WITH " + TextOps.Md5LshChainSql +
+      """
+         SELECT id1, id2 FROM j WHERE jaccard > 0.8;
+         CREATE OR REPLACE TEMP TABLE q86_drop AS
+         WITH RECURSIVE
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM q86_pairs
+           UNION ALL SELECT id2, id1 FROM q86_pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src)
+         SELECT id FROM lab WHERE id <> rep;
+         WITH c AS (
+           SELECT doc_id, lang,
+             len(string_split_regex(text, '\s+')) AS n_tok,
+             doc_id IN (SELECT id FROM q86_drop) AS is_dup
+           FROM documents WHERE doc_id % 5 = 0)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_in,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fuzzy_removed,
+           CAST(sum(CASE WHEN NOT is_dup AND n_tok BETWEEN 20 AND 1000
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN NOT is_dup AND n_tok BETWEEN 20 AND 1000
+             THEN n_tok ELSE 0 END) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1 ORDER BY 1"""),
     // pairs materialize into a temp table first — a recursive CTE would
     // otherwise re-evaluate the whole LSH chain every iteration
     "q81_dup_clusters" ->

@@ -83,6 +83,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q86: dedup accounting reconciles with q81's clusters") {
+    import spark.implicits._
+    val out = run("q86_dedup_pipeline").cache()
+    // fuzzy-removed across languages = sum over clusters of (size - 1)
+    val removed = out.agg(sum($"n_fuzzy_removed")).head.getLong(0)
+    val fromClusters = run("q81_dup_clusters")
+      .agg(sum($"n_removed")).head.getLong(0)
+    assert(removed == fromClusters)
+    // kept + removed <= corpus slice (quality drops account for the rest)
+    val nIn = out.agg(sum($"n_in")).head.getLong(0)
+    val kept = out.agg(sum($"n_kept")).head.getLong(0)
+    assert(kept + removed <= nIn)
+    assert(nIn == Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 === 0).count())
+  }
+
   test("q85: per-centroid counts match q72's assignment and sums are exact") {
     import spark.implicits._
     val upd = run("q85_kmeans_update").cache()
