@@ -185,6 +185,33 @@ object TextHashes {
   def md5MinhashSig(tokens: Column, k: Int): Column =
     column(Md5MinHashSigExpr(expression(tokens), k))
 
+  /** k minhash values over PRE-HASHED tokens (array<long> of 60-bit md5
+    * prefixes): the i-th permutation is splitmix64(h + i·gamma), min
+    * unsigned — identical output to [[md5MinhashSig]] when fed
+    * `md5h60(token)` values. Lets the q61 pipeline hash each token with
+    * md5 ONCE and reuse the hash array for both the signature and the
+    * exact-Jaccard recheck.
+    */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    column(MinHashFromHashesExpr(expression(hashes), k))
+
+  def minhashFromHashesArrayData(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(-1L) // unsigned max
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = splitmix64(h + i.toLong * 0x9E3779B97F4A7C15L)
+        if (java.lang.Long.compareUnsigned(v, mins(i)) < 0) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** md5-derived 60-bit token hash (shared by the oracle-reproducible
     * minhash/simhash/winnow family: first 15 hex chars of md5).
     */
@@ -372,6 +399,20 @@ case class Md5WinnowExpr(child: Expression, window: Int) extends UnaryExpression
       s"graft.functions.TextHashes.md5WinnowFromArrayData($c, $window)")
   override def prettyName: String = "md5_winnow_fingerprints"
   override protected def withNewChildInternal(c: Expression): Md5WinnowExpr = copy(child = c)
+}
+
+/** array<long> (pre-hashed tokens) → array<long> of k minhash values. */
+case class MinHashFromHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.minhashFromHashesArrayData(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.minhashFromHashesArrayData($c, $k)")
+  override def prettyName: String = "minhash_from_hashes"
+  override protected def withNewChildInternal(c: Expression): MinHashFromHashesExpr =
+    copy(child = c)
 }
 
 /** array<string> → array<long> of k md5-based minhash values (token set). */

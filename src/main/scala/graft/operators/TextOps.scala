@@ -270,14 +270,23 @@ object TextOps {
   private[graft] def md5LshScoredPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val k = 16; val bands = 4; val rows = k / bands
-    // sorted sets: see q33 — linear-merge intersect in the recheck
+    // ONE md5 pass per token: hset = sorted distinct 60-bit md5 prefixes
+    // (built-in conv/substring/md5, codegen'd); the signature derives
+    // from hset (min over the hash set == min over the token multiset)
+    // and the recheck intersects hset with primitive 8-byte compares.
+    // Unlike q33's xxhash64, the md5 prefix is computed IDENTICALLY by
+    // DuckDB, so the hash-space Jaccard — collisions and all — is
+    // oracle-reproducible, not merely collision-improbable.
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
-      .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
-      .withColumn("sig", TextHashes.md5MinhashSig($"set", k))
+      .select($"doc_id", array_sort(array_distinct(expr(
+        "transform(array_distinct(toks), " +
+          "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")))
+        .as("hset"))
+      .withColumn("sig", TextHashes.minhashFromHashes($"hset", k))
     // band → single xxhash64 long + size-compatibility prune inside the
     // join; see q33 for both rationales (the prune cannot change the
     // output: J ≤ min/max ≤ 0.8 pairs fail the strict > 0.8 recheck)
-    val banded = base.select($"doc_id", size($"set").as("sz"),
+    val banded = base.select($"doc_id", size($"hset").as("sz"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
     val candIds = banded.as("a")
@@ -288,15 +297,15 @@ object TextOps {
             lit(4) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val setsB = broadcast(docs(s, d).filter($"doc_id" % 5 === 0)
-      .select($"doc_id", array_sort(array_distinct($"toks")).as("set")))
+    val setsB = broadcast(base.select($"doc_id", $"hset"))
     candIds
       .join(setsB.as("s1"), $"id1" === col("s1.doc_id"))
       .join(setsB.as("s2"), $"id2" === col("s2.doc_id"))
       .withColumn("inter",
-        TextHashes.sortedIntersectSize(col("s1.set"), col("s2.set")).cast("double"))
+        TextHashes.sortedLongIntersectSize(col("s1.hset"), col("s2.hset"))
+          .cast("double"))
       .withColumn("uni",
-        (size(col("s1.set")) + size(col("s2.set"))).cast("double") - $"inter")
+        (size(col("s1.hset")) + size(col("s2.hset"))).cast("double") - $"inter")
       .withColumn("jaccard", $"inter" / $"uni")
       .filter($"jaccard" > 0.8)
       .select($"id1", $"id2", $"jaccard")
@@ -762,26 +771,26 @@ object TextOps {
            SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS s
            FROM documents WHERE doc_id % 5 = 0),
          hs AS (
-           SELECT doc_id, s, list_transform(s,
-             t -> CAST('0x' || substring(md5(t), 1, 15) AS UBIGINT)) AS hh
+           SELECT doc_id, list_sort(list_distinct(list_transform(s,
+             t -> CAST('0x' || substring(md5(t), 1, 15) AS UBIGINT)))) AS hh
            FROM base),
          sigs AS (
-           SELECT doc_id, s, list_transform(generate_series(0, 15), i ->
+           SELECT doc_id, hh, list_transform(generate_series(0, 15), i ->
              list_min(list_transform(hh, h ->
                CAST(sm64((CAST(h AS HUGEINT) + i * 11400714819323198485)
                  % 18446744073709551616) AS UBIGINT)))) AS sig
            FROM hs),
          banded AS (
-           SELECT doc_id, s, b, sig[b*4 + 1 : b*4 + 4] AS bandval
+           SELECT doc_id, hh, b, sig[b*4 + 1 : b*4 + 4] AS bandval
            FROM sigs, unnest([0, 1, 2, 3]) AS t(b)),
          cand AS (
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-             a.s AS s1, b.s AS s2
+             a.hh AS h1, b.hh AS h2
            FROM banded a JOIN banded b
              ON a.b = b.b AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
          j AS (
            SELECT id1, id2,
-             CAST(len(list_intersect(s1, s2)) AS DOUBLE)
-               / (len(s1) + len(s2) - len(list_intersect(s1, s2))) AS jaccard
+             CAST(len(list_intersect(h1, h2)) AS DOUBLE)
+               / (len(h1) + len(h2) - len(list_intersect(h1, h2))) AS jaccard
            FROM cand)"""
 }

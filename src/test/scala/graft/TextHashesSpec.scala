@@ -22,6 +22,16 @@ class TextHashesSpec extends SparkSpec {
     assert(fast.toLongArray().toSeq == TextHashes.minhashSigScala(tokens, 32, 1).toSeq)
     val fastMd5 = TextHashes.md5MinhashSigFromArrayData(arr, 16)
     assert(fastMd5.toLongArray().toSeq == TextHashes.md5MinhashSigScala(tokens, 16).toSeq)
+    // the pre-hashed variant (q61's one-md5-pass path) must agree with
+    // the from-strings reference when fed the 60-bit md5 prefixes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h60 = tokens.distinct.map { t =>
+      val dig = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((0 until 8).foldLeft(0L)((h, b) => (h << 8) | (dig(b) & 0xffL))) >>> 4
+    }
+    val fromHashes = TextHashes.minhashFromHashesArrayData(
+      new GenericArrayData(h60.toArray), 16)
+    assert(fromHashes.toLongArray().toSeq == fastMd5.toLongArray().toSeq)
   }
 
   test("sorted_intersect_size equals array_intersect size on sorted sets") {
