@@ -237,6 +237,48 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("sig")
       .drop("sig")
 
+  /** The ingestion pipeline COMPOSED as one streaming query — the
+    * streaming form of the batch q65/q86 chain: exact dedup within the
+    * watermark horizon → quality filter (token-count bounds) → stopword
+    * language vote → per-(event-time window, language) counts. Two
+    * stateful operators chained (dedup state → windowed agg state) under
+    * one event-time watermark — the multi-stateful pipeline shape Spark
+    * supports natively; everything between the stateful stages is a
+    * stateless codegen'd projection.
+    */
+  def ingestPipelineStream(docs: Dataset[DocEvent], watermark: String,
+      window: String = "10 seconds", minTok: Int = 3,
+      maxTok: Int = 1000): DataFrame = {
+    val stop = Map(
+      "en" -> Seq("a", "the", "of", "and", "to", "in", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "des"))
+    val deduped = dedupExactStream(docs, watermark)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens").between(minTok, maxTok))
+    val scored = stop.toSeq.sortBy(_._1).foldLeft(deduped) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang", size(expr(
+          s"filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))")))
+    }
+    scored
+      .withColumn("best", greatest(lit(0), col("score_en"), col("score_de"),
+        col("score_es"), col("score_fr")))
+      .withColumn("predicted",
+        when(col("best") === 0, "unknown")
+          .when(col("score_de") === col("best"), "de")
+          .when(col("score_en") === col("best"), "en")
+          .when(col("score_es") === col("best"), "es")
+          .otherwise("fr"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("predicted"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .select(col("window.start").as("w_start"), col("predicted"),
+        col("n_docs"), col("sum_tokens"))
+  }
+
   /** A rate/reference-data update on the right side of a streaming as-of
     * join (public: encoder requirement).
     */
@@ -247,43 +289,63 @@ object StreamOps {
   case class AsOfTagged(key: Int, t: Long, bid: Option[Bid],
       rate: Option[RateUpdate])
 
-  /** Streaming as-of join: each bid is enriched with the LAST rate update
-    * (key = auction mod 10) at or before its event time. State per key is
-    * one (time, rate) pair — the streaming counterpart of the native
-    * batch AsOfJoin operator. Like the reference, this assumes per-key
-    * event-time order across micro-batches over the MERGED inputs — a
-    * batch must not deliver right-side updates whose time is ahead of
-    * left rows still to come (the generator's epoch pacing guarantees
-    * this; SURVEY §2.9 "no late data"). Within a batch events are sorted,
-    * and rate updates at the same timestamp win over bids (at-or-before).
+  /** Per-key state of [[asofStream]]: time-sorted recent rate updates
+    * (public: Spark encoders need a public case class at codegen time).
     */
-  def asofStream(bids: Dataset[Bid], rates: Dataset[RateUpdate]): Dataset[PricedBid] = {
+  case class AsOfRateBuf(ts: Array[Long], vs: Array[Double])
+
+  /** Streaming as-of join: each bid is enriched with the LAST rate update
+    * (key = auction mod 10) at or before its event time — the streaming
+    * counterpart of the native batch AsOfJoin operator. State per key is
+    * a BOUNDED time-sorted buffer of recent rates (not just the latest):
+    * micro-batch boundaries may legally deliver a right-side batch ahead
+    * of left rows still in flight (two sources never share a trigger
+    * atomically), and a single-value state would silently drop every bid
+    * older than the last-seen rate under that interleaving. With the
+    * buffer, any batch split of the same merged event sequence produces
+    * the same output as long as right-side reordering stays within the
+    * buffer horizon. Left-side lateness (a bid arriving after a LATER
+    * rate batch already processed) still resolves correctly for the same
+    * reason; a bid whose matching rate has not arrived at all is dropped
+    * (inner as-of), as in the batch operator.
+    */
+  def asofStream(bids: Dataset[Bid], rates: Dataset[RateUpdate],
+      maxRateBuffer: Int = 1024): Dataset[PricedBid] = {
     val spark = bids.sparkSession
     import spark.implicits._
     val tagged = bids
       .map(b => AsOfTagged(b.auction % 10, b.b_date_time.getTime, Some(b), None))
       .union(rates.map(r => AsOfTagged(r.rkey, r.rtime.getTime, None, Some(r))))
     tagged.groupByKey(_.key)
-      .flatMapGroupsWithState[(Long, Double), PricedBid](
+      .flatMapGroupsWithState[AsOfRateBuf, PricedBid](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Int, events: Iterator[AsOfTagged], state: GroupState[(Long, Double)]) =>
+        (_: Int, events: Iterator[AsOfTagged], state: GroupState[AsOfRateBuf]) =>
           // rate updates (bid.isEmpty) sort first at equal timestamps
           val ordered = events.toSeq.sortBy(e => (e.t, e.bid.isDefined))
           val out = scala.collection.mutable.ArrayBuffer[PricedBid]()
-          var cur = state.getOption
+          var ts = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
+          var vs = state.getOption.map(_.vs.toVector).getOrElse(Vector.empty)
           ordered.foreach { e =>
             e.rate match {
-              case Some(r) => cur = Some((e.t, r.rate))
+              case Some(r) =>
+                // insert in time order; at equal times the later-arriving
+                // update lands after (and thus wins the at-or-before pick)
+                val i = ts.lastIndexWhere(_ <= e.t) + 1
+                ts = (ts.take(i) :+ e.t) ++ ts.drop(i)
+                vs = (vs.take(i) :+ r.rate) ++ vs.drop(i)
+                if (ts.length > maxRateBuffer) {
+                  ts = ts.takeRight(maxRateBuffer)
+                  vs = vs.takeRight(maxRateBuffer)
+                }
               case None =>
                 val b = e.bid.get
-                cur match {
-                  case Some((rt, rv)) if rt <= e.t =>
-                    out += PricedBid(b.auction, b.bidder, b.price, b.b_date_time, rv)
-                  case _ => // no rate yet: drop (inner as-of)
-                }
+                val i = ts.lastIndexWhere(_ <= e.t)
+                if (i >= 0)
+                  out += PricedBid(b.auction, b.bidder, b.price, b.b_date_time, vs(i))
+                // else: no rate at-or-before yet — drop (inner as-of)
             }
           }
-          cur match { case Some(s) => state.update(s); case None => }
+          if (ts.nonEmpty) state.update(AsOfRateBuf(ts.toArray, vs.toArray))
           out.iterator
       }
   }

@@ -171,6 +171,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming ingest pipeline: dedup -> quality -> langid -> windowed stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.DocEvent
+    val t0 = 1_436_918_400_000L
+    def doc(id: Long, sec: Int, text: String) =
+      DocEvent(id, new Timestamp(t0 + sec * 1000L), text)
+    val batch = Seq(
+      doc(1, 0, "the cat and the dog of a house is big"),
+      doc(2, 1, "the cat and the dog of a house is big"), // exact dup -> dropped
+      doc(3, 2, "der hund und die katze ist ein tier"),
+      doc(4, 3, "el perro y la casa es un lugar grande"),
+      doc(5, 4, "xq zz"), // below min tokens -> dropped
+      doc(6, 5, "le chien et la maison est un lieu"))
+    val in = MemoryStream[DocEvent]
+    val q = StreamOps.toMemory(
+      StreamOps.ingestPipelineStream(in.toDS(), "1 second", "10 seconds"),
+      "ingest_pipeline_test", OutputMode.Append)
+    try {
+      in.addData(batch); q.processAllAvailable()
+      // flush: advance the watermark far past the first window
+      in.addData(Seq(doc(99, 100, "flush flush flush flush"))); q.processAllAvailable()
+      val rows = spark.table("ingest_pipeline_test")
+        .select($"predicted", $"n_docs", $"sum_tokens")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // doc1 (en, 10 toks), doc3 (de, 8), doc4 (es, 9), doc6 (fr, 8);
+      // dup doc2 and short doc5 dropped before the aggregate
+      assert(rows == Set(("en", 1L, 10L), ("de", 1L, 8L),
+        ("es", 1L, 9L), ("fr", 1L, 8L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming as-of join equals the native batch as-of operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
