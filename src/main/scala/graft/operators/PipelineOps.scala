@@ -58,7 +58,7 @@ object PipelineOps {
     * Shared by q81 (cluster summary) and q86 (composed dedup pipeline);
     * see q81's doc for the convergence and lineage-truncation design.
     */
-  private def ccLabels(s: SparkSession, edges0: DataFrame): DataFrame = {
+  private[graft] def ccLabels(s: SparkSession, edges0: DataFrame): DataFrame = {
     import s.implicits._
     val edges = edges0.localCheckpoint(true)
     var labels = edges.select($"src".as("id")).distinct()

@@ -39,6 +39,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == nodes.length.toLong)
   }
 
+  test("ccLabels matches union-find on random graphs (property)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // deterministic random graphs: n nodes, m edges, varying density —
+    // path-like sparse graphs maximize propagation depth, dense ones
+    // maximize merge fan-in
+    val cases = for {
+      trial <- 0 until 8
+    } yield {
+      val n = 3 + trial * 4
+      val m = 1 + trial * 6
+      val gen = Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      gen(org.scalacheck.Gen.Parameters.default, Seed(42L + trial)).get
+        .filter { case (a, b) => a != b }
+    }
+    cases.filter(_.nonEmpty).foreach { pairs =>
+      {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val expected = nodes.map(v => (v, find(v))).toMap
+        val sym = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        val got = PipelineOps.ccLabels(spark, sym.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == expected, s"edges=$pairs")
+      }
+    }
+  }
+
   test("q82: eval docs are excluded and counts are consistent") {
     import spark.implicits._
     val out = run("q82_decontaminate").cache()
