@@ -36,27 +36,22 @@ object PipelineOps {
     Tables(s, d, "documents").withColumn("toks", split($"text", "\\s+"))
   }
 
-  /** Duplicate-CLUSTER resolution: near-dup PAIRS (the md5-LSH pipeline
-    * shared with q61) are only half of fuzzy dedup — production pipelines
-    * must resolve the pair graph into connected components and keep one
-    * representative per component (transitively: A~B, B~C ⇒ {A,B,C} is
-    * ONE cluster even if A,C never paired). Labels propagate by iterated
-    * min-neighbor joins until a fixpoint.
+  /** Min-label propagation to a fixpoint over symmetric `(src, dst)`
+    * edges → one `(id, rep)` row per node that appears in any edge —
+    * connected components, the cluster-resolution half of fuzzy dedup
+    * (transitively: A~B, B~C ⇒ {A,B,C} is ONE cluster even if A,C never
+    * paired). Shared by q81 (cluster summary) and q86 (composed
+    * pipeline).
     *
     * Scale: the iteration state is (node, label) — two longs per UNIQUE
     * doc that appears in any pair, orders of magnitude smaller than the
-    * corpus. Each round is one self-equi-join on the (cached) edge list +
-    * a map-side-combined min aggregate; rounds = cluster diameter (near-
-    * dup clusters are shallow — typically ≤3). Convergence is detected by
-    * the label-sum action: labels only ever decrease, so an unchanged sum
-    * IS the fixpoint (no row-by-row comparison join). The 100 TB upgrade
-    * path (alternating large-star/small-star to collapse diameter
-    * logarithmically) keeps this exact dataflow shape.
-    */
-  /** Min-label propagation to a fixpoint over symmetric `(src, dst)`
-    * edges → one `(id, rep)` row per node that appears in any edge.
-    * Shared by q81 (cluster summary) and q86 (composed dedup pipeline);
-    * see q81's doc for the convergence and lineage-truncation design.
+    * corpus. Each round is one self-equi-join on the checkpointed edge
+    * list + a map-side-combined min aggregate; rounds = cluster diameter
+    * (near-dup clusters are shallow — typically ≤3). Convergence is
+    * detected by the label-sum action: labels only ever decrease, so an
+    * unchanged sum IS the fixpoint (no row-by-row comparison join). The
+    * 100 TB upgrade path (alternating large-star/small-star to collapse
+    * diameter logarithmically) keeps this exact dataflow shape.
     */
   private[graft] def ccLabels(s: SparkSession, edges0: DataFrame): DataFrame = {
     import s.implicits._
