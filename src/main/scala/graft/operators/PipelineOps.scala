@@ -28,7 +28,8 @@ object PipelineOps {
     "q83_gopher_rules" -> ((s, d) => q83(s, d)),
     "q84_tfidf_topk" -> ((s, d) => q84(s, d)),
     "q85_kmeans_update" -> ((s, d) => q85(s, d)),
-    "q86_dedup_pipeline" -> ((s, d) => q86(s, d))
+    "q86_dedup_pipeline" -> ((s, d) => q86(s, d)),
+    "q87_temperature_mix" -> ((s, d) => q87(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -276,7 +277,46 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** Temperature-based corpus mixing weights (α = 0.5): the multilingual
+    * rebalancing step — sampling weight w_l ∝ n_l^α flattens the language
+    * distribution so low-resource languages are not drowned out. α = 0.5
+    * is the one temperature whose power is EXACT cross-engine: IEEE-754
+    * requires sqrt to be correctly rounded (pow does not get that
+    * guarantee), and ×10⁶ + floor are single deterministic roundings, so
+    * the quantized weight — and every integer-division share derived from
+    * it — is bit-identical in Spark and DuckDB. Shares and per-language
+    * target document counts (for a 100k-doc mix) stay in int64.
+    *
+    * Scale: one grouped count of the corpus, then arithmetic on one row
+    * per language.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val n = Tables(s, d, "documents").groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = n.withColumn("w_q",
+      floor(sqrt($"n_docs".cast("double")) * lit(1000000.0d)).cast("long"))
+    val t = w.agg(sum($"w_q").as("tw"))
+    w.crossJoin(broadcast(t))
+      .select($"lang", $"n_docs", $"w_q",
+        expr("(1000000L * w_q) div tw").as("share_ppm"),
+        expr("(100000L * w_q) div tw").as("target_docs"))
+      .orderBy($"lang")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q87_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         w AS (
+           SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_q
+           FROM n),
+         t AS (SELECT sum(w_q) AS tw FROM w)
+         SELECT lang, n_docs, w_q,
+           CAST((1000000 * w_q) // tw AS BIGINT) AS share_ppm,
+           CAST((100000 * w_q) // tw AS BIGINT) AS target_docs
+         FROM w, t ORDER BY lang""",
     "q86_dedup_pipeline" ->
       (DuckMacros.Sm64 +
       "CREATE OR REPLACE TEMP TABLE q86_pairs AS WITH " + TextOps.Md5LshChainSql +

@@ -136,6 +136,25 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("doc_id") % 5 === 0).count())
   }
 
+  test("q87: temperature weights flatten the distribution, shares bounded") {
+    import spark.implicits._
+    val rows = run("q87_temperature_mix")
+      .select($"n_docs", $"w_q", $"share_ppm")
+      .as[(Long, Long, Long)].collect()
+    // weights are monotone in n_docs and sub-linear (sqrt): the doc-count
+    // ratio always exceeds the weight ratio for the larger language
+    val sorted = rows.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((n1, w1, _), (n2, w2, _)) if n1 < n2 =>
+        assert(w1 <= w2)
+        assert(w2.toDouble / w1 <= n2.toDouble / n1 + 1e-9)
+      case _ =>
+    }
+    // shares are parts-per-million of the mix, summing to at most 1e6
+    val tot = rows.map(_._3).sum
+    assert(tot <= 1000000L && tot > 1000000L - rows.length)
+  }
+
   test("q85: per-centroid counts match q72's assignment and sums are exact") {
     import spark.implicits._
     val upd = run("q85_kmeans_update").cache()
