@@ -39,4 +39,39 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(out.select("auction", "bidder", "b_date_time").distinct().count() ==
       bids.map(b => (b.auction, b.bidder, b.b_date_time)).distinct.size)
   }
+
+  test("multi-stateful ingest pipeline recovers dedup + window state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.DocEvent
+    val t0 = 1_436_918_400_000L
+    def doc(id: Long, sec: Int, text: String) =
+      DocEvent(id, new java.sql.Timestamp(t0 + sec * 1000L), text)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt2").toString
+    val in = MemoryStream[DocEvent]
+    def start() = StreamOps.toParquet(
+      StreamOps.ingestPipelineStream(in.toDS(), "1 second", "10 seconds"),
+      s"$tmp/out", s"$tmp/ckpt", Trigger.AvailableNow())
+
+    in.addData(Seq(
+      doc(1, 0, "the cat and the dog of a house is big"),
+      doc(2, 1, "der hund und die katze ist ein tier")))
+    val q1 = start(); q1.awaitTermination(60000)
+
+    // restart: the duplicate of doc 1 must still be recognized from the
+    // RECOVERED dedup state, and the first window must close and emit
+    // once the watermark (restored, then advanced by the flush doc)
+    // passes its end
+    in.addData(Seq(
+      doc(3, 2, "the cat and the dog of a house is big"), // dup across restart
+      doc(4, 3, "el perro y la casa es un lugar grande"),
+      doc(99, 100, "flush flush flush flush")))
+    val q2 = start(); q2.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$tmp/out")
+      .select($"predicted", $"n_docs", $"sum_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("en", 1L, 10L), ("de", 1L, 8L), ("es", 1L, 9L)),
+      out.toString)
+  }
 }
