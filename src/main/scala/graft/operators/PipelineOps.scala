@@ -29,7 +29,8 @@ object PipelineOps {
     "q84_tfidf_topk" -> ((s, d) => q84(s, d)),
     "q85_kmeans_update" -> ((s, d) => q85(s, d)),
     "q86_dedup_pipeline" -> ((s, d) => q86(s, d)),
-    "q87_temperature_mix" -> ((s, d) => q87(s, d))
+    "q87_temperature_mix" -> ((s, d) => q87(s, d)),
+    "q88_incremental_dedup" -> ((s, d) => q88(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -304,7 +305,72 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** INCREMENTAL dedup — the ingestion-time variant of q81/q86: a batch
+    * of NEW documents (doc_id % 10 ≠ 0 within the LSH slice) is checked
+    * against the already-ingested corpus INDEX (doc_id % 10 = 0), not
+    * against itself. New docs near-duplicating any index doc (same band
+    * bucket, exact hash-Jaccard > 0.8) are flagged; per-language
+    * novel/duplicate yield comes out. This is the shape every continuous
+    * ingestion pipeline runs: the index side's banded signatures are
+    * precomputed once and only the (small) signature relation joins the
+    * incoming batch — the historical corpus text is never touched.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (base, banded) = TextOps.md5LshBanded(s, d)
+    val idx = banded.filter($"doc_id" % 10 === 0)
+    val nw = banded.filter($"doc_id" % 10 =!= 0)
+    val cand = nw.as("a")
+      .join(idx.as("b"),
+        col("a.bandhash") === col("b.bandhash") &&
+          lit(5) * least(col("a.sz"), col("b.sz")) >
+            lit(4) * greatest(col("a.sz"), col("b.sz")))
+      .select(col("a.doc_id").as("nid"), col("b.doc_id").as("iid"))
+      .distinct()
+    val setsB = broadcast(base.select($"doc_id", $"hset"))
+    val dupNew = cand
+      .join(setsB.as("s1"), $"nid" === col("s1.doc_id"))
+      .join(setsB.as("s2"), $"iid" === col("s2.doc_id"))
+      .withColumn("inter",
+        graft.functions.TextHashes
+          .sortedLongIntersectSize(col("s1.hset"), col("s2.hset")).cast("double"))
+      .withColumn("uni",
+        (size(col("s1.hset")) + size(col("s2.hset"))).cast("double") - $"inter")
+      .filter($"inter" / $"uni" > 0.8)
+      .select($"nid".as("doc_id")).distinct()
+    docs(s, d).filter($"doc_id" % 5 === 0 && $"doc_id" % 10 =!= 0)
+      .join(dupNew.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_dup_vs_index"),
+        sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_novel"))
+      .orderBy($"lang")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q88_incremental_dedup" ->
+      (DuckMacros.Sm64 + "WITH " + TextOps.Md5LshBandedSql +
+      """,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS nid, b.doc_id AS iid,
+             a.hh AS h1, b.hh AS h2
+           FROM banded a JOIN banded b
+             ON a.b = b.b AND a.bandval = b.bandval
+               AND a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         dup AS (
+           SELECT DISTINCT nid AS doc_id FROM cand
+           WHERE CAST(len(list_intersect(h1, h2)) AS DOUBLE)
+             / (len(h1) + len(h2) - len(list_intersect(h1, h2))) > 0.8),
+         nw AS (
+           SELECT d.lang, d.doc_id, dup.doc_id IS NOT NULL AS is_dup
+           FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+           WHERE d.doc_id % 5 = 0 AND d.doc_id % 10 <> 0)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_vs_index,
+           CAST(sum(CASE WHEN NOT is_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel
+         FROM nw GROUP BY 1 ORDER BY 1"""),
     "q87_temperature_mix" ->
       """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          w AS (

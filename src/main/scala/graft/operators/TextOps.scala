@@ -267,28 +267,41 @@ object TextOps {
     * duplicate-cluster resolution step (PipelineOps q81), which runs
     * connected components over exactly these pairs.
     */
-  private[graft] def md5LshScoredPairs(s: SparkSession, d: String): DataFrame = {
+  /** The md5-LSH building blocks over the %5 corpus slice: `base` =
+    * (doc_id, hset, sig) with sorted distinct 60-bit md5 token prefixes
+    * and the k=16 minhash signature; `banded` = (doc_id, sz, bandhash)
+    * with each 4-row band folded to one xxhash64 long. Shared by the
+    * pair self-join (q61/q81/q86) and the incremental new-vs-index join
+    * (PipelineOps q88).
+    *
+    * ONE md5 pass per token: the signature derives from hset (min over
+    * the hash set == min over the token multiset) and the recheck
+    * intersects hset with primitive 8-byte compares. Unlike q33's
+    * xxhash64, the md5 prefix is computed IDENTICALLY by DuckDB, so the
+    * hash-space Jaccard — collisions and all — is oracle-reproducible,
+    * not merely collision-improbable.
+    */
+  private[graft] def md5LshBanded(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val k = 16; val bands = 4; val rows = k / bands
-    // ONE md5 pass per token: hset = sorted distinct 60-bit md5 prefixes
-    // (built-in conv/substring/md5, codegen'd); the signature derives
-    // from hset (min over the hash set == min over the token multiset)
-    // and the recheck intersects hset with primitive 8-byte compares.
-    // Unlike q33's xxhash64, the md5 prefix is computed IDENTICALLY by
-    // DuckDB, so the hash-space Jaccard — collisions and all — is
-    // oracle-reproducible, not merely collision-improbable.
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id", array_sort(array_distinct(expr(
         "transform(array_distinct(toks), " +
           "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")))
         .as("hset"))
       .withColumn("sig", TextHashes.minhashFromHashes($"hset", k))
-    // band → single xxhash64 long + size-compatibility prune inside the
-    // join; see q33 for both rationales (the prune cannot change the
-    // output: J ≤ min/max ≤ 0.8 pairs fail the strict > 0.8 recheck)
     val banded = base.select($"doc_id", size($"hset").as("sz"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
           s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
+    (base, banded)
+  }
+
+  private[graft] def md5LshScoredPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // band → single xxhash64 long + size-compatibility prune inside the
+    // join; see q33 for both rationales (the prune cannot change the
+    // output: J ≤ min/max ≤ 0.8 pairs fail the strict > 0.8 recheck)
+    val (base, banded) = md5LshBanded(s, d)
     val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.bandhash") === col("b.bandhash") &&
@@ -766,7 +779,10 @@ object TextOps {
     * = scored candidate pairs. q81's oracle prepends WITH RECURSIVE and
     * appends the connected-components closure over the same pairs.
     */
-  private[operators] val Md5LshChainSql: String =
+  /** base→banded prefix of the chain, shared with q88's asymmetric
+    * new-vs-index candidate join.
+    */
+  private[operators] val Md5LshBandedSql: String =
     """base AS (
            SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS s
            FROM documents WHERE doc_id % 5 = 0),
@@ -782,7 +798,10 @@ object TextOps {
            FROM hs),
          banded AS (
            SELECT doc_id, hh, b, sig[b*4 + 1 : b*4 + 4] AS bandval
-           FROM sigs, unnest([0, 1, 2, 3]) AS t(b)),
+           FROM sigs, unnest([0, 1, 2, 3]) AS t(b))"""
+
+  private[operators] val Md5LshChainSql: String =
+    Md5LshBandedSql + """,
          cand AS (
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
              a.hh AS h1, b.hh AS h2

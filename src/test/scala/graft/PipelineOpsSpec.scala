@@ -136,6 +136,23 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(col("doc_id") % 5 === 0).count())
   }
 
+  test("q88: incremental dedup agrees with the pairwise path") {
+    import spark.implicits._
+    // a new doc is dup-vs-index iff the SELF-join pair list (q61 path)
+    // contains a pair linking it to an index doc — independent derivation
+    val pairs = TextOps.md5LshScoredPairs(spark, sfDir)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    val expectedDupNew = pairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a))
+    }.collect { case (nw, idx) if nw % 10 != 0 && idx % 10 == 0 => nw }.toSet
+    val out = run("q88_incremental_dedup").cache()
+    val nDup = out.agg(sum($"n_dup_vs_index")).head.getLong(0)
+    assert(nDup == expectedDupNew.size.toLong)
+    val (nNew, nNovel) = out.agg(sum($"n_new"), sum($"n_novel"))
+      .as[(Long, Long)].head()
+    assert(nNew == nNovel + nDup)
+  }
+
   test("q87: temperature weights flatten the distribution, shares bounded") {
     import spark.implicits._
     val rows = run("q87_temperature_mix")
