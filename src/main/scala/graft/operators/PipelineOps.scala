@@ -30,7 +30,9 @@ object PipelineOps {
     "q85_kmeans_update" -> ((s, d) => q85(s, d)),
     "q86_dedup_pipeline" -> ((s, d) => q86(s, d)),
     "q87_temperature_mix" -> ((s, d) => q87(s, d)),
-    "q88_incremental_dedup" -> ((s, d) => q88(s, d))
+    "q88_incremental_dedup" -> ((s, d) => q88(s, d)),
+    "q89_chunk_dedup" -> ((s, d) => q89(s, d)),
+    "q91_repetition_signals" -> ((s, d) => q91(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -347,7 +349,145 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** Corpus-wide duplicated-CHUNK removal accounting — the line-level
+    * dedup step (CCNet/RefinedWeb run it on lines; the driver corpus has
+    * no newlines, so the unit is the non-overlapping 16-token chunk,
+    * tail partial chunk included). A chunk is "duplicated" when it occurs
+    * in ≥2 DISTINCT documents; per-language yield reports chunks removed
+    * and tokens surviving. Complements document-level dedup (q31/q86):
+    * this catches boilerplate shared across otherwise-distinct documents.
+    *
+    * Scale: chunking is one codegen'd map pass; the frequency count is a
+    * two-phase grouped aggregate keyed by chunk — the widest possible
+    * key, so it spreads evenly (no skew: identical chunks are the rare
+    * case being counted). At 100 TB the chunk string folds to xxhash64
+    * before the shuffle (8 bytes/chunk instead of ~100), exactly like the
+    * LSH band fold; strings are kept here so DuckDB recomputes the same
+    * grouping with zero collision caveat.
+    */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ch = docs(s, d)
+      .withColumn("n_tok", size($"toks"))
+      .select($"doc_id", $"lang", $"n_tok", posexplode(expr(
+        "transform(sequence(0, cast((size(toks) + 15) div 16 as int) - 1), " +
+          "i -> array_join(slice(toks, i*16 + 1, 16), ' '))")))
+      .select($"doc_id", $"lang",
+        $"col".as("chunk"),
+        least(lit(16), $"n_tok" - $"pos" * 16).cast("long").as("ch_tok"))
+    val dup = ch.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"chunk", lit(1).as("dup"))
+    ch.join(dup, Seq("chunk"), "left")
+      .groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when($"dup".isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when($"dup".isNull, $"ch_tok").otherwise(0L)).as("n_tokens_kept"))
+      .orderBy($"lang")
+  }
+
+  /** Gopher REPETITION signals — the self-repetition half of the quality
+    * rules (q83's r5 covers duplicate-bigram *diversity*; these flag
+    * dominance): r_uni = most-frequent token > 20% of tokens, r_big =
+    * most-frequent bigram > 20% of bigrams. Ratios are cross-multiplied
+    * into int64 so no float boundary can flip a flag between engines.
+    *
+    * Scale: both max-counts are computed INSIDE the row with higher-order
+    * functions (distinct × filter scan) — zero shuffle until the per-
+    * source rollup. That is O(n·distinct) per document, the right trade
+    * below ~10k tokens; for book-length documents the same metric drops
+    * to the explode → count(doc_id, tok) → max two-phase aggregate shape
+    * (still one shuffle of (id, hash) pairs, never text).
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = docs(s, d)
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("max_uni",
+        expr("array_max(transform(array_distinct(toks), " +
+          "t -> size(filter(toks, x -> x = t))))").cast("long"))
+      .withColumn("bgs", when($"n_tok" < 2, array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")))
+      .withColumn("n_big", size($"bgs").cast("long"))
+      .withColumn("max_big",
+        when($"n_big" === 0, lit(0L)).otherwise(
+          expr("array_max(transform(array_distinct(bgs), " +
+            "t -> size(filter(bgs, x -> x = t))))").cast("long")))
+      .withColumn("r_uni", lit(5L) * $"max_uni" > $"n_tok")
+      .withColumn("r_big", $"n_big" > 0L && lit(5L) * $"max_big" > $"n_big")
+    m.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"r_uni", 1L).otherwise(0L)).as("n_flag_uni"),
+        sum(when($"r_big", 1L).otherwise(0L)).as("n_flag_big"),
+        sum(when($"r_uni" || $"r_big", 1L).otherwise(0L)).as("n_flag_any"),
+        max($"max_uni").as("worst_uni"))
+      .orderBy($"source")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q89_chunk_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, lang,
+             list_transform(generate_series(0, ((len(toks) + 15) // 16) - 1),
+               i -> struct_pack(
+                 chunk := array_to_string(toks[(i*16+1):(i*16+16)], ' '),
+                 ch_tok := least(16, len(toks) - i*16))) AS cs
+           FROM t),
+         ch AS (
+           SELECT doc_id, lang, u.chunk AS chunk,
+             CAST(u.ch_tok AS BIGINT) AS ch_tok
+           FROM (SELECT doc_id, lang, unnest(cs) AS u FROM g)),
+         dup AS (
+           SELECT chunk FROM ch GROUP BY 1
+           HAVING count(DISTINCT doc_id) >= 2)
+         SELECT lang, CAST(count(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dup.chunk IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN dup.chunk IS NULL THEN ch_tok ELSE 0 END)
+             AS BIGINT) AS n_tokens_kept
+         FROM ch LEFT JOIN dup ON ch.chunk = dup.chunk
+         GROUP BY 1 ORDER BY 1""",
+    "q91_repetition_signals" ->
+      """WITH t AS (
+           SELECT source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         m AS (
+           SELECT source,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(list_max(list_transform(list_distinct(toks),
+               t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS max_uni,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i + 1])
+             END AS bgs
+           FROM t),
+         r AS (
+           SELECT source, n_tok, max_uni,
+             CAST(len(bgs) AS BIGINT) AS n_big,
+             CASE WHEN len(bgs) = 0 THEN 0
+                  ELSE CAST(list_max(list_transform(list_distinct(bgs),
+                    t -> len(list_filter(bgs, x -> x = t)))) AS BIGINT)
+             END AS max_big
+           FROM m),
+         f AS (
+           SELECT source, max_uni,
+             5 * max_uni > n_tok AS r_uni,
+             n_big > 0 AND 5 * max_big > n_big AS r_big
+           FROM r)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN r_uni THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_uni,
+           CAST(sum(CASE WHEN r_big THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_big,
+           CAST(sum(CASE WHEN r_uni OR r_big THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag_any,
+           CAST(max(max_uni) AS BIGINT) AS worst_uni
+         FROM f GROUP BY 1 ORDER BY 1""",
     "q88_incremental_dedup" ->
       (DuckMacros.Sm64 + "WITH " + TextOps.Md5LshBandedSql +
       """,

