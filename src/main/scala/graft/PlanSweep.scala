@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Plan-audit sweep: per-query physical-operator census over the whole
   * catalog to spot scale hazards — cartesian products, unexpected global
   * sorts, missed broadcasts. Round-2 audit: zero CartesianProduct;
-  * BroadcastNestedLoopJoin only for broadcast query vectors (q37/q40)
-  * and 1-row scalar-subquery joins; SortMergeJoin only where both sides
+  * BroadcastNestedLoopJoin only for broadcast query vectors
+  * (q37/q40/q90) and 1-row scalar-subquery joins; SortMergeJoin only where both sides
   * are large (q50, tpch_q04/q21); each query's single final Sort is the
   * small result-set ordering the driver compare requires.
   * Usage: runMain graft.PlanSweep [sfDir]
