@@ -232,8 +232,7 @@ object PipelineOps {
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     // packed (dist, cid) argmin — see q72 for the encoding rationale
     val assign = emb.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .groupBy($"vec_id")
       .agg(min($"dist" * 16 + $"cid").as("packed"))
       .select($"vec_id", pmod($"packed", lit(16)).as("cid"))

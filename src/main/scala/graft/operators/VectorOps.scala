@@ -73,8 +73,7 @@ object VectorOps {
     // encode: nearest code per (vector, subspace); subspace distances fit
     // far below 2^59 so the packed argmin is exact
     val codes = sub.join(broadcast(cb), "m")
-      .withColumn("dd", expr(
-        "aggregate(zip_with(sv, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dd", graft.functions.VectorMath.sqDistLong($"sv", $"cvec"))
       .groupBy($"vec_id", $"m")
       .agg(min($"dd" * 16 + $"c").as("packed"))
       .select($"vec_id", $"m", pmod($"packed", lit(16)).cast("int").as("c"))
@@ -88,9 +87,8 @@ object VectorOps {
     val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor")
     recon.crossJoin(broadcast(qs))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor"), expr(
-        "aggregate(zip_with(rv, qqv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-        .as("adc"))
+      .select($"query_id", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"rv", $"qqv").as("adc"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
       .orderBy($"query_id", $"rank")
@@ -120,8 +118,7 @@ object VectorOps {
     val cents = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     emb.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(qv, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .groupBy($"vec_id")
       .agg(min($"dist" * 16 + $"cid").as("packed"))
       .select($"vec_id", pmod($"packed", lit(16)).as("cid"),
@@ -158,7 +155,7 @@ object VectorOps {
   }
 
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorMath.dotDouble(a, b)
 
   /** embeddings with double vector + precomputed norm. */
   private def vecs(s: SparkSession, d: String): DataFrame = {

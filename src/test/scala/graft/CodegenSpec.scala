@@ -53,6 +53,37 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("vector-math expressions compile under strict codegen and match the HOF fold") {
+    import spark.implicits._
+    import graft.functions.VectorMath
+    withStrictCodegen {
+      val e = Tables(spark, sfDir, "embeddings")
+        .withColumn("v", transform($"embedding", x => x.cast("double")))
+        .withColumn("qv", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"))
+        .withColumn("rv", reverse($"qv"))
+        .withColumn("rw", reverse($"v"))
+      // bit-identical to the interpreted higher-order-function formulation
+      // (same left-to-right fold; multiply-round then add-round, no FMA)
+      val rows = e.select(
+        VectorMath.sqDistLong($"qv", $"rv").as("sd"),
+        expr("aggregate(zip_with(qv, rv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)").as("sd_hof"),
+        VectorMath.dotDouble($"v", $"rw").as("dp"),
+        expr("aggregate(zip_with(v, rw, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)").as("dp_hof"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(3)), "dot must be bit-identical")
+      }
+      // self-distance is zero; self-dot is the squared norm (>= 0)
+      val self = e.select(VectorMath.sqDistLong($"qv", $"qv"),
+        VectorMath.dotDouble($"v", $"v")).collect()
+      assert(self.forall(r => r.getLong(0) == 0L && r.getDouble(1) >= 0.0))
+    }
+  }
+
   test("hyperplane bucket compiles under strict codegen for both types") {
     import spark.implicits._
     withStrictCodegen {
