@@ -32,7 +32,8 @@ object PipelineOps {
     "q87_temperature_mix" -> ((s, d) => q87(s, d)),
     "q88_incremental_dedup" -> ((s, d) => q88(s, d)),
     "q89_chunk_dedup" -> ((s, d) => q89(s, d)),
-    "q91_repetition_signals" -> ((s, d) => q91(s, d))
+    "q91_repetition_signals" -> ((s, d) => q91(s, d)),
+    "q92_mix_sample" -> ((s, d) => q92(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -53,9 +54,17 @@ object PipelineOps {
     * list + a map-side-combined min aggregate; rounds = cluster diameter
     * (near-dup clusters are shallow — typically ≤3). Convergence is
     * detected by the label-sum action: labels only ever decrease, so an
-    * unchanged sum IS the fixpoint (no row-by-row comparison join). The
-    * 100 TB upgrade path (alternating large-star/small-star to collapse
-    * diameter logarithmically) keeps this exact dataflow shape.
+    * unchanged sum IS the fixpoint (no row-by-row comparison join).
+    *
+    * Each round is neighbor-min THEN pointer jumping (rep := rep of rep,
+    * one self-join — every rep value is itself a node, so the lookup
+    * always resolves): labels chase the minimum along paths at doubling
+    * speed, collapsing rounds from O(diameter) to O(log diameter). For
+    * the shallow clusters near-dup dedup produces (diameter ≤ 3) the
+    * jump is one cheap extra join per round; for the adversarial case —
+    * a chain of pairwise-similar docs at 100 TB — it is the difference
+    * between 40 rounds and 6. Equivalence to union-find is
+    * property-tested on random graphs including path-like ones.
     */
   private[graft] def ccLabels(s: SparkSession, edges0: DataFrame): DataFrame = {
     import s.implicits._
@@ -68,8 +77,16 @@ object PipelineOps {
     while (!converged && iter < 50) {
       val nbr = edges.join(labels, $"src" === $"id")
         .groupBy($"dst").agg(min($"rep").as("nrep"))
-      val next = labels.join(nbr, labels("id") === nbr("dst"))
+      val stepped = labels.join(nbr, labels("id") === nbr("dst"))
         .select(labels("id"), least($"rep", $"nrep").as("rep"))
+      // pointer jump: rep <- label(rep); labels only decrease, so the
+      // joined rep is always <= the current one (left join + coalesce
+      // guards the no-edge-to-self corner where rep has no label row)
+      val next = stepped.as("x")
+        .join(stepped.select($"id".as("rid"), $"rep".as("rrep")).as("y"),
+          col("x.rep") === col("y.rid"), "left")
+        .select(col("x.id"),
+          least(col("x.rep"), coalesce(col("y.rrep"), col("x.rep"))).as("rep"))
         .localCheckpoint(true)
       val ntot = next.agg(sum($"rep")).head.getLong(0)
       labels.unpersist()
@@ -426,7 +443,78 @@ object PipelineOps {
       .orderBy($"source")
   }
 
+  /** MATERIALIZE the temperature mix (q87 computes the weights; this
+    * selects the documents): within each language, rank documents by
+    * md5(doc_id) — a deterministic, uniform, engine-independent shuffle
+    * order — and keep the first `target_docs` (capped by availability).
+    * Reproducible sampling is non-negotiable for training corpora: the
+    * same corpus + the same recipe must yield the same mix on any engine,
+    * so the order key is a cross-engine hash, not rand().
+    *
+    * Scale: the rank is a per-language window here; at 100 TB the same
+    * selection becomes a FILTER — because the order is hash-order,
+    * "first k per language" equals "hash below the language's k-th
+    * smallest hash", and that threshold comes from a two-pass prefix
+    * histogram (count per hash-prefix bucket, then rank only the
+    * boundary bucket) — no global sort, no single-partition window. The
+    * windowed form is kept here because it is the exact-oracle shape.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables(s, d, "documents").groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = n.withColumn("w_q",
+      floor(sqrt($"n_docs".cast("double")) * lit(1000000.0d)).cast("long"))
+    val t = w.agg(sum($"w_q").as("tw"))
+    val targets = w.crossJoin(broadcast(t))
+      .select($"lang", expr("(100000L * w_q) div tw").as("target_docs"))
+    val win = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+    Tables(s, d, "documents")
+      .withColumn("h", md5($"doc_id".cast("string")))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .join(broadcast(targets), "lang")
+      .filter($"rk" <= $"target_docs")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum($"n_chars").as("sum_chars"),
+        min($"doc_id").as("min_doc"),
+        max($"h").as("last_hash"))
+      .join(broadcast(targets), "lang")
+      .select($"lang", $"target_docs", $"n_selected", $"sum_chars",
+        $"min_doc", $"last_hash")
+      .orderBy($"lang")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q92_mix_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+         w AS (
+           SELECT lang,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_q
+           FROM n),
+         t AS (SELECT sum(w_q) AS tw FROM w),
+         tg AS (
+           SELECT lang, CAST((100000 * w_q) // tw AS BIGINT) AS target_docs
+           FROM w, t),
+         r AS (
+           SELECT d.lang, d.doc_id, d.n_chars,
+             md5(CAST(d.doc_id AS VARCHAR)) AS h,
+             CAST(row_number() OVER (PARTITION BY d.lang
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT)
+               AS rk
+           FROM documents d),
+         sel AS (
+           SELECT r.* FROM r JOIN tg ON r.lang = tg.lang
+           WHERE rk <= target_docs)
+         SELECT sel.lang, tg.target_docs,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           max(h) AS last_hash
+         FROM sel JOIN tg ON sel.lang = tg.lang
+         GROUP BY 1, 2 ORDER BY 1""",
     "q89_chunk_dedup" ->
       """WITH t AS (
            SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks

@@ -76,6 +76,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("ccLabels collapses a 200-node path (needs pointer jumping under the round cap)") {
+    import spark.implicits._
+    val n = 200L
+    // a path 0-1-2-...-199: diameter 199. Pure neighbor-min propagates
+    // the min ONE hop per round and would need 199 rounds (the 50-round
+    // cap would leave wrong labels); pointer jumping doubles the chase
+    // distance per round, so this converges comfortably under the cap.
+    val edges = (0L until n - 1).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val got = operators.PipelineOps.ccLabels(spark, edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n.toInt)
+    assert(got.values.forall(_ == 0L), "every node must reach the component min")
+  }
+
+  test("q92: mix selection is capped by targets and reconciles with q87") {
+    import spark.implicits._
+    val out = run("q92_mix_sample").cache()
+    val targets = run("q87_temperature_mix")
+      .select($"lang", $"target_docs").as[(String, Long)].collect().toMap
+    val avail = Tables(spark, sfDir, "documents")
+      .groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    out.select($"lang", $"target_docs", $"n_selected")
+      .as[(String, Long, Long)].collect().foreach { case (lang, tgt, sel) =>
+        assert(tgt == targets(lang), s"$lang target mismatch")
+        assert(sel == math.min(tgt, avail(lang)), s"$lang selection not capped")
+      }
+  }
+
   test("q82: eval docs are excluded and counts are consistent") {
     import spark.implicits._
     val out = run("q82_decontaminate").cache()
