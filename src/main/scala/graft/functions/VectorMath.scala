@@ -34,6 +34,10 @@ object VectorMath {
   def dotDouble(a: Column, b: Column): Column =
     column(DotDoubleExpr(expression(a), expression(b)))
 
+  /** Σ aᵢ·bᵢ over two array<long> — exact int64 dot (q93 semantic dedup). */
+  def dotLong(a: Column, b: Column): Column =
+    column(DotLongExpr(expression(a), expression(b)))
+
   def sqDistLongFromArrayData(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0
@@ -41,6 +45,17 @@ object VectorMath {
     while (i < n) {
       val d = a.getLong(i) - b.getLong(i)
       s += d * d
+      i += 1
+    }
+    s
+  }
+
+  def dotLongFromArrayData(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
       i += 1
     }
     s
@@ -71,6 +86,21 @@ case class SqDistLongExpr(left: Expression, right: Expression)
   override def prettyName: String = "sq_dist_long"
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): SqDistLongExpr = copy(left = l, right = r)
+}
+
+/** array<long> × array<long> → long: Σ aᵢ·bᵢ. */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.dotLongFromArrayData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.dotLongFromArrayData($a, $b)")
+  override def prettyName: String = "dot_long"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotLongExpr = copy(left = l, right = r)
 }
 
 /** array<double> × array<double> → double: Σ aᵢ·bᵢ. */

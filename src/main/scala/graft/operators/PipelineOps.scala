@@ -33,7 +33,9 @@ object PipelineOps {
     "q88_incremental_dedup" -> ((s, d) => q88(s, d)),
     "q89_chunk_dedup" -> ((s, d) => q89(s, d)),
     "q91_repetition_signals" -> ((s, d) => q91(s, d)),
-    "q92_mix_sample" -> ((s, d) => q92(s, d))
+    "q92_mix_sample" -> ((s, d) => q92(s, d)),
+    "q94_bloom_dedup" -> ((s, d) => q94(s, d)),
+    "q95_zorder_layout" -> ((s, d) => q95(s, d))
   )
 
   private def docs(s: SparkSession, d: String): DataFrame = {
@@ -365,6 +367,101 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** Bloom-filter membership dedup — probe a NEW batch (doc_id % 5 = 0)
+    * against a Bloom filter built from the EXISTING corpus's content
+    * hashes (doc_id % 5 ≠ 0). m = 2¹¹ bits (32 int64 words — deliberately
+    * UNDERSIZED so the oracle sees and pins real false positives at test
+    * scale; production sizes m to the index cardinality), k = 3 probe
+    * positions sliced from the one 60-bit md5 content hash (11 bits
+    * each). A doc is flagged when all three bits are set; `n_exact`
+    * (true membership, by exact hash semi-join) is reported alongside so
+    * the oracle pins the false-positive behavior too — flagged ⊇ exact
+    * always, since Blooms have no false negatives.
+    *
+    * Scale: this is the pattern for dedup/decontamination against an
+    * index that is too big to broadcast as exact keys — 10¹⁰ indexed
+    * hashes at 80 GB of int64 keys collapse into a fixed-size bitmap
+    * (e.g. 2³⁵ bits = 4 GB for ~1% FP at 10¹⁰ keys), built by one
+    * bit_or-aggregate shuffle of (word, mask) pairs and broadcast once;
+    * probing is then map-side only — the corpus text never shuffles, and
+    * only bloom-positive docs (a sliver) continue to the exact re-check
+    * join. Spark's own runtime-filter joins use this same shape; here it
+    * is a first-class operator with an exactness contract.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withH = Tables(s, d, "documents").withColumn("h",
+      conv(substring(md5($"text"), 1, 15), 16, 10).cast("long"))
+    val posList = expr(
+      "transform(sequence(0, 2), i -> shiftright(h, CAST(20*i AS INT)) & CAST(2047 AS BIGINT))")
+    val idx = withH.filter($"doc_id" % 5 =!= 0)
+    val bloom = idx.select(explode(posList).as("pos"))
+      .select(expr("pos div 64").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy($"widx").agg(expr("bit_or(m)").as("word"))
+    val probes = withH.filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"lang", $"h", explode(posList).as("pos"))
+      .select($"doc_id", $"lang", $"h", expr("pos div 64").as("widx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .join(broadcast(bloom), Seq("widx"), "left")
+      .withColumn("hit",
+        when($"word".isNotNull && ($"word".bitwiseAND($"m") === $"m"), 1L)
+          .otherwise(0L))
+      .groupBy($"doc_id", $"lang", $"h")
+      .agg(sum($"hit").as("hits"))
+    val exact = idx.select($"h").distinct().withColumn("in_index", lit(1L))
+    probes.join(broadcast(exact), Seq("h"), "left")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when($"hits" === 3, 1L).otherwise(0L)).as("n_flagged"),
+        sum(coalesce($"in_index", lit(0L))).as("n_exact"))
+      .orderBy($"lang")
+  }
+
+  /** Z-order (Morton) layout accounting — the data-layout operator for
+    * multi-dimensional scan pruning: interleave the low 16 bits of
+    * customer key and order day into a 32-bit z-value, then report
+    * per-quadtree-cell (top 4 z bits → 16 cells) extents of BOTH
+    * dimensions. Narrow per-cell [min,max] spans on custkey AND day
+    * simultaneously are the property that makes parquet row-group
+    * min/max statistics prune selective predicates on either column.
+    *
+    * Scale: at 100 TB the same z-value keys
+    * `repartitionByRange(zval).sortWithinPartitions(zval)` before the
+    * parquet write — files then cover small z ranges, i.e. small
+    * rectangles in (custkey × day) space, and a query on either
+    * dimension (or both) skips most files on footer stats alone. The
+    * z-value itself is one codegen'd map expression (16-step bit fold) —
+    * no shuffle beyond the final range partition the write needs anyway.
+    * The per-cell stats here are the audit query a table-maintenance job
+    * would run to verify clustering quality after compaction.
+    */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, d, "orders")
+      .withColumn("ck", $"o_custkey")
+      .withColumn("dy",
+        datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01")))
+          .cast("long"))
+    // normalize each dim to the full 16-bit domain by its max (one cheap
+    // agg pass; at scale these are the table's known domain bounds)
+    val bounds = base.agg(max($"ck").as("ckmax"), max($"dy").as("dymax"))
+    base.crossJoin(broadcast(bounds))
+      .withColumn("ckn", expr("(ck * 65535) div ckmax"))
+      .withColumn("dyn", expr("(dy * 65535) div dymax"))
+      .withColumn("z", expr(
+        """aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, i) ->
+             acc + shiftleft(shiftright(ckn, i) & CAST(1 AS BIGINT), CAST(2*i AS INT))
+                 + shiftleft(shiftright(dyn, i) & CAST(1 AS BIGINT), CAST(2*i+1 AS INT)))"""))
+      .withColumn("cell", expr("z div 268435456")) // top 4 of 32 z bits
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"ck").as("ck_lo"), max($"ck").as("ck_hi"),
+        min($"dy").as("dy_lo"), max($"dy").as("dy_hi"),
+        countDistinct($"o_custkey").as("n_cust"))
+      .orderBy($"cell")
+  }
+
   /** Corpus-wide duplicated-CHUNK removal accounting — the line-level
     * dedup step (CCNet/RefinedWeb run it on lines; the driver corpus has
     * no newlines, so the unit is the non-overlapping 16-token chunk,
@@ -487,6 +584,63 @@ object PipelineOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q94_bloom_dedup" ->
+      """WITH wh AS (
+           SELECT doc_id, lang,
+             ('0x' || substr(md5(text), 1, 15))::UBIGINT AS h
+           FROM documents),
+         ipos AS (
+           SELECT unnest(list_transform(range(0, 3),
+             i -> (h >> (20*i)) & 2047)) AS pos
+           FROM wh WHERE doc_id % 5 <> 0),
+         bloom AS (
+           SELECT pos // 64 AS widx,
+             bit_or(1::UBIGINT << CAST(pos % 64 AS INTEGER)) AS word
+           FROM ipos GROUP BY 1),
+         ppos AS (
+           SELECT doc_id, lang, h,
+             unnest(list_transform(range(0, 3),
+               i -> (h >> (20*i)) & 2047)) AS pos
+           FROM wh WHERE doc_id % 5 = 0),
+         ph AS (
+           SELECT doc_id, lang, h,
+             sum(CASE WHEN bloom.word IS NOT NULL AND
+               (bloom.word & (1::UBIGINT << CAST(p.pos % 64 AS INTEGER)))
+                 = (1::UBIGINT << CAST(p.pos % 64 AS INTEGER))
+               THEN 1 ELSE 0 END) AS hits
+           FROM (SELECT doc_id, lang, h, pos, pos // 64 AS widx FROM ppos) p
+           LEFT JOIN bloom USING (widx)
+           GROUP BY 1, 2, 3),
+         ex AS (SELECT DISTINCT h FROM wh WHERE doc_id % 5 <> 0)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN hits = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(CASE WHEN ex.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact
+         FROM ph LEFT JOIN ex USING (h)
+         GROUP BY 1 ORDER BY 1""",
+    "q95_zorder_layout" ->
+      """WITH b AS (
+           SELECT o_custkey, o_custkey AS ck,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS dy
+           FROM orders),
+         n AS (
+           SELECT o_custkey, ck, dy,
+             (ck * 65535) // (SELECT max(ck) FROM b) AS ckn,
+             (dy * 65535) // (SELECT max(dy) FROM b) AS dyn
+           FROM b),
+         z AS (
+           SELECT o_custkey, ck, dy,
+             CAST(list_sum(list_transform(range(0, 16),
+               i -> (((ckn >> i) & 1) << (2*i)) + (((dyn >> i) & 1) << (2*i+1))))
+               AS BIGINT) AS zv
+           FROM n)
+         SELECT zv // 268435456 AS cell, CAST(count(*) AS BIGINT) AS n_rows,
+           min(ck) AS ck_lo, max(ck) AS ck_hi,
+           min(dy) AS dy_lo, max(dy) AS dy_hi,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+         FROM z GROUP BY 1 ORDER BY 1""",
     "q92_mix_sample" ->
       """WITH n AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
          w AS (

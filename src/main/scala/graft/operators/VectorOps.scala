@@ -31,8 +31,64 @@ object VectorOps {
     "q40_ann_ivf" -> ((s, d) => q40(s, d)),
     "q60_cosine_dedup" -> ((s, d) => q60(s, d)),
     "q72_kmeans_assign" -> ((s, d) => q72(s, d)),
-    "q90_pq_ann" -> ((s, d) => q90(s, d))
+    "q90_pq_ann" -> ((s, d) => q90(s, d)),
+    "q93_semdedup" -> ((s, d) => q93(s, d))
   )
+
+  /** SemDeDup-shape semantic dedup (cluster-then-prune): assign every
+    * embedding to its nearest coarse centroid (the q72 quantizer), then
+    * compare pairs ONLY within a cluster and drop any vector that has a
+    * lower-id near-duplicate (quantized cosine ≥ 0.35) in its cluster.
+    * Output: per-cluster keep/drop accounting.
+    *
+    * All arithmetic is exact int64 on the floor(1000·x+0.5) quantization:
+    * the cosine threshold is the cross-multiplied integer test
+    * `400·dot² ≥ 49·‖a‖²·‖b‖²  ∧  dot > 0` (0.35² = 49/400), so the
+    * DuckDB oracle replays the entire pipeline bit-exactly — no float
+    * rounding anywhere. Unit-norm inputs quantized at 1000 keep every
+    * term ≤ ~4·10¹⁴, far inside int64.
+    *
+    * Scale: this is the O(N²)→O(Σ|cluster|²) cut that makes embedding
+    * dedup feasible at corpus scale — k centroids broadcast (one map
+    * pass to assign), then pairwise work is confined to cluster-local
+    * shuffles; only (vec_id, cid) and the small quantized vectors move.
+    * In production k grows as O(√N) so expected cluster size — and the
+    * per-cluster quadratic term — stays bounded; skewed clusters land on
+    * AQE skew-split. The drop rule (lowest id in each near-dup
+    * neighborhood survives) is order-free and needs no iteration,
+    * unlike the q81 connected-components resolution.
+    */
+  private def q93(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"
+      ).as("qv"))
+    val cents = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .groupBy($"vec_id")
+      .agg(min($"dist" * 16 + $"cid").as("packed"))
+      .select($"vec_id", pmod($"packed", lit(16)).as("cid"))
+    val v = emb.join(assigned, "vec_id")
+      .withColumn("n2", graft.functions.VectorMath.dotLong($"qv", $"qv"))
+    val dropped = v.as("a")
+      .join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot",
+        graft.functions.VectorMath.dotLong(col("a.qv"), col("b.qv")))
+      .filter($"dot" > 0 &&
+        $"dot" * $"dot" * lit(400L) >= col("a.n2") * col("b.n2") * lit(49L))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    v.join(dropped, Seq("vec_id"), "left")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce($"is_dropped", lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce($"is_dropped", lit(0L)))).as("n_kept"))
+      .orderBy($"cid")
+  }
 
   /** Product-quantization ANN (ADC): the memory-compressed index path —
     * 64-dim vectors → 8 subspaces × 8 dims, each subvector encoded as the
@@ -318,6 +374,40 @@ object VectorOps {
          SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
            CAST(sum(dist) AS BIGINT) AS sum_dist
          FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""",
+    "q93_semdedup" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 10),
+         dd AS (
+           SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cq),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS dist
+           FROM q, c),
+         a AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM dd) WHERE rn = 1),
+         v AS (
+           SELECT q.vec_id, a.cid, q.qv,
+             CAST(list_sum(list_transform(q.qv, x -> x*x)) AS BIGINT) AS n2
+           FROM q JOIN a USING (vec_id)),
+         pr AS (
+           SELECT b.vec_id AS id2,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               x -> x[1] * x[2])) AS BIGINT) AS dot,
+             a.n2 AS na2, b.n2 AS nb2
+           FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         drp AS (SELECT DISTINCT id2 FROM pr
+           WHERE dot > 0 AND 400*dot*dot >= 49*na2*nb2)
+         SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN drp.id2 IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(count(*) - sum(CASE WHEN drp.id2 IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept
+         FROM v LEFT JOIN drp ON v.vec_id = drp.id2
+         GROUP BY 1 ORDER BY 1""",
     "q38_ann_lsh" ->
       (graft.operators.DuckMacros.Sm64 +
       s"""WITH m AS (

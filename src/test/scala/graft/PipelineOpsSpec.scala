@@ -275,4 +275,33 @@ class PipelineOpsSpec extends SparkSpec {
     upd.select($"l1", abs($"sum_d1")).as[(Long, Long)].collect()
       .foreach { case (l1, s1) => assert(l1 >= s1) }
   }
+
+  test("q94: bloom has no false negatives and probe accounting is total") {
+    import spark.implicits._
+    val out = run("q94_bloom_dedup")
+      .select($"lang", $"n_new", $"n_flagged", $"n_exact")
+      .as[(String, Long, Long, Long)].collect()
+    // no false negatives: every exact member is bloom-flagged
+    out.foreach { case (_, n, f, e) => assert(f >= e && f <= n) }
+    val nProbe = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(out.map(_._2).sum == nProbe)
+  }
+
+  test("q95: z-order cells are narrow rectangles that partition the table") {
+    import spark.implicits._
+    val out = run("q95_zorder_layout").cache()
+    val orders = Tables(spark, sfDir, "orders")
+    assert(out.select(sum($"n_rows")).as[Long].head() == orders.count())
+    val ckMax = orders.select(max($"o_custkey")).as[Long].head()
+    val dyMax = orders
+      .select(max(datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01")))))
+      .as[Int].head().toLong
+    // a cell fixes the top-2 bits of both normalized dims -> span <= max/4
+    out.select($"ck_hi" - $"ck_lo", $"dy_hi" - $"dy_lo")
+      .as[(Long, Long)].collect().foreach { case (cs, ds) =>
+        assert(cs <= ckMax / 4 + 2, s"custkey span $cs too wide")
+        assert(ds <= dyMax / 4 + 2, s"day span $ds too wide")
+      }
+  }
 }

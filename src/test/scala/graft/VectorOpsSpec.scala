@@ -125,4 +125,18 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.toSeq == expected)
     assert(out.map(_._2).sum == V.length) // every vector assigned once
   }
+
+  test("q93 semdedup: accounting is consistent and drops are real near-dups") {
+    import spark.implicits._
+    val out = VectorOps.defs("q93_semdedup")(spark, sfDir)
+      .select($"cid", $"n_vecs", $"n_dropped", $"n_kept")
+      .as[(Long, Long, Long, Long)].collect()
+    out.foreach { case (_, n, d, k) => assert(k + d == n && d >= 0 && k >= 1) }
+    assert(out.map(_._2).sum ==
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    // clustered data (dense near-dup neighborhoods) must actually drop
+    val clustered = VectorOps.defs("q93_semdedup")(spark, clusteredDir)
+      .select($"n_dropped").as[Long].collect()
+    assert(clustered.sum > 0, "no drops on densely clustered vectors")
+  }
 }
