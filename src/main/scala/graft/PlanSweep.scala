@@ -6,8 +6,12 @@ import org.apache.spark.sql.SparkSession
   * catalog to spot scale hazards — cartesian products, unexpected global
   * sorts, missed broadcasts. Round-2 audit: zero CartesianProduct;
   * BroadcastNestedLoopJoin only for broadcast query vectors
-  * (q37/q40/q90) and 1-row scalar-subquery joins; SortMergeJoin only where both sides
-  * are large (q50, tpch_q04/q21); each query's single final Sort is the
+  * (q37/q40/q90) / broadcast centroids (q72/q93 — q93 shows 3: the
+  * assignment subtree is referenced thrice and its identical Exchanges
+  * reuse at runtime) and 1-row scalar-subquery or bounds joins (q95);
+  * SortMergeJoin only where both sides
+  * are large (q50, q93's cluster-local pair join, tpch_q04/q21); each
+  * query's single final Sort is the
   * small result-set ordering the driver compare requires.
   * Usage: runMain graft.PlanSweep [sfDir]
   */
