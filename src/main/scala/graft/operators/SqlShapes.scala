@@ -23,8 +23,61 @@ object SqlShapes {
     "q66_quantiles" -> ((s, d) => q66(s, d)),
     "q53_moving_avg" -> ((s, d) => q53(s, d)),
     "q76_hll_union" -> ((s, d) => q76(s, d)),
-    "q79_grouping_sets" -> ((s, d) => q79(s, d))
+    "q79_grouping_sets" -> ((s, d) => q79(s, d)),
+    "q96_hist_quantiles" -> ((s, d) => q96(s, d))
   )
+
+  /** Mergeable quantile-histogram rollup — the q76 (HLL) story for
+    * PERCENTILES: per-group quarter-octave log₂ histograms of price
+    * cents, from which p50/p95/p99 are read per group AND re-aggregated
+    * into the global quantiles WITHOUT rescanning the raw data (only the
+    * tiny (bin, count) relation merges — the associativity that makes
+    * tiered quantile rollups free at 100 TB, where `percentile()` needs
+    * the full value multiset and approx_percentile's buffer can't be
+    * saved and re-merged across jobs in SQL).
+    *
+    * Everything is integer-exact cross-engine: floor(log₂) computed as
+    * `length(bin(x)) - 1` (string length of the binary representation —
+    * identical in Spark and DuckDB; no float log2 boundary risk), two
+    * sub-bin bits → bin width 2^¼, so every estimate is a bin lower
+    * bound with ≤ 19% relative error, and the quantile pick is the
+    * first bin whose cumulative count reaches ⌈n·q/100⌉ (pure int64
+    * comparisons). Oracle replays the whole pipeline exactly.
+    */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(s, d, "lineitem")
+      .select($"l_returnflag",
+        expr("CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)").as("cents"))
+      .withColumn("l", (length(bin($"cents")) - 1).cast("long"))
+      .withColumn("bin_id",
+        $"l" * 4 + expr("shiftright(cents, CAST(l - 2 AS INT)) & CAST(3 AS BIGINT)"))
+    val hist = base.groupBy($"l_returnflag", $"bin_id")
+      .agg(count(lit(1)).as("cnt"))
+    def quantiles(h: DataFrame): DataFrame = {
+      val wc = Window.partitionBy($"grp").orderBy($"bin_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy($"grp")
+      def pick(q: Int) =
+        min(when($"cum" * 100 >= $"n" * q, $"bin_id")).as(s"b$q")
+      h.withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("n", sum($"cnt").over(wn))
+        .groupBy($"grp")
+        .agg(max($"n").as("n_rows"), pick(50), pick(95), pick(99))
+    }
+    val perGroup = quantiles(hist.withColumn("grp", $"l_returnflag"))
+    // global tier: merge the per-group histograms, not the raw rows
+    val global = quantiles(hist.groupBy($"bin_id")
+      .agg(sum($"cnt").as("cnt")).withColumn("grp", lit("ALL")))
+    def est(b: String) = expr(
+      s"CAST(shiftleft(4 + $b % 4, CAST($b div 4 - 2 AS INT)) AS DOUBLE) / 100.0")
+    perGroup.unionByName(global)
+      .select($"grp".as("l_returnflag"), $"n_rows",
+        est("b50").as("p50_est"), est("b95").as("p95_est"),
+        est("b99").as("p99_est"))
+      .orderBy($"l_returnflag")
+  }
 
   /** Arbitrary GROUPING SETS (beyond the rollup q43 / cube q44 special
     * cases): per-(lang, source), per-lang, and grand-total document
@@ -254,6 +307,44 @@ object SqlShapes {
            FROM events)
          SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM g)
          ORDER BY event_type""",
+    "q96_hist_quantiles" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT) AS cents
+           FROM lineitem),
+         bb AS (
+           SELECT l_returnflag, cents,
+             CAST(len(bin(cents)) - 1 AS BIGINT) AS l
+           FROM b),
+         h AS (
+           SELECT l_returnflag,
+             l * 4 + ((cents >> CAST(l - 2 AS INTEGER)) & 3) AS bin_id,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM bb GROUP BY 1, 2),
+         hg AS (
+           SELECT l_returnflag AS grp, bin_id, cnt FROM h
+           UNION ALL
+           SELECT 'ALL' AS grp, bin_id, CAST(sum(cnt) AS BIGINT) AS cnt
+           FROM h GROUP BY 2),
+         c AS (
+           SELECT grp, bin_id, cnt,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY bin_id) AS cum,
+             sum(cnt) OVER (PARTITION BY grp) AS n
+           FROM hg),
+         p AS (
+           SELECT grp, CAST(max(n) AS BIGINT) AS n_rows,
+             min(CASE WHEN cum * 100 >= n * 50 THEN bin_id END) AS b50,
+             min(CASE WHEN cum * 100 >= n * 95 THEN bin_id END) AS b95,
+             min(CASE WHEN cum * 100 >= n * 99 THEN bin_id END) AS b99
+           FROM c GROUP BY 1)
+         SELECT grp AS l_returnflag, n_rows,
+           CAST((4 + b50 % 4) << CAST(b50 // 4 - 2 AS INTEGER) AS DOUBLE)
+             / 100.0 AS p50_est,
+           CAST((4 + b95 % 4) << CAST(b95 // 4 - 2 AS INTEGER) AS DOUBLE)
+             / 100.0 AS p95_est,
+           CAST((4 + b99 % 4) << CAST(b99 // 4 - 2 AS INTEGER) AS DOUBLE)
+             / 100.0 AS p99_est
+         FROM p ORDER BY 1""",
     "q66_quantiles" ->
       """SELECT l_returnflag,
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

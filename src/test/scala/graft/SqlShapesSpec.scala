@@ -86,4 +86,30 @@ class SqlShapesSpec extends SparkSpec {
     assert(resized.collect().forall(m => m.payload_len == origLens(m.asset_id)),
       "resize stub must preserve payload")
   }
+
+  test("q96: histogram quantiles bracket the exact percentiles per tier") {
+    import spark.implicits._
+    val out = SqlShapes.defs("q96_hist_quantiles")(spark, sfDir)
+      .select($"l_returnflag", $"n_rows", $"p50_est", $"p95_est", $"p99_est")
+      .as[(String, Long, Double, Double, Double)].collect()
+    val li = Tables(spark, sfDir, "lineitem")
+    assert(out.find(_._1 == "ALL").get._2 == li.count())
+    assert(out.filter(_._1 != "ALL").map(_._2).sum == li.count())
+    // estimate = lower bound of the containing quarter-octave bin:
+    // est <= exact percentile < est * 2^0.25 (on the cents grid)
+    val exact = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT), 0.5)").as("p50"),
+        expr("percentile(CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT), 0.95)").as("p95"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // estimates are bin lower bounds; exact percentiles interpolate and
+    // may straddle a bin edge — allow one quarter-octave of slack each way
+    out.filter(_._1 != "ALL").foreach { case (g, _, p50, p95, p99) =>
+      val (e50, e95) = exact(g)
+      assert(p50 * 100 * 0.84 <= e50 && e50 < p50 * 100 * 1.42,
+        s"$g p50 $p50 vs $e50")
+      assert(p95 * 100 * 0.84 <= e95 && e95 < p95 * 100 * 1.42,
+        s"$g p95 $p95 vs $e95")
+      assert(p99 >= p95 && p95 >= p50, "quantile monotonicity")
+    }
+  }
 }
