@@ -237,6 +237,26 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("sig")
       .drop("sig")
 
+  /** Stream-vs-INDEX dedup — the streaming form of q88's incremental
+    * dedup: drop arriving documents whose md5-minhash signature already
+    * exists in the PRECOMPUTED corpus index (a static relation built by
+    * the batch pipeline). Stream-static anti joins are STATELESS in
+    * Structured Streaming — no watermark state grows with the index —
+    * and the broadcast keeps the probe map-side. At 100 TB the index
+    * relation is a compact (sig) parquet table maintained by the batch
+    * dedup job; when it outgrows broadcast, drop the hint and Spark
+    * shuffles the (small) signature stream against it instead —
+    * arriving text never shuffles either way. Within-stream duplicates
+    * are handled by composing `dedupSignatureStream` upstream.
+    */
+  def dedupAgainstIndexStream(docs: Dataset[DocEvent],
+      indexSigs: DataFrame): DataFrame =
+    docs.toDF()
+      .withColumn("sig",
+        graft.functions.TextHashes.md5MinhashSig(split(col("text"), "\\s+"), 16))
+      .join(broadcast(indexSigs.select(col("sig"))), Seq("sig"), "left_anti")
+      .drop("sig")
+
   /** The ingestion pipeline COMPOSED as one streaming query — the
     * streaming form of the batch q65/q86 chain: exact dedup within the
     * watermark horizon → quality filter (token-count bounds) → stopword

@@ -169,6 +169,26 @@ class StreamOpsSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(kept == Set(1L, 3L, 5L), s"kept=$kept")
     } finally q2.stop()
+
+    // stream-vs-static-index dedup: docs whose signature is already in
+    // the precomputed index are dropped, stateless (no watermark needed)
+    val idxTexts = batch1.filter(_.doc_id == 1L).map(_.text)
+    val indexSigs = idxTexts.toDF("text")
+      .select(graft.functions.TextHashes
+        .md5MinhashSig(split($"text", "\\s+"), 16).as("sig"))
+    val in3 = MemoryStream[DocEvent]
+    val q3 = StreamOps.toMemory(
+      StreamOps.dedupAgainstIndexStream(in3.toDS(), indexSigs),
+      "dedup_idx_test", OutputMode.Append)
+    try {
+      in3.addData(batch1); q3.processAllAvailable()
+      in3.addData(batch2); q3.processAllAvailable()
+      val kept = spark.table("dedup_idx_test").select($"doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // docs 1/2/4 collide with the indexed signature and are dropped in
+      // every micro-batch; 3 and 5 are novel vs the index and survive
+      assert(kept == Set(3L, 5L), s"kept=$kept")
+    } finally q3.stop()
   }
 
   test("streaming ingest pipeline: dedup -> quality -> langid -> windowed stats") {
