@@ -24,8 +24,31 @@ object SqlShapes {
     "q53_moving_avg" -> ((s, d) => q53(s, d)),
     "q76_hll_union" -> ((s, d) => q76(s, d)),
     "q79_grouping_sets" -> ((s, d) => q79(s, d)),
-    "q96_hist_quantiles" -> ((s, d) => q96(s, d))
+    "q96_hist_quantiles" -> ((s, d) => q96(s, d)),
+    "q97_skew_audit" -> ((s, d) => q97(s, d))
   )
+
+  /** Join-key skew audit — the operational query that decides whether a
+    * key needs the `plans.Scale` salting path (or AQE skew-join) before
+    * a big shuffle: per-key frequency profile collapsed to one row of
+    * n_rows / n_keys / max / min / skew (hottest key's share of a
+    * perfectly-uniform share, in permille — 1000 = uniform) plus the
+    * hottest key itself. Two-phase aggregate over (key) then a single
+    * tiny reduction; the argmax rides the post-agg relation (≤ n_keys
+    * rows), so `max(struct)`'s SortAggregate fallback is irrelevant
+    * here. All integer arithmetic — oracled exactly.
+    */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .agg(sum($"cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+        max($"cnt").as("max_cnt"), min($"cnt").as("min_cnt"),
+        max(struct($"cnt", (-$"user_id").as("neg_id"))).as("hot"))
+      .select($"n_rows", $"n_keys", $"max_cnt", $"min_cnt",
+        expr("max_cnt * n_keys * 1000 div n_rows").as("skew_permille"),
+        (-$"hot.neg_id").as("hot_key"))
+  }
 
   /** Mergeable quantile-histogram rollup — the q76 (HLL) story for
     * PERCENTILES: per-group quarter-octave log₂ histograms of price
@@ -307,6 +330,21 @@ object SqlShapes {
            FROM events)
          SELECT * FROM (SELECT * FROM p UNION ALL SELECT * FROM g)
          ORDER BY event_type""",
+    "q97_skew_audit" ->
+      """WITH c AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         a AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             max(cnt) AS max_cnt, min(cnt) AS min_cnt
+           FROM c),
+         h AS (
+           SELECT user_id AS hot_key FROM c
+           ORDER BY cnt DESC, user_id LIMIT 1)
+         SELECT n_rows, n_keys, max_cnt, min_cnt,
+           max_cnt * n_keys * 1000 // n_rows AS skew_permille, hot_key
+         FROM a, h""",
     "q96_hist_quantiles" ->
       """WITH b AS (
            SELECT l_returnflag,
