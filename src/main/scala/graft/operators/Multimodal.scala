@@ -156,6 +156,46 @@ object Multimodal {
     }
   }
 
+  /** Average-hash (aHash) of the "decoded" content: mean-threshold the
+    * first 64 payload bytes (the stub's pixels) into a 64-bit
+    * fingerprint. A real pipeline computes this over downsampled
+    * grayscale pixels; the thresholding, banding, and Hamming-verify
+    * below are exactly that pipeline's shape.
+    */
+  private[operators] def ahash64(payload: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < 64) { sum += (payload(i) & 0xff); i += 1 }
+    val avg = sum / 64
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if ((payload(i) & 0xff) > avg) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  /** Re-crawl with visible corruption: every 16th payload byte is bumped
+    * by 48 (mod 256) — the "same image, re-encoded with loss" scenario
+    * whose fingerprints differ by a few bits, not zero (zero bits moved
+    * is mm_dedup's exact-payload case; +1 bumps almost never cross the
+    * mean threshold).
+    */
+  private def recrawlNoisy(a: Asset): Asset =
+    FakeCodec.decodeHeader(a.bytes) match {
+      case Some((w, h, f, _)) =>
+        val p = a.bytes.drop(16)
+        val q = new Array[Byte](p.length)
+        var j = 0
+        while (j < p.length) {
+          q(j) = if (j % 16 == 0) ((p(j) + 48) & 0xff).toByte else p(j)
+          j += 1
+        }
+        Asset(a.asset_id + 100000L, a.kind, FakeCodec.encode(w, h, f, q))
+      case None => a
+    }
+
   /** Catalog entries (synthetic assets — sfDir-independent, rows-only). */
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, _) =>
@@ -186,6 +226,38 @@ object Multimodal {
           element_at(col("feature"), 32).as("f31"),
           aggregate(col("feature"), lit(0L), (acc, x) => acc + x).as("total"))
         .orderBy(col("asset_id"))),
+    // perceptual near-dup: the re-crawled copies carry slightly CORRUPTED
+    // payloads (exact dedup misses them); aHash fingerprints band into
+    // 4×16-bit LSH buckets, candidates verify by Hamming ≤ 8. Only the
+    // 8-byte fingerprint ever shuffles — the image near-dup shape at
+    // 100 TB. Fully oracled: DuckDB recomputes the hash, the corrupted
+    // copies, the banding, and the verify from the dumped hex bytes.
+    "mm_phash_dedup" -> ((s, _) => {
+      import s.implicits._
+      val base = assets(s, 2000)
+      val all = base.union(
+        base.filter(col("asset_id") % 10 === 0).map(recrawlNoisy))
+      val hashed = all.mapPartitions { it =>
+        it.map(a => (a.asset_id, ahash64(a.bytes.drop(16))))
+      }.toDF("asset_id", "h")
+      val banded = hashed.select(col("asset_id"), col("h"),
+        explode(expr(
+          "transform(sequence(0, 3), k -> struct(k, shiftright(h, CAST(16*k AS INT)) & CAST(65535 AS BIGINT) AS bval))"
+        )).as("b"))
+        .select(col("asset_id"), col("h"), col("b.k"), col("b.bval"))
+      banded.as("a")
+        .join(banded.as("b"),
+          col("a.k") === col("b.k") && col("a.bval") === col("b.bval") &&
+            col("a.asset_id") < col("b.asset_id"))
+        .select(col("a.asset_id").as("id1"), col("b.asset_id").as("id2"),
+          col("a.h").as("h1"), col("b.h").as("h2"))
+        .distinct()
+        .withColumn("hamming",
+          bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+        .filter(col("hamming") <= 8)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .orderBy(col("id1"), col("id2"))
+    }),
     // binary-content dedup: a 1-in-10 subset is re-ingested under new ids
     // (the re-crawl scenario); grouping on the payload hash finds each
     // duplicate family and keeps the smallest id. Only the 16-byte-ish
@@ -220,6 +292,41 @@ object Multimodal {
   }
 
   def oracles: Map[String, String] = Map(
+    "mm_phash_dedup" ->
+      s"""WITH b AS (
+           SELECT asset_id, substring(hexb, 33) AS ph
+           FROM read_parquet('${NexmarkQueries.DumpDir}/mm_assets_hex.parquet/*.parquet')),
+         e AS (
+           SELECT asset_id, list_transform(generate_series(1, 64),
+             i -> ('0x' || substring(ph, i*2 - 1, 2))::UBIGINT) AS p64
+           FROM b),
+         allp AS (
+           SELECT asset_id, p64 FROM e
+           UNION ALL
+           SELECT asset_id + 100000,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN (i - 1) % 16 = 0 THEN (p64[i] + 48) % 256
+                    ELSE p64[i] END) AS p64
+           FROM e WHERE asset_id % 10 = 0),
+         hh AS (
+           SELECT asset_id, p64, list_sum(p64) // 64 AS avg FROM allp),
+         hsh AS (
+           SELECT asset_id,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> CASE WHEN p64[i] > avg THEN 1::HUGEINT << (i - 1)
+                    ELSE 0::HUGEINT END)) AS UBIGINT) AS h
+           FROM hh),
+         bv AS (
+           SELECT asset_id, h, k, (h >> CAST(16*k AS INTEGER)) & 65535 AS bval
+           FROM (SELECT asset_id, h, unnest([0, 1, 2, 3]) AS k FROM hsh)),
+         cand AS (
+           SELECT DISTINCT a.asset_id AS id1, b.asset_id AS id2,
+             a.h AS h1, b.h AS h2
+           FROM bv a JOIN bv b
+             ON a.k = b.k AND a.bval = b.bval AND a.asset_id < b.asset_id)
+         SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(h1, h2)) <= 8
+         ORDER BY id1, id2""",
     "mm_dedup" ->
       s"""WITH a AS (
            SELECT asset_id, hexb

@@ -87,6 +87,24 @@ class SqlShapesSpec extends SparkSpec {
       "resize stub must preserve payload")
   }
 
+  test("mm_phash_dedup: every corrupted re-crawl pairs with its original") {
+    import spark.implicits._
+    val pairs = Multimodal.defs("mm_phash_dedup")(spark, sfDir)
+      .select($"id1", $"id2", $"hamming").as[(Long, Long, Long)].collect()
+    // of the 200 planted near-dups (id, id+100000), the banded-LSH +
+    // Hamming-verify recovers the vast majority (a pair whose flips touch
+    // all 4 bands can legitimately miss — that's the LSH contract)
+    val planted = (0L until 2000L by 10L).map(id => id -> (id + 100000L)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.subsetOf(planted), "false positives among random assets")
+    assert(found.size >= 150, s"recovered only ${found.size} of 200 planted")
+    assert(pairs.forall(p => p._3 <= 8 && p._3 >= 0))
+    // corruption must actually flip bits for most recovered pairs (else
+    // the test degenerates into exact dedup)
+    assert(pairs.count(_._3 > 0) > 100,
+      "perturbation did not move the fingerprints")
+  }
+
   test("q96: histogram quantiles bracket the exact percentiles per tier") {
     import spark.implicits._
     val out = SqlShapes.defs("q96_hist_quantiles")(spark, sfDir)
