@@ -61,8 +61,40 @@ object TextOps {
     "q74_stratified_sample" -> ((s, d) => q74(s, d)),
     "q77_native_pivot" -> ((s, d) => q77(s, d)),
     "q78_bounded_topk_agg" -> ((s, d) => q78(s, d)),
-    "q80_doc_chunking" -> ((s, d) => q80(s, d))
+    "q80_doc_chunking" -> ((s, d) => q80(s, d)),
+    "q98_feature_hashing" -> ((s, d) => q98(s, d))
   )
+
+  /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
+    * per document with md5-bucketed token→dimension assignment — the
+    * model-free text featurizer that feeds the engine's own kNN/k-means/
+    * ANN surface when no trained embedder is available. Counts stay raw
+    * int64 (no normalization — that is a float op for the consumer), so
+    * the DuckDB oracle recomputes the vectors bit-exactly; the output
+    * scalarizes each vector (mm_features_int style: probe dims + l1 +
+    * nnz) because the driver compare can't hash array columns.
+    *
+    * Scale: one codegen'd map pass — explode to (doc, dim) pairs and
+    * two-phase count; the shuffle carries ≤64 rows per doc regardless of
+    * document length, and the dimension space is fixed, so the relation
+    * feeding downstream vector ops is corpus-size × 64 longs no matter
+    * how large documents get.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", explode($"toks").as("tok"))
+      .withColumn("dim",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long") % 64)
+      .groupBy($"doc_id", $"dim").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("l1"),
+        count(lit(1)).as("nnz"),
+        sum(when($"dim" === 0, $"cnt").otherwise(0L)).as("f0"),
+        sum(when($"dim" === 31, $"cnt").otherwise(0L)).as("f31"),
+        sum(when($"dim" === 63, $"cnt").otherwise(0L)).as("f63"))
+      .orderBy($"doc_id")
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -572,6 +604,22 @@ object TextOps {
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q98_feature_hashing" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         dd AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 64 AS BIGINT)
+               AS dim,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM t GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS l1,
+           CAST(count(*) AS BIGINT) AS nnz,
+           CAST(sum(CASE WHEN dim = 0 THEN cnt ELSE 0 END) AS BIGINT) AS f0,
+           CAST(sum(CASE WHEN dim = 31 THEN cnt ELSE 0 END) AS BIGINT) AS f31,
+           CAST(sum(CASE WHEN dim = 63 THEN cnt ELSE 0 END) AS BIGINT) AS f63
+         FROM dd GROUP BY 1 ORDER BY 1""",
     "q80_doc_chunking" ->
       """WITH t AS (
            SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tok

@@ -129,4 +129,19 @@ class TextHashesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"), out.toString)
   }
+
+  test("q98 feature hashing: l1 equals token count, nnz bounded by 64") {
+    import spark.implicits._
+    val out = TextOps.defs("q98_feature_hashing")(spark, sfDir)
+      .select($"doc_id", $"l1", $"nnz").as[(Long, Long, Long)].collect()
+    import org.apache.spark.sql.functions.{size, split}
+    val tokCounts = graft.Tables(spark, sfDir, "documents")
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    out.foreach { case (id, l1, nnz) =>
+      assert(l1 == tokCounts(id), s"doc $id: l1 $l1 != ${tokCounts(id)}")
+      assert(nnz >= 1 && nnz <= 64)
+    }
+    assert(out.length == tokCounts.size)
+  }
 }
