@@ -35,8 +35,48 @@ object PipelineOps {
     "q91_repetition_signals" -> ((s, d) => q91(s, d)),
     "q92_mix_sample" -> ((s, d) => q92(s, d)),
     "q94_bloom_dedup" -> ((s, d) => q94(s, d)),
-    "q95_zorder_layout" -> ((s, d) => q95(s, d))
+    "q95_zorder_layout" -> ((s, d) => q95(s, d)),
+    "q99_corpus_report" -> ((s, d) => q99(s, d))
   )
+
+  /** The corpus report card — the dashboard query a data team runs after
+    * every pipeline pass, composed as ONE plan: per-language and
+    * whole-corpus (GROUPING SETS) document counts, exact-duplicate
+    * copies (non-canonical members of each content-hash family), quality
+    * failures (token count ∉ [8, 5000] or mean token length ∉ [2, 12],
+    * cross-multiplied in int64 — no division), and token totals.
+    *
+    * Scale: one tokenize pass feeds everything; the only extra shuffle
+    * is the content-hash family count (16-byte keys, never text), joined
+    * back by hash. The two report tiers come from GROUPING SETS on the
+    * same aggregate — no second scan. Every metric is an int64 count, so
+    * the oracle replays the whole report exactly.
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = docs(s, d)
+      .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tok"),
+        expr("CAST(aggregate(toks, 0L, (a, t) -> a + length(t)) AS BIGINT)")
+          .as("tok_chars"),
+        md5($"text").as("h"))
+    val fams = base.groupBy($"h")
+      .agg(count(lit(1)).as("copies"), min($"doc_id").as("keeper"))
+    base.join(fams, "h")
+      .withColumn("is_dup_copy",
+        ($"copies" > 1 && $"doc_id" =!= $"keeper").cast("long"))
+      .withColumn("q_fail",
+        ($"n_tok" < 8 || $"n_tok" > 5000 ||
+          $"tok_chars" < $"n_tok" * 2 || $"tok_chars" > $"n_tok" * 12)
+          .cast("long"))
+      .createOrReplaceTempView("corpus_report_base")
+    s.sql("""
+      SELECT coalesce(lang, 'ALL') AS lang, count(*) AS n_docs,
+        sum(is_dup_copy) AS n_dup_copies, sum(q_fail) AS n_quality_fail,
+        sum(n_tok) AS n_tokens
+      FROM corpus_report_base
+      GROUP BY GROUPING SETS ((lang), ())
+      ORDER BY lang""")
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -584,6 +624,39 @@ object PipelineOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q99_corpus_report" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok,
+             CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+               t -> length(t))) AS BIGINT) AS tok_chars,
+             md5(text) AS h
+           FROM documents),
+         fams AS (
+           SELECT h, count(*) AS copies, min(doc_id) AS keeper
+           FROM base GROUP BY 1),
+         j AS (
+           SELECT base.lang, base.n_tok,
+             CASE WHEN fams.copies > 1 AND base.doc_id <> fams.keeper
+               THEN 1 ELSE 0 END AS is_dup_copy,
+             CASE WHEN base.n_tok < 8 OR base.n_tok > 5000
+               OR base.tok_chars < base.n_tok * 2
+               OR base.tok_chars > base.n_tok * 12
+               THEN 1 ELSE 0 END AS q_fail
+           FROM base JOIN fams USING (h)),
+         per AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(is_dup_copy) AS BIGINT) AS n_dup_copies,
+             CAST(sum(q_fail) AS BIGINT) AS n_quality_fail,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           FROM j GROUP BY 1
+           UNION ALL
+           SELECT 'ALL', CAST(count(*) AS BIGINT),
+             CAST(sum(is_dup_copy) AS BIGINT),
+             CAST(sum(q_fail) AS BIGINT), CAST(sum(n_tok) AS BIGINT)
+           FROM j)
+         SELECT lang, n_docs, n_dup_copies, n_quality_fail, n_tokens
+         FROM per ORDER BY lang""",
     "q94_bloom_dedup" ->
       """WITH wh AS (
            SELECT doc_id, lang,

@@ -288,6 +288,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_._2).sum == nProbe)
   }
 
+  test("q99: report tiers reconcile — ALL row equals the per-language sums") {
+    import spark.implicits._
+    val rep = run("q99_corpus_report")
+      .select($"lang", $"n_docs", $"n_dup_copies", $"n_quality_fail", $"n_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val all = rep.find(_._1 == "ALL").get
+    val per = rep.filter(_._1 != "ALL")
+    assert(per.map(_._2).sum == all._2 && per.map(_._3).sum == all._3 &&
+      per.map(_._4).sum == all._4 && per.map(_._5).sum == all._5)
+    assert(all._2 == Tables(spark, sfDir, "documents").count())
+    assert(all._3 >= 0 && all._4 >= 0 && all._5 > all._2) // >1 token/doc
+  }
+
   test("q95: z-order cells are narrow rectangles that partition the table") {
     import spark.implicits._
     val out = run("q95_zorder_layout").cache()
