@@ -35,6 +35,69 @@ object DuckMacros {
       xsr(mm64(xsr(mm64(xsr((x0 + 11400714819323198485) % 18446744073709551616, 30),
         13787848793156543929), 27), 10723151780598845931), 31);
     """
+
+  /** MurmurHash3 x86_32 (scala.util.hashing.MurmurHash3.bytesHash over
+    * UTF-8 bytes) — the base hash of the MinHash/SimHash/winnow
+    * expressions (TextHashes.tokenHash). mk32 = the k-mixing
+    * (k·c1, rotl15, ·c2); mstep = one block round (h ^= mk32; rotl13;
+    * h·5 + 0xe6546b64). The oracles fold mstep over 4-byte little-endian
+    * blocks with list_reduce (seed prepended as the initial state), add
+    * the tail block via mk32, and run the 16/13/16 finalizer inline as
+    * CTE stages (a single scalar macro would duplicate subexpressions
+    * exponentially). Validated bit-for-bit against the JVM for
+    * empty/1–5-byte/multi-byte-UTF-8 inputs on all three seeds used.
+    */
+  val M32: String =
+    """CREATE OR REPLACE MACRO mk32(k) AS
+      (((((k::HUGEINT * 3432918353) % 4294967296) % 131072) * 32768
+        + ((k::HUGEINT * 3432918353) % 4294967296) // 131072) * 461845907) % 4294967296;
+    CREATE OR REPLACE MACRO mstep(h, k) AS
+      ((((xor(h::UBIGINT, mk32(k)::UBIGINT)::HUGEINT) % 524288) * 8192
+        + (xor(h::UBIGINT, mk32(k)::UBIGINT)::HUGEINT) // 524288) * 5 + 3864292196) % 4294967296;
+    """
+
+  /** CTE chain (no WITH): murmur32 per (tok, sd) for a relation `dtok(tok)`
+    * crossed with `seeds(sd)` — ends at `m32f(tok, sd, m32)`.
+    */
+  val M32Chain: String =
+    """m32hx AS (
+       SELECT tok, sd, hex(encode(tok)) AS hh,
+         length(hex(encode(tok)))//2 AS ln
+       FROM dtok CROSS JOIN seeds),
+     m32by AS (
+       SELECT tok, sd, ln,
+         list_transform(generate_series(1, ln),
+           i -> ('0x'||substr(hh, i*2-1, 2))::UBIGINT::HUGEINT) AS bs
+       FROM m32hx),
+     m32ks AS (
+       SELECT tok, sd, ln,
+         list_transform(generate_series(0, ln//4 - 1),
+           b -> bs[4*b+1] + bs[4*b+2]*256 + bs[4*b+3]*65536 + bs[4*b+4]*16777216) AS kl,
+         CASE WHEN ln % 4 >= 1 THEN
+           bs[(ln//4)*4 + 1]
+           + CASE WHEN ln % 4 >= 2 THEN bs[(ln//4)*4 + 2]*256 ELSE 0 END
+           + CASE WHEN ln % 4 >= 3 THEN bs[(ln//4)*4 + 3]*65536 ELSE 0 END
+         ELSE 0 END AS kt
+       FROM m32by),
+     m32fold AS (
+       SELECT tok, sd, ln, kt,
+         list_reduce(list_prepend(sd::HUGEINT, kl), (h, k) -> mstep(h, k)) AS hb
+       FROM m32ks),
+     m32tl AS (
+       SELECT tok, sd, ln,
+         CASE WHEN ln % 4 >= 1
+           THEN xor(hb::UBIGINT, mk32(kt)::UBIGINT)::HUGEINT ELSE hb END AS h0
+       FROM m32fold),
+     m32f1 AS (SELECT tok, sd, ln,
+         xor(h0::UBIGINT, ln::UBIGINT)::HUGEINT AS h1 FROM m32tl),
+     m32f2 AS (SELECT tok, sd,
+         (xor(h1::UBIGINT, (h1 // 65536)::UBIGINT)::HUGEINT * 2246822507)
+           % 4294967296 AS h2 FROM m32f1),
+     m32f3 AS (SELECT tok, sd,
+         (xor(h2::UBIGINT, (h2 // 8192)::UBIGINT)::HUGEINT * 3266489909)
+           % 4294967296 AS h3 FROM m32f2),
+     m32f AS (SELECT tok, sd,
+         xor(h3::UBIGINT, (h3 // 65536)::UBIGINT)::HUGEINT AS m32 FROM m32f3)"""
 }
 
 object TextOps {
@@ -593,6 +656,122 @@ object TextOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
+    // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
+    // xxhash64 only matter through EQUALITY, so the oracle bands on the
+    // raw signature slices and intersects token strings — identical
+    // output modulo 64-bit collisions the q33 Scaladoc already concedes.
+    "q36_winnow_fingerprints" ->
+      (DuckMacros.M32 +
+      s"""WITH toks0 AS (
+           SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+           FROM documents),
+         dtok AS (SELECT DISTINCT unnest(toks) AS tok FROM toks0),
+         seeds AS (SELECT unnest([461845907]) AS sd),
+         ${DuckMacros.M32Chain},
+         tpos AS (
+           SELECT doc_id, i, toks[i] AS tok
+           FROM (SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks))) AS i FROM toks0)),
+         hseq AS (
+           SELECT t.doc_id, list(CAST(m.m32 AS BIGINT) ORDER BY t.i) AS hs
+           FROM tpos t JOIN m32f m ON t.tok = m.tok GROUP BY 1),
+         fps AS (
+           SELECT doc_id,
+             CASE WHEN len(hs) <= 4 THEN [list_aggregate(hs, 'min')]
+             ELSE list_distinct(list_transform(generate_series(1, len(hs) - 3),
+               i -> list_aggregate(hs[i:i+3], 'min'))) END AS fp
+           FROM hseq)
+         SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+           list_aggregate(fp, 'min') AS min_fp,
+           list_aggregate(fp, 'max') AS max_fp
+         FROM fps ORDER BY doc_id"""),
+    "q34_simhash_pairs" ->
+      (DuckMacros.M32 +
+      s"""WITH toks0 AS (
+           SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+           FROM documents WHERE doc_id % 5 = 0),
+         dtok AS (SELECT DISTINCT unnest(toks) AS tok FROM toks0),
+         seeds AS (SELECT unnest([2538058380, 2246822507]) AS sd),
+         ${DuckMacros.M32Chain},
+         h64 AS (
+           SELECT tok,
+             max(CASE WHEN sd = 2538058380 THEN m32 END) * 4294967296
+               + max(CASE WHEN sd = 2246822507 THEN m32 END) AS h
+           FROM m32f GROUP BY 1),
+         trows AS (
+           SELECT t.doc_id, h64.h
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM toks0) t
+           JOIN h64 USING (tok)),
+         votes AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN (CAST(h AS UBIGINT) >> b) & 1 = 1
+               THEN 1 ELSE -1 END) AS acc
+           FROM trows CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+           GROUP BY 1, 2),
+         shv AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN acc > 0 THEN 1::HUGEINT << b
+               ELSE 0::HUGEINT END) AS UBIGINT) AS sh
+           FROM votes GROUP BY 1),
+         banded AS (
+           SELECT doc_id, sh, band,
+             (sh >> CAST(band*16 AS INTEGER)) & 65535 AS bandval
+           FROM shv CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.sh AS sh1, b.sh AS sh2
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bandval = b.bandval
+               AND a.doc_id < b.doc_id)
+         SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sh1, sh2)) <= 16
+         ORDER BY id1, id2"""),
+    "q33_minhash_lsh_pairs" ->
+      (DuckMacros.Sm64 + DuckMacros.M32 +
+      s"""WITH toks0 AS (
+           SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+           FROM documents WHERE doc_id % 5 = 0),
+         dtok AS (SELECT DISTINCT unnest(toks) AS tok FROM toks0),
+         seeds AS (SELECT unnest([2538058380, 2246822507]) AS sd),
+         ${DuckMacros.M32Chain},
+         h64 AS (
+           SELECT tok,
+             max(CASE WHEN sd = 2538058380 THEN m32 END) * 4294967296
+               + max(CASE WHEN sd = 2246822507 THEN m32 END) AS h
+           FROM m32f GROUP BY 1),
+         dset AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM toks0),
+         szs AS (SELECT doc_id, count(*) AS sz FROM dset GROUP BY 1),
+         sigrows AS (
+           SELECT d.doc_id, i.i,
+             xor(sm64((h64.h + (i.i::HUGEINT * 11400714819323198485)
+                 % 18446744073709551616) % 18446744073709551616)::UBIGINT,
+               9223372036854775808::UBIGINT) AS key
+           FROM dset d JOIN h64 USING (tok)
+           CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) i),
+         sig AS (SELECT doc_id, i, min(key) AS k FROM sigrows GROUP BY 1, 2),
+         sigl AS (SELECT doc_id, list(k ORDER BY i) AS sig FROM sig GROUP BY 1),
+         bands AS (
+           SELECT s.doc_id, z.sz, b.b,
+             array_to_string(s.sig[b.b*4+1:b.b*4+4], ',') AS bk
+           FROM sigl s JOIN szs z USING (doc_id)
+           CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS b) b),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+               AND 5*least(a.sz, b.sz) > 4*greatest(a.sz, b.sz)),
+         sets AS (SELECT doc_id, list(tok) AS st, count(*) AS sz
+           FROM dset GROUP BY 1),
+         j AS (
+           SELECT id1, id2,
+             CAST(len(list_intersect(s1.st, s2.st)) AS DOUBLE) AS inter,
+             CAST(s1.sz + s2.sz AS DOUBLE) AS stot
+           FROM cand
+           JOIN sets s1 ON id1 = s1.doc_id
+           JOIN sets s2 ON id2 = s2.doc_id)
+         SELECT id1, id2, round(inter / (stot - inter), 4) AS jaccard
+         FROM j WHERE inter / (stot - inter) > 0.8 ORDER BY id1, id2"""),
     "q70_hash_split" ->
       """WITH b AS (
            SELECT doc_id,
