@@ -292,6 +292,34 @@ object Multimodal {
   }
 
   def oracles: Map[String, String] = Map(
+    // float32 replay: DuckDB REAL arithmetic is true fp32 per op
+    // (validated against the JVM/numpy), so the stub extractor's
+    // sequential `acc += byte/255.0f` fold is reproduced exactly with a
+    // list_reduce over each dimension's byte subsequence; the scalarized
+    // outputs then agree bit-for-bit before their round(3).
+    "mm_features" ->
+      s"""WITH b AS (
+           SELECT asset_id, substring(hexb, 33) AS ph
+           FROM read_parquet('${NexmarkQueries.DumpDir}/mm_assets_hex.parquet/*.parquet')),
+         e AS (
+           SELECT asset_id, length(ph)//2 AS n,
+             list_transform(generate_series(1, length(ph)//2),
+               i -> ('0x' || substring(ph, i*2 - 1, 2))::UBIGINT::INTEGER) AS pb
+           FROM b),
+         fv AS (
+           SELECT asset_id, d.d,
+             list_reduce(list_prepend(0::REAL,
+               list_transform(generate_series(0, (n - d.d - 1)//32),
+                 j -> pb[d.d + 32*j + 1])),
+               (a, x) -> (a::REAL + (x::REAL / 255::REAL)::REAL)::REAL) AS v
+           FROM e CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS d) d),
+         vl AS (SELECT asset_id, list(v ORDER BY d) AS feat FROM fv GROUP BY 1)
+         SELECT asset_id, CAST(32 AS BIGINT) AS dim,
+           round(sqrt(list_reduce(list_prepend(0::DOUBLE,
+             list_transform(feat, x -> x::DOUBLE * x::DOUBLE)),
+             (a, x) -> a + x)), 3) AS l2_norm,
+           round(feat[1]::DOUBLE, 3) AS f0
+         FROM vl ORDER BY asset_id""",
     "mm_phash_dedup" ->
       s"""WITH b AS (
            SELECT asset_id, substring(hexb, 33) AS ph
