@@ -34,7 +34,7 @@ object TextHashes {
   def winnowFingerprints(tokens: Column, window: Int): Column =
     column(WinnowExpr(expression(tokens), window))
 
-  private[functions] def tokenHash(s: String, seed: Int): Int =
+  private[graft] def tokenHash(s: String, seed: Int): Int =
     MurmurHash3.bytesHash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
 
   /** Reference Scala impls (shared by the expressions and the specs). */

@@ -130,6 +130,22 @@ class TextHashesSpec extends SparkSpec {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"), out.toString)
   }
 
+  test("tokenHash pins the murmur32 values the DuckDB oracle macros replay") {
+    // DuckMacros.M32 (the q33/q34/q36 oracle) was validated bit-for-bit
+    // against exactly these values — if tokenHash ever changes (seed,
+    // algorithm, charset), this must break loudly alongside the oracle.
+    val gt = Map(
+      ("", 0x9747b28c) -> 3954623016L, ("a", 0x9747b28c) -> 2141232806L,
+      ("abc", 0x9747b28c) -> 3360318173L, ("abcde", 0x9747b28c) -> 3910514738L,
+      ("the", 0x9747b28c) -> 4162928886L, ("日本語", 0x9747b28c) -> 2170758261L,
+      ("abcd", 0x85ebca6b) -> 457003281L, ("日本語", 0x85ebca6b) -> 3776377064L,
+      ("abcde", 0x1b873593) -> 840040391L, ("naïve", 0x1b873593) -> 361750328L)
+    gt.foreach { case ((s, seed), v) =>
+      assert((TextHashes.tokenHash(s, seed) & 0xffffffffL) == v,
+        s"murmur32('$s', $seed) drifted from the oracle-validated value")
+    }
+  }
+
   test("q98 feature hashing: l1 equals token count, nnz bounded by 64") {
     import spark.implicits._
     val out = TextOps.defs("q98_feature_hashing")(spark, sfDir)
