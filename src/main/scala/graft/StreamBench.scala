@@ -68,7 +68,42 @@ object StreamBench {
     val q11Eps = run("q11",
       in => StreamOps.sessionCounts(in.toDF(), "10 seconds", "0 seconds"),
       OutputMode.Append)
+
+    // LLM-ingest pipeline rate (docs/s): dedup -> quality -> langid ->
+    // windowed counts, the two-stateful-operator chain. Word-salad docs,
+    // deterministic per id; ts advances 1 ms/doc so watermark eviction
+    // keeps dedup state horizon-bounded like production.
+    import graft.streaming.StreamOps.DocEvent
+    val vocab = Vector("the", "of", "and", "to", "in", "is", "der", "und",
+      "ist", "ein", "el", "la", "los", "y", "es", "le", "les", "et", "est",
+      "un", "alpha", "beta", "gamma", "delta", "omega", "kappa", "sigma",
+      "tau", "zeta", "lambda")
+    val nDocs = math.max(nBids / 10, batchSize / 10 * 2)
+    val docEvents: Seq[DocEvent] = (0L until nDocs.toLong).map { id =>
+      val rng = new Nexmark.Rng(id)
+      val n = 20 + rng.nextInt(40)
+      val text = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      DocEvent(id, new java.sql.Timestamp(1_436_918_400_000L + id), text)
+    }
+    def runDocs(name: String): Double = {
+      val in = MemoryStream[DocEvent]
+      val q = StreamOps.ingestPipelineStream(in.toDS(), "10 seconds")
+        .writeStream.format("noop").outputMode(OutputMode.Append).start()
+      val chunks = docEvents.grouped(batchSize / 10).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val timed = chunks.tail
+      val t0 = System.nanoTime()
+      timed.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val dps = timed.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] $name: $dps%.0f docs/s over ${timed.size} batches")
+      dps
+    }
+    val ingestDps = runDocs("ingest")
     println(f"streaming_q5_eps=${q5Eps}%.0f streaming_q11_eps=${q11Eps}%.0f " +
+      f"streaming_ingest_dps=${ingestDps}%.0f " +
       s"(n=${bids.size}, batch=$batchSize, cpus=$cpus)")
     spark.stop()
   }
