@@ -64,6 +64,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Static conf, default 100: the 27-query suite compiles far more
+      // generated classes than that, so rep 2 (the min) evicts and
+      // recompiles instead of hitting the cache — measured ~2× on the
+      // codegen-heavy minhash queries (3.1 s in-suite vs 1.7 s isolated).
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
