@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // static conf; the 140-query catalog shares many generated-class
+      // shapes (tokenize/hash subtrees) — default cache of 100 thrashes
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       // processing-time queries replay a deterministic arrival model here
       // so their DuckDB oracles can recompute them (graft.functions.ProcTime)
