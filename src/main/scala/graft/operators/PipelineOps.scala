@@ -36,7 +36,11 @@ object PipelineOps {
     "q92_mix_sample" -> ((s, d) => q92(s, d)),
     "q94_bloom_dedup" -> ((s, d) => q94(s, d)),
     "q95_zorder_layout" -> ((s, d) => q95(s, d)),
-    "q99_corpus_report" -> ((s, d) => q99(s, d))
+    "q99_corpus_report" -> ((s, d) => q99(s, d)),
+    "q100_cms_topk" -> ((s, d) => q100(s, d)),
+    "q101_source_overlap" -> ((s, d) => q101(s, d)),
+    "q102_quality_lr" -> ((s, d) => q102(s, d)),
+    "q103_pack_efficiency" -> ((s, d) => q103(s, d))
   )
 
   /** The corpus report card — the dashboard query a data team runs after
@@ -623,7 +627,215 @@ object PipelineOps {
       .orderBy($"lang")
   }
 
+  /** Count-Min sketch heavy hitters — the mergeable frequency sketch
+    * every streaming/distributed frequency estimator is built on
+    * (Cormode & Muthukrishnan). Depth 4 × width 2048; cell hashes are
+    * disjoint 28-bit slices of md5(token), so the sketch is
+    * engine-independent and the oracle replays it cell for cell. The
+    * top-20 exact tokens are then looked up in the sketch: est ≥ exact
+    * always (CMS never undercounts), and `overcount` shows the collision
+    * error the width bound promises (ε ≈ e/2048 of total mass).
+    *
+    * Scale: the only corpus-sized shuffle is the token count (map-side
+    * combined). The sketch itself is d·w = 8192 cells built FROM the
+    * counts (increment-by-count == increment-per-occurrence), the top-k
+    * is TakeOrderedAndProject (no global sort), and the lookup joins the
+    * broadcast cell table — at 100 TB the shape is identical, and the
+    * sketch merges across partitions/epochs by cell-wise sum.
+    */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val depth = 4; val width = 2048
+    val cellHash = (tokCol: String) =>
+      s"transform(sequence(0, ${depth - 1}), " +
+        s"i -> cast(conv(substring(md5($tokCol), 1 + i*7, 7), 16, 10) as bigint) % $width)"
+    val cnt = docs(s, d).select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val cells = cnt
+      .select($"c", posexplode(expr(cellHash("tok"))))
+      .groupBy($"pos".as("i"), $"col".as("cell"))
+      .agg(sum($"c").as("v"))
+    val top = cnt.orderBy($"c".desc, $"tok").limit(20)
+    top.select($"tok", $"c", posexplode(expr(cellHash("tok"))))
+      .join(broadcast(cells), $"pos" === $"i" && $"col" === $"cell")
+      .groupBy($"tok", $"c")
+      .agg(min($"v").as("n_est"))
+      .select($"tok", $"c".as("n_exact"), $"n_est",
+        ($"n_est" - $"c").as("overcount"))
+      .orderBy($"n_exact".desc, $"tok")
+  }
+
+  /** Cross-source contamination matrix — for every source pair, how many
+    * distinct documents (by leading-16-token fingerprint, the standard
+    * cheap near-dup key for crawl snapshots) appear in BOTH. The question
+    * a corpus team asks before mixing crawls: which inputs are re-serving
+    * each other's content. Overlap is reported as an exact integer
+    * permille of the union (no float rounding can diverge).
+    *
+    * Scale: text reduces to a 16-byte md5 of the prefix immediately; the
+    * self-join runs on (hash, source) pairs AFTER a distinct (so a doc
+    * duplicated 1000× inside one source contributes one row), and with S
+    * sources a hash shared by all of them expands to only S(S-1)/2 pair
+    * rows. Nothing text-sized ever shuffles.
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dsh = docs(s, d)
+      .select(md5(array_join(slice($"toks", 1, 16), " ")).as("h"), $"source")
+      .distinct()
+    val nsrc = dsh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val shared = dsh.as("a")
+      .join(dsh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source1"), col("b.source").as("source2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(nsrc.select($"source".as("source1"), $"n".as("n1"))),
+        "source1")
+      .join(broadcast(nsrc.select($"source".as("source2"), $"n".as("n2"))),
+        "source2")
+      .select($"source1", $"source2", $"n_shared", $"n1", $"n2",
+        expr("(1000 * n_shared) div (n1 + n2 - n_shared)")
+          .as("jaccard_permille"))
+      .orderBy($"source1", $"source2")
+  }
+
+  /** Quality-classifier batch inference — the fasttext-style linear
+    * scorer every corpus pipeline runs over each document: fixed
+    * published weights over cheap text features (length, mean token
+    * chars, stopword rate, distinct rate), bucketed into score bins for
+    * the calibration report. The margin z is computed in ONE fixed-order
+    * double expression — IEEE *, /, + are correctly rounded, so both
+    * engines produce bit-identical doubles and `floor` can never
+    * disagree; bucket mins/maxes are emitted floor-scaled (×1e5) instead
+    * of decimal-rounded (rounding half-way cases is engine-dependent,
+    * floor of identical bits is not).
+    *
+    * Scale: pure per-document map work (one codegen pass, no UDF) feeding
+    * a 1-shuffle rollup on the bucket id. Model upgrades (more features,
+    * n-gram hashes) stay per-row; scoring 100 TB is scan-bound.
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val f = docs(s, d).select($"doc_id",
+      size($"toks").cast("double").as("n_tok"),
+      $"n_chars".cast("double").as("nc"),
+      size(expr("filter(toks, t -> t IN " +
+        "('a','the','of','and','to','in','is'))")).cast("double").as("n_stop"),
+      size(array_distinct($"toks")).cast("double").as("n_dist"))
+    val z = lit(-2.0d) + lit(0.002d) * $"n_tok" +
+      lit(0.08d) * ($"nc" / $"n_tok") +
+      lit(3.0d) * ($"n_stop" / $"n_tok") +
+      lit(1.5d) * ($"n_dist" / $"n_tok")
+    f.withColumn("z", z)
+      .withColumn("bucket", floor($"z" * 8d).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        floor(min($"z") * 100000d).cast("long").as("z_min_5"),
+        floor(max($"z") * 100000d).cast("long").as("z_max_5"))
+      .orderBy($"bucket")
+  }
+
+  /** Packing-efficiency report — before training, every pipeline asks:
+    * at max_seq_len 4096 with length-bucketed batching (pad to the next
+    * multiple of 512), how many tokens are padding and how many are
+    * truncated? Exact integer arithmetic end to end; efficiency is an
+    * integer permille.
+    *
+    * Scale: per-document arithmetic plus one tiny rollup keyed by padded
+    * length (≤ 8 buckets) — map-side combine reduces it to almost
+    * nothing before the shuffle.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select(size($"toks").cast("long").as("n_tok"))
+      .withColumn("kept", least($"n_tok", lit(4096L)))
+      .withColumn("padded", expr("((kept + 511) div 512) * 512"))
+      .groupBy($"padded")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"kept").as("sum_kept"),
+        sum($"n_tok" - $"kept").as("sum_truncated"),
+        expr("(1000 * sum(kept)) div sum(padded)").as("fill_permille"))
+      .orderBy($"padded")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q100_cms_topk" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY 1),
+         cells AS (
+           SELECT s.i,
+             ('0x' || substr(md5(tok), 1 + s.i*7, 7))::UBIGINT % 2048 AS cell,
+             sum(c) AS v
+           FROM cnt CROSS JOIN (SELECT unnest(range(0, 4)) AS i) s
+           GROUP BY 1, 2),
+         top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20),
+         est AS (
+           SELECT t.tok, t.c, CAST(min(cl.v) AS BIGINT) AS n_est
+           FROM top t CROSS JOIN (SELECT unnest(range(0, 4)) AS i) s
+           JOIN cells cl ON cl.i = s.i
+             AND cl.cell =
+               ('0x' || substr(md5(t.tok), 1 + s.i*7, 7))::UBIGINT % 2048
+           GROUP BY 1, 2)
+         SELECT tok, c AS n_exact, n_est, n_est - c AS overcount
+         FROM est ORDER BY n_exact DESC, tok""",
+    "q101_source_overlap" ->
+      """WITH dsh AS (
+           SELECT DISTINCT
+             md5(array_to_string(string_split_regex(text, '\s+')[1:16], ' '))
+               AS h,
+             source
+           FROM documents),
+         nsrc AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+           FROM dsh GROUP BY 1),
+         shared AS (
+           SELECT a.source AS source1, b.source AS source2,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM dsh a JOIN dsh b ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT source1, source2, n_shared, n1.n AS n1, n2.n AS n2,
+           (1000 * n_shared) // (n1.n + n2.n - n_shared) AS jaccard_permille
+         FROM shared
+         JOIN nsrc n1 ON n1.source = shared.source1
+         JOIN nsrc n2 ON n2.source = shared.source2
+         ORDER BY source1, source2""",
+    "q102_quality_lr" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(text, '\s+')) AS DOUBLE) AS n_tok,
+             CAST(n_chars AS DOUBLE) AS nc,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               t -> t IN ('a','the','of','and','to','in','is'))) AS DOUBLE)
+               AS n_stop,
+             CAST(len(list_distinct(string_split_regex(text, '\s+')))
+               AS DOUBLE) AS n_dist
+           FROM documents),
+         zz AS (
+           SELECT -2.0 + 0.002 * n_tok + 0.08 * (nc / n_tok)
+             + 3.0 * (n_stop / n_tok) + 1.5 * (n_dist / n_tok) AS z
+           FROM f)
+         SELECT CAST(floor(z * 8) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(floor(min(z) * 100000) AS BIGINT) AS z_min_5,
+           CAST(floor(max(z) * 100000) AS BIGINT) AS z_max_5
+         FROM zz GROUP BY 1 ORDER BY 1""",
+    "q103_pack_efficiency" ->
+      """WITH t AS (
+           SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+             AS n_tok
+           FROM documents),
+         k AS (SELECT n_tok, least(n_tok, 4096) AS kept,
+           ((least(n_tok, 4096) + 511) // 512) * 512 AS padded FROM t)
+         SELECT padded, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS sum_kept,
+           CAST(sum(n_tok - kept) AS BIGINT) AS sum_truncated,
+           (1000 * CAST(sum(kept) AS BIGINT))
+             // CAST(sum(padded) AS BIGINT) AS fill_permille
+         FROM k GROUP BY 1 ORDER BY 1""",
     "q99_corpus_report" ->
       """WITH base AS (
            SELECT doc_id, lang,

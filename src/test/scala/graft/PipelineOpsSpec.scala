@@ -301,6 +301,83 @@ class PipelineOpsSpec extends SparkSpec {
     assert(all._3 >= 0 && all._4 >= 0 && all._5 > all._2) // >1 token/doc
   }
 
+  test("q100: CMS estimates never undercount and match brute-force exact counts") {
+    import spark.implicits._
+    val out = run("q100_cms_topk")
+      .select($"tok", $"n_exact", $"n_est", $"overcount")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == 20)
+    // CMS guarantee: min over rows of hashed cells >= true count
+    out.foreach { case (t, ex, est, over) =>
+      assert(est >= ex, s"CMS undercounted '$t'")
+      assert(over == est - ex)
+    }
+    // exact side equals a brute-force recount
+    val brute = Tables(spark, sfDir, "documents")
+      .select(explode(split($"text", "\\s+")).as("tok"))
+      .groupBy($"tok").count()
+      .as[(String, Long)].collect().toMap
+    out.foreach { case (t, ex, _, _) => assert(brute(t) == ex) }
+    // top-20 really are the 20 largest (count, then token) keys
+    val expectTop = brute.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    assert(out.map(r => (r._1, r._2)).toSeq ==
+      expectTop.sortBy { case (t, c) => (-c, t) })
+  }
+
+  test("q101: overlap matrix bounds and brute-force pair recount") {
+    import spark.implicits._
+    val out = run("q101_source_overlap")
+      .select($"source1", $"source2", $"n_shared", $"n1", $"n2",
+        $"jaccard_permille")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    out.foreach { case (s1, s2, sh, n1, n2, jp) =>
+      assert(s1 < s2) // each unordered pair reported once
+      assert(sh >= 1 && sh <= math.min(n1, n2))
+      assert(jp >= 0 && jp <= 1000)
+      assert(jp == 1000 * sh / (n1 + n2 - sh))
+    }
+    // brute-force one pair via the same fingerprint
+    out.headOption.foreach { case (s1, s2, sh, _, _, _) =>
+      val fp = Tables(spark, sfDir, "documents")
+        .select(md5(array_join(slice(split($"text", "\\s+"), 1, 16), " "))
+          .as("h"), $"source")
+        .distinct().as[(String, String)].collect()
+      val a = fp.filter(_._2 == s1).map(_._1).toSet
+      val b = fp.filter(_._2 == s2).map(_._1).toSet
+      assert((a & b).size.toLong == sh)
+    }
+  }
+
+  test("q102: score buckets partition the corpus and bound their members") {
+    import spark.implicits._
+    val out = run("q102_quality_lr")
+      .select($"bucket", $"n_docs", $"z_min_5", $"z_max_5")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == Tables(spark, sfDir, "documents").count())
+    out.foreach { case (b, n, lo, hi) =>
+      assert(n > 0 && lo <= hi)
+      // bucket = floor(z*8)  =>  z*1e5 ∈ [b*12500, (b+1)*12500)
+      assert(lo >= b * 12500 && hi < (b + 1) * 12500)
+    }
+  }
+
+  test("q103: packing report conserves documents and bounds fill rate") {
+    import spark.implicits._
+    val out = run("q103_pack_efficiency")
+      .select($"padded", $"n_docs", $"sum_kept", $"sum_truncated",
+        $"fill_permille")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == Tables(spark, sfDir, "documents").count())
+    out.foreach { case (p, n, kept, trunc, fill) =>
+      assert(p % 512 == 0 && p > 0 && p <= 4096)
+      assert(kept <= p * n) // padding is non-negative
+      assert(trunc >= 0)
+      assert(fill == 1000 * kept / (p * n) && fill <= 1000)
+      // pad-to-next-512: every doc fills more than the previous boundary
+      assert(kept > (p - 512) * n)
+    }
+  }
+
   test("q95: z-order cells are narrow rectangles that partition the table") {
     import spark.implicits._
     val out = run("q95_zorder_layout").cache()
