@@ -40,7 +40,8 @@ object PipelineOps {
     "q100_cms_topk" -> ((s, d) => q100(s, d)),
     "q101_source_overlap" -> ((s, d) => q101(s, d)),
     "q102_quality_lr" -> ((s, d) => q102(s, d)),
-    "q103_pack_efficiency" -> ((s, d) => q103(s, d))
+    "q103_pack_efficiency" -> ((s, d) => q103(s, d)),
+    "q104_snapshot_merge" -> ((s, d) => q104(s, d))
   )
 
   /** The corpus report card — the dashboard query a data team runs after
@@ -760,7 +761,64 @@ object PipelineOps {
       .orderBy($"padded")
   }
 
+  /** MERGE-INTO-style snapshot upsert — the corpus-update operation every
+    * recurring crawl runs: a new batch lands against the current index,
+    * and each key resolves to insert (new id), update (id exists, content
+    * changed), noop (id exists, content identical), or keep (index only).
+    * The batch simulates revisions deterministically (even ids get a
+    * " v2" suffix) so all four branches are exercised and the oracle
+    * replays them exactly. Reported per action: row count, resulting
+    * corpus bytes, and id bounds.
+    *
+    * Scale: MERGE is ONE full-outer shuffle join on the key — with the
+    * index bucketed by doc_id (plans.Scale) the shuffle drops to the
+    * batch side only. Change detection compares content hashes, so a
+    * column-pruned index scan (id, hash) suffices; the full index row is
+    * only rewritten for the `update` sliver.
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, d, "documents")
+    val index = base.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id", $"text".as("t_i"))
+    val batch = base.filter($"doc_id" % 3 === 0)
+      .select($"doc_id",
+        when($"doc_id" % 2 === 0, concat($"text", lit(" v2")))
+          .otherwise($"text").as("t_b"))
+    index.join(batch, Seq("doc_id"), "full_outer")
+      .withColumn("action",
+        when($"t_i".isNull, "insert")
+          .when($"t_b".isNull, "keep")
+          .when($"t_i" =!= $"t_b", "update")
+          .otherwise("noop"))
+      .withColumn("t_out", coalesce($"t_b", $"t_i"))
+      .groupBy($"action")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length($"t_out")).cast("long").as("sum_chars"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"))
+      .orderBy($"action")
+  }
+
   def oracles: Map[String, String] = Map(
+    "q104_snapshot_merge" ->
+      """WITH index_side AS (
+           SELECT doc_id, text AS t_i FROM documents WHERE doc_id % 5 <> 0),
+         batch AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text || ' v2' ELSE text END AS t_b
+           FROM documents WHERE doc_id % 3 = 0),
+         m AS (
+           SELECT coalesce(i.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN i.doc_id IS NULL THEN 'insert'
+                  WHEN b.doc_id IS NULL THEN 'keep'
+                  WHEN i.t_i <> b.t_b THEN 'update'
+                  ELSE 'noop' END AS action,
+             coalesce(b.t_b, i.t_i) AS t_out
+           FROM index_side i FULL OUTER JOIN batch b ON i.doc_id = b.doc_id)
+         SELECT action, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(t_out)) AS BIGINT) AS sum_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM m GROUP BY 1 ORDER BY 1""",
     "q100_cms_topk" ->
       """WITH tok AS (
            SELECT unnest(string_split_regex(text, '\s+')) AS tok

@@ -378,6 +378,33 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q104: merge actions partition the key union and match a brute-force merge") {
+    import spark.implicits._
+    val rows = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val index = rows.filter(_._1 % 5 != 0).toMap
+    val batch = rows.filter(_._1 % 3 == 0)
+      .map { case (id, t) => id -> (if (id % 2 == 0) t + " v2" else t) }.toMap
+    val keys = index.keySet ++ batch.keySet
+    val expect = keys.groupBy { id =>
+      (index.get(id), batch.get(id)) match {
+        case (None, _) => "insert"
+        case (_, None) => "keep"
+        case (Some(a), Some(b)) if a != b => "update"
+        case _ => "noop"
+      }
+    }.map { case (a, ids) =>
+      a -> (ids.size.toLong,
+        ids.toSeq.map(id => batch.getOrElse(id, index(id)).length.toLong).sum)
+    }
+    val got = run("q104_snapshot_merge")
+      .select($"action", $"n_docs", $"sum_chars")
+      .as[(String, Long, Long)].collect()
+      .map { case (a, n, c) => a -> (n, c) }.toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == keys.size.toLong)
+  }
+
   test("q95: z-order cells are narrow rectangles that partition the table") {
     import spark.implicits._
     val out = run("q95_zorder_layout").cache()
