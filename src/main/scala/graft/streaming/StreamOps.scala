@@ -299,6 +299,74 @@ object StreamOps {
         col("n_docs"), col("sum_tokens"))
   }
 
+  /** One retained heavy-hitter counter for a closed window (public:
+    * encoder requirement). `est` is the Misra-Gries estimate (true count
+    * − at most `n_tokens/(k+1)`); `n_tokens` is the window's total token
+    * mass, so consumers can bound the error themselves.
+    */
+  case class HeavyHitter(w_start: Timestamp, tok: String, est: Long,
+      n_tokens: Long)
+  case class MGState(counts: Map[String, Long], n: Long)
+
+  /** Streaming heavy hitters — per event-time tumbling window, the
+    * Misra-Gries bounded-counter summary of token frequencies (the
+    * streaming counterpart of batch q100's Count-Min top-k, but with
+    * O(k) state per window instead of a d×w sketch, and deterministic
+    * UNDER-estimates instead of over-estimates). Each window's state is
+    * at most k counters regardless of vocabulary size; the MG guarantee
+    * — any token with true frequency > n/(k+1) survives, and estimates
+    * undercount by ≤ n/(k+1) — holds for ANY arrival order, which is
+    * what makes it safe under micro-batch re-ordering. Windows emit on
+    * event-time timeout once the watermark passes the window end
+    * (append mode), so results are final.
+    *
+    * Scale: state is bounded by k × windows-in-the-watermark-horizon,
+    * never by vocabulary; the token stream shuffles as (ts, tok) pairs
+    * keyed by window — at higher rates, MG summaries also MERGE
+    * (sum counters, then keep the top k after subtracting the (k+1)-th
+    * value), so a per-partition pre-summary stage can bound even the
+    * shuffle at k rows per partition per window.
+    */
+  def heavyHittersStream(docs: Dataset[DocEvent], windowSecs: Int, k: Int,
+      watermark: String): Dataset[HeavyHitter] = {
+    import docs.sparkSession.implicits._
+    val windowMs = windowSecs * 1000L
+    docs.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(split(col("text"), "\\s+")).as("tok"))
+      .withColumn("w_start",
+        (floor(col("ts").cast("double") / windowSecs) * windowSecs)
+          .cast("timestamp"))
+      .groupByKey(r => r.getTimestamp(2).getTime)
+      .flatMapGroupsWithState[MGState, HeavyHitter](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, rows: Iterator[org.apache.spark.sql.Row],
+            state: GroupState[MGState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s.counts.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+              .map { case (t, c) => HeavyHitter(new Timestamp(wstart), t, c, s.n) }
+          } else {
+            var s = state.getOption.getOrElse(MGState(Map.empty, 0L))
+            rows.foreach { r =>
+              val t = r.getString(1)
+              val c = s.counts
+              if (c.contains(t)) s = MGState(c.updated(t, c(t) + 1), s.n + 1)
+              else if (c.size < k) s = MGState(c.updated(t, 1L), s.n + 1)
+              else {
+                // decrement-all round: drop zeroed counters
+                val dec = c.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+                s = MGState(dec, s.n + 1)
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(wstart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** A rate/reference-data update on the right side of a streaming as-of
     * join (public: encoder requirement).
     */

@@ -388,4 +388,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(written.count() == bids.size)
     assert(written.columns.toSet == Set("auction", "bidder", "price", "b_date_time"))
   }
+
+  test("streaming heavy hitters: MG guarantees hold and windows emit once closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.DocEvent
+    val t0 = 1_436_918_400_000L
+    def doc(id: Long, sec: Int, text: String) =
+      DocEvent(id, new Timestamp(t0 + sec * 1000L), text)
+    val k = 4
+    // window 0 ([t0, t0+10s)): 'alpha' dominates, long tail of singletons
+    val w0 = Seq(
+      doc(1, 0, "alpha alpha alpha alpha alpha beta beta gamma"),
+      doc(2, 3, "alpha alpha beta delta epsilon zeta eta theta"),
+      doc(3, 8, "alpha iota kappa lambda"))
+    // a doc far past the window advances the watermark and closes w0
+    val closer = Seq(doc(4, 3600, "closer tokens only"))
+    val in = MemoryStream[DocEvent]
+    val q = StreamOps.toMemory(
+      StreamOps.heavyHittersStream(in.toDS(), 10, k, "0 seconds").toDF(),
+      "hh_test", OutputMode.Append)
+    try {
+      in.addData(w0); q.processAllAvailable()
+      // nothing emits while the window is open
+      assert(spark.table("hh_test").count() == 0)
+      in.addData(closer); q.processAllAvailable()
+      val out = spark.table("hh_test")
+        .select($"w_start", $"tok", $"est", $"n_tokens")
+        .as[(Timestamp, String, Long, Long)].collect()
+      assert(out.nonEmpty && out.forall(_._1.getTime == t0))
+      val exact = w0.flatMap(_.text.split("\\s+"))
+        .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+      val n = exact.values.sum
+      assert(out.forall(_._4 == n))
+      assert(out.length <= k)
+      val err = n / (k + 1)
+      out.foreach { case (_, t, est, _) =>
+        // MG never overcounts, and undercounts by at most n/(k+1)
+        assert(est <= exact(t), s"$t overestimated")
+        assert(exact(t) - est <= err, s"$t underestimated beyond bound")
+      }
+      // any token with true frequency > n/(k+1) must be retained
+      val mustKeep = exact.filter(_._2 > err).keySet
+      val kept = out.map(_._2).toSet
+      assert(mustKeep.subsetOf(kept), s"missing ${mustKeep -- kept}")
+    } finally q.stop()
+  }
 }
