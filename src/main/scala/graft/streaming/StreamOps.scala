@@ -350,15 +350,9 @@ object StreamOps {
           } else {
             var s = state.getOption.getOrElse(MGState(Map.empty, 0L))
             rows.foreach { r =>
-              val t = r.getString(1)
-              val c = s.counts
-              if (c.contains(t)) s = MGState(c.updated(t, c(t) + 1), s.n + 1)
-              else if (c.size < k) s = MGState(c.updated(t, 1L), s.n + 1)
-              else {
-                // decrement-all round: drop zeroed counters
-                val dec = c.view.mapValues(_ - 1).filter(_._2 > 0).toMap
-                s = MGState(dec, s.n + 1)
-              }
+              s = MGState(
+                graft.functions.MisraGries.update(s.counts, k, r.getString(1)),
+                s.n + 1)
             }
             state.update(s)
             state.setTimeoutTimestamp(wstart + windowMs)
