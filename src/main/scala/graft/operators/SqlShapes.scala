@@ -268,9 +268,15 @@ object SqlShapes {
   /** ROLLUP aggregate with subtotal rows. */
   private def q43(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // money is summed in integer CENTS (row-level floor(x·100+0.5) is
+    // bit-identical cross-engine; int64 addition is order-free), then
+    // divided once — a rounded double SUM diverges at sf1 magnitudes
+    // where accumulated ulp drift exceeds the .xx5 rounding boundary
     Tables(s, d, "orders")
       .rollup($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        (sum(expr("CAST(floor(o_totalprice * 100d + 0.5d) AS BIGINT)"))
+          / 100.0d).as("total"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
@@ -399,7 +405,9 @@ object SqlShapes {
                              WHERE l2.l_partkey = lineitem.l_partkey)""",
     "q43_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-         CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / 100.0 AS total
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
     "q44_cube" ->

@@ -229,8 +229,13 @@ object TpchFull {
       .join(t(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"n_name".as("nation"),
         year($"o_orderdate").cast("long").as("o_year"))
-      .agg(round(sum(rev - lit(0.5) * $"p_retailprice" * $"l_quantity"), 2)
-        .as("sum_profit"))
+      // per-row profit has ≤4 decimal places by construction (2dp price ×
+      // 2dp discount); quantize each ROW to int64 ten-thousandths (bit-
+      // identical cross-engine) and sum exactly — a rounded double SUM
+      // diverges at sf1 where accumulated ulp drift crosses .xx5
+      .agg((sum(expr("CAST(floor((l_extendedprice * (1.0d - l_discount) " +
+          "- 0.5d * p_retailprice * l_quantity) * 10000d + 0.5d) AS BIGINT)"))
+        / 10000.0d).as("sum_profit"))
       .orderBy($"nation", $"o_year".desc)
   }
 
@@ -580,8 +585,9 @@ object TpchFull {
          GROUP BY 1 ORDER BY 1""",
     "tpch_q09" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         round(sum(l_extendedprice * (1.0 - l_discount)
-           - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+         CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)
+           - 0.5 * p_retailprice * l_quantity) * 10000 + 0.5) AS BIGINT))
+           AS BIGINT) / 10000.0 AS sum_profit
          FROM part
          JOIN lineitem ON p_partkey = l_partkey
          JOIN supplier ON l_suppkey = s_suppkey

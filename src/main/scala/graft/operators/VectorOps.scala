@@ -32,8 +32,77 @@ object VectorOps {
     "q60_cosine_dedup" -> ((s, d) => q60(s, d)),
     "q72_kmeans_assign" -> ((s, d) => q72(s, d)),
     "q90_pq_ann" -> ((s, d) => q90(s, d)),
-    "q93_semdedup" -> ((s, d) => q93(s, d))
+    "q93_semdedup" -> ((s, d) => q93(s, d)),
+    "q105_ivfpq_ann" -> ((s, d) => q105(s, d))
   )
+
+  /** IVF-PQ ANN — the two compressions composed, i.e. the architecture
+    * behind every billion-vector index (FAISS IVFPQ): an IVF coarse
+    * quantizer routes each vector to one inverted list (q72's assignment
+    * step, packed-argmin), queries probe their nearest 2 lists, and
+    * ranking inside the probed lists uses the PQ ASYMMETRIC distance
+    * (q90's 8×8 codebook encode/reconstruct). Everything stays in q72's
+    * exact-integer space, so the DuckDB oracle replays routing, encoding,
+    * and ranking bit-exactly (ties (dist, cid) / (adc, neighbor)).
+    *
+    * Scale: IVF bounds the scan — each query touches nprobe/nlists of
+    * the corpus — and PQ bounds the bytes — 8 code bytes per scanned
+    * vector; together a 1B-vector index is ~8 GB spread across
+    * executors, scanned at nprobe/nlists selectivity. Centroids and
+    * codebook broadcast (k + 128 small rows); the only corpus-sized
+    * shuffles are the per-vector argmin (one packed long each) and the
+    * candidate join keyed by list id, which AQE skew-splits if one list
+    * runs hot. The per-query cost never touches unprobed lists — that
+    * is what makes the brute-force q37 shape (score everything) obsolete
+    * past memory scale.
+    */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"
+      ).as("qv"))
+    val cents = emb.filter($"vec_id" < 16)
+      .select($"vec_id".cast("int").as("cid"), $"qv".as("cq"))
+    // IVF routing: nearest centroid per vector via the packed argmin
+    val lists = emb.crossJoin(broadcast(cents))
+      .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .groupBy($"vec_id")
+      .agg(min($"dist" * 16 + $"cid").as("packed"))
+      .select($"vec_id", pmod($"packed", lit(16)).cast("int").as("cid"))
+    // PQ encode + reconstruct (q90's codebook relation)
+    val sub = emb.select($"vec_id", posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(qv, m*8 + 1, 8))")))
+      .select($"vec_id", $"pos".as("m"), $"col".as("sv"))
+    val cb = sub.filter($"vec_id" < 16)
+      .select($"m", $"vec_id".cast("int").as("c"), $"sv".as("cvec"))
+    val codes = sub.join(broadcast(cb), "m")
+      .withColumn("dd", graft.functions.VectorMath.sqDistLong($"sv", $"cvec"))
+      .groupBy($"vec_id", $"m")
+      .agg(min($"dd" * 16 + $"c").as("packed"))
+      .select($"vec_id", $"m", pmod($"packed", lit(16)).cast("int").as("c"))
+    val recon = codes.join(broadcast(cb), Seq("m", "c"))
+      .groupBy($"vec_id")
+      .agg(flatten(expr(
+        "transform(array_sort(collect_list(struct(m, cvec))), x -> x.cvec)")).as("rv"))
+    // queries probe their 2 nearest lists
+    val qs = emb.filter($"vec_id" % 100 === 0)
+    val probes = qs.crossJoin(broadcast(cents))
+      .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"cid")))
+      .filter($"crank" <= 2)
+      .select($"vec_id".as("query_id"), $"qv".as("qqv"), $"cid")
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor")
+    recon.join(lists, "vec_id")
+      .join(broadcast(probes), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"), $"cid",
+        graft.functions.VectorMath.sqDistLong($"rv", $"qqv").as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
 
   /** SemDeDup-shape semantic dedup (cluster-then-prune): assign every
     * embedding to its nearest coarse centroid (the q72 quantizer), then
@@ -321,6 +390,63 @@ object VectorOps {
     }.mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "q105_ivfpq_ann" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         cents AS (
+           SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cq
+           FROM q WHERE vec_id < 16),
+         lists AS (
+           SELECT vec_id, cid FROM (
+             SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM q, cents c) WHERE rn = 1),
+         sub AS (
+           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
+           FROM q, generate_series(0, 7) AS t(m)),
+         cb AS (SELECT m, CAST(vec_id AS INTEGER) AS c, sv AS cvec
+           FROM sub WHERE vec_id < 16),
+         dist AS (
+           SELECT s.vec_id, s.m, cb.c,
+             list_sum(list_transform(list_zip(s.sv, cb.cvec),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dd
+           FROM sub s JOIN cb ON s.m = cb.m),
+         code AS (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c) AS rn
+             FROM dist) WHERE rn = 1),
+         recon AS (
+           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
+           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
+           GROUP BY 1),
+         qs AS (SELECT vec_id AS query_id, qv AS qqv
+           FROM q WHERE vec_id % 100 = 0),
+         probes AS (
+           SELECT query_id, qqv, cid FROM (
+             SELECT qs.query_id, qs.qqv, c.cid,
+               row_number() OVER (PARTITION BY qs.query_id ORDER BY
+                 list_sum(list_transform(list_zip(qs.qqv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM qs, cents c) WHERE rn <= 2),
+         adc AS (
+           SELECT p.query_id, r.vec_id AS neighbor, l.cid,
+             CAST(list_sum(list_transform(list_zip(r.rv, p.qqv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc
+           FROM recon r JOIN lists l ON r.vec_id = l.vec_id
+           JOIN probes p ON p.cid = l.cid
+           WHERE r.vec_id <> p.query_id),
+         rk AS (
+           SELECT query_id, neighbor, cid, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc, neighbor) AS BIGINT) AS rank
+           FROM adc)
+         SELECT query_id, neighbor, cid, adc, rank FROM rk
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q90_pq_ann" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,
