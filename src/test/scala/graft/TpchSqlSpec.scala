@@ -139,8 +139,9 @@ class TpchSqlSpec extends SparkSpec {
          GROUP BY 1 ORDER BY 1""",
     "tpch_q09" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         round(sum(l_extendedprice * (1.0 - l_discount)
-           - 0.5 * p_retailprice * l_quantity), 2) AS sum_profit
+         sum(CAST(floor((l_extendedprice * (1.0D - l_discount)
+           - 0.5D * p_retailprice * l_quantity) * 10000D + 0.5D) AS BIGINT))
+           / 10000.0D AS sum_profit
          FROM part
          JOIN lineitem ON p_partkey = l_partkey
          JOIN supplier ON l_suppkey = s_suppkey
