@@ -8,9 +8,12 @@ import org.apache.spark.sql.SparkSession
   * BroadcastNestedLoopJoin only for broadcast query vectors
   * (q37/q40/q90) / broadcast centroids (q72/q93 — q93 shows 3: the
   * assignment subtree is referenced thrice and its identical Exchanges
-  * reuse at runtime) and 1-row scalar-subquery or bounds joins (q95);
+  * reuse at runtime; q105 shows 2: IVF routing + query probes, both
+  * against the 16-row centroid table) and 1-row scalar-subquery or
+  * bounds joins (q95);
   * SortMergeJoin only where both sides
-  * are large (q50, q93's cluster-local pair join, tpch_q04/q21); each
+  * are large (q50, q93's cluster-local pair join, q105's
+  * reconstruction⋈lists, tpch_q04/q21); each
   * query's single final Sort is the
   * small result-set ordering the driver compare requires.
   * Usage: runMain graft.PlanSweep [sfDir]
