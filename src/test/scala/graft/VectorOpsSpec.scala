@@ -126,6 +126,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(out.map(_._2).sum == V.length) // every vector assigned once
   }
 
+  test("q105 ivf-pq: ranks well-formed and neighbors come from the query's cluster") {
+    import spark.implicits._
+    // structural invariants on the driver embeddings
+    val out = VectorOps.defs("q105_ivfpq_ann")(spark, sfDir)
+      .select($"query_id", $"neighbor", $"adc", $"rank")
+      .as[(Long, Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.length <= 5)
+      assert(sorted.map(_._4).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+      assert(rs.forall(_._2 != q))
+    }
+    // on clustered 64-dim data, IVF lists align with clusters (the
+    // "trained" centroids are cluster members), so probed neighbors
+    // should overwhelmingly share the query's true cluster
+    val rnd = new scala.util.Random(17)
+    val centroids = Array.fill(8, 64)(rnd.nextGaussian())
+    val rows = (0L until 400L).map { id =>
+      val c = (id % 8).toInt
+      (id, centroids(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq, c)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val label = rows.map(r => r._1 -> r._3).toMap
+    val nbr = VectorOps.defs("q105_ivfpq_ann")(spark, tmp)
+      .select($"query_id", $"neighbor").as[(Long, Long)].collect()
+    val inCluster = nbr.count { case (q, n) => label(q) == label(n) }
+    assert(nbr.nonEmpty &&
+      inCluster.toDouble / nbr.length > 0.7,
+      s"cluster purity ${inCluster.toDouble / nbr.length}")
+  }
+
   test("q93 semdedup: accounting is consistent and drops are real near-dups") {
     import spark.implicits._
     val out = VectorOps.defs("q93_semdedup")(spark, sfDir)
