@@ -361,6 +361,48 @@ object StreamOps {
       }
   }
 
+  /** Final per-window quantile estimates (public: encoder requirement). */
+  case class WindowQuantiles(w_start: Timestamp, n_rows: Long,
+      p50_est: Long, p95_est: Long, p99_est: Long)
+  case class HistState(bins: Map[Long, Long])
+
+  /** Streaming per-window price quantiles — the streaming form of the
+    * batch q96 rollup: each event-time tumbling window keeps a
+    * quarter-octave log₂ histogram ([[graft.functions.LogHistogram]],
+    * ≤ ~128 bins regardless of event count) and emits p50/p95/p99
+    * bin-lower-bound estimates (< 19% relative error) in append mode
+    * when the watermark closes the window. Exact percentiles would need
+    * the window's full value multiset in state; the histogram is the
+    * standard bounded-state trade, and because histograms MERGE
+    * (point-wise sum), the same summary rolls up across partitions or
+    * re-tiers windows into coarser reports without touching raw events.
+    */
+  def histQuantilesStream(bids: Dataset[Bid], windowSecs: Int,
+      watermark: String): Dataset[WindowQuantiles] = {
+    import bids.sparkSession.implicits._
+    import graft.functions.LogHistogram
+    val windowMs = windowSecs * 1000L
+    bids.withWatermark("b_date_time", watermark)
+      .groupByKey(b => b.b_date_time.getTime / windowMs * windowMs)
+      .flatMapGroupsWithState[HistState, WindowQuantiles](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (wstart: Long, events: Iterator[Bid], state: GroupState[HistState]) =>
+          if (state.hasTimedOut) {
+            val h = state.get.bins
+            state.remove()
+            Iterator(WindowQuantiles(new Timestamp(wstart), h.values.sum,
+              LogHistogram.quantile(h, 50), LogHistogram.quantile(h, 95),
+              LogHistogram.quantile(h, 99)))
+          } else {
+            var h = state.getOption.map(_.bins).getOrElse(Map.empty[Long, Long])
+            events.foreach(b => h = LogHistogram.add(h, b.price.toLong))
+            state.update(HistState(h))
+            state.setTimeoutTimestamp(wstart + windowMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** A rate/reference-data update on the right side of a streaming as-of
     * join (public: encoder requirement).
     */

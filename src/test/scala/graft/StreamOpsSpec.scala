@@ -389,6 +389,50 @@ class StreamOpsSpec extends SparkSpec {
     assert(written.columns.toSet == Set("auction", "bidder", "price", "b_date_time"))
   }
 
+  test("streaming per-window quantiles bracket the true order statistics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.LogHistogram
+    val bids = mkBids(5000)
+    val windowMs = 10_000L
+    val in = MemoryStream[Bid]
+    val q = StreamOps.toMemory(
+      StreamOps.histQuantilesStream(in.toDS(), 10, "0 seconds").toDF(),
+      "hq_test", OutputMode.Append)
+    try {
+      in.addData(bids.take(2000)); q.processAllAvailable()
+      in.addData(bids.drop(2000)); q.processAllAvailable()
+      // one far-future bid closes every earlier window
+      val last = bids.last
+      in.addData(last.copy(b_date_time =
+        new Timestamp(last.b_date_time.getTime + 3_600_000L)))
+      q.processAllAvailable()
+      val out = spark.table("hq_test")
+        .select($"w_start", $"n_rows", $"p50_est", $"p95_est", $"p99_est")
+        .as[(Timestamp, Long, Long, Long, Long)].collect()
+      assert(out.nonEmpty)
+      val byWindow = bids.groupBy(b => b.b_date_time.getTime / windowMs * windowMs)
+      out.foreach { case (w, n, p50, p95, p99) =>
+        val prices = byWindow(w.getTime).map(_.price.toLong).sorted
+        assert(n == prices.length)
+        def truth(q: Int) = prices(
+          math.min((prices.length.toLong * q + 99) / 100 - 1,
+            prices.length - 1L).toInt.max(0))
+        for ((est, qq) <- Seq((p50, 50), (p95, 95), (p99, 99))) {
+          val t = truth(qq)
+          assert(est <= t && (t < 4 || t < est * 2),
+            s"w=$w q=$qq est=$est truth=$t")
+        }
+        // the estimate equals the histogram replay (same summary math)
+        val h = prices.foldLeft(Map.empty[Long, Long])(LogHistogram.add)
+        assert(p50 == LogHistogram.quantile(h, 50))
+      }
+      // every closed window reported exactly once
+      assert(out.map(_._1.getTime).sorted.toSeq ==
+        byWindow.keys.toSeq.sorted)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: MG guarantees hold and windows emit once closed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
