@@ -41,8 +41,47 @@ object PipelineOps {
     "q101_source_overlap" -> ((s, d) => q101(s, d)),
     "q102_quality_lr" -> ((s, d) => q102(s, d)),
     "q103_pack_efficiency" -> ((s, d) => q103(s, d)),
-    "q104_snapshot_merge" -> ((s, d) => q104(s, d))
+    "q104_snapshot_merge" -> ((s, d) => q104(s, d)),
+    "q106_cluster_split" -> ((s, d) => q106(s, d))
   )
+
+  /** Leakage-free train/val/test split — assignment by NEAR-DUP CLUSTER,
+    * not by document: q70's deterministic md5 bucketing applied to each
+    * doc's connected-component representative (q81's CC over the LSH
+    * pairs; unpaired docs are their own singleton cluster). Splitting
+    * by doc leaks: two near-duplicates can land in train and test, and
+    * the model gets graded on its training data. Keying the hash on the
+    * cluster rep makes straddling impossible BY CONSTRUCTION — the split
+    * is a function of the cluster — which the spec cross-checks.
+    *
+    * Scale: the expensive parts are exactly q61/q81 (signatures + CC on
+    * the pair graph, both signature-bounded); the split itself adds one
+    * left join of (doc, rep) labels and a per-cluster size aggregate —
+    * two narrow int64 relations. Reports per split: docs, clusters,
+    * docs-in-multi-doc-clusters, and rep bounds.
+    */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = TextOps.md5LshScoredPairs(s, d).select($"id1", $"id2")
+    val labels = ccLabels(s,
+      pairs.union(pairs.select($"id2", $"id1")).toDF("src", "dst"))
+    val slice = docs(s, d).filter($"doc_id" % 5 === 0).select($"doc_id")
+    val withRep = slice
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("rep", coalesce($"rep", $"doc_id"))
+    val sizes = withRep.groupBy($"rep").agg(count(lit(1)).as("csize"))
+    val bucket = conv(substring(md5($"rep".cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100
+    withRep.join(sizes, "rep")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"rep").as("n_clusters"),
+        sum(when($"csize" > 1, 1L).otherwise(0L)).as("n_multi_docs"),
+        min($"rep").as("min_rep"), max($"rep").as("max_rep"))
+      .orderBy($"split")
+  }
 
   /** The corpus report card — the dashboard query a data team runs after
     * every pipeline pass, composed as ONE plan: per-language and
@@ -800,6 +839,39 @@ object PipelineOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q106_cluster_split" ->
+      (DuckMacros.Sm64 +
+      "CREATE OR REPLACE TEMP TABLE q106_pairs AS WITH " +
+      TextOps.Md5LshChainSql +
+      """
+         SELECT id1, id2 FROM j WHERE jaccard > 0.8;
+         WITH RECURSIVE
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM q106_pairs
+           UNION ALL SELECT id2, id1 FROM q106_pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+         slice AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+         wr AS (
+           SELECT s.doc_id, coalesce(lab.rep, s.doc_id) AS rep
+           FROM slice s LEFT JOIN lab ON lab.id = s.doc_id),
+         sz AS (SELECT rep, count(*) AS csize FROM wr GROUP BY 1),
+         sp AS (
+           SELECT wr.doc_id, wr.rep, sz.csize,
+             ('0x' || substr(md5(CAST(wr.rep AS VARCHAR)), 1, 15))::UBIGINT
+               % 100 AS bucket
+           FROM wr JOIN sz ON wr.rep = sz.rep)
+         SELECT CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_docs,
+           min(rep) AS min_rep, max(rep) AS max_rep
+         FROM sp GROUP BY 1 ORDER BY 1"""),
     "q104_snapshot_merge" ->
       """WITH index_side AS (
            SELECT doc_id, text AS t_i FROM documents WHERE doc_id % 5 <> 0),

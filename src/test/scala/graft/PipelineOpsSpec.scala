@@ -405,6 +405,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == keys.size.toLong)
   }
 
+  test("q106: cluster-keyed split never straddles and counts reconcile") {
+    import spark.implicits._
+    val out = run("q106_cluster_split")
+      .select($"split", $"n_docs", $"n_clusters", $"n_multi_docs")
+      .as[(String, Long, Long, Long)].collect()
+    val slice = Tables(spark, sfDir, "documents")
+      .filter($"doc_id" % 5 === 0).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(out.map(_._2).sum == slice.size.toLong) // docs partitioned
+    out.foreach { case (_, n, c, m) => assert(c <= n && m <= n) }
+    // brute-force: union-find over the pairs, then check every cluster
+    // lands wholly in ONE split bucket (leakage-free by construction)
+    val pairs = TextOps.md5LshScoredPairs(spark, sfDir)
+      .select($"id1", $"id2").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def bucket(rep: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(rep.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def splitOf(doc: Long): String = {
+      val b = bucket(find(doc))
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    // every pair's two docs share a split (no near-dup leaks across)
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+    // per-split doc counts match the brute-force assignment
+    val expect = slice.groupBy(splitOf).map { case (k, v) => k -> v.size.toLong }
+    assert(out.map(r => r._1 -> r._2).toMap == expect)
+  }
+
   test("q95: z-order cells are narrow rectangles that partition the table") {
     import spark.implicits._
     val out = run("q95_zorder_layout").cache()
