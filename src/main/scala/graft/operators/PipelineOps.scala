@@ -42,8 +42,66 @@ object PipelineOps {
     "q102_quality_lr" -> ((s, d) => q102(s, d)),
     "q103_pack_efficiency" -> ((s, d) => q103(s, d)),
     "q104_snapshot_merge" -> ((s, d) => q104(s, d)),
-    "q106_cluster_split" -> ((s, d) => q106(s, d))
+    "q106_cluster_split" -> ((s, d) => q106(s, d)),
+    "q107_cdc_chunks" -> ((s, d) => q107(s, d))
   )
+
+  /** Content-defined chunking (CDC) dedup — q89's fixed 16-token grid
+    * misses duplicates the moment one token is inserted upstream (every
+    * later chunk shifts). CDC instead cuts AFTER any token whose hash
+    * ≡ 0 (mod 8): boundaries are a function of content, so an
+    * insertion only redraws the one chunk it touches and every other
+    * chunk still dedups — the rsync/LBFS/backup-dedup trick, applied to
+    * corpus boilerplate. Expected chunk length = the modulus (8
+    * tokens, matching the driver corpus's short synthetic docs); the hash is the shared md5 primitive so
+    * the oracle replays boundaries exactly.
+    *
+    * Scale: chunking runs INSIDE the row with higher-order functions
+    * (boundary scan + slice assembly — one codegen pass, no
+    * tokens-with-positions shuffle); only (doc, chunk-hash, n_tok)
+    * rows reach the duplicate-family aggregate, and the final rollup is
+    * per source. Same dataflow as q89 with the grid swapped for content
+    * boundaries.
+    */
+  /** Content-defined chunk column: rows of (…, chunk) from a frame with
+    * a `toks` array column — boundaries AFTER tokens whose md5 prefix
+    * ≡ 0 (mod 8). Shared by q107 and the insertion-robustness spec.
+    */
+  private[graft] def cdcChunks(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.withColumn("bpos", expr(
+        "filter(transform(toks, (t, i) -> " +
+          "IF(cast(conv(substring(md5(t), 1, 7), 16, 10) as bigint) % 8 = 0, " +
+          "i, -1)), x -> x >= 0)"))
+      .withColumn("starts",
+        concat(array(lit(0)), expr("transform(bpos, b -> b + 1)")))
+      .withColumn("ends",
+        concat(expr("transform(bpos, b -> b + 1)"), array(size(col("toks")))))
+      .withColumn("chunk", explode(expr(
+        "filter(transform(sequence(0, size(starts) - 1), " +
+          "k -> array_join(slice(toks, element_at(starts, k + 1) + 1, " +
+          "element_at(ends, k + 1) - element_at(starts, k + 1)), ' ')), " +
+          "c -> c <> '')")))
+      .drop("bpos", "starts", "ends")
+  }
+
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ch = cdcChunks(docs(s, d))
+      .withColumn("ch_tok", size(split($"chunk", " ")).cast("long"))
+      .select($"doc_id", $"source", md5($"chunk").as("h"), $"ch_tok")
+    val dup = ch.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"h", lit(1).as("dup"))
+    ch.join(dup, Seq("h"), "left")
+      .groupBy($"source")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when($"dup".isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when($"dup".isNull, $"ch_tok").otherwise(0L)).as("n_tokens_kept"))
+      .orderBy($"source")
+  }
 
   /** Leakage-free train/val/test split — assignment by NEAR-DUP CLUSTER,
     * not by document: q70's deterministic md5 bucketing applied to each
@@ -839,6 +897,41 @@ object PipelineOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q107_cdc_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, source, toks,
+             list_filter(list_transform(toks, (tk, i) ->
+               CASE WHEN ('0x' || substr(md5(tk), 1, 7))::UBIGINT % 8 = 0
+                 THEN i - 1 ELSE -1 END), x -> x >= 0) AS bpos
+           FROM t),
+         s AS (
+           SELECT doc_id, source, toks,
+             list_prepend(0, list_transform(bpos, x -> x + 1)) AS starts,
+             list_append(list_transform(bpos, x -> x + 1), len(toks)) AS ends
+           FROM b),
+         ch0 AS (
+           SELECT doc_id, source,
+             unnest(list_filter(list_transform(range(1, len(starts) + 1),
+               k -> array_to_string(toks[starts[k] + 1 : ends[k]], ' ')),
+               c -> c <> '')) AS chunk
+           FROM s),
+         ch AS (
+           SELECT doc_id, source, md5(chunk) AS h,
+             CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS ch_tok
+           FROM ch0),
+         dup AS (
+           SELECT h FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         SELECT source, CAST(count(DISTINCT ch.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(sum(CASE WHEN dup.h IS NULL THEN ch_tok ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+         FROM ch LEFT JOIN dup ON ch.h = dup.h
+         GROUP BY 1 ORDER BY 1""",
     "q106_cluster_split" ->
       (DuckMacros.Sm64 +
       "CREATE OR REPLACE TEMP TABLE q106_pairs AS WITH " +

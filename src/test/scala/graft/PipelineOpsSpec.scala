@@ -447,6 +447,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._2).toMap == expect)
   }
 
+  test("q107: CDC chunking is insertion-robust where a fixed grid is not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val orig = Seq.fill(200)(vocab(rnd.nextInt(vocab.size)))
+    val inserted = (orig.take(100) :+ "INSERTED") ++ orig.drop(100)
+    def chunksOf(toks: Seq[String]): Seq[String] =
+      PipelineOps.cdcChunks(
+        Seq(("d", toks)).toDF("doc_id", "toks"))
+        .select($"chunk").as[String].collect().toSeq
+    val a = chunksOf(orig)
+    val b = chunksOf(inserted)
+    // token mass is conserved through chunking
+    assert(a.map(_.split(" ").length).sum == orig.length)
+    assert(b.map(_.split(" ").length).sum == inserted.length)
+    // the insertion redraws ONLY the chunk containing position 100 —
+    // every other chunk survives verbatim (multiset intersection)
+    val common = a.groupBy(identity).map { case (c, xs) =>
+      math.min(xs.size, b.count(_ == c))
+    }.sum
+    assert(common >= a.size - 1, s"CDC lost ${a.size - common} chunks")
+    // fixed 16-token grid loses every chunk after the insertion point
+    def grid(toks: Seq[String]) = toks.grouped(16).map(_.mkString(" ")).toSeq
+    val (ga, gb) = (grid(orig), grid(inserted))
+    val gridCommon = ga.groupBy(identity).map { case (c, xs) =>
+      math.min(xs.size, gb.count(_ == c))
+    }.sum
+    assert(gridCommon <= ga.size / 2,
+      s"grid unexpectedly robust: $gridCommon of ${ga.size}")
+    assert(common > gridCommon, "CDC must beat the grid on insertions")
+  }
+
   test("q95: z-order cells are narrow rectangles that partition the table") {
     import spark.implicits._
     val out = run("q95_zorder_layout").cache()
