@@ -79,7 +79,8 @@ object StreamBench {
       "ist", "ein", "el", "la", "los", "y", "es", "le", "les", "et", "est",
       "un", "alpha", "beta", "gamma", "delta", "omega", "kappa", "sigma",
       "tau", "zeta", "lambda")
-    val nDocs = math.max(nBids / 10, batchSize / 10 * 2)
+    val docBatch = math.max(1, batchSize / 10)
+    val nDocs = math.max(nBids / 10, docBatch * 2)
     val docEvents: Seq[DocEvent] = (0L until nDocs.toLong).map { id =>
       val rng = new Nexmark.Rng(id)
       val n = 20 + rng.nextInt(40)
@@ -90,7 +91,7 @@ object StreamBench {
       val in = MemoryStream[DocEvent]
       val q = StreamOps.ingestPipelineStream(in.toDS(), "10 seconds")
         .writeStream.format("noop").outputMode(OutputMode.Append).start()
-      val chunks = docEvents.grouped(batchSize / 10).toSeq
+      val chunks = docEvents.grouped(docBatch).toSeq
       in.addData(chunks.head)
       q.processAllAvailable()
       val timed = chunks.tail

@@ -63,9 +63,11 @@ object PipelineOps {
     * per source. Same dataflow as q89 with the grid swapped for content
     * boundaries.
     */
-  /** Content-defined chunk column: rows of (…, chunk) from a frame with
-    * a `toks` array column — boundaries AFTER tokens whose md5 prefix
-    * ≡ 0 (mod 8). Shared by q107 and the insertion-robustness spec.
+  /** Content-defined chunk rows (…, chunk, ch_tok) from a frame with a
+    * `toks` array column — boundaries AFTER tokens whose md5 prefix
+    * ≡ 0 (mod 8). The token count rides along from the boundary
+    * arithmetic (ends−starts) instead of re-splitting the joined string.
+    * Shared by q107 and the insertion-robustness spec.
     */
   private[graft] def cdcChunks(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -77,18 +79,21 @@ object PipelineOps {
         concat(array(lit(0)), expr("transform(bpos, b -> b + 1)")))
       .withColumn("ends",
         concat(expr("transform(bpos, b -> b + 1)"), array(size(col("toks")))))
-      .withColumn("chunk", explode(expr(
+      .withColumn("piece", explode(expr(
         "filter(transform(sequence(0, size(starts) - 1), " +
-          "k -> array_join(slice(toks, element_at(starts, k + 1) + 1, " +
-          "element_at(ends, k + 1) - element_at(starts, k + 1)), ' ')), " +
-          "c -> c <> '')")))
-      .drop("bpos", "starts", "ends")
+          "k -> struct(array_join(slice(toks, element_at(starts, k + 1) + 1, " +
+          "element_at(ends, k + 1) - element_at(starts, k + 1)), ' ') AS c, " +
+          "cast(element_at(ends, k + 1) - element_at(starts, k + 1) AS BIGINT)" +
+          " AS n)), " +
+          "p -> p.c <> '')")))
+      .withColumn("chunk", col("piece.c"))
+      .withColumn("ch_tok", col("piece.n"))
+      .drop("bpos", "starts", "ends", "piece")
   }
 
   private def q107(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ch = cdcChunks(docs(s, d))
-      .withColumn("ch_tok", size(split($"chunk", " ")).cast("long"))
       .select($"doc_id", $"source", md5($"chunk").as("h"), $"ch_tok")
     val dup = ch.groupBy($"h")
       .agg(countDistinct($"doc_id").as("nd"))
@@ -763,9 +768,10 @@ object PipelineOps {
       .orderBy($"n_exact".desc, $"tok")
   }
 
-  /** Cross-source contamination matrix — for every source pair, how many
-    * distinct documents (by leading-16-token fingerprint, the standard
-    * cheap near-dup key for crawl snapshots) appear in BOTH. The question
+  /** Cross-source contamination matrix — for every source pair WITH at
+    * least one shared document (by leading-16-token fingerprint, the
+    * standard cheap near-dup key for crawl snapshots), how many distinct
+    * documents appear in both; disjoint pairs produce no row. The question
     * a corpus team asks before mixing crawls: which inputs are re-serving
     * each other's content. Overlap is reported as an exact integer
     * permille of the union (no float rounding can diverge).

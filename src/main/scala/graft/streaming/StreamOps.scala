@@ -334,10 +334,9 @@ object StreamOps {
     docs.toDF()
       .withWatermark("ts", watermark)
       .select(col("ts"), explode(split(col("text"), "\\s+")).as("tok"))
-      .withColumn("w_start",
-        (floor(col("ts").cast("double") / windowSecs) * windowSecs)
-          .cast("timestamp"))
-      .groupByKey(r => r.getTimestamp(2).getTime)
+      // exact integer millis arithmetic in the key closure — no float
+      // floor column, no positional coupling beyond (ts, tok)
+      .groupByKey(r => r.getTimestamp(0).getTime / windowMs * windowMs)
       .flatMapGroupsWithState[MGState, HeavyHitter](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (wstart: Long, rows: Iterator[org.apache.spark.sql.Row],

@@ -29,7 +29,8 @@ class LogHistogramSpec extends AnyFunSuite {
       val lbOk = LogHistogram.lowerBound(bx) <= x
       val monotone = bx <= by
       // same bin => same quarter-octave: members within 1.25x
-      val tight = bx != by || 4L * y < 5L * x + 5L
+      // (BigInt: 4*y overflows Long for y > 2^61 and would go vacuous)
+      val tight = bx != by || BigInt(4) * y < BigInt(5) * x + 5
       Prop(lbOk && monotone && tight) :| s"x=$x y=$y bx=$bx by=$by"
     })
   }
