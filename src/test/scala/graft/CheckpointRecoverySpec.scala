@@ -74,4 +74,48 @@ class CheckpointRecoverySpec extends SparkSpec {
     assert(out == Set(("en", 1L, 10L), ("de", 1L, 8L), ("es", 1L, 9L)),
       out.toString)
   }
+
+  test("heavy-hitter MG state recovers across restart and emits each window once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamOps.DocEvent
+    val t0 = 1_436_918_400_000L
+    def doc(id: Long, sec: Int, text: String) =
+      DocEvent(id, new java.sql.Timestamp(t0 + sec * 1000L), text)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt3").toString
+    val in = MemoryStream[DocEvent]
+    def start() = StreamOps.toParquet(
+      StreamOps.heavyHittersStream(in.toDS(), 10, 4, "0 seconds").toDF(),
+      s"$tmp/out", s"$tmp/ckpt", Trigger.AvailableNow())
+
+    // window [t0, t0+10s): counts split across the restart — the second
+    // half must accumulate INTO the recovered MG summary
+    in.addData(Seq(
+      doc(1, 0, "alpha alpha alpha beta gamma"),
+      doc(2, 3, "alpha beta delta")))
+    val q1 = start(); q1.awaitTermination(60000)
+    in.addData(Seq(
+      doc(3, 8, "alpha alpha beta epsilon"),
+      doc(4, 3600, "closer"))) // advances watermark, closes the window
+    val q2 = start(); q2.awaitTermination(60000)
+
+    val out = spark.read.parquet(s"$tmp/out")
+      .select($"w_start", $"tok", $"est", $"n_tokens")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    // exactly one closed window, reported once
+    assert(out.map(_._1).distinct.toSeq == Seq(t0), out.mkString(","))
+    val exact = Map("alpha" -> 6L, "beta" -> 3L, "gamma" -> 1L,
+      "delta" -> 1L, "epsilon" -> 1L)
+    val n = exact.values.sum
+    assert(out.forall(_._4 == n), s"n_tokens drifted: ${out.mkString(",")}")
+    val err = n / 5 // k=4
+    out.foreach { case (_, t, est, _) =>
+      assert(est <= exact(t) && exact(t) - est <= err,
+        s"$t est=$est exact=${exact(t)}")
+    }
+    // 'alpha' dominates (6 > 12/5) and must survive recovery
+    assert(out.exists(_._2 == "alpha"), out.mkString(","))
+  }
 }
