@@ -201,6 +201,13 @@ object Multimodal {
     "mm_decode_meta" -> ((s, _) =>
       decodeMeta(assets(s, 2000)).toDF()
         .orderBy(col("asset_id"))),
+    // resize → re-decode: headers rewritten to 32×24, frame count and
+    // payload bytes preserved, corrupt assets passed through untouched
+    // (and thus still undecodable). The oracle recomputes the expected
+    // post-resize metadata from the dumped pre-resize bytes.
+    "mm_resize" -> ((s, _) =>
+      decodeMeta(resize(assets(s, 2000), 32, 24)).toDF()
+        .orderBy(col("asset_id"))),
     // feature arrays are scalarized (dim + L2 norm + first element) — the
     // driver's compare sorts/hashes output columns, and a raw float array
     // column is unhashable there; the full vector path is exercised in
@@ -375,6 +382,14 @@ object Multimodal {
       s"""SELECT asset_id, kind,
          CAST(('0x' || substring(hexb, 9, 8))::UBIGINT AS INTEGER) AS width,
          CAST(('0x' || substring(hexb, 17, 8))::UBIGINT AS INTEGER) AS height,
+         CAST(('0x' || substring(hexb, 25, 8))::UBIGINT AS INTEGER) AS n_frames,
+         CAST((length(hexb) - 32) // 2 AS INTEGER) AS payload_len
+         FROM read_parquet('${NexmarkQueries.DumpDir}/mm_assets_hex.parquet/*.parquet')
+         WHERE length(hexb) >= 32 AND substring(hexb, 1, 8) = '47465442'
+         ORDER BY asset_id""",
+    "mm_resize" ->
+      s"""SELECT asset_id, kind,
+         CAST(32 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
          CAST(('0x' || substring(hexb, 25, 8))::UBIGINT AS INTEGER) AS n_frames,
          CAST((length(hexb) - 32) // 2 AS INTEGER) AS payload_len
          FROM read_parquet('${NexmarkQueries.DumpDir}/mm_assets_hex.parquet/*.parquet')
