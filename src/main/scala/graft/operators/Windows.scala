@@ -83,6 +83,45 @@ object Windows {
       .limit(20)
   }
 
+  /** Funnel analysis — how many users completed view → click → purchase
+    * with each step at most 1 hour after the previous (the ClickHouse
+    * `windowFunnel` / Flink-CEP sequence-match shape, expressed
+    * relationally). Semantics: a user reaches depth k if there EXISTS a
+    * strictly-time-increasing chain of the first k step types with every
+    * gap ≤ 1h — computed as chained semi-joins, which is exactly the
+    * existential DP without enumerating chains.
+    *
+    * Scale: each stage is a semi-join keyed by user (equi on user_id,
+    * range residual on ts), so everything co-partitions on one user
+    * shuffle and per-stage output only shrinks (semi-join ⇒ no pair
+    * blowup when a user has many events). At 100 TB this is the funnel
+    * shape that works; per-user collect_list+fold state is the
+    * alternative only when chains need full reconstruction.
+    */
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = graft.Tables(s, d, "events")
+      .select($"user_id", $"ts", $"event_type")
+    def step(t: String) = ev.filter($"event_type" === t)
+      .select($"user_id", $"ts")
+    def chain(next: DataFrame, prev: DataFrame): DataFrame =
+      next.as("n").join(prev.as("p"),
+          col("n.user_id") === col("p.user_id") &&
+            col("n.ts") > col("p.ts") &&
+            col("n.ts") <= col("p.ts") + expr("INTERVAL 1 HOUR"),
+          "leftsemi")
+    val s1 = step("view")
+    val s2 = chain(step("click"), s1)
+    val s3 = chain(step("purchase"), s2)
+    Seq(("1_view", s1), ("2_view_click", s2), ("3_view_click_purchase", s3))
+      .map { case (name, df) =>
+        df.agg(countDistinct($"user_id").as("n_users"))
+          .select(lit(name).as("step"), $"n_users")
+      }
+      .reduce(_ unionByName _)
+      .orderBy($"step")
+  }
+
   def defs: Map[String, Q] = Map(
     "q22_tumbling_window" -> ((s, d) => q22(s, d)),
     "q23_hopping_window" -> ((s, d) => q23(s, d)),
@@ -93,6 +132,7 @@ object Windows {
     "q59_rows_window" -> ((s, d) => q59(s, d)),
     "q67_interval_join" -> ((s, d) => qIntervalJoin(s, d)),
     "q68_top_tokens" -> ((s, d) => qTopTokens(s, d)),
+    "q108_funnel" -> ((s, d) => qFunnel(s, d)),
     "q69_inequality_join" -> ((s, d) => qInequalityJoin(s, d))
   )
 
@@ -207,6 +247,30 @@ object Windows {
   }
 
   def oracles: Map[String, String] = Map(
+    "q108_funnel" ->
+      """WITH v AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         c AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         p AS (
+           SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         s2 AS (
+           SELECT c.user_id, c.ts FROM c WHERE EXISTS (
+             SELECT 1 FROM v WHERE v.user_id = c.user_id
+               AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR)),
+         s3 AS (
+           SELECT p.user_id FROM p WHERE EXISTS (
+             SELECT 1 FROM s2 WHERE s2.user_id = p.user_id
+               AND p.ts > s2.ts AND p.ts <= s2.ts + INTERVAL 1 HOUR))
+         SELECT '1_view' AS step,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM v
+         UNION ALL
+         SELECT '2_view_click',
+           CAST(count(DISTINCT user_id) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT '3_view_click_purchase',
+           CAST(count(DISTINCT user_id) AS BIGINT) FROM s3
+         ORDER BY step""",
     "q67_interval_join" ->
       """WITH ev AS (
            SELECT event_id, user_id, ts FROM events WHERE event_id % 3 = 0)

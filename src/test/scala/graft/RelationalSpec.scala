@@ -47,4 +47,34 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q108 funnel equals a brute-force per-user chain DP") {
+    import spark.implicits._
+    val got = operators.Windows.defs("q108_funnel")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", $"ts", $"event_type")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val steps = Seq("view", "click", "purchase")
+    val hour = 3_600_000L
+    // per user: depth-k reachable iff some type-k event follows a
+    // reachable depth-(k-1) event by (0, 1h] — track ALL reachable ends
+    val depth = ev.groupBy(_._1).view.mapValues { rows =>
+      var ends: Seq[Set[Long]] = Seq(
+        rows.filter(_._3 == steps.head).map(_._2.getTime).toSet)
+      for (k <- 1 until steps.length) {
+        val nxt = rows.filter(_._3 == steps(k)).map(_._2.getTime)
+          .filter(t => ends(k - 1).exists(p => t > p && t <= p + hour))
+        ends = ends :+ nxt.toSet
+      }
+      ends.lastIndexWhere(_.nonEmpty) + 1
+    }.toMap
+    val expect = Map(
+      "1_view" -> depth.values.count(_ >= 1).toLong,
+      "2_view_click" -> depth.values.count(_ >= 2).toLong,
+      "3_view_click_purchase" -> depth.values.count(_ >= 3).toLong)
+    assert(got == expect, s"got=$got expect=$expect")
+    assert(got("1_view") >= got("2_view_click") &&
+      got("2_view_click") >= got("3_view_click_purchase"))
+  }
 }
