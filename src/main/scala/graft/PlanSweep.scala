@@ -10,10 +10,14 @@ import org.apache.spark.sql.SparkSession
   * assignment subtree is referenced thrice and its identical Exchanges
   * reuse at runtime; q105 shows 2: IVF routing + query probes, both
   * against the 16-row centroid table) and 1-row scalar-subquery or
-  * bounds joins (q95);
+  * bounds joins (q95; q109 shows 3 — the 1-row corpus-total and
+  * corpus-mean relations cross twice-referenced subtrees);
   * SortMergeJoin only where both sides
   * are large (q50, q93's cluster-local pair join, q105's
-  * reconstruction⋈lists, tpch_q04/q21); each
+  * reconstruction⋈lists, tpch_q04/q21; q110's static plan SMJs the
+  * edge⋈degree joins — post-aggregate stats are unknown at plan time,
+  * AQE converts the node-cardinality sides to broadcast at runtime);
+  * each
   * query's single final Sort is the
   * small result-set ordering the driver compare requires.
   * Usage: runMain graft.PlanSweep [sfDir]

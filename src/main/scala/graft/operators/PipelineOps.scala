@@ -43,8 +43,52 @@ object PipelineOps {
     "q103_pack_efficiency" -> ((s, d) => q103(s, d)),
     "q104_snapshot_merge" -> ((s, d) => q104(s, d)),
     "q106_cluster_split" -> ((s, d) => q106(s, d)),
-    "q107_cdc_chunks" -> ((s, d) => q107(s, d))
+    "q107_cdc_chunks" -> ((s, d) => q107(s, d)),
+    "q110_graph_rank" -> ((s, d) => q110(s, d))
   )
+
+  /** Graph authority ranking by fixed-point power iteration — the
+    * "source/domain reputation" signal a crawl-weighting pipeline
+    * computes (Common Crawl harmonic-centrality shape) and the second
+    * graph primitive next to q81's connected components: q81 answers
+    * "which nodes are the same", this answers "which nodes matter".
+    * Two unrolled rounds of random-walk mass propagation over the
+    * customer–supplier bipartite graph (edges = distinct pairs via
+    * orders⋈lineitem): every customer starts with 10^6 mass, each round
+    * splits mass evenly over outgoing edges with FLOOR division — all
+    * int64, so Spark and the DuckDB oracle agree bit-for-bit (a damped
+    * float PageRank would diverge in summation order).
+    *
+    * Scale: degree/mass relations are node-cardinality while the joins
+    * are edge-cardinality, so the hints are left to AQE — at dim scale
+    * it broadcasts them at runtime, at web-graph scale (10^9 nodes)
+    * the same plan degrades gracefully to co-partitioned shuffle joins
+    * keyed exactly like the following groupBy. Each round is O(1) edge
+    * shuffles with map-side partial sums — the Pregel-on-Spark shape,
+    * no driver-side iteration state. AQE also absorbs hub skew (a hot
+    * supplier's partials combine before the shuffle).
+    */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables(s, d, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
+      .distinct()
+    val outC = edges.groupBy($"c").agg(count(lit(1)).as("oc"))
+    val outS = edges.groupBy($"sk").agg(count(lit(1)).as("os"))
+    val a1 = edges.join(outC, "c")
+      .groupBy($"sk").agg(sum(expr("1000000 div oc")).as("mass_r1"))
+    val m1 = edges.join(outS, "sk").join(a1, "sk")
+      .groupBy($"c").agg(sum(expr("mass_r1 div os")).as("m1"))
+    val a2 = edges.join(outC, "c").join(m1, "c")
+      .groupBy($"sk").agg(sum(expr("m1 div oc")).as("mass_r2"))
+    a1.join(a2, "sk").join(outS, "sk")
+      .select($"sk".as("s_suppkey"), $"os".as("n_customers"),
+        $"mass_r1", $"mass_r2")
+      .orderBy($"mass_r2".desc, $"s_suppkey")
+      .limit(20)
+  }
 
   /** Content-defined chunking (CDC) dedup — q89's fixed 16-token grid
     * misses duplicates the moment one token is inserted upstream (every
@@ -1429,6 +1473,25 @@ object PipelineOps {
            (SELECT CAST(sum(abs(sdim)) AS BIGINT) FROM dim
             WHERE dim.cid = asg.cid) AS l1,
            CAST(sum(qv[1]) AS BIGINT) AS sum_d1
-         FROM asg GROUP BY asg.cid ORDER BY asg.cid"""
+         FROM asg GROUP BY asg.cid ORDER BY asg.cid""",
+    "q110_graph_rank" ->
+      """WITH e AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         oc AS (SELECT c, CAST(count(*) AS BIGINT) AS oc FROM e GROUP BY 1),
+         os AS (SELECT sk, CAST(count(*) AS BIGINT) AS os FROM e GROUP BY 1),
+         a1 AS (
+           SELECT e.sk, CAST(sum(1000000 // oc.oc) AS BIGINT) AS mass_r1
+           FROM e JOIN oc ON e.c = oc.c GROUP BY 1),
+         m1 AS (
+           SELECT e.c, CAST(sum(a1.mass_r1 // os.os) AS BIGINT) AS m1
+           FROM e JOIN os ON e.sk = os.sk JOIN a1 ON e.sk = a1.sk
+           GROUP BY 1),
+         a2 AS (
+           SELECT e.sk, CAST(sum(m1.m1 // oc.oc) AS BIGINT) AS mass_r2
+           FROM e JOIN oc ON e.c = oc.c JOIN m1 ON e.c = m1.c GROUP BY 1)
+         SELECT a1.sk AS s_suppkey, os.os AS n_customers, mass_r1, mass_r2
+         FROM a1 JOIN a2 ON a1.sk = a2.sk JOIN os ON a1.sk = os.sk
+         ORDER BY mass_r2 DESC, s_suppkey LIMIT 20"""
   )
 }

@@ -125,7 +125,9 @@ object TextOps {
     "q77_native_pivot" -> ((s, d) => q77(s, d)),
     "q78_bounded_topk_agg" -> ((s, d) => q78(s, d)),
     "q80_doc_chunking" -> ((s, d) => q80(s, d)),
-    "q98_feature_hashing" -> ((s, d) => q98(s, d))
+    "q98_feature_hashing" -> ((s, d) => q98(s, d)),
+    "q109_unigram_surprisal" -> ((s, d) => q109(s, d)),
+    "q111_inverted_index" -> ((s, d) => q111(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -655,6 +657,84 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** Unigram-LM surprisal scoring — the CCNet/RedPajama "perplexity
+    * filter" shape: fit a unigram model on the corpus itself, score every
+    * document by average per-token surprisal, and flag documents whose
+    * score exceeds 1.2× the corpus mean (boilerplate and gibberish both
+    * surface as outliers). Surprisal is integerized as whole bits —
+    * `floor(log2 N) - floor(log2 count)` via the `length(bin(x)) - 1`
+    * trick (same cross-engine-exact device as q96), so every value is
+    * int64 and the oracle replays the model bit-for-bit; a production
+    * variant swaps in fractional bits (or a trained KenLM) without
+    * changing the plan shape.
+    *
+    * Scale: the model build is word-count (map-side combined, shuffles
+    * only distinct tokens); the vocabulary is broadcast back (unigram
+    * vocab grows ~O(corpus^0.5) — Heaps' law — and stays broadcastable
+    * when the corpus does not), so the scoring pass is join-free on the
+    * corpus side: one codegen'd map + a per-document aggregation that
+    * shuffles (doc_id, bits) pairs, never text.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, d, "documents")
+      .select($"doc_id", $"lang", $"source",
+        explode(split($"text", "\\s+")).as("tok"))
+    val model = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum($"cnt").as("n_total"))
+    val perDoc = toks.join(broadcast(model), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        ((length(bin($"n_total")) - 1) - (length(bin($"cnt")) - 1)).cast("long"))
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(sum($"bits").as("sb"), count(lit(1)).as("nt"))
+      .withColumn("permille", expr("sb * 1000 div nt"))
+    val corpus = perDoc.agg(expr("sum(sb) * 1000 div sum(nt)").as("cp"))
+    perDoc.crossJoin(broadcast(corpus))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(permille) div count(1)").as("avg_bits_permille"),
+        max($"permille").as("max_bits_permille"),
+        sum(when($"permille" * 10 > $"cp" * 12, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy($"lang", $"source")
+  }
+
+  /** Inverted-index build — token → (document frequency, total term
+    * frequency, first-k posting list). The index artifact behind both
+    * classic retrieval (BM25 candidates for a RAG pipeline) and corpus
+    * inspection ("which documents contain this token"). Postings are
+    * emitted as a comma-joined string of the first 20 doc_ids so the
+    * result stays scalar-typed for the cross-engine compare.
+    *
+    * Scale: the (token, doc_id) pair relation is aggregated FIRST
+    * (map-side combined count → per-doc tf), then the posting list is
+    * row_number-truncated to k BEFORE collect_list, so aggregation
+    * state is O(k) per token — a hot stopword at 100 TB contributes 20
+    * postings, not a billion. df/tf ride the same pair relation; text
+    * itself never shuffles.
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables(s, d, "documents")
+      .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+      .groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tfd"))
+    val stats = pairs.groupBy($"tok")
+      .agg(count(lit(1)).as("df"), sum($"tfd").as("tf"))
+    val postings = pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"tok").orderBy($"doc_id")))
+      .filter($"rn" <= 20)
+      .groupBy($"tok")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(doc_id)), x -> cast(x AS STRING))"),
+        ",").as("postings"))
+    stats.join(postings, "tok")
+      .orderBy($"df".desc, $"tok")
+      .limit(50)
+  }
+
   def oracles: Map[String, String] = Map(
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
     // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
@@ -999,7 +1079,46 @@ object TextOps {
       (DuckMacros.Sm64 + "WITH " + Md5LshChainSql +
       """
          SELECT id1, id2, round(jaccard, 4) AS jaccard
-         FROM j WHERE jaccard > 0.8 ORDER BY id1, id2""")
+         FROM j WHERE jaccard > 0.8 ORDER BY id1, id2"""),
+    "q109_unigram_surprisal" ->
+      """WITH toks AS (
+           SELECT doc_id, lang, source,
+             unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         m AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+               FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM m),
+         pd AS (
+           SELECT t.doc_id, t.lang, t.source,
+             CAST(sum((len(bin(tot.n_total)) - 1)
+                      - (len(bin(m.cnt)) - 1)) AS BIGINT) AS sb,
+             CAST(count(*) AS BIGINT) AS nt
+           FROM toks t JOIN m ON t.tok = m.tok CROSS JOIN tot
+           GROUP BY 1, 2, 3),
+         pdp AS (SELECT *, sb * 1000 // nt AS permille FROM pd),
+         corp AS (SELECT CAST(sum(sb) * 1000 // sum(nt) AS BIGINT) AS cp
+                  FROM pdp)
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(permille) // count(*) AS BIGINT) AS avg_bits_permille,
+           CAST(max(permille) AS BIGINT) AS max_bits_permille,
+           CAST(sum(CASE WHEN permille * 10 > cp * 12 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+         FROM pdp CROSS JOIN corp
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q111_inverted_index" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         pairs AS (
+           SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tfd
+           FROM toks GROUP BY 1, 2)
+         SELECT tok, CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tfd) AS BIGINT) AS tf,
+           array_to_string(list_transform(
+             list_sort(list(doc_id))[1:20], x -> CAST(x AS VARCHAR)),
+             ',') AS postings
+         FROM pairs GROUP BY tok
+         ORDER BY df DESC, tok LIMIT 50"""
   )
 
   /** The q61 oracle's CTE chain (without the WITH keyword), ending at `j`

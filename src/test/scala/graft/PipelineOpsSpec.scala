@@ -495,4 +495,82 @@ class PipelineOpsSpec extends SparkSpec {
         assert(ds <= dyMax / 4 + 2, s"day span $ds too wide")
       }
   }
+
+  test("q110: two-round mass propagation equals driver-side brute force") {
+    import spark.implicits._
+    val li = Tables(spark, sfDir, "lineitem")
+      .select($"l_orderkey".as[Long], $"l_suppkey".as[Long]).collect()
+    val ord = Tables(spark, sfDir, "orders")
+      .select($"o_orderkey".as[Long], $"o_custkey".as[Long])
+      .collect().toMap
+    val edges = li.map { case (ok, sk) => (ord(ok), sk) }.distinct
+    val oc = edges.groupBy(_._1).map { case (c, es) => (c, es.length.toLong) }
+    val os = edges.groupBy(_._2).map { case (s, es) => (s, es.length.toLong) }
+    val a1 = edges.groupBy(_._2).map { case (s, es) =>
+      (s, es.map { case (c, _) => 1000000L / oc(c) }.sum)
+    }
+    val m1 = edges.groupBy(_._1).map { case (c, es) =>
+      (c, es.map { case (_, s) => a1(s) / os(s) }.sum)
+    }
+    val a2 = edges.groupBy(_._2).map { case (s, es) =>
+      (s, es.map { case (c, _) => m1(c) / oc(c) }.sum)
+    }
+    val expected = a2.toSeq.sortBy { case (s, m) => (-m, s) }.take(20)
+      .map { case (s, m) => (s, os(s), a1(s), m) }
+    val got = run("q110_graph_rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // mass is conserved up to floor-division loss: round-1 total can only
+    // shrink relative to the injected mass
+    val injected = oc.size.toLong * 1000000L
+    assert(a1.values.sum <= injected && a1.values.sum > injected / 2)
+  }
+
+  test("q109: surprisal bits match brute force; flags are outliers only") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id".as[Long], $"text".as[String],
+        $"lang".as[String], $"source".as[String]).collect()
+    val toks = docs.flatMap { case (id, t, l, src) =>
+      t.split("\\s+", -1).map(tok => (id, l, src, tok)) }
+    val cnt = toks.groupBy(_._4).map { case (k, xs) => (k, xs.length.toLong) }
+    val n = cnt.values.sum
+    def fl2(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val perDoc = toks.groupBy(t => (t._1, t._2, t._3)).map { case (k, xs) =>
+      val sb = xs.map(t => (fl2(n) - fl2(cnt(t._4))).toLong).sum
+      (k, sb, xs.length.toLong, sb * 1000 / xs.length)
+    }
+    val cp = perDoc.map(_._2).sum * 1000 / perDoc.map(_._3).sum
+    val expected = perDoc.groupBy { case ((_, l, src), _, _, _) => (l, src) }
+      .map { case ((l, src), ds) =>
+        (l, src, ds.size.toLong,
+          ds.map(_._4).sum / ds.size,
+          ds.map(_._4).max,
+          ds.count(_._4 * 10 > cp * 12).toLong)
+      }.toSeq.sortBy(r => (r._1, r._2))
+    val got = TextOps.defs("q109_unigram_surprisal")(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // every flagged doc is strictly above the corpus mean; not all docs flag
+    assert(got.map(_._6).sum < docs.length)
+  }
+
+  test("q111: postings are the first 20 sorted doc_ids; df/tf consistent") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    val pairs = docs.flatMap { case (id, t) =>
+      t.split("\\s+", -1).map(tok => (tok, id)) }
+    val expected = pairs.groupBy(_._1).map { case (tok, xs) =>
+      val ids = xs.map(_._2)
+      val post = ids.distinct.sorted.take(20).mkString(",")
+      (tok, ids.distinct.length.toLong, ids.length.toLong, post)
+    }.toSeq.sortBy { case (tok, df, _, _) => (-df, tok) }.take(50)
+    val got = TextOps.defs("q111_inverted_index")(spark, sfDir)
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(got == expected)
+    got.foreach { case (_, df, tf, post) =>
+      assert(tf >= df && post.split(",").length == math.min(df, 20L))
+    }
+  }
 }
