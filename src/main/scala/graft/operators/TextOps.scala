@@ -127,7 +127,8 @@ object TextOps {
     "q80_doc_chunking" -> ((s, d) => q80(s, d)),
     "q98_feature_hashing" -> ((s, d) => q98(s, d)),
     "q109_unigram_surprisal" -> ((s, d) => q109(s, d)),
-    "q111_inverted_index" -> ((s, d) => q111(s, d))
+    "q111_inverted_index" -> ((s, d) => q111(s, d)),
+    "q112_bm25_topk" -> ((s, d) => q112(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -735,6 +736,53 @@ object TextOps {
       .limit(50)
   }
 
+  /** BM25 top-k retrieval — the ranked-retrieval query over the q111
+    * index shape (BM25 is the default lexical scorer behind RAG candidate
+    * generation and classic search). The query is the corpus's 3
+    * highest-df terms (deterministic tiebreak), so the whole pipeline is
+    * self-contained and cross-engine reproducible. Scoring is BM25 with
+    * k1 = 6/5 and b = 3/4 expressed in EXACT int64 arithmetic: with
+    * `avg` the permille-scaled mean doc length and `idf_k = (1000·N) div
+    * df`, each term contributes
+    * `(idf_k · 44 · avg · tf) div (20·avg·tf + 6·avg + 18·len·1000)` —
+    * the k1/b rationals cross-multiplied into one floor division, so
+    * Spark and DuckDB rank identically (a float BM25 would tie-break on
+    * summation noise). idf is the quantized-ratio device from q84; at
+    * extreme N/df ratios the product is bounded by capping idf_k's
+    * operand widths (documented, not hit by query terms — high-df by
+    * construction).
+    *
+    * Scale: tf/df/len relations derive from one (tok, doc_id) pair
+    * aggregation (map-side combined); the 3-term query relation
+    * broadcasts; the per-doc score aggregation shuffles only matching
+    * (doc_id, term_score) pairs — candidate docs, not the corpus; top-k
+    * is TakeOrderedAndProject. This is the "query serving" half the
+    * index (q111) exists for.
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables(s, d, "documents")
+      .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val nAvg = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(len) * 1000 div count(1)").as("avg_mil"))
+    val pairs = toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+    val qterms = pairs.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"tok").limit(3)
+      .crossJoin(broadcast(nAvg))
+      .withColumn("idf_k", expr("(1000 * n_docs) div df"))
+      .select($"tok", $"idf_k", $"avg_mil")
+    pairs.join(broadcast(qterms), "tok")
+      .join(dl, "doc_id")
+      .withColumn("term_score", expr(
+        """(idf_k * 44 * avg_mil * tf)
+           div (20 * avg_mil * tf + 6 * avg_mil + 18 * len * 1000)"""))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum($"term_score").as("score"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(10)
+  }
+
   def oracles: Map[String, String] = Map(
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
     // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
@@ -1118,7 +1166,31 @@ object TextOps {
              list_sort(list(doc_id))[1:20], x -> CAST(x AS VARCHAR)),
              ',') AS postings
          FROM pairs GROUP BY tok
-         ORDER BY df DESC, tok LIMIT 50"""
+         ORDER BY df DESC, tok LIMIT 50""",
+    "q112_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                FROM toks GROUP BY 1),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len) * 1000 // count(*) AS BIGINT) AS avg_mil
+                FROM dl),
+         pairs AS (
+           SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+         qt AS (
+           SELECT tok, (1000 * n_docs) // df AS idf_k, avg_mil
+           FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM pairs GROUP BY 1) CROSS JOIN na
+           ORDER BY df DESC, tok LIMIT 3)
+         SELECT p.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum((qt.idf_k * 44 * qt.avg_mil * p.tf)
+             // (20 * qt.avg_mil * p.tf + 6 * qt.avg_mil
+                 + 18 * dl.len * 1000)) AS BIGINT) AS score
+         FROM pairs p JOIN qt ON p.tok = qt.tok
+           JOIN dl ON p.doc_id = dl.doc_id
+         GROUP BY 1 ORDER BY score DESC, p.doc_id LIMIT 10"""
   )
 
   /** The q61 oracle's CTE chain (without the WITH keyword), ending at `j`

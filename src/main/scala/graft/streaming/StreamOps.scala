@@ -402,6 +402,90 @@ object StreamOps {
       }
   }
 
+  /** One event on a funnel stream (public: encoder requirement). */
+  case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+  /** Per-user funnel state: the user's step events so far (parallel
+    * arrays — Spark tuple encoders handle primitives best) and the max
+    * event time seen (public: encoder requirement).
+    */
+  case class FunnelState(times: Array[Long], steps: Array[Int], maxTs: Long)
+
+  /** Funnel completion for one user (public: encoder requirement). */
+  case class FunnelDepth(user_id: Long, depth: Int, n_events: Int)
+
+  /** Reachable-set chain DP shared by [[funnelStream]] and its spec:
+    * depth k is reached iff some step-k event follows a reachable
+    * depth-(k-1) event by (0, gap]. Tracking ALL reachable chain ends is
+    * required for correctness — the greedy earliest-end DP misses chains
+    * whose earlier steps must start later (a later view can open a
+    * window an earlier view already closed).
+    */
+  def funnelDepthOf(times: Array[Long], steps: Array[Int], nSteps: Int,
+      gapMs: Long): Int = {
+    var ends = times.indices.collect {
+      case i if steps(i) == 0 => times(i)
+    }.toSet
+    var depth = if (ends.nonEmpty) 1 else 0
+    var k = 1
+    while (k < nSteps && ends.nonEmpty) {
+      val nxt = times.indices.collect {
+        case i if steps(i) == k &&
+          ends.exists(p => times(i) > p && times(i) <= p + gapMs) => times(i)
+      }.toSet
+      if (nxt.nonEmpty) depth = k + 1
+      ends = nxt
+      k += 1
+    }
+    depth
+  }
+
+  /** Streaming funnel / sequence matcher — the streaming form of batch
+    * q108 and the Flink-CEP / ClickHouse-windowFunnel shape: per user,
+    * emit the deepest step-chain prefix (each gap ≤ `gapMs`, strictly
+    * time-increasing) once the user has been idle past `idleCloseMs` in
+    * EVENT time. Non-step events are filtered before keying, so state
+    * buffers only the user's own step events — bounded by per-user
+    * funnel activity, evicted on emission; out-of-order arrival within
+    * the watermark is free because the DP runs over the buffered set at
+    * close time, not incrementally.
+    *
+    * Scale: one shuffle keyed by user; state is per-user O(step events);
+    * the timeout scan is Spark's state-store iteration, not a driver
+    * loop. The same topology holds on a 1000-executor cluster — RocksDB
+    * state + event-time timeout is the standard CEP deployment shape.
+    */
+  def funnelStream(ev: Dataset[FunnelEvent], steps: Seq[String],
+      gapMs: Long, idleCloseMs: Long, watermark: String): Dataset[FunnelDepth] = {
+    import ev.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val nSteps = steps.length
+    ev.filter($"event_type".isin(steps: _*))
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelDepth](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(FunnelDepth(uid,
+              funnelDepthOf(s.times, s.steps, nSteps, gapMs), s.times.length))
+          } else {
+            val prev = state.getOption
+              .getOrElse(FunnelState(Array.empty, Array.empty, Long.MinValue))
+            val evs = events.toArray
+            val next = FunnelState(
+              prev.times ++ evs.map(_.ts.getTime),
+              prev.steps ++ evs.map(e => stepIdx(e.event_type)),
+              math.max(prev.maxTs, evs.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.maxTs + idleCloseMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** A rate/reference-data update on the right side of a streaming as-of
     * join (public: encoder requirement).
     */

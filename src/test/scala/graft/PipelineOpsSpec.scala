@@ -573,4 +573,39 @@ class PipelineOpsSpec extends SparkSpec {
       assert(tf >= df && post.split(",").length == math.min(df, 20L))
     }
   }
+
+  test("q112: BM25 ranking equals integer brute force; score monotone in tf") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+    val toks = docs.map { case (id, t) => (id, t.split("\\s+", -1).toSeq) }
+    val dl = toks.map { case (id, ts) => (id, ts.length.toLong) }.toMap
+    val nDocs = docs.length.toLong
+    val avgMil = dl.values.sum * 1000 / nDocs
+    val pairs = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (tok, xs) => (tok, id, xs.length.toLong) }
+    }
+    val dfm = pairs.groupBy(_._1).map { case (t, xs) => (t, xs.length.toLong) }
+    val qt = dfm.toSeq.sortBy { case (t, df) => (-df, t) }.take(3)
+      .map { case (t, df) => (t, 1000L * nDocs / df) }.toMap
+    val scores = pairs.filter(p => qt.contains(p._1))
+      .groupBy(_._2).map { case (id, xs) =>
+        val s = xs.map { case (t, _, tf) =>
+          qt(t) * 44 * avgMil * tf /
+            (20 * avgMil * tf + 6 * avgMil + 18 * dl(id) * 1000)
+        }.sum
+        (id, xs.length.toLong, s)
+      }
+    val expected = scores.toSeq.sortBy { case (id, _, s) => (-s, id) }.take(10)
+    val got = TextOps.defs("q112_bm25_topk")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // BM25 term score increases with tf (fixed len): saturation, not decay
+    def term(tf: Long, len: Long, idf: Long) =
+      idf * 44 * avgMil * tf / (20 * avgMil * tf + 6 * avgMil + 18 * len * 1000)
+    val idf0 = qt.values.head
+    (1L until 20L).foreach { tf =>
+      assert(term(tf + 1, 100, idf0) >= term(tf, 100, idf0))
+    }
+  }
 }
