@@ -133,8 +133,39 @@ object Windows {
     "q67_interval_join" -> ((s, d) => qIntervalJoin(s, d)),
     "q68_top_tokens" -> ((s, d) => qTopTokens(s, d)),
     "q108_funnel" -> ((s, d) => qFunnel(s, d)),
-    "q69_inequality_join" -> ((s, d) => qInequalityJoin(s, d))
+    "q69_inequality_join" -> ((s, d) => qInequalityJoin(s, d)),
+    "q113_cohort_retention" -> ((s, d) => qRetention(s, d))
   )
+
+  /** Cohort retention matrix — users grouped by first-activity day
+    * (their cohort), with distinct-user counts re-active at day offsets
+    * 0/1/2/3/7 (the ClickHouse `retention` / product-analytics shape,
+    * and q108's funnel sibling: funnel = ordered steps within one
+    * window, retention = recurring activity across days).
+    *
+    * Scale: activity is first collapsed to distinct (user, day) — one
+    * shuffle keyed by user — and the first-day aggregate co-partitions
+    * with the self-join on the same key, so no second shuffle of the
+    * event volume. The offset counts are conditional count-distincts in
+    * ONE aggregation pass (Spark's Expand: ×5 of the already-tiny
+    * user-day relation, not of raw events); cohort day is emitted as a
+    * string to dodge cross-engine date-encoding drift.
+    */
+  private def qRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = graft.Tables(s, d, "events")
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val first = ud.groupBy($"user_id").agg(min($"day").as("cohort"))
+    val offs = ud.join(first, "user_id")
+      .withColumn("k", datediff($"day", $"cohort"))
+    def ret(k: Int) =
+      countDistinct(when($"k" === k, $"user_id")).as(s"d$k")
+    offs.groupBy(date_format($"cohort", "yyyy-MM-dd").as("cohort"))
+      .agg(countDistinct($"user_id").as("n_users"),
+        ret(0), ret(1), ret(2), ret(3), ret(7))
+      .orderBy($"cohort")
+  }
 
   /** Row-count windows — the reference's Schedule::Rows trigger
     * (flock/src/stream/window.rs:39-76, declared for Sliding/Stagger but
@@ -247,6 +278,22 @@ object Windows {
   }
 
   def oracles: Map[String, String] = Map(
+    "q113_cohort_retention" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1),
+         o AS (
+           SELECT ud.user_id, f.cohort,
+             datediff('day', f.cohort, ud.day) AS k
+           FROM ud JOIN f ON ud.user_id = f.user_id)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS BIGINT) AS d0,
+           CAST(count(DISTINCT CASE WHEN k = 1 THEN user_id END) AS BIGINT) AS d1,
+           CAST(count(DISTINCT CASE WHEN k = 2 THEN user_id END) AS BIGINT) AS d2,
+           CAST(count(DISTINCT CASE WHEN k = 3 THEN user_id END) AS BIGINT) AS d3,
+           CAST(count(DISTINCT CASE WHEN k = 7 THEN user_id END) AS BIGINT) AS d7
+         FROM o GROUP BY 1 ORDER BY 1""",
     "q108_funnel" ->
       """WITH v AS (
            SELECT user_id, ts FROM events WHERE event_type = 'view'),

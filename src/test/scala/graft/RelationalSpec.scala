@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions.to_date
 
 /** Smoke + invariant tests for the relational catalog at sf0.001.
   * Full value-level verification is the driver's DuckDB gate; here we
@@ -76,5 +77,29 @@ class RelationalSpec extends SparkSpec {
     assert(got == expect, s"got=$got expect=$expect")
     assert(got("1_view") >= got("2_view_click") &&
       got("2_view_click") >= got("3_view_click_purchase"))
+  }
+
+  test("q113 retention matrix equals brute force; d0 counts the cohort") {
+    import spark.implicits._
+    val ud = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").cast("string"))
+      .as[(Long, String)].collect().distinct
+    val cohort = ud.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def off(u: Long, day: String) =
+      java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse(cohort(u)), java.time.LocalDate.parse(day))
+    val expected = ud.map(_._1).distinct.groupBy(cohort).map { case (c, us) =>
+      def ret(k: Long) = us.count(u =>
+        ud.exists(p => p._1 == u && off(u, p._2) == k)).toLong
+      (c, us.length.toLong, ret(0), ret(1), ret(2), ret(3), ret(7))
+    }.toSeq.sortBy(_._1)
+    val got = operators.Windows.defs("q113_cohort_retention")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // day-0 retention IS the cohort size; later offsets can only shrink
+    got.foreach { case (_, n, d0, d1, d2, d3, d7) =>
+      assert(d0 == n)
+      Seq(d1, d2, d3, d7).foreach(x => assert(x <= n))
+    }
   }
 }
