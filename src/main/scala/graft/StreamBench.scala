@@ -104,8 +104,35 @@ object StreamBench {
       dps
     }
     val ingestDps = runDocs("ingest")
+
+    // CEP funnel rate (events/s): per-user flatMapGroupsWithState sequence
+    // matching with event-time idle timeout — state evicts as the
+    // watermark advances, so the steady-state rate reflects bounded state.
+    val funnelSteps = Seq("view", "click", "purchase")
+    val funnelEvents: Seq[StreamOps.FunnelEvent] = bids.map(b =>
+      StreamOps.FunnelEvent(b.bidder.toLong, b.b_date_time,
+        funnelSteps(((b.auction % 3) + 3) % 3)))
+    def runFunnel(name: String): Double = {
+      val in = MemoryStream[StreamOps.FunnelEvent]
+      val q = StreamOps.funnelStream(in.toDS(), funnelSteps,
+          gapMs = 10_000L, idleCloseMs = 10_000L, watermark = "0 seconds")
+        .toDF().writeStream.format("noop").outputMode(OutputMode.Append).start()
+      val chunks = funnelEvents.grouped(batchSize).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val timed = chunks.tail
+      val t0 = System.nanoTime()
+      timed.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val eps = timed.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] $name: $eps%.0f events/s over ${timed.size} batches")
+      eps
+    }
+    val funnelEps = runFunnel("funnel")
     println(f"streaming_q5_eps=${q5Eps}%.0f streaming_q11_eps=${q11Eps}%.0f " +
       f"streaming_ingest_dps=${ingestDps}%.0f " +
+      f"streaming_funnel_eps=${funnelEps}%.0f " +
       s"(n=${bids.size}, batch=$batchSize, cpus=$cpus)")
     spark.stop()
   }

@@ -134,8 +134,47 @@ object Windows {
     "q68_top_tokens" -> ((s, d) => qTopTokens(s, d)),
     "q108_funnel" -> ((s, d) => qFunnel(s, d)),
     "q69_inequality_join" -> ((s, d) => qInequalityJoin(s, d)),
-    "q113_cohort_retention" -> ((s, d) => qRetention(s, d))
+    "q113_cohort_retention" -> ((s, d) => qRetention(s, d)),
+    "q114_gap_fill" -> ((s, d) => qGapFill(s, d))
   )
+
+  /** Activity-gap analysis over a per-user date spine — the time-series
+    * gap-fill shape (generate the missing days, then reason about them).
+    * Two independent formulations are emitted in ONE result and must
+    * reconcile: rows gap_len ≥ 1 are the islands-and-gaps histogram
+    * (lead-window day deltas, n_gaps runs of exactly that length and the
+    * users having one); the gap_len = 0 row counts every inactive day
+    * via the explicit spine — `sequence(first, last)` exploded per user,
+    * anti-joined against activity — so Σ gap_len·n_gaps = that total by
+    * construction (the spec asserts it).
+    *
+    * Scale: the spine is bounded by users × span (not events), explodes
+    * from a per-user 2-column relation, and the anti-join + windows all
+    * key by user — one co-partitioned shuffle family. This is the
+    * production gap-fill plan; a calendar cross-join would shuffle the
+    * full spine against the corpus instead.
+    */
+  private def qGapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ud = graft.Tables(s, d, "events")
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val gapHist = ud.withColumn("nxt", lead($"day", 1).over(w))
+      .withColumn("gap", (datediff($"nxt", $"day") - 1).cast("long"))
+      .filter($"gap" >= 1)
+      .groupBy($"gap".as("gap_len"))
+      .agg(count(lit(1)).as("n_gaps"), countDistinct($"user_id").as("n_users"))
+    val spine = ud.groupBy($"user_id")
+      .agg(min($"day").as("f"), max($"day").as("l"))
+      .select($"user_id", explode(expr("sequence(f, l)")).as("day"))
+    val inactive = spine.join(ud, Seq("user_id", "day"), "left_anti")
+    val total = inactive.agg(count(lit(1)).as("n_gaps"),
+        countDistinct($"user_id").as("n_users"))
+      .select(lit(0L).as("gap_len"), $"n_gaps", $"n_users")
+    gapHist.unionByName(total).orderBy($"gap_len")
+  }
 
   /** Cohort retention matrix — users grouped by first-activity day
     * (their cohort), with distinct-user counts re-active at day offsets
@@ -278,6 +317,35 @@ object Windows {
   }
 
   def oracles: Map[String, String] = Map(
+    "q114_gap_fill" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         g AS (
+           SELECT user_id,
+             datediff('day', day,
+               lead(day) OVER (PARTITION BY user_id ORDER BY day)) - 1 AS gap
+           FROM ud),
+         hist AS (
+           SELECT CAST(gap AS BIGINT) AS gap_len,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM g WHERE gap >= 1 GROUP BY 1),
+         fl AS (SELECT user_id, min(day) AS f, max(day) AS l
+                FROM ud GROUP BY 1),
+         spine AS (
+           SELECT user_id,
+             CAST(unnest(generate_series(f, l, INTERVAL 1 DAY)) AS DATE) AS day
+           FROM fl),
+         inact AS (
+           SELECT s.user_id, s.day FROM spine s
+           LEFT JOIN ud ON ud.user_id = s.user_id AND ud.day = s.day
+           WHERE ud.user_id IS NULL),
+         tot AS (
+           SELECT CAST(0 AS BIGINT) AS gap_len,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM inact)
+         SELECT * FROM hist UNION ALL SELECT * FROM tot ORDER BY gap_len""",
     "q113_cohort_retention" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

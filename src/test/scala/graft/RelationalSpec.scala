@@ -102,4 +102,27 @@ class RelationalSpec extends SparkSpec {
       Seq(d1, d2, d3, d7).foreach(x => assert(x <= n))
     }
   }
+
+  test("q114 gap histogram equals brute force and reconciles with the spine") {
+    import spark.implicits._
+    val ud = Tables(spark, sfDir, "events")
+      .select($"user_id", to_date($"ts").cast("string"))
+      .as[(Long, String)].collect().distinct
+    def epoch(s: String) = java.time.LocalDate.parse(s).toEpochDay
+    val gaps = ud.groupBy(_._1).values.flatMap { rows =>
+      val ds = rows.map(r => epoch(r._2)).sorted
+      ds.zip(ds.tail).map { case (a, b) => (rows.head._1, b - a - 1) }
+        .filter(_._2 >= 1)
+    }.toSeq
+    val expectedHist = gaps.groupBy(_._2).map { case (len, xs) =>
+      (len, xs.size.toLong, xs.map(_._1).distinct.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = operators.Windows.defs("q114_gap_fill")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val (totalRow, hist) = got.partition(_._1 == 0L)
+    assert(hist == expectedHist)
+    // the spine-derived inactive-day total must equal sum(len * n_gaps)
+    assert(totalRow.head._2 == hist.map(r => r._1 * r._2).sum)
+    assert(totalRow.head._3 == gaps.map(_._1).distinct.size.toLong)
+  }
 }
