@@ -135,8 +135,76 @@ object Windows {
     "q108_funnel" -> ((s, d) => qFunnel(s, d)),
     "q69_inequality_join" -> ((s, d) => qInequalityJoin(s, d)),
     "q113_cohort_retention" -> ((s, d) => qRetention(s, d)),
-    "q114_gap_fill" -> ((s, d) => qGapFill(s, d))
+    "q114_gap_fill" -> ((s, d) => qGapFill(s, d)),
+    "q115_session_stats" -> ((s, d) => qSessionStats(s, d)),
+    "q116_transition_matrix" -> ((s, d) => qTransitions(s, d))
   )
+
+  /** Batch sessionization by inactivity gap — the lag-mark-cumsum
+    * islands formulation (30-minute gap), reduced to corpus-level
+    * session statistics. Complements q24 (streaming-style
+    * `session_window`): this is the shape used when sessionizing
+    * historical data where the session id must be JOINABLE back to
+    * events (the window columns stay available), and the oracle replays
+    * it exactly because every value is integer milliseconds — both
+    * engines floor the same nanosecond source to ms.
+    *
+    * Scale: two windows over the same (user_id, ts) ordering — Spark
+    * evaluates them in ONE sort within one shuffle keyed by user; the
+    * session reduction reuses that partitioning. Nothing global until
+    * the final 1-row aggregate of per-session rows.
+    */
+  private def qSessionStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 30L * 60 * 1000
+    val ev = graft.Tables(s, d, "events")
+      .select($"user_id", unix_millis($"ts").as("ms"))
+    val w = Window.partitionBy($"user_id").orderBy($"ms")
+    val sess = ev.withColumn("prev", lag($"ms", 1).over(w))
+      .withColumn("new_sess",
+        when($"prev".isNull || $"ms" - $"prev" > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(w))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max($"ms") - min($"ms")) / lit(1000L)).cast("long").as("span_s"))
+    sess.agg(countDistinct($"user_id").as("n_users"),
+      count(lit(1)).as("n_sessions"),
+      sum($"n_events").as("n_events"),
+      expr("sum(n_events) div count(1)").as("avg_events_per_session"),
+      expr("sum(span_s) div count(1)").as("avg_span_s"),
+      max($"n_events").as("max_events"),
+      max($"span_s").as("max_span_s"))
+  }
+
+  /** Event-type transition matrix — per-user next-event pairs (lead over
+    * the (ts, event_id) total order) counted into a first-order Markov
+    * matrix with integer-permille row normalization: the behavioral
+    * sequence model behind "what follows a view", and the aggregate the
+    * q108 funnel and q115 sessions both sit on top of. The event_id
+    * tiebreak makes the per-user order total, so both engines count the
+    * same transitions even for same-millisecond events.
+    *
+    * Scale: one window shuffle keyed by user; the matrix is
+    * |event_types|² rows, so the normalization join is over a relation
+    * that no longer depends on data size.
+    */
+  private def qTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables(s, d, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = ev.withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy($"from_type")
+    tr.withColumn("row_total", sum($"n").over(wf))
+      .withColumn("permille", expr("n * 1000 div row_total"))
+      .select($"from_type", $"to_type", $"n", $"permille")
+      .orderBy($"from_type", $"to_type")
+  }
 
   /** Activity-gap analysis over a per-user date spine — the time-series
     * gap-fill shape (generate the missing days, then reason about them).
@@ -317,6 +385,45 @@ object Windows {
   }
 
   def oracles: Map[String, String] = Map(
+    "q115_session_stats" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+         m AS (
+           SELECT user_id, ms,
+             CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                    > 1800000
+                  OR lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+           FROM ev),
+         sm AS (
+           SELECT user_id, ms,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+           FROM m),
+         sess AS (
+           SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+             (max(ms) - min(ms)) // 1000 AS span_s
+           FROM sm GROUP BY 1, 2)
+         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(n_events) // count(*) AS BIGINT) AS avg_events_per_session,
+           CAST(sum(span_s) // count(*) AS BIGINT) AS avg_span_s,
+           CAST(max(n_events) AS BIGINT) AS max_events,
+           CAST(max(span_s) AS BIGINT) AS max_span_s
+         FROM sess""",
+    "q116_transition_matrix" ->
+      """WITH tr AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_ns(ts) // 1000, event_id) AS to_type
+           FROM events),
+         c AS (
+           SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+           FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           n * 1000 // sum(n) OVER (PARTITION BY from_type) AS permille
+         FROM c ORDER BY from_type, to_type""",
     "q114_gap_fill" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Relational
-import org.apache.spark.sql.functions.to_date
+import org.apache.spark.sql.functions.{to_date, unix_micros, unix_millis}
 
 /** Smoke + invariant tests for the relational catalog at sf0.001.
   * Full value-level verification is the driver's DuckDB gate; here we
@@ -124,5 +124,50 @@ class RelationalSpec extends SparkSpec {
     // the spine-derived inactive-day total must equal sum(len * n_gaps)
     assert(totalRow.head._2 == hist.map(r => r._1 * r._2).sum)
     assert(totalRow.head._3 == gaps.map(_._1).distinct.size.toLong)
+  }
+
+  test("q115 session stats equal a brute-force 30-minute sessionizer") {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", unix_millis($"ts"))
+      .as[(Long, Long)].collect()
+    val gap = 30L * 60 * 1000
+    val sessions = ev.groupBy(_._1).values.flatMap { rows =>
+      val ms = rows.map(_._2).sorted
+      val bounds = ms.indices.filter(i => i == 0 || ms(i) - ms(i - 1) > gap)
+      (bounds :+ ms.length).sliding(2).map { case Seq(a, b) =>
+        (rows.head._1, (b - a).toLong, (ms(b - 1) - ms(a)) / 1000)
+      }.toSeq
+    }.toSeq
+    val row = operators.Windows.defs("q115_session_stats")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val nSess = sessions.size.toLong
+    val nEv = sessions.map(_._2).sum
+    assert(row == ((sessions.map(_._1).distinct.size.toLong, nSess, nEv,
+      nEv / nSess, sessions.map(_._3).sum / nSess,
+      sessions.map(_._2).max, sessions.map(_._3).max)))
+    assert(nEv == ev.length.toLong, "sessions must partition the events")
+  }
+
+  test("q116 transitions equal brute force; rows sum to their totals") {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", unix_micros($"ts"), $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }.toSeq
+    val counts = pairs.groupBy(identity).map { case ((f, t), xs) =>
+      (f, t, xs.size.toLong) }
+    val totals = counts.groupBy(_._1).map { case (f, xs) => (f, xs.map(_._3).sum) }
+    val expected = counts.map { case (f, t, n) =>
+      (f, t, n, n * 1000 / totals(f)) }.toSeq.sortBy(r => (r._1, r._2))
+    val got = operators.Windows.defs("q116_transition_matrix")(spark, sfDir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // transitions per user = events - 1, summed over users with >= 1 event
+    val nUsers = ev.map(_._1).distinct.length
+    assert(got.map(_._3).sum == ev.length.toLong - nUsers)
   }
 }
