@@ -486,6 +486,62 @@ object StreamOps {
       }
   }
 
+  /** A query vector arriving on the serving stream (public: encoder
+    * requirement). `qv` is in the engine's exact integer embedding space
+    * (floor(1000·x + 0.5), as q37/q72/q90).
+    */
+  case class VecEvent(qid: Long, ts: Timestamp, qv: Array[Long])
+
+  /** One nearest-neighbor match (public: encoder requirement). */
+  case class KnnMatch(qid: Long, rank: Int, vec_id: Long, dist: Long)
+
+  /** Streaming top-k vector search against a static index — the serving
+    * half of the similarity-search surface (batch build: q37 brute
+    * force, q40 IVF, q90 PQ, q105 IVF-PQ). Each arriving query vector is
+    * scored against the broadcast index and emits its k nearest
+    * neighbors immediately: queries are independent, so the operator is
+    * STATELESS (append mode, no watermark, no state store) and scales
+    * by partitioning the query stream alone. Distances are exact int64
+    * squared-L2 in the shared quantized space with (dist, vec_id)
+    * tie-break — deterministic under any arrival order.
+    *
+    * Scale: the index rides a task-broadcast (swap in an IVF/PQ
+    * structure for billion-vector indexes — same operator shape, the
+    * per-event scan just routes to probed cells); per-event cost is
+    * O(index · dim) here, O(probes · dim) with routing. The bounded
+    * top-k buffer is O(k).
+    */
+  def knnStream(qs: Dataset[VecEvent], index: Array[(Long, Array[Long])],
+      k: Int): Dataset[KnnMatch] = {
+    import qs.sparkSession.implicits._
+    val bIndex = qs.sparkSession.sparkContext.broadcast(index)
+    qs.flatMap { q =>
+      val idx = bIndex.value
+      // bounded insertion into a k-sized buffer ordered by (dist, vec_id)
+      val top = new scala.collection.mutable.ArrayBuffer[(Long, Long)](k + 1)
+      idx.foreach { case (id, v) =>
+        var dist = 0L
+        var i = 0
+        while (i < v.length) {
+          val d = q.qv(i) - v(i); dist += d * d; i += 1
+        }
+        val beatsWorst = top.lastOption.exists { case (bd, bid) =>
+          dist < bd || (dist == bd && id < bid)
+        }
+        if (top.size < k || beatsWorst) {
+          val at = top.indexWhere { case (bd, bid) =>
+            dist < bd || (dist == bd && id < bid)
+          }
+          top.insert(if (at < 0) top.size else at, (dist, id))
+          if (top.size > k) top.remove(k)
+        }
+      }
+      top.iterator.zipWithIndex.map { case ((dist, id), r) =>
+        KnnMatch(q.qid, r + 1, id, dist)
+      }
+    }
+  }
+
   /** A rate/reference-data update on the right side of a streaming as-of
     * join (public: encoder requirement).
     */
