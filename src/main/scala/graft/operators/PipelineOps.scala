@@ -44,8 +44,40 @@ object PipelineOps {
     "q104_snapshot_merge" -> ((s, d) => q104(s, d)),
     "q106_cluster_split" -> ((s, d) => q106(s, d)),
     "q107_cdc_chunks" -> ((s, d) => q107(s, d)),
-    "q110_graph_rank" -> ((s, d) => q110(s, d))
+    "q110_graph_rank" -> ((s, d) => q110(s, d)),
+    "q117_source_novelty" -> ((s, d) => q117(s, d))
   )
+
+  /** Per-source novelty rate — the complement of q101's overlap matrix:
+    * for each source, the permille of its distinct sliding 8-grams (q82's
+    * decontamination unit) that occur in NO other source. Overlap says
+    * which pairs share; novelty says how much UNIQUE signal each source
+    * contributes — the number a corpus-mixing decision (q87) actually
+    * wants next to volume.
+    *
+    * Scale: the corpus collapses to distinct (gram-md5, source) pairs
+    * before anything joins (map-side combined); the spread count and the
+    * join back are both keyed by the 16-byte digest — two digest-keyed
+    * shuffles, text never moves. Same scaling behavior as q82/q101.
+    */
+  private def q117(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = docs(s, d)
+      .withColumn("ngs",
+        when(size($"toks") < 8, array().cast("array<string>"))
+          .otherwise(expr(
+            "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))")))
+      .select($"source", explode($"ngs").as("g"))
+      .select($"source", md5($"g").as("h"))
+      .distinct()
+    val spread = grams.groupBy($"h").agg(countDistinct($"source").as("nsrc"))
+    grams.join(spread, "h")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"nsrc" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille", expr("(1000 * n_novel) div n_grams"))
+      .orderBy($"source")
+  }
 
   /** Graph authority ranking by fixed-point power iteration — the
     * "source/domain reputation" signal a crawl-weighting pipeline
@@ -1492,6 +1524,24 @@ object PipelineOps {
            FROM e JOIN oc ON e.c = oc.c JOIN m1 ON e.c = m1.c GROUP BY 1)
          SELECT a1.sk AS s_suppkey, os.os AS n_customers, mass_r1, mass_r2
          FROM a1 JOIN a2 ON a1.sk = a2.sk JOIN os ON a1.sk = os.sk
-         ORDER BY mass_r2 DESC, s_suppkey LIMIT 20"""
+         ORDER BY mass_r2 DESC, s_suppkey LIMIT 20""",
+    "q117_source_novelty" ->
+      """WITH t AS (
+           SELECT source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         g0 AS (
+           SELECT source,
+             md5(array_to_string(toks[i:i+7], ' ')) AS h
+           FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)
+           WHERE len(toks) >= 8),
+         g AS (SELECT DISTINCT source, h FROM g0),
+         sp AS (SELECT h, count(DISTINCT source) AS nsrc FROM g GROUP BY 1)
+         SELECT g.source, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN sp.nsrc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           (1000 * CAST(sum(CASE WHEN sp.nsrc = 1 THEN 1 ELSE 0 END)
+              AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_permille
+         FROM g JOIN sp ON g.h = sp.h
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -608,4 +608,28 @@ class PipelineOpsSpec extends SparkSpec {
       assert(term(tf + 1, 100, idf0) >= term(tf, 100, idf0))
     }
   }
+
+  test("q117: novelty rate equals brute force over sliding 8-grams") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"source".as[String], $"text".as[String]).collect()
+    val pairs = docs.flatMap { case (src, t) =>
+      val toks = t.split("\\s+", -1)
+      if (toks.length < 8) Seq.empty
+      else toks.sliding(8).map(w => (src, w.mkString(" "))).toSeq
+    }.distinct
+    val spread = pairs.groupBy(_._2).map { case (g, xs) =>
+      (g, xs.map(_._1).distinct.size) }
+    val expected = pairs.groupBy(_._1).map { case (src, xs) =>
+      val novel = xs.count(p => spread(p._2) == 1).toLong
+      (src, xs.size.toLong, novel, 1000 * novel / xs.size)
+    }.toSeq.sortBy(_._1)
+    val got = run("q117_source_novelty")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // novelty and overlap are complements: a gram in >1 source is not novel
+    got.foreach { case (_, n, novel, pm) =>
+      assert(novel <= n && pm <= 1000)
+    }
+  }
 }
