@@ -137,8 +137,44 @@ object Windows {
     "q113_cohort_retention" -> ((s, d) => qRetention(s, d)),
     "q114_gap_fill" -> ((s, d) => qGapFill(s, d)),
     "q115_session_stats" -> ((s, d) => qSessionStats(s, d)),
-    "q116_transition_matrix" -> ((s, d) => qTransitions(s, d))
+    "q116_transition_matrix" -> ((s, d) => qTransitions(s, d)),
+    "q118_analytic_extras" -> ((s, d) => qAnalyticExtras(s, d))
   )
+
+  /** The remaining SQL analytic window functions in one oracled query:
+    * ntile(10) deciles, percent_rank, cume_dist, and nth_value over the
+    * per-language (n_chars, doc_id) TOTAL order — ties broken by the
+    * unique id, because ntile assigns by row position and any
+    * nondeterminism in the order would diverge between engines.
+    * percent_rank/cume_dist are emitted as exact IEEE quotients of small
+    * integers (no rounding) — both engines compute the same division, so
+    * the hash compare is still exact. Deciles then aggregate to
+    * per-(lang, decile) stats so the result is small and stable.
+    *
+    * Scale: one window shuffle keyed by lang; the decile aggregation
+    * reuses the same partitioning. ntile's frame is the whole partition
+    * — at 100 TB deciles come from the mergeable histogram (q96) instead;
+    * this is the exact-rank path for partition-sized groups.
+    */
+  private def qAnalyticExtras(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    val scored = graft.Tables(s, d, "documents")
+      .select($"lang", $"doc_id", $"n_chars")
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("first_id",
+        nth_value($"doc_id", 1).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    scored.groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"),
+        max($"pr").as("max_pr"), max($"cd").as("max_cd"),
+        min($"first_id").as("first_id"))
+      .orderBy($"lang", $"decile")
+  }
 
   /** Batch sessionization by inactivity gap — the lag-mark-cumsum
     * islands formulation (30-minute gap), reduced to corpus-level
@@ -385,6 +421,24 @@ object Windows {
   }
 
   def oracles: Map[String, String] = Map(
+    "q118_analytic_extras" ->
+      """WITH s AS (
+           SELECT lang, doc_id, n_chars,
+             ntile(10) OVER w AS decile,
+             percent_rank() OVER w AS pr,
+             cume_dist() OVER w AS cd,
+             nth_value(doc_id, 1) OVER
+               (PARTITION BY lang ORDER BY n_chars, doc_id
+                ROWS UNBOUNDED PRECEDING) AS first_id
+           FROM documents
+           WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id))
+         SELECT lang, CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           max(pr) AS max_pr, max(cd) AS max_cd,
+           CAST(min(first_id) AS BIGINT) AS first_id
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q115_session_stats" ->
       """WITH ev AS (
            SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),

@@ -170,4 +170,28 @@ class RelationalSpec extends SparkSpec {
     val nUsers = ev.map(_._1).distinct.length
     assert(got.map(_._3).sum == ev.length.toLong - nUsers)
   }
+
+  test("q118 deciles are balanced, ordered, and cover each language") {
+    import spark.implicits._
+    val got = operators.Windows.defs("q118_analytic_extras")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Double, Double, Long)]
+      .collect().toSeq
+    val total = Tables(spark, sfDir, "documents").count()
+    assert(got.map(_._3).sum == total, "deciles must partition the corpus")
+    got.groupBy(_._1).values.foreach { rows =>
+      val sizes = rows.sortBy(_._2).map(_._3)
+      // ntile balance: any two buckets differ by at most one row
+      assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+      // ranges are non-decreasing across deciles
+      val ordered = rows.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq(a, b) => assert(a._5 <= b._4 || a._5 <= b._5)
+        case _ =>
+      }
+      // the partition-first doc id is one constant per language
+      assert(ordered.map(_._8).distinct.size == 1)
+      // cume_dist tops out at exactly 1.0 in the last decile
+      assert(ordered.last._7 == 1.0)
+    }
+  }
 }
