@@ -45,8 +45,51 @@ object PipelineOps {
     "q106_cluster_split" -> ((s, d) => q106(s, d)),
     "q107_cdc_chunks" -> ((s, d) => q107(s, d)),
     "q110_graph_rank" -> ((s, d) => q110(s, d)),
-    "q117_source_novelty" -> ((s, d) => q117(s, d))
+    "q117_source_novelty" -> ((s, d) => q117(s, d)),
+    "q119_weighted_sample" -> ((s, d) => q119(s, d))
   )
+
+  /** Weighted SYSTEMATIC sampling — the float-free reproducible form of
+    * weight-proportional corpus subsetting (q74/q92 sample by count;
+    * this samples by MASS, e.g. chars ≈ tokens ≈ training cost): lay
+    * documents on a per-language number line by cumulative weight, then
+    * take one document per stride of `total/„target"` mass — a document
+    * is selected iff its span crosses a stride boundary, so selection
+    * probability ∝ weight, heavy docs are never missed, and everything
+    * is int64 (floor-divided stride indices), bit-reproducible on any
+    * engine. The deterministic (n_chars, doc_id) order stands in for a
+    * hash shuffle; swap in the md5 order (q92) when position correlates
+    * with content.
+    *
+    * Scale: the cumulative sum is a per-language window — at corpus
+    * scale the q73 two-phase scan (bucket offsets broadcast back)
+    * replaces the single window; selection itself is one codegen'd
+    * comparison per row.
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val target = 50L // strides per language
+    val docsW = Tables(s, d, "documents")
+      .select($"lang", $"doc_id", $"n_chars")
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = docsW.groupBy($"lang").agg(sum($"n_chars").as("mass"))
+    val cum = docsW.withColumn("cum_after", sum($"n_chars").over(w))
+      .withColumn("cum_before", $"cum_after" - $"n_chars")
+      .join(tot, "lang")
+      .withColumn("stride", expr(s"greatest(mass div $target, 1)"))
+      .withColumn("sel",
+        expr("cum_before div stride") =!= expr("cum_after div stride"))
+    cum.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"sel", 1L).otherwise(0L)).as("n_selected"),
+        sum(when($"sel", $"n_chars").otherwise(0L)).as("sel_mass"),
+        max($"mass").as("mass"),
+        min(when($"sel", $"doc_id")).as("first_sel"),
+        max(when($"sel", $"doc_id")).as("last_sel"))
+      .orderBy($"lang")
+  }
 
   /** Per-source novelty rate — the complement of q101's overlap matrix:
     * for each source, the permille of its distinct sliding 8-grams (q82's
@@ -1542,6 +1585,31 @@ object PipelineOps {
            (1000 * CAST(sum(CASE WHEN sp.nsrc = 1 THEN 1 ELSE 0 END)
               AS BIGINT)) // CAST(count(*) AS BIGINT) AS novelty_permille
          FROM g JOIN sp ON g.h = sp.h
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q119_weighted_sample" ->
+      """WITH d AS (
+           SELECT lang, doc_id, n_chars FROM documents),
+         t AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS mass
+               FROM d GROUP BY 1),
+         c AS (
+           SELECT d.lang, d.doc_id, d.n_chars, t.mass,
+             CAST(sum(d.n_chars) OVER (PARTITION BY d.lang
+               ORDER BY d.n_chars, d.doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_after,
+             greatest(t.mass // 50, 1) AS stride
+           FROM d JOIN t ON d.lang = t.lang),
+         sel AS (
+           SELECT lang, doc_id, n_chars, mass,
+             ((cum_after - n_chars) // stride) != (cum_after // stride)
+               AS sel
+           FROM c)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN sel THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sel_mass,
+           CAST(max(mass) AS BIGINT) AS mass,
+           CAST(min(CASE WHEN sel THEN doc_id END) AS BIGINT) AS first_sel,
+           CAST(max(CASE WHEN sel THEN doc_id END) AS BIGINT) AS last_sel
+         FROM sel GROUP BY 1 ORDER BY 1"""
   )
 }

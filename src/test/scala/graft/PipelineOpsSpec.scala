@@ -632,4 +632,38 @@ class PipelineOpsSpec extends SparkSpec {
       assert(novel <= n && pm <= 1000)
     }
   }
+
+  test("q119: systematic sample equals brute force; heavy docs always in") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"lang".as[String], $"doc_id".as[Long], $"n_chars".as[Long])
+      .collect()
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      val mass = ordered.map(_._3).sum
+      val stride = math.max(mass / 50, 1)
+      var cum = 0L
+      val sel = ordered.map { r =>
+        val before = cum; cum += r._3
+        (r._2, r._3, before / stride != cum / stride)
+      }
+      val chosen = sel.filter(_._3)
+      (lang, ordered.length.toLong, chosen.length.toLong,
+        chosen.map(_._2).sum, mass,
+        chosen.map(_._1).min, chosen.map(_._1).max)
+    }.toSeq.sortBy(_._1)
+    val got = run("q119_weighted_sample")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // selected docs cover every stride boundary: one per boundary unless
+    // a single heavy doc spans several, so count is bounded by the
+    // boundary count and can never be zero for nonzero mass
+    docs.groupBy(_._1).foreach { case (lang, rows) =>
+      val mass = rows.map(_._3).sum
+      val stride = math.max(mass / 50, 1)
+      val nSel = got.find(_._1 == lang).get._3
+      assert(nSel >= 1 && nSel <= mass / stride,
+        s"$lang: $nSel selected of ${mass / stride} boundaries")
+    }
+  }
 }
