@@ -128,7 +128,8 @@ object TextOps {
     "q98_feature_hashing" -> ((s, d) => q98(s, d)),
     "q109_unigram_surprisal" -> ((s, d) => q109(s, d)),
     "q111_inverted_index" -> ((s, d) => q111(s, d)),
-    "q112_bm25_topk" -> ((s, d) => q112(s, d))
+    "q112_bm25_topk" -> ((s, d) => q112(s, d)),
+    "q120_fuzzy_match" -> ((s, d) => q120(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -783,6 +784,40 @@ object TextOps {
       .limit(10)
   }
 
+  /** Fuzzy matching by edit distance — the entity-resolution /
+    * benchmark-title-matching shape: a small probe list (here: corrupted
+    * 18-char document prefixes, deterministic mutation) matched against
+    * every document's prefix key by Levenshtein ≤ 4, reporting match
+    * counts, the best distance, and the (dist, doc_id)-argmin document.
+    * Levenshtein's unit-cost DP is engine-independent integer output, so
+    * the oracle compares exactly — the device that makes fuzzy matching
+    * gate-able where embedding similarity needs tolerance.
+    *
+    * Scale: probes broadcast (fuzzy probe lists are small by nature);
+    * the distance computation is one codegen'd map pass over the corpus
+    * keys; per-probe aggregation shuffles only (probe, dist) pairs. An
+    * indexed variant (q33's LSH bands on character shingles) replaces
+    * the linear scan when the probe list itself is large.
+    */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = Tables(s, d, "documents")
+      .select($"doc_id", substring($"text", 1, 20).as("k"))
+    val probes = keys.filter($"doc_id" % 401 === 0)
+      .select($"doc_id".as("probe_id"),
+        concat(substring($"k", 1, 18), lit("zz")).as("probe"))
+    keys.crossJoin(broadcast(probes))
+      .withColumn("dist", levenshtein($"k", $"probe"))
+      .filter($"dist" <= 4)
+      .groupBy($"probe_id")
+      .agg(count(lit(1)).as("n_within"),
+        min($"dist").as("best_dist"),
+        min(struct($"dist", $"doc_id")).as("bm"))
+      .select($"probe_id", $"n_within", $"best_dist",
+        $"bm.doc_id".as("best_doc"))
+      .orderBy($"probe_id")
+  }
+
   def oracles: Map[String, String] = Map(
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
     // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
@@ -1190,7 +1225,24 @@ object TextOps {
                  + 18 * dl.len * 1000)) AS BIGINT) AS score
          FROM pairs p JOIN qt ON p.tok = qt.tok
            JOIN dl ON p.doc_id = dl.doc_id
-         GROUP BY 1 ORDER BY score DESC, p.doc_id LIMIT 10"""
+         GROUP BY 1 ORDER BY score DESC, p.doc_id LIMIT 10""",
+    "q120_fuzzy_match" ->
+      """WITH keys AS (
+           SELECT doc_id, substring(text, 1, 20) AS k FROM documents),
+         probes AS (
+           SELECT doc_id AS probe_id,
+             substring(k, 1, 18) || 'zz' AS probe
+           FROM keys WHERE doc_id % 401 = 0),
+         d AS (
+           SELECT probe_id, keys.doc_id,
+             CAST(levenshtein(k, probe) AS BIGINT) AS dist
+           FROM keys CROSS JOIN probes)
+         SELECT probe_id, CAST(count(*) AS BIGINT) AS n_within,
+           CAST(min(dist) AS BIGINT) AS best_dist,
+           CAST(min(dist * 1000000000 + doc_id) % 1000000000 AS BIGINT)
+             AS best_doc
+         FROM d WHERE dist <= 4
+         GROUP BY 1 ORDER BY 1"""
   )
 
   /** The q61 oracle's CTE chain (without the WITH keyword), ending at `j`

@@ -666,4 +666,40 @@ class PipelineOpsSpec extends SparkSpec {
         s"$lang: $nSel selected of ${mass / stride} boundaries")
     }
   }
+
+  test("q120: fuzzy matches equal a brute-force Levenshtein scan") {
+    import spark.implicits._
+    val keys = Tables(spark, sfDir, "documents")
+      .select($"doc_id".as[Long], $"text".as[String]).collect()
+      .map { case (id, t) => (id, t.take(20)) }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val probes = keys.filter(_._1 % 401 == 0)
+      .map { case (id, k) => (id, k.take(18) + "zz") }
+    val expected = probes.map { case (pid, probe) =>
+      val ds = keys.map { case (id, k) => (id, lev(k, probe).toLong) }
+        .filter(_._2 <= 4)
+      (pid, ds.length.toLong, ds.map(_._2).min,
+        ds.minBy { case (id, dd) => (dd, id) }._1)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.defs("q120_fuzzy_match")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // each probe's source doc is a 2-edit mutation of its own key, so it
+    // must always appear among the matches
+    got.zip(expected).foreach { case ((pid, n, best, _), _) =>
+      assert(n >= 1 && best <= 2, s"probe $pid lost its source doc")
+    }
+  }
 }
