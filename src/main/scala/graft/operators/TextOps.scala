@@ -171,12 +171,15 @@ object TextOps {
   /** Token counting: whitespace tokens + BPE-ish regex token estimate. */
   private def q28(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // n_bpeish: native single-scan expression (BpeishCountExpr) — equals
+    // the regexp_count the oracle still runs, without per-row Matcher
+    // cost; space removal via translate (plain char map, not regex)
     docs(s, d)
       .select($"doc_id",
         size($"toks").cast("long").as("n_tokens"),
         size(array_distinct($"toks")).cast("long").as("n_distinct"),
-        regexp_count($"text", lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("long").as("n_bpeish"),
-        round(length(regexp_replace($"text", " ", "")).cast("double") / size($"toks"), 4)
+        graft.functions.TextHashes.bpeishCountCol($"text").as("n_bpeish"),
+        round(length(translate($"text", " ", "")).cast("double") / size($"toks"), 4)
           .as("avg_tok_len"))
       .orderBy($"doc_id")
   }

@@ -160,4 +160,27 @@ class TextHashesSpec extends SparkSpec {
     }
     assert(out.length == tokCounts.size)
   }
+
+  test("bpeishCount equals regexp_count on corpus text and adversarial strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus: every document must agree with the regex formulation
+    val diff = Tables(spark, sfDir, "documents")
+      .select(
+        graft.functions.TextHashes.bpeishCountCol($"text").as("scan"),
+        regexp_count($"text", lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("long").as("re"))
+      .filter($"scan" =!= $"re").count()
+    assert(diff == 0, s"$diff documents diverge from the regex")
+    // adversarial: runs, digits, punctuation, unicode, empties, spaces
+    val cases = Seq("", " ", "abc", "a b c", "a1b2", "123", "!!", "a!1 b",
+      "ABC abc", "héllo wörld", "\u00e9\u00e9", "a  b", "zz9zz", "\ud83d\ude00 a")
+    val got = cases.toDF("t")
+      .select(
+        graft.functions.TextHashes.bpeishCountCol($"t").as("scan"),
+        regexp_count($"t", lit("[a-z]+|[0-9]|[^a-z0-9 ]")).cast("long").as("re"))
+      .collect()
+    cases.zip(got).foreach { case (c, r) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch on <$c>: $r")
+    }
+  }
 }
