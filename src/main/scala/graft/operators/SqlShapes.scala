@@ -25,6 +25,7 @@ object SqlShapes {
     "q76_hll_union" -> ((s, d) => q76(s, d)),
     "q79_grouping_sets" -> ((s, d) => q79(s, d)),
     "q96_hist_quantiles" -> ((s, d) => q96(s, d)),
+    "q121_incremental_agg" -> ((s, d) => q121(s, d)),
     "q97_skew_audit" -> ((s, d) => q97(s, d))
   )
 
@@ -100,6 +101,51 @@ object SqlShapes {
         est("b50").as("p50_est"), est("b95").as("p95_est"),
         est("b99").as("p99_est"))
       .orderBy($"l_returnflag")
+  }
+
+  /** Incremental aggregate maintenance — the materialized-view
+    * delta-merge pattern: a BASE snapshot's per-group partial aggregates
+    * (sum/count/min/max in integer cents) merge with a small DELTA
+    * batch's partials by pure algebra — sums add, counts add, min/max
+    * combine — and the result must equal recomputing over base ∪ delta.
+    * The query emits the merged view WITH the recomputed check columns,
+    * so the oracle hash doubles as the refresh-correctness proof.
+    * avg is derived at read time (sum/count) — the standard trick that
+    * keeps every maintained column mergeable.
+    *
+    * Scale: this is why 100 TB dashboards refresh in O(delta): history
+    * is never rescanned — only its per-group partials (group-cardinality
+    * rows) are read back, exactly like Spark's own partial/final
+    * aggregation split, persisted across batches.
+    */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events")
+      .select($"event_type", $"event_id",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    def agg(df: DataFrame) = df.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("sum_c"),
+        min($"cents").as("min_c"), max($"cents").as("max_c"))
+    val base = agg(ev.filter($"event_id" % 10 =!= 0))
+      .withColumnRenamed("n", "bn").withColumnRenamed("sum_c", "bs")
+      .withColumnRenamed("min_c", "bmin").withColumnRenamed("max_c", "bmax")
+    val delta = agg(ev.filter($"event_id" % 10 === 0))
+      .withColumnRenamed("n", "dn").withColumnRenamed("sum_c", "ds")
+      .withColumnRenamed("min_c", "dmin").withColumnRenamed("max_c", "dmax")
+    val merged = base.join(delta, Seq("event_type"), "full_outer")
+      .select($"event_type",
+        (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n"),
+        (coalesce($"bs", lit(0L)) + coalesce($"ds", lit(0L))).as("sum_c"),
+        least(coalesce($"bmin", $"dmin"), coalesce($"dmin", $"bmin")).as("min_c"),
+        greatest(coalesce($"bmax", $"dmax"), coalesce($"dmax", $"bmax")).as("max_c"))
+    val full = agg(ev)
+      .withColumnRenamed("n", "fn").withColumnRenamed("sum_c", "fs")
+      .withColumnRenamed("min_c", "fmin").withColumnRenamed("max_c", "fmax")
+    merged.join(full, "event_type")
+      .select($"event_type", $"n", $"sum_c", $"min_c", $"max_c",
+        ($"n" === $"fn" && $"sum_c" === $"fs" &&
+          $"min_c" === $"fmin" && $"max_c" === $"fmax").as("refresh_ok"))
+      .orderBy($"event_type")
   }
 
   /** Arbitrary GROUPING SETS (beyond the rollup q43 / cube q44 special
@@ -351,6 +397,39 @@ object SqlShapes {
          SELECT n_rows, n_keys, max_cnt, min_cnt,
            max_cnt * n_keys * 1000 // n_rows AS skew_permille, hot_key
          FROM a, h""",
+    "q121_incremental_agg" ->
+      """WITH ev AS (
+           SELECT event_type, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM events),
+         b AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS bn,
+             CAST(sum(cents) AS BIGINT) AS bs,
+             min(cents) AS bmin, max(cents) AS bmax
+           FROM ev WHERE event_id % 10 != 0 GROUP BY 1),
+         dl AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS dn,
+             CAST(sum(cents) AS BIGINT) AS ds,
+             min(cents) AS dmin, max(cents) AS dmax
+           FROM ev WHERE event_id % 10 = 0 GROUP BY 1),
+         m AS (
+           SELECT coalesce(b.event_type, dl.event_type) AS event_type,
+             coalesce(bn, 0) + coalesce(dn, 0) AS n,
+             coalesce(bs, 0) + coalesce(ds, 0) AS sum_c,
+             least(coalesce(bmin, dmin), coalesce(dmin, bmin)) AS min_c,
+             greatest(coalesce(bmax, dmax), coalesce(dmax, bmax)) AS max_c
+           FROM b FULL OUTER JOIN dl ON b.event_type = dl.event_type),
+         f AS (
+           SELECT event_type, CAST(count(*) AS BIGINT) AS fn,
+             CAST(sum(cents) AS BIGINT) AS fs,
+             min(cents) AS fmin, max(cents) AS fmax
+           FROM ev GROUP BY 1)
+         SELECT m.event_type, n, sum_c,
+           CAST(min_c AS BIGINT) AS min_c, CAST(max_c AS BIGINT) AS max_c,
+           (n = fn AND sum_c = fs AND min_c = fmin AND max_c = fmax)
+             AS refresh_ok
+         FROM m JOIN f ON m.event_type = f.event_type
+         ORDER BY 1""",
     "q96_hist_quantiles" ->
       """WITH b AS (
            SELECT l_returnflag,

@@ -130,4 +130,19 @@ class SqlShapesSpec extends SparkSpec {
       assert(p99 >= p95 && p95 >= p50, "quantile monotonicity")
     }
   }
+
+  test("q121: delta-merged aggregates equal the full recompute everywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = operators.SqlShapes.defs("q121_incremental_agg")(spark, sfDir).cache()
+    // the self-check column must be TRUE for every group
+    assert(out.filter(!col("refresh_ok")).count() == 0)
+    // merged counts partition the events table
+    val n = out.agg(sum($"n")).head.getLong(0)
+    assert(n == Tables(spark, sfDir, "events").count())
+    // merged sum equals the straight integer-cents sum
+    val s2 = Tables(spark, sfDir, "events")
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))).head.getLong(0)
+    assert(out.agg(sum($"sum_c")).head.getLong(0) == s2)
+  }
 }
