@@ -26,6 +26,7 @@ object SqlShapes {
     "q79_grouping_sets" -> ((s, d) => q79(s, d)),
     "q96_hist_quantiles" -> ((s, d) => q96(s, d)),
     "q121_incremental_agg" -> ((s, d) => q121(s, d)),
+    "q122_dq_audit" -> ((s, d) => q122(s, d)),
     "q97_skew_audit" -> ((s, d) => q97(s, d))
   )
 
@@ -101,6 +102,47 @@ object SqlShapes {
         est("b50").as("p50_est"), est("b95").as("p95_est"),
         est("b99").as("p99_est"))
       .orderBy($"l_returnflag")
+  }
+
+  /** Data-quality constraint audit — the nightly dbt-test /
+    * Great-Expectations sweep as ONE query: primary-key uniqueness,
+    * referential integrity across the star schema (lineitem→orders→
+    * customer), null counts, and domain-range checks, each emitted as a
+    * (check, n_violations, n_checked) row. A healthy corpus returns all
+    * zeros — the oracle hash pins both the contract AND the data.
+    *
+    * Scale: each check is a single aggregate or anti-join keyed by the
+    * join column (orphan checks broadcast the PARENT key set when dims
+    * are small, co-partitioned shuffle otherwise — AQE's call); the
+    * union of 1-row aggregates costs nothing. This is the audit that
+    * gates a 100 TB ingest before anything downstream runs.
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables(s, d, "lineitem")
+    val ord = Tables(s, d, "orders")
+    val cust = Tables(s, d, "customer")
+    def check(name: String, violations: DataFrame) =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check"), $"n_violations")
+    val pkDup = ord.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+    val orphanLi = li.join(ord.select($"o_orderkey"),
+      li("l_orderkey") === ord("o_orderkey"), "left_anti")
+    val orphanOrd = ord.join(cust.select($"c_custkey"),
+      ord("o_custkey") === cust("c_custkey"), "left_anti")
+    val nullName = cust.filter($"c_name".isNull)
+    val qtyRange = li.filter($"l_quantity" < 1 || $"l_quantity" > 50)
+    val priceSign = li.filter($"l_extendedprice" <= 0)
+    Seq(
+      check("1_pk_unique_orders", pkDup),
+      check("2_fk_lineitem_orders", orphanLi),
+      check("3_fk_orders_customer", orphanOrd),
+      check("4_null_customer_name", nullName),
+      check("5_range_quantity_1_50", qtyRange),
+      check("6_positive_price", priceSign))
+      .reduce(_ unionByName _)
+      .orderBy($"check")
   }
 
   /** Incremental aggregate maintenance — the materialized-view
@@ -397,6 +439,34 @@ object SqlShapes {
          SELECT n_rows, n_keys, max_cnt, min_cnt,
            max_cnt * n_keys * 1000 // n_rows AS skew_permille, hot_key
          FROM a, h""",
+    "q122_dq_audit" ->
+      """SELECT '1_pk_unique_orders' AS "check",
+           CAST((SELECT count(*) FROM (
+             SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+             AS BIGINT) AS n_violations
+         UNION ALL
+         SELECT '2_fk_lineitem_orders',
+           CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             AS BIGINT)
+         UNION ALL
+         SELECT '3_fk_orders_customer',
+           CAST((SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             AS BIGINT)
+         UNION ALL
+         SELECT '4_null_customer_name',
+           CAST((SELECT count(*) FROM customer WHERE c_name IS NULL)
+             AS BIGINT)
+         UNION ALL
+         SELECT '5_range_quantity_1_50',
+           CAST((SELECT count(*) FROM lineitem
+             WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+         UNION ALL
+         SELECT '6_positive_price',
+           CAST((SELECT count(*) FROM lineitem WHERE l_extendedprice <= 0)
+             AS BIGINT)
+         ORDER BY 1""",
     "q121_incremental_agg" ->
       """WITH ev AS (
            SELECT event_type, event_id,

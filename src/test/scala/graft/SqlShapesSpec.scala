@@ -145,4 +145,22 @@ class SqlShapesSpec extends SparkSpec {
       .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))).head.getLong(0)
     assert(out.agg(sum($"sum_c")).head.getLong(0) == s2)
   }
+
+  test("q122: audit checks cover the contract and a healthy corpus is clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = operators.SqlShapes.defs("q122_dq_audit")(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    assert(out.size == 6)
+    // the driver corpus satisfies all referential + domain constraints
+    assert(out.values.forall(_ == 0L), s"violations: $out")
+    // and the audit actually reacts: a poisoned orphan row must be counted
+    val li = Tables(spark, sfDir, "lineitem")
+    val poisoned = li.limit(1).withColumn("l_orderkey", lit(-999L))
+      .unionByName(li)
+    val orphans = poisoned.join(
+      Tables(spark, sfDir, "orders").select($"o_orderkey"),
+      poisoned("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    assert(orphans == 1L, "audit must detect the injected orphan")
+  }
 }
