@@ -138,8 +138,38 @@ object Windows {
     "q114_gap_fill" -> ((s, d) => qGapFill(s, d)),
     "q115_session_stats" -> ((s, d) => qSessionStats(s, d)),
     "q116_transition_matrix" -> ((s, d) => qTransitions(s, d)),
-    "q118_analytic_extras" -> ((s, d) => qAnalyticExtras(s, d))
+    "q118_analytic_extras" -> ((s, d) => qAnalyticExtras(s, d)),
+    "q123_burst_detection" -> ((s, d) => qBurst(s, d))
   )
+
+  /** Burst detection via RANGE-interval frames — the rate-limit /
+    * abuse-monitoring query: each event sees its trailing (t−1h, t]
+    * VALUE-based window (RANGE frame over epoch-ms, not ROWS — peers at
+    * the same timestamp count together in both engines), and per user we
+    * report the peak rolling count and the earliest time it was hit.
+    * The argmin rides a packed struct max — (count, −ms) — so no second
+    * window pass is needed.
+    *
+    * Scale: one window shuffle keyed by user; RANGE frames evaluate
+    * with a sliding two-pointer over each partition (linear, no
+    * re-scan per row). The streaming sibling is hoppingCounts; this is
+    * the exact-trailing-window batch form.
+    */
+  private def qBurst(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables(s, d, "events")
+      .select($"user_id", unix_millis($"ts").as("ms"))
+    val w = Window.partitionBy($"user_id").orderBy($"ms")
+      .rangeBetween(-3599999L, 0L)
+    ev.withColumn("c1h", count(lit(1)).over(w).cast("long"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct($"c1h".as("c"), (-$"ms").as("negms"))).as("b"))
+      .select($"user_id", $"n_events", $"b.c".as("max_burst"),
+        (-$"b.negms").as("at_ms"))
+      .orderBy($"user_id")
+  }
 
   /** The remaining SQL analytic window functions in one oracled query:
     * ntile(10) deciles, percent_rank, cume_dist, and nth_value over the
@@ -421,6 +451,24 @@ object Windows {
   }
 
   def oracles: Map[String, String] = Map(
+    "q123_burst_detection" ->
+      """WITH ev AS (
+           SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),
+         r AS (
+           SELECT user_id, ms,
+             count(*) OVER (PARTITION BY user_id ORDER BY ms
+               RANGE BETWEEN 3599999 PRECEDING AND CURRENT ROW) AS c
+           FROM ev),
+         m AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(c) AS BIGINT) AS max_burst
+           FROM r GROUP BY 1),
+         a AS (
+           SELECT r.user_id, CAST(min(r.ms) AS BIGINT) AS at_ms
+           FROM r JOIN m ON r.user_id = m.user_id AND r.c = m.max_burst
+           GROUP BY 1)
+         SELECT m.user_id, n_events, max_burst, at_ms
+         FROM m JOIN a ON m.user_id = a.user_id ORDER BY 1""",
     "q118_analytic_extras" ->
       """WITH s AS (
            SELECT lang, doc_id, n_chars,

@@ -194,4 +194,22 @@ class RelationalSpec extends SparkSpec {
       assert(ordered.last._7 == 1.0)
     }
   }
+
+  test("q123 burst equals brute-force trailing-window max per user") {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id", unix_millis($"ts"))
+      .as[(Long, Long)].collect()
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val ms = rows.map(_._2).sorted
+      val bursts = ms.map(t => (ms.count(x => x > t - 3600000L && x <= t), t))
+      val mx = bursts.map(_._1).max
+      (u, ms.length.toLong, mx.toLong, bursts.filter(_._1 == mx).map(_._2).min)
+    }.toSeq.sortBy(_._1)
+    val got = operators.Windows.defs("q123_burst_detection")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // burst can never exceed the user's event count and is at least 1
+    got.foreach { case (_, n, b, _) => assert(b >= 1 && b <= n) }
+  }
 }
