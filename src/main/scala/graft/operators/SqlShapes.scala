@@ -27,6 +27,7 @@ object SqlShapes {
     "q96_hist_quantiles" -> ((s, d) => q96(s, d)),
     "q121_incremental_agg" -> ((s, d) => q121(s, d)),
     "q122_dq_audit" -> ((s, d) => q122(s, d)),
+    "q124_unpivot" -> ((s, d) => q124(s, d)),
     "q97_skew_audit" -> ((s, d) => q97(s, d))
   )
 
@@ -102,6 +103,35 @@ object SqlShapes {
         est("b50").as("p50_est"), est("b95").as("p95_est"),
         est("b99").as("p99_est"))
       .orderBy($"l_returnflag")
+  }
+
+  /** Wide→long UNPIVOT — the inverse of q77's native pivot and the
+    * missing half of the reshape pair: per-returnflag wide aggregates
+    * (integer cents / counts / centi-quantities, one type so the value
+    * column is sound) melt into (flag, metric, value) rows via
+    * `Dataset.unpivot` (Spark's native Expand-based melt — one pass, no
+    * self-union). The oracle states the same reshape as a UNION ALL,
+    * pinning that unpivot is exactly that relational identity.
+    *
+    * Scale: Expand multiplies the GROUP-cardinality relation (3 rows
+    * here), not the fact table — reshaping after aggregation is free;
+    * reshaping before it would triple the scan.
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wide = Tables(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+          .as("sum_cents"),
+        count(lit(1)).as("n_rows"),
+        sum(expr("CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"))
+          .as("sum_qty_x100"))
+    wide.unpivot(
+        Array($"l_returnflag"),
+        Array($"sum_cents", $"n_rows", $"sum_qty_x100"),
+        "metric", "value")
+      .orderBy($"l_returnflag", $"metric")
   }
 
   /** Data-quality constraint audit — the nightly dbt-test /
@@ -439,6 +469,22 @@ object SqlShapes {
          SELECT n_rows, n_keys, max_cnt, min_cnt,
            max_cnt * n_keys * 1000 // n_rows AS skew_permille, hot_key
          FROM a, h""",
+    "q124_unpivot" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_cents,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_qty_x100
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'sum_cents' AS metric, sum_cents AS value
+         FROM w
+         UNION ALL
+         SELECT l_returnflag, 'n_rows', n_rows FROM w
+         UNION ALL
+         SELECT l_returnflag, 'sum_qty_x100', sum_qty_x100 FROM w
+         ORDER BY 1, 2""",
     "q122_dq_audit" ->
       """SELECT '1_pk_unique_orders' AS "check",
            CAST((SELECT count(*) FROM (

@@ -163,4 +163,21 @@ class SqlShapesSpec extends SparkSpec {
       poisoned("l_orderkey") === col("o_orderkey"), "left_anti").count()
     assert(orphans == 1L, "audit must detect the injected orphan")
   }
+
+  test("q124: unpivot round-trips back to the wide aggregates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val long = operators.SqlShapes.defs("q124_unpivot")(spark, sfDir).cache()
+    // melt produces exactly |groups| x |metrics| rows
+    val flags = long.select($"l_returnflag").distinct().count()
+    assert(long.count() == flags * 3)
+    // re-pivoting restores one row per flag with the original values
+    val wide = long.groupBy($"l_returnflag").pivot("metric").agg(first($"value"))
+    val cents = Tables(spark, sfDir, "lineitem")
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")))
+      .head.getLong(0)
+    assert(wide.agg(sum($"sum_cents")).head.getLong(0) == cents)
+    assert(wide.agg(sum($"n_rows")).head.getLong(0) ==
+      Tables(spark, sfDir, "lineitem").count())
+  }
 }
