@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.{Nexmark, NexmarkSource}
+
+/** The DSv2 connector must return exactly the rows the spark.range
+  * generator path returns — same ids, same regeneration — while planning
+  * real multi-partition parallel reads with zero driver-side data.
+  */
+class NexmarkSourceSpec extends SparkSpec {
+
+  private def read(entity: String, n: Long) =
+    spark.read.format("graft.sources.NexmarkSource")
+      .option("entity", entity).option("n", n)
+      .option("eps", 1000L).option("partitions", 4).load()
+
+  test("bid source equals the range-generator path row-for-row") {
+    import spark.implicits._
+    val n = 20000L
+    val viaSource = read("bid", n).as[Nexmark.Bid].collect().toSet
+    val viaRange = Nexmark.bids(spark, n, 1000L).collect().toSet
+    assert(viaSource == viaRange)
+    assert(viaSource.nonEmpty)
+  }
+
+  test("all three entities respect the 1:3:46 mix and plan 4 partitions") {
+    val n = 50000L
+    val counts = Seq("person", "auction", "bid").map(e => read(e, n).count())
+    val total = counts.sum
+    assert(total == n)
+    // proportions within integer rounding of 1:3:46 over 50-event epochs
+    assert(math.abs(counts(0) - n / 50) <= 1)
+    assert(math.abs(counts(1) - 3 * n / 50) <= 3)
+    assert(math.abs(counts(2) - 46 * n / 50) <= 46)
+    assert(read("bid", n).rdd.getNumPartitions == 4)
+  }
+}
