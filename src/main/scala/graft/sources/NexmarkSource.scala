@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -54,10 +54,19 @@ class NexmarkTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder with SupportsPushDownLimit {
+      // limit pushdown: a pushed LIMIT caps the generated id space
+      // instead of generating-then-discarding. The 1:3:46 mix means up
+      // to denominator/proportion ids per kept row; over-approximate so
+      // the cap never starves the reader.
+      private var lim: Long = Long.MaxValue
+      override def pushLimit(limit: Int): Boolean = {
+        lim = limit.toLong * Nexmark.ProportionDenominator
+        false // inexact: Spark still applies its own Limit on top
+      }
       override def build(): Scan = new NexmarkScan(
         entity,
-        options.getLong("n", 50000L),
+        math.min(options.getLong("n", 50000L), lim),
         options.getLong("eps", 1000L),
         options.getInt("partitions", 8))
     }
@@ -69,6 +78,8 @@ case class NexmarkRange(entity: String, start: Long, end: Long, eps: Long)
 class NexmarkScan(entity: String, n: Long, eps: Long, partitions: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = NexmarkSource.schemaFor(entity)
+  override def description(): String =
+    "NexmarkScan(entity=" + entity + ", n=" + n + ", partitions=" + partitions + ")"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val step = math.max(1L, (n + partitions - 1) / partitions)

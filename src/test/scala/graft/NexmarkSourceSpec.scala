@@ -33,4 +33,14 @@ class NexmarkSourceSpec extends SparkSpec {
     assert(math.abs(counts(2) - 46 * n / 50) <= 46)
     assert(read("bid", n).rdd.getNumPartitions == 4)
   }
+
+  test("limit pushdown caps the generated id space") {
+    val limited = read("bid", 1000000L).limit(100)
+    val plan = limited.queryExecution.executedPlan.toString
+    // the scan's id space must be capped to limit * denominator, far
+    // below the requested n=1,000,000
+    assert(plan.contains("n=5000,") || plan.contains("n=5000)"),
+      s"pushed limit not applied:\n$plan")
+    assert(limited.count() == 100)
+  }
 }
