@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownLimit}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.{Encoder, Encoders}
@@ -27,7 +28,9 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * Lambda (nexmark/source.rs), expressed as a first-class Spark source
   * instead of a MemoryStream/`spark.range` workaround.
   */
-class NexmarkSource extends TableProvider {
+class NexmarkSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-nexmark"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     NexmarkSource.schemaFor(options.getOrDefault("entity", "bid"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -44,6 +47,11 @@ object NexmarkSource {
   }
   def schemaFor(entity: String): StructType = encoderFor(entity).schema
   val kindFor: Map[String, Int] = Map("person" -> 0, "auction" -> 1, "bid" -> 2)
+
+  /** Event-id offset for the streaming read path. */
+  case class IdOffset(id: Long) extends Offset {
+    override def json(): String = id.toString
+  }
 }
 
 class NexmarkTable(options: CaseInsensitiveStringMap)
@@ -52,7 +60,7 @@ class NexmarkTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"nexmark_$entity"
   override def schema(): StructType = NexmarkSource.schemaFor(entity)
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownLimit {
       // limit pushdown: a pushed LIMIT caps the generated id space
@@ -70,6 +78,7 @@ class NexmarkTable(options: CaseInsensitiveStringMap)
         options.getLong("eps", 1000L),
         options.getInt("partitions", 8))
     }
+
 }
 
 case class NexmarkRange(entity: String, start: Long, end: Long, eps: Long)
@@ -77,6 +86,39 @@ case class NexmarkRange(entity: String, start: Long, end: Long, eps: Long)
 
 class NexmarkScan(entity: String, n: Long, eps: Long, partitions: Int)
     extends Scan with Batch {
+  import NexmarkSource.IdOffset
+
+  /** Streaming form: the same executor-side regeneration planned as
+    * micro-batches over the event-id line. Offsets are plain event ids
+    * (`IdOffset`) checkpointed as JSON — replaying [start, end) after a
+    * failure regenerates the identical rows, which is exactly-once
+    * replay for free (the reference needs its Arena/bitmap machinery for
+    * the same guarantee). `n` bounds the stream so AvailableNow-style
+    * drains terminate; a production feed would leave it unbounded and
+    * pace `rowsPerBatch` off the trigger interval.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MicroBatchStream {
+      private val rowsPerBatch =
+        math.max(1L, n / math.max(1, partitions) / 4)
+      override def initialOffset(): Offset = IdOffset(0L)
+      override def latestOffset(): Offset = IdOffset(n)
+      override def deserializeOffset(json: String): Offset =
+        IdOffset(json.toLong)
+      override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+        val s0 = start.asInstanceOf[IdOffset].id
+        val e0 = end.asInstanceOf[IdOffset].id
+        val step = math.max(1L, math.min(rowsPerBatch, (e0 - s0 + partitions - 1) / math.max(1, partitions)))
+        (s0 until e0 by step)
+          .map(b => NexmarkRange(entity, b, math.min(e0, b + step), eps))
+          .toArray
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new NexmarkReaderFactory
+      override def commit(end: Offset): Unit = ()
+      override def stop(): Unit = ()
+    }
+
   override def readSchema(): StructType = NexmarkSource.schemaFor(entity)
   override def description(): String =
     "NexmarkScan(entity=" + entity + ", n=" + n + ", partitions=" + partitions + ")"

@@ -9,7 +9,7 @@ import graft.sources.{Nexmark, NexmarkSource}
 class NexmarkSourceSpec extends SparkSpec {
 
   private def read(entity: String, n: Long) =
-    spark.read.format("graft.sources.NexmarkSource")
+    spark.read.format("graft-nexmark")
       .option("entity", entity).option("n", n)
       .option("eps", 1000L).option("partitions", 4).load()
 
@@ -42,5 +42,24 @@ class NexmarkSourceSpec extends SparkSpec {
     assert(plan.contains("n=5000,") || plan.contains("n=5000)"),
       s"pushed limit not applied:\n$plan")
     assert(limited.count() == 100)
+  }
+
+  test("micro-batch streaming read drains to the same rows as the batch scan") {
+    import spark.implicits._
+    val n = 10000L
+    val q = spark.readStream.format("graft.sources.NexmarkSource")
+      .option("entity", "bid").option("n", n)
+      .option("eps", 1000L).option("partitions", 4).load()
+      .writeStream.format("memory").queryName("nx_dsv2_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("nx_dsv2_stream")
+        .as[sources.Nexmark.Bid].collect().toSet
+      val batch = read("bid", n).as[sources.Nexmark.Bid].collect().toSet
+      assert(streamed == batch)
+      // offsets advanced as event ids; at least one batch committed
+      assert(q.recentProgress.nonEmpty)
+    } finally q.stop()
   }
 }
