@@ -29,6 +29,7 @@ object VectorOps {
     "q38_ann_lsh" -> ((s, d) => q38(s, d)),
     "q39_norm_stats" -> ((s, d) => q39(s, d)),
     "q40_ann_ivf" -> ((s, d) => q40(s, d)),
+    "q125_ann_recall" -> ((s, d) => q125(s, d)),
     "q60_cosine_dedup" -> ((s, d) => q60(s, d)),
     "q72_kmeans_assign" -> ((s, d) => q72(s, d)),
     "q90_pq_ann" -> ((s, d) => q90(s, d)),
@@ -389,6 +390,92 @@ object VectorOps {
          THEN x ELSE -x END)) >= 0 THEN ${1 << p} ELSE 0 END)"""
     }.mkString(" + ")
 
+  /** ANN index-quality evaluation — recall@5 of the IVF index (q40,
+    * 2-probe) against exact brute force (q37), per query and overall:
+    * the metric every vector-index deployment tracks before trading
+    * exactness for the O(probes/cells) scan cut. Both result sets are
+    * already individually hash-verified; the intersection is a pure
+    * id-set operation (semi-join), so recall is integer-exact — no
+    * similarity tolerance needed to gate an approximate index.
+    *
+    * Scale: both inputs end at ~|queries|·k rows regardless of corpus
+    * size; the evaluation itself is free. Run it on a sampled query set
+    * after every index rebuild — this query IS that harness.
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ex = q37(s, d).select($"query_id", $"neighbor")
+    val iv = q40(s, d).select($"query_id", $"neighbor")
+    val matches = ex.join(iv, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("nm"))
+    val per = ex.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(matches, Seq("query_id"), "left")
+      .select($"query_id", $"k", coalesce($"nm", lit(0L)).as("n_match"))
+    val overall = per.agg(sum($"k").as("k"), sum($"n_match").as("n_match"))
+      .select(lit(-1L).as("query_id"), $"k", $"n_match")
+    per.unionByName(overall)
+      .withColumn("recall_permille", expr("n_match * 1000 div k"))
+      .orderBy($"query_id")
+  }
+
+  private val Knn37Sql: String =
+    """WITH n AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         m AS (
+           SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+           FROM n),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
+               FROM m WHERE vec_id % 100 = 0),
+         pairs AS (
+           SELECT query_id, m.vec_id AS neighbor,
+             round(list_sum(list_transform(list_zip(m.v, qv), x -> x[1]*x[2]))
+               / (nrm * qn), 6) AS cosine
+           FROM m, q WHERE m.vec_id <> query_id),
+         ranked AS (
+           SELECT query_id, neighbor, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT query_id, neighbor, cosine, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val Ivf40Sql: String =
+    """WITH m AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM m),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+               FROM n WHERE vec_id < 16),
+         scored AS (
+           SELECT n.vec_id, n.v, n.nrm, c.cent_id,
+             list_sum(list_transform(list_zip(n.v, c.cv), x -> x[1]*x[2]))
+               / (n.nrm * c.cn) AS csim
+           FROM n, c),
+         assign AS (
+           SELECT vec_id, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, cent_id) AS crank
+           FROM scored),
+         assigned AS (SELECT vec_id, v, nrm, cent_id FROM assign WHERE crank = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id
+               FROM assign WHERE crank <= 2 AND vec_id % 100 = 0),
+         pairs AS (
+           SELECT q.query_id, a.vec_id AS neighbor,
+             round(list_sum(list_transform(list_zip(a.v, q.qv), x -> x[1]*x[2]))
+               / (a.nrm * q.qn), 6) AS cosine
+           FROM assigned a JOIN q ON a.cent_id = q.cent_id
+           WHERE a.vec_id <> q.query_id),
+         ranked2 AS (
+           SELECT query_id, neighbor, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+           FROM pairs)
+         SELECT query_id, neighbor, cosine, rank FROM ranked2
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q105_ivfpq_ann" ->
       """WITH q AS (
@@ -582,62 +669,30 @@ object VectorOps {
            FROM cand JOIN n x ON id1 = x.vec_id JOIN n y ON id2 = y.vec_id)
          SELECT id1, id2, round(cosine, 6) AS cosine
          FROM scored WHERE cosine > 0.35 ORDER BY 1, 2"""),
-    "q37_knn_bruteforce" ->
-      """WITH n AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         m AS (
-           SELECT vec_id, v,
-             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
-           FROM n),
-         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn
-               FROM m WHERE vec_id % 100 = 0),
-         pairs AS (
-           SELECT query_id, m.vec_id AS neighbor,
-             round(list_sum(list_transform(list_zip(m.v, qv), x -> x[1]*x[2]))
-               / (nrm * qn), 6) AS cosine
-           FROM m, q WHERE m.vec_id <> query_id),
-         ranked AS (
-           SELECT query_id, neighbor, cosine,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
-           FROM pairs)
-         SELECT query_id, neighbor, cosine, rank FROM ranked
-         WHERE rank <= 5 ORDER BY query_id, rank""",
-    "q40_ann_ivf" ->
-      """WITH m AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         n AS (SELECT vec_id, v,
-                 sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM m),
-         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn
-               FROM n WHERE vec_id < 16),
-         scored AS (
-           SELECT n.vec_id, n.v, n.nrm, c.cent_id,
-             list_sum(list_transform(list_zip(n.v, c.cv), x -> x[1]*x[2]))
-               / (n.nrm * c.cn) AS csim
-           FROM n, c),
-         assign AS (
-           SELECT vec_id, v, nrm, cent_id,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY csim DESC, cent_id) AS crank
-           FROM scored),
-         assigned AS (SELECT vec_id, v, nrm, cent_id FROM assign WHERE crank = 1),
-         q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cent_id
-               FROM assign WHERE crank <= 2 AND vec_id % 100 = 0),
-         pairs AS (
-           SELECT q.query_id, a.vec_id AS neighbor,
-             round(list_sum(list_transform(list_zip(a.v, q.qv), x -> x[1]*x[2]))
-               / (a.nrm * q.qn), 6) AS cosine
-           FROM assigned a JOIN q ON a.cent_id = q.cent_id
-           WHERE a.vec_id <> q.query_id),
-         ranked2 AS (
-           SELECT query_id, neighbor, cosine,
-             CAST(row_number() OVER (PARTITION BY query_id
-               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
-           FROM pairs)
-         SELECT query_id, neighbor, cosine, rank FROM ranked2
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q125_ann_recall" ->
+      (s"""WITH ex AS ($Knn37Sql),
+         iv AS ($Ivf40Sql),
+         mm AS (
+           SELECT ex.query_id, CAST(count(*) AS BIGINT) AS nm
+           FROM ex JOIN iv ON ex.query_id = iv.query_id
+             AND ex.neighbor = iv.neighbor
+           GROUP BY 1),
+         kk AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+                FROM ex GROUP BY 1),
+         per AS (
+           SELECT kk.query_id, kk.k, coalesce(mm.nm, 0) AS n_match
+           FROM kk LEFT JOIN mm ON kk.query_id = mm.query_id),
+         al AS (
+           SELECT CAST(-1 AS BIGINT) AS query_id,
+             CAST(sum(k) AS BIGINT) AS k,
+             CAST(sum(n_match) AS BIGINT) AS n_match
+           FROM per)
+         SELECT query_id, k, CAST(n_match AS BIGINT) AS n_match,
+           CAST(n_match * 1000 // k AS BIGINT) AS recall_permille
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
+         ORDER BY query_id"""),
+    "q37_knn_bruteforce" -> Knn37Sql,
+    "q40_ann_ivf" -> Ivf40Sql,
     "q39_norm_stats" ->
       """WITH m AS (
            SELECT label,

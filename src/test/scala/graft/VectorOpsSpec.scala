@@ -173,4 +173,26 @@ class VectorOpsSpec extends SparkSpec {
       .select($"n_dropped").as[Long].collect()
     assert(clustered.sum > 0, "no drops on densely clustered vectors")
   }
+
+  test("q125: recall numbers reconcile with the raw q37/q40 id sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ex = VectorOps.defs("q37_knn_bruteforce")(spark, sfDir)
+      .select($"query_id".as[Long], $"neighbor".as[Long]).collect()
+    val iv = VectorOps.defs("q40_ann_ivf")(spark, sfDir)
+      .select($"query_id".as[Long], $"neighbor".as[Long]).collect().toSet
+    val expected = ex.groupBy(_._1).map { case (q, rows) =>
+      val k = rows.length.toLong
+      val m = rows.count(iv.contains).toLong
+      (q, k, m, m * 1000 / k)
+    }.toSeq.sortBy(_._1)
+    val got = VectorOps.defs("q125_ann_recall")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val (all, per) = got.partition(_._1 == -1L)
+    assert(per == expected)
+    assert(all.head._2 == expected.map(_._2).sum)
+    assert(all.head._3 == expected.map(_._3).sum)
+    // recall is a proper fraction
+    got.foreach { case (_, k, m, pm) => assert(m <= k && pm <= 1000) }
+  }
 }
