@@ -46,8 +46,42 @@ object PipelineOps {
     "q107_cdc_chunks" -> ((s, d) => q107(s, d)),
     "q110_graph_rank" -> ((s, d) => q110(s, d)),
     "q117_source_novelty" -> ((s, d) => q117(s, d)),
-    "q119_weighted_sample" -> ((s, d) => q119(s, d))
+    "q119_weighted_sample" -> ((s, d) => q119(s, d)),
+    "q126_novelty_curve" -> ((s, d) => q126(s, d))
   )
+
+  /** Corpus novelty curve — cumulative unique content vs documents
+    * ingested, in 10 crawl-order slices: the diminishing-returns curve
+    * (Heaps-law empirics) that decides when to stop crawling a source.
+    * Each content hash charges its FIRST slice (min doc_id order); a
+    * slice's duplicate permille is how much of it was already seen.
+    * All int64 — slice boundary via cross-multiplied max-id scaling, no
+    * percentile calls.
+    *
+    * Scale: one map pass to hash + slice, one 16-byte-hash shuffle for
+    * the first-occurrence aggregate, and the curve itself is 10 rows —
+    * the running cumsum windows over those 10, not the corpus.
+    */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docsH = Tables(s, d, "documents")
+      .select($"doc_id", md5($"text").as("h"))
+    val mx = docsH.agg(max($"doc_id").as("mx"))
+    val sliced = docsH.crossJoin(broadcast(mx))
+      .withColumn("slice", expr("least(9, doc_id * 10 div (mx + 1))"))
+    val firstIn = sliced.groupBy($"h").agg(min($"slice").as("fs"))
+      .groupBy($"fs".as("slice")).agg(count(lit(1)).as("new_uniques"))
+    val perSlice = sliced.groupBy($"slice").agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy($"slice")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSlice.join(firstIn, Seq("slice"), "left")
+      .withColumn("new_uniques", coalesce($"new_uniques", lit(0L)))
+      .withColumn("cum_uniques", sum($"new_uniques").over(w))
+      .withColumn("dup_permille",
+        expr("(n_docs - new_uniques) * 1000 div n_docs"))
+      .orderBy($"slice")
+  }
 
   /** Weighted SYSTEMATIC sampling — the float-free reproducible form of
     * weight-proportional corpus subsetting (q74/q92 sample by count;
@@ -1610,6 +1644,29 @@ object PipelineOps {
            CAST(max(mass) AS BIGINT) AS mass,
            CAST(min(CASE WHEN sel THEN doc_id END) AS BIGINT) AS first_sel,
            CAST(max(CASE WHEN sel THEN doc_id END) AS BIGINT) AS last_sel
-         FROM sel GROUP BY 1 ORDER BY 1"""
+         FROM sel GROUP BY 1 ORDER BY 1""",
+    "q126_novelty_curve" ->
+      """WITH dh AS (
+           SELECT doc_id, md5(text) AS h FROM documents),
+         mx AS (SELECT max(doc_id) AS mx FROM dh),
+         sl AS (
+           SELECT doc_id, h,
+             least(9, doc_id * 10 // (mx + 1)) AS slice
+           FROM dh CROSS JOIN mx),
+         fi AS (
+           SELECT fs AS slice, CAST(count(*) AS BIGINT) AS new_uniques
+           FROM (SELECT h, min(slice) AS fs FROM sl GROUP BY 1)
+           GROUP BY 1),
+         ps AS (
+           SELECT slice, CAST(count(*) AS BIGINT) AS n_docs
+           FROM sl GROUP BY 1)
+         SELECT ps.slice, n_docs,
+           coalesce(new_uniques, 0) AS new_uniques,
+           CAST(sum(coalesce(new_uniques, 0)) OVER (ORDER BY ps.slice
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_uniques,
+           (n_docs - coalesce(new_uniques, 0)) * 1000 // n_docs
+             AS dup_permille
+         FROM ps LEFT JOIN fi ON ps.slice = fi.slice
+         ORDER BY 1"""
   )
 }

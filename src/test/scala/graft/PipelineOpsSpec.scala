@@ -702,4 +702,24 @@ class PipelineOpsSpec extends SparkSpec {
       assert(n >= 1 && best <= 2, s"probe $pid lost its source doc")
     }
   }
+
+  test("q126: novelty curve conserves docs and uniques; dup rate sane") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = run("q126_novelty_curve")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val docs = Tables(spark, sfDir, "documents")
+    assert(out.map(_._2).sum == docs.count(), "slices partition the corpus")
+    val uniques = docs.select(md5($"text")).distinct().count()
+    assert(out.map(_._3).sum == uniques, "new_uniques must sum to distinct")
+    assert(out.last._4 == uniques, "curve must end at the distinct count")
+    // cumulative uniques are non-decreasing and dup rate is a permille
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._4)
+      case _ =>
+    }
+    out.foreach { case (_, n, nu, _, pm) =>
+      assert(nu <= n && pm >= 0 && pm <= 1000)
+    }
+  }
 }
