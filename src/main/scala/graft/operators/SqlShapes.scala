@@ -28,6 +28,7 @@ object SqlShapes {
     "q121_incremental_agg" -> ((s, d) => q121(s, d)),
     "q122_dq_audit" -> ((s, d) => q122(s, d)),
     "q124_unpivot" -> ((s, d) => q124(s, d)),
+    "q127_asof_forward" -> ((s, d) => q127(s, d)),
     "q97_skew_audit" -> ((s, d) => q97(s, d))
   )
 
@@ -103,6 +104,31 @@ object SqlShapes {
         est("b50").as("p50_est"), est("b95").as("p95_est"),
         est("b99").as("p99_est"))
       .orderBy($"l_returnflag")
+  }
+
+  /** FORWARD as-of through the native operator (q62 is the backward
+    * direction): each sampled event matches its user's FIRST order at or
+    * after the event — "what did they buy next". `AsOfJoinOp
+    * .asofJoinForward` reuses the backward single-pass merge on negated
+    * epoch-micros, so both directions share one exec; the oracle states
+    * forward as-of as min-qualifying-time correlated selection over the
+    * SAME micros comparison (mirroring Spark's µs floor of the ns
+    * event times — sub-µs ordering is not observable to the operator).
+    */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, d, "events").filter($"event_id" % 13 === 0)
+      .select($"event_id", $"user_id", $"ts")
+    val buys = Tables(s, d, "events").filter($"event_type" === "purchase")
+      .groupBy($"user_id".as("b_user"), $"ts".as("b_ts"))
+      .agg(max($"event_id").as("b_event"))
+    graft.plans.AsOfJoinOp.asofJoinForward(ev, buys,
+        leftKey = "user_id", rightKey = "b_user",
+        leftTimeCol = "ts", rightTimeCol = "b_ts")
+      .select($"event_id", $"user_id", $"b_event".as("next_purchase"),
+        expr("(unix_micros(b_ts) - unix_micros(ts)) div 1000000")
+          .as("wait_s"))
+      .orderBy($"event_id")
   }
 
   /** Wide→long UNPIVOT — the inverse of q77's native pivot and the
@@ -469,6 +495,23 @@ object SqlShapes {
          SELECT n_rows, n_keys, max_cnt, min_cnt,
            max_cnt * n_keys * 1000 // n_rows AS skew_permille, hot_key
          FROM a, h""",
+    "q127_asof_forward" ->
+      """WITH ev AS (
+           SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+           FROM events WHERE event_id % 13 = 0),
+         b AS (
+           SELECT user_id AS b_user, epoch_ns(ts) // 1000 AS bus,
+             CAST(max(event_id) AS BIGINT) AS b_event
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+         m AS (
+           SELECT ev.event_id, ev.user_id, ev.us,
+             (SELECT min(bus) FROM b
+              WHERE b.b_user = ev.user_id AND b.bus >= ev.us) AS mt
+           FROM ev)
+         SELECT m.event_id, m.user_id, b.b_event AS next_purchase,
+           (m.mt - m.us) // 1000000 AS wait_s
+         FROM m JOIN b ON b.b_user = m.user_id AND b.bus = m.mt
+         ORDER BY m.event_id""",
     "q124_unpivot" ->
       """WITH w AS (
            SELECT l_returnflag,

@@ -169,4 +169,29 @@ object AsOfJoinOp {
       attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
     org.apache.spark.sql.GraftInternal.dataFrame(spark, node)
   }
+
+  /** FORWARD as-of: each left row pairs with the FIRST right row having an
+    * equal key and right time ≥ left time. Implemented by running the
+    * backward merge on NEGATED epoch-micros — `-rt ≤ -lt ⇔ rt ≥ lt`, and
+    * "last in ascending (key, −t)" is the smallest qualifying `rt`, i.e.
+    * the first-after match — so the single-pass one-buffered-row exec is
+    * reused unchanged. Timestamps (TZ or NTZ — the session runs UTC) go
+    * through unix_micros; integral time columns negate directly.
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    def negMicros(df: DataFrame, c: String, out: String): DataFrame =
+      df.schema(c).dataType match {
+        case LongType => df.withColumn(out, -col(c))
+        case _ => df.withColumn(out,
+          expr(s"-unix_micros(CAST($c AS TIMESTAMP))"))
+      }
+    asofJoin(
+        negMicros(left, leftTimeCol, "__neg_lt"),
+        negMicros(right, rightTimeCol, "__neg_rt"),
+        leftKey, rightKey, "__neg_lt", "__neg_rt")
+      .drop("__neg_lt", "__neg_rt")
+  }
 }

@@ -103,4 +103,31 @@ class AsOfJoinSpec extends SparkSpec {
     val empty = Seq.empty[(Int, Timestamp, Double)].toDF("rk", "rt", "v")
     assert(AsOfJoinOp.asofJoin(l, empty, "k", "rk", "t", "rt").collect().isEmpty)
   }
+
+  test("forward as-of equals brute-force first-at-or-after per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = operators.SqlShapes.defs("q127_asof_forward")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ev = Tables(spark, sfDir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts"))
+      .as[(Long, Long, Long)].collect()
+    val types = Tables(spark, sfDir, "events")
+      .select($"event_id", $"event_type").as[(Long, String)].collect().toMap
+    val purch = ev.filter(e => types(e._1) == "purchase")
+      .groupBy(e => (e._2, e._3))
+      .map { case ((u, t), xs) => (u, t, xs.map(_._1).max) }.toSeq
+    val expected = ev.filter(_._1 % 13 == 0).flatMap { case (id, u, t) =>
+      val cands = purch.filter(p => p._1 == u && p._2 >= t)
+      if (cands.isEmpty) None
+      else {
+        val mt = cands.map(_._2).min
+        val b = cands.filter(_._2 == mt).head
+        Some((id, u, b._3, (mt - t) / 1000000L))
+      }
+    }.sortBy(_._1).toSeq
+    assert(got == expected)
+    // wait times are non-negative by construction
+    got.foreach { case (_, _, _, w) => assert(w >= 0) }
+  }
 }
