@@ -29,6 +29,7 @@ object SqlShapes {
     "q122_dq_audit" -> ((s, d) => q122(s, d)),
     "q124_unpivot" -> ((s, d) => q124(s, d)),
     "q127_asof_forward" -> ((s, d) => q127(s, d)),
+    "q128_pareto" -> ((s, d) => q128(s, d)),
     "q97_skew_audit" -> ((s, d) => q97(s, d))
   )
 
@@ -104,6 +105,47 @@ object SqlShapes {
         est("b50").as("p50_est"), est("b95").as("p95_est"),
         est("b99").as("p99_est"))
       .orderBy($"l_returnflag")
+  }
+
+  /** Pareto concentration analysis — "how few users produce X% of the
+    * events" at the 50/80/95 marks, plus the hottest user's permille
+    * share: the workload-concentration profile that complements q97's
+    * single-key skew audit (q97 says whether to salt ONE key; this says
+    * how heavy-tailed the whole keyspace is — the shape that decides
+    * partition counts and cache sizing). Users rank by descending count
+    * with id tiebreak; mark k = first rank whose cumulative count
+    * reaches ⌈total·k%⌉ — all integer cross-multiplication, no float
+    * shares.
+    *
+    * Scale: per-user counts two-phase aggregate; everything after runs
+    * on the user-cardinality relation. The single global cumsum window
+    * over that relation is the textbook case where user-cardinality ≪
+    * event-cardinality; if the KEYSPACE itself is corpus-sized, the
+    * q73 bucket-offset two-phase scan replaces it.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(s, d, "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"cnt".desc, $"user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy($"cnt".desc, $"user_id")).cast("long"))
+      .withColumn("cum", sum($"cnt").over(w))
+    def usersFor(pct: Int) =
+      min(when($"cum" * 100 >= $"total" * pct, $"rank"))
+        .as(s"users_p$pct")
+    ranked
+      .crossJoin(broadcast(counts.agg(
+        sum($"cnt").as("total"), count(lit(1)).as("n_users"))))
+      .groupBy($"total", $"n_users")
+      .agg(usersFor(50), usersFor(80), usersFor(95),
+        max(struct($"cnt", -$"user_id")).as("hot"))
+      .select($"total".as("n_events"), $"n_users",
+        $"users_p50", $"users_p80", $"users_p95",
+        expr("hot.cnt * 1000 div total").as("top1_permille"))
   }
 
   /** FORWARD as-of through the native operator (q62 is the backward
@@ -495,6 +537,25 @@ object SqlShapes {
          SELECT n_rows, n_keys, max_cnt, min_cnt,
            max_cnt * n_keys * 1000 // n_rows AS skew_permille, hot_key
          FROM a, h""",
+    "q128_pareto" ->
+      """WITH c AS (
+           SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_users FROM c),
+         r AS (
+           SELECT user_id, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+               AS BIGINT) AS rank,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, user_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           FROM c)
+         SELECT t.total AS n_events, t.n_users,
+           min(CASE WHEN cum * 100 >= total * 50 THEN rank END) AS users_p50,
+           min(CASE WHEN cum * 100 >= total * 80 THEN rank END) AS users_p80,
+           min(CASE WHEN cum * 100 >= total * 95 THEN rank END) AS users_p95,
+           CAST(max(cnt) * 1000 // max(total) AS BIGINT) AS top1_permille
+         FROM r CROSS JOIN t GROUP BY 1, 2""",
     "q127_asof_forward" ->
       """WITH ev AS (
            SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us

@@ -180,4 +180,20 @@ class SqlShapesSpec extends SparkSpec {
     assert(wide.agg(sum($"n_rows")).head.getLong(0) ==
       Tables(spark, sfDir, "lineitem").count())
   }
+
+  test("q128: Pareto marks equal brute force and are monotone") {
+    import spark.implicits._
+    val ev = Tables(spark, sfDir, "events")
+      .select($"user_id".as[Long]).collect()
+    val counts = ev.groupBy(identity).map { case (u, xs) => (u, xs.length.toLong) }
+      .toSeq.sortBy { case (u, c) => (-c, u) }
+    val total = counts.map(_._2).sum
+    val cums = counts.scanLeft(0L)(_ + _._2).tail
+    def mark(p: Int) = (cums.indexWhere(_ * 100 >= total * p) + 1).toLong
+    val got = operators.SqlShapes.defs("q128_pareto")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((total, counts.length.toLong, mark(50), mark(80), mark(95),
+      counts.head._2 * 1000 / total)))
+    assert(got._3 <= got._4 && got._4 <= got._5 && got._5 <= got._2)
+  }
 }
