@@ -30,6 +30,7 @@ object SqlShapes {
     "q124_unpivot" -> ((s, d) => q124(s, d)),
     "q127_asof_forward" -> ((s, d) => q127(s, d)),
     "q128_pareto" -> ((s, d) => q128(s, d)),
+    "q129_json_errors" -> ((s, d) => q129(s, d)),
     "q97_skew_audit" -> ((s, d) => q97(s, d))
   )
 
@@ -105,6 +106,35 @@ object SqlShapes {
         est("b50").as("p50_est"), est("b95").as("p95_est"),
         est("b99").as("p99_est"))
       .orderBy($"l_returnflag")
+  }
+
+  /** Malformed-record accounting on semi-structured input — the
+    * dead-letter bookkeeping every JSON ingest needs: rows whose payload
+    * fails to parse are COUNTED per group (never silently dropped, never
+    * failing the job — PERMISSIVE mode), valid payloads aggregate
+    * normally. Corruption is injected deterministically (every 7th
+    * event's props loses its last 2 chars) so both engines see the same
+    * malformed set; Spark's from_json null-on-failure and DuckDB's
+    * json_valid guard agree on it exactly.
+    *
+    * Scale: parse is one codegen'd map pass; the per-type rollup is the
+    * only shuffle. The bad-row count feeding a dead-letter sink (stream
+    * it with the same expression in foreachBatch) is what keeps a
+    * 100 TB ingest observable rather than lossy.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val parsed = Tables(s, d, "events")
+      .withColumn("raw",
+        when($"event_id" % 7 === 0,
+          expr("substring(props, 1, length(props) - 2)"))
+          .otherwise($"props"))
+      .withColumn("k", expr("from_json(raw, 'k BIGINT').k"))
+    parsed.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_malformed"),
+        sum(coalesce($"k", lit(0L))).as("sum_k"))
+      .orderBy($"event_type")
   }
 
   /** Pareto concentration analysis — "how few users produce X% of the
@@ -537,6 +567,24 @@ object SqlShapes {
          SELECT n_rows, n_keys, max_cnt, min_cnt,
            max_cnt * n_keys * 1000 // n_rows AS skew_permille, hot_key
          FROM a, h""",
+    "q129_json_errors" ->
+      """WITH e AS (
+           SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+               THEN substring(props, 1, length(props) - 2)
+               ELSE props END AS raw
+           FROM events),
+         p AS (
+           SELECT event_type,
+             CASE WHEN json_valid(raw)
+               THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+             END AS k
+           FROM e)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_malformed,
+           CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k
+         FROM p GROUP BY 1 ORDER BY 1""",
     "q128_pareto" ->
       """WITH c AS (
            SELECT user_id, CAST(count(*) AS BIGINT) AS cnt

@@ -196,4 +196,20 @@ class SqlShapesSpec extends SparkSpec {
       counts.head._2 * 1000 / total)))
     assert(got._3 <= got._4 && got._4 <= got._5 && got._5 <= got._2)
   }
+
+  test("q129: malformed rows are exactly the injected set, k sums check out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = operators.SqlShapes.defs("q129_json_errors")(spark, sfDir).cache()
+    val ev = Tables(spark, sfDir, "events")
+    // truncating {"k": N} is always invalid -> every injected row counts
+    assert(out.agg(sum($"n_malformed")).head.getLong(0) ==
+      ev.filter($"event_id" % 7 === 0).count())
+    assert(out.agg(sum($"n_rows")).head.getLong(0) == ev.count())
+    // surviving k values equal a direct parse of the untouched rows
+    val expectK = ev.filter($"event_id" % 7 =!= 0)
+      .select(expr("from_json(props, 'k BIGINT').k").as("k"))
+      .agg(sum($"k")).head.getLong(0)
+    assert(out.agg(sum($"sum_k")).head.getLong(0) == expectK)
+  }
 }
