@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   * reuse at runtime; q105 shows 2: IVF routing + query probes, both
   * against the 16-row centroid table) and 1-row scalar-subquery or
   * bounds joins (q95; q109 shows 3 — the 1-row corpus-total and
-  * corpus-mean relations cross twice-referenced subtrees);
+  * corpus-mean relations cross twice-referenced subtrees; q126/q128
+  * cross a 1-row max-id/total; q125 shows 8 — it embeds the q37 AND
+  * q40 subtrees, each referenced twice, whose broadcast query/centroid
+  * crosses all reuse at runtime);
   * SortMergeJoin only where both sides
   * are large (q50, q93's cluster-local pair join, q105's
   * reconstruction⋈lists, tpch_q04/q21; q110's static plan SMJs the
