@@ -182,19 +182,20 @@ object Multimodal {
     * is mm_dedup's exact-payload case; +1 bumps almost never cross the
     * mean threshold).
     */
-  private def recrawlNoisy(a: Asset): Asset =
-    FakeCodec.decodeHeader(a.bytes) match {
-      case Some((w, h, f, _)) =>
-        val p = a.bytes.drop(16)
-        val q = new Array[Byte](p.length)
-        var j = 0
-        while (j < p.length) {
-          q(j) = if (j % 16 == 0) ((p(j) + 48) & 0xff).toByte else p(j)
-          j += 1
-        }
-        Asset(a.asset_id + 100000L, a.kind, FakeCodec.encode(w, h, f, q))
-      case None => a
+  private def recrawlNoisy(a: Asset): Asset = {
+    // Unconditional corrupt+rename (header bytes kept verbatim): the
+    // mm_phash_dedup oracle emits a +100000 noisy copy for EVERY sampled
+    // asset_id, so an undecodable asset must still rename — a same-id
+    // passthrough would silently diverge if corrupt assets ever appear.
+    val p = a.bytes.drop(16)
+    val q = new Array[Byte](p.length)
+    var j = 0
+    while (j < p.length) {
+      q(j) = if (j % 16 == 0) ((p(j) + 48) & 0xff).toByte else p(j)
+      j += 1
     }
+    Asset(a.asset_id + 100000L, a.kind, a.bytes.take(16) ++ q)
+  }
 
   /** Catalog entries (synthetic assets — sfDir-independent, rows-only). */
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(

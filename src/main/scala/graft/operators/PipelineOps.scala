@@ -647,17 +647,11 @@ object PipelineOps {
             lit(4) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("nid"), col("b.doc_id").as("iid"))
       .distinct()
-    val setsB = broadcast(base.select($"doc_id", $"hset"))
-    val dupNew = cand
-      .join(setsB.as("s1"), $"nid" === col("s1.doc_id"))
-      .join(setsB.as("s2"), $"iid" === col("s2.doc_id"))
-      .withColumn("inter",
-        graft.functions.TextHashes
-          .sortedLongIntersectSize(col("s1.hset"), col("s2.hset")).cast("double"))
-      .withColumn("uni",
-        (size(col("s1.hset")) + size(col("s2.hset"))).cast("double") - $"inter")
-      .filter($"inter" / $"uni" > 0.8)
-      .select($"nid".as("doc_id")).distinct()
+    // corpus-sized sets → shuffle-join recheck (TextOps.exactJaccardRecheck)
+    val dupNew = TextOps.exactJaccardRecheck(
+        cand.select($"nid".as("id1"), $"iid".as("id2")),
+        base.select($"doc_id", $"hset"))
+      .select($"id1".as("doc_id")).distinct()
     docs(s, d).filter($"doc_id" % 5 === 0 && $"doc_id" % 10 =!= 0)
       .join(dupNew.withColumn("hit", lit(1)), Seq("doc_id"), "left")
       .groupBy($"lang")

@@ -80,8 +80,12 @@ object SqlShapes {
       .select($"l_returnflag",
         expr("CAST(floor(l_extendedprice * 100 + 0.5001) AS BIGINT)").as("cents"))
       .withColumn("l", (length(bin($"cents")) - 1).cast("long"))
+      // l < 2 guard matches LogHistogram.binId: values 1..3 get exact
+      // singleton bins (Spark's masked shift and DuckDB's negative-shift
+      // semantics diverge there, so neither engine may reach the shift).
       .withColumn("bin_id",
-        $"l" * 4 + expr("shiftright(cents, CAST(l - 2 AS INT)) & CAST(3 AS BIGINT)"))
+        when($"l" < 2, $"cents").otherwise(
+          $"l" * 4 + expr("shiftright(cents, CAST(l - 2 AS INT)) & CAST(3 AS BIGINT)")))
     val hist = base.groupBy($"l_returnflag", $"bin_id")
       .agg(count(lit(1)).as("cnt"))
     def quantiles(h: DataFrame): DataFrame = {
@@ -99,8 +103,8 @@ object SqlShapes {
     // global tier: merge the per-group histograms, not the raw rows
     val global = quantiles(hist.groupBy($"bin_id")
       .agg(sum($"cnt").as("cnt")).withColumn("grp", lit("ALL")))
-    def est(b: String) = expr(
-      s"CAST(shiftleft(4 + $b % 4, CAST($b div 4 - 2 AS INT)) AS DOUBLE) / 100.0")
+    def est(b: String) = expr( // bin < 4 guard matches LogHistogram.lowerBound
+      s"CAST(CASE WHEN $b < 4 THEN $b ELSE shiftleft(4 + $b % 4, CAST($b div 4 - 2 AS INT)) END AS DOUBLE) / 100.0")
     perGroup.unionByName(global)
       .select($"grp".as("l_returnflag"), $"n_rows",
         est("b50").as("p50_est"), est("b95").as("p95_est"),
@@ -709,7 +713,9 @@ object SqlShapes {
            FROM b),
          h AS (
            SELECT l_returnflag,
-             l * 4 + ((cents >> CAST(l - 2 AS INTEGER)) & 3) AS bin_id,
+             CASE WHEN l < 2 THEN cents
+                  ELSE l * 4 + ((cents >> CAST(l - 2 AS INTEGER)) & 3)
+             END AS bin_id,
              CAST(count(*) AS BIGINT) AS cnt
            FROM bb GROUP BY 1, 2),
          hg AS (
@@ -729,12 +735,15 @@ object SqlShapes {
              min(CASE WHEN cum * 100 >= n * 99 THEN bin_id END) AS b99
            FROM c GROUP BY 1)
          SELECT grp AS l_returnflag, n_rows,
-           CAST((4 + b50 % 4) << CAST(b50 // 4 - 2 AS INTEGER) AS DOUBLE)
-             / 100.0 AS p50_est,
-           CAST((4 + b95 % 4) << CAST(b95 // 4 - 2 AS INTEGER) AS DOUBLE)
-             / 100.0 AS p95_est,
-           CAST((4 + b99 % 4) << CAST(b99 // 4 - 2 AS INTEGER) AS DOUBLE)
-             / 100.0 AS p99_est
+           CAST(CASE WHEN b50 < 4 THEN b50
+                ELSE (4 + b50 % 4) << CAST(b50 // 4 - 2 AS INTEGER)
+                END AS DOUBLE) / 100.0 AS p50_est,
+           CAST(CASE WHEN b95 < 4 THEN b95
+                ELSE (4 + b95 % 4) << CAST(b95 // 4 - 2 AS INTEGER)
+                END AS DOUBLE) / 100.0 AS p95_est,
+           CAST(CASE WHEN b99 < 4 THEN b99
+                ELSE (4 + b99 % 4) << CAST(b99 // 4 - 2 AS INTEGER)
+                END AS DOUBLE) / 100.0 AS p99_est
          FROM p ORDER BY 1""",
     "q66_quantiles" ->
       """SELECT l_returnflag,

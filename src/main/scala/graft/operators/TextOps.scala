@@ -282,32 +282,48 @@ object TextOps {
             lit(4) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    // ONE broadcast of the (small) sets, reused by both attach joins
-    // (ReusedExchange) — two differently-aliased broadcasts would each
-    // recompute the scan+tokenize+sort lineage. The recheck intersects
-    // sorted xxhash64 TOKEN HASHES, not token strings: primitive 8-byte
-    // compares in the hot merge loop and an 8-bytes-per-token broadcast.
-    // A 64-bit collision could inflate one pair's Jaccard with
-    // probability ~|set|²/2⁶⁴ — the spec still pins LSH ⊆ exact-string
-    // pairs (TextHashesSpec), and the hash-free q61 sibling stays the
-    // oracle-exact path.
-    val setsB = broadcast(docs(s, d).filter($"doc_id" % 5 === 0)
+    // The recheck intersects sorted xxhash64 TOKEN HASHES, not token
+    // strings: primitive 8-byte compares in the hot merge loop and
+    // 8 bytes per token on the wire. A 64-bit collision could inflate
+    // one pair's Jaccard with probability ~|set|²/2⁶⁴ — the spec still
+    // pins LSH ⊆ exact-string pairs (TextHashesSpec), and the hash-free
+    // q61 sibling stays the oracle-exact path.
+    val sets = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id",
         array_sort(expr("transform(array_distinct(toks), t -> xxhash64(t))"))
-          .as("hset")))
+          .as("hset"))
+    exactJaccardRecheck(candIds, sets)
+      .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Exact-Jaccard recheck of LSH candidate pairs: attach each side's
+    * sorted token-hash set by a doc_id equi-join, linear-merge intersect,
+    * keep pairs with J > 0.8. The sets relation GROWS WITH THE CORPUS, so
+    * neither attach join carries a broadcast hint: they compile to
+    * shuffle joins, and AQE converts to broadcast at runtime only when
+    * the MEASURED build side fits autoBroadcastJoinThreshold — the
+    * small-corpus fast path survives, and a 100 TB corpus can never be
+    * forced into the 8 GB broadcast ceiling (a hinted broadcast here was
+    * round 4's one flagged scale hazard). Both attach joins read the same
+    * canonical sets subplan, so its exchange is built once and the second
+    * join reuses it (ReusedExchange — alias names canonicalize away).
+    */
+  private[graft] def exactJaccardRecheck(candIds: DataFrame,
+      sets: DataFrame): DataFrame = {
     candIds
-      .join(setsB.as("s1"), $"id1" === col("s1.doc_id"))
-      .join(setsB.as("s2"), $"id2" === col("s2.doc_id"))
+      .join(sets.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sets.as("s2"), col("id2") === col("s2.doc_id"))
       .withColumn("inter",
         TextHashes.sortedLongIntersectSize(col("s1.hset"), col("s2.hset"))
           .cast("double"))
       // sets are distinct ⇒ |A∪B| = |A|+|B|−|A∩B|
       .withColumn("uni",
-        (size(col("s1.hset")) + size(col("s2.hset"))).cast("double") - $"inter")
-      .withColumn("jaccard", $"inter" / $"uni")
-      .filter($"jaccard" > 0.8)
-      .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
-      .orderBy($"id1", $"id2")
+        (size(col("s1.hset")) + size(col("s2.hset"))).cast("double")
+          - col("inter"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") > 0.8)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit band blocking,
@@ -412,18 +428,8 @@ object TextOps {
             lit(4) * greatest(col("a.sz"), col("b.sz")))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    val setsB = broadcast(base.select($"doc_id", $"hset"))
-    candIds
-      .join(setsB.as("s1"), $"id1" === col("s1.doc_id"))
-      .join(setsB.as("s2"), $"id2" === col("s2.doc_id"))
-      .withColumn("inter",
-        TextHashes.sortedLongIntersectSize(col("s1.hset"), col("s2.hset"))
-          .cast("double"))
-      .withColumn("uni",
-        (size(col("s1.hset")) + size(col("s2.hset"))).cast("double") - $"inter")
-      .withColumn("jaccard", $"inter" / $"uni")
-      .filter($"jaccard" > 0.8)
-      .select($"id1", $"id2", $"jaccard")
+    // corpus-sized sets → shuffle-join recheck (see exactJaccardRecheck)
+    exactJaccardRecheck(candIds, base.select($"doc_id", $"hset"))
   }
 
   private def q61(s: SparkSession, d: String): DataFrame = {

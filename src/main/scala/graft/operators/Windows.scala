@@ -524,7 +524,7 @@ object Windows {
            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
            FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2)
          SELECT from_type, to_type, n,
-           n * 1000 // sum(n) OVER (PARTITION BY from_type) AS permille
+           CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS permille
          FROM c ORDER BY from_type, to_type""",
     "q114_gap_fill" ->
       """WITH ud AS (

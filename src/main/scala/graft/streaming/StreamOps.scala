@@ -522,7 +522,8 @@ object StreamOps {
       idx.foreach { case (id, v) =>
         var dist = 0L
         var i = 0
-        while (i < v.length) {
+        val len = math.min(q.qv.length, v.length) // VectorMath convention
+        while (i < len) {
           val d = q.qv(i) - v(i); dist += d * d; i += 1
         }
         val beatsWorst = top.lastOption.exists { case (bd, bid) =>

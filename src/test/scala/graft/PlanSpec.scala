@@ -80,6 +80,36 @@ class PlanSpec extends SparkSpec {
       "date range must reach the orders scan")
   }
 
+  test("LSH recheck never forces a broadcast of the corpus-sized sets") {
+    // Round 4's one flagged scale hazard: the exact-Jaccard recheck used
+    // to carry broadcast() hints on the token-hash-set relation, which
+    // grows with the corpus and would hit Spark's broadcast ceiling long
+    // before 100 TB. The recheck must compile to shuffle joins whenever
+    // the build side exceeds the broadcast threshold — pin that by
+    // zeroing the threshold and asserting no BroadcastHashJoin survives
+    // in the candidate→sets attach joins.
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      for (q <- Seq("q33_minhash_lsh_pairs", "q61_minhash_md5")) {
+        val p = plan(graft.operators.TextOps.defs(q)(spark, sfDir))
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q recheck still forces a broadcast:\n${p.take(1200)}")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$q recheck should shuffle-join the sets:\n${p.take(1200)}")
+      }
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("rank-k window filters compile to WindowGroupLimit (partial top-k)") {
     // Spark 3.5+ plants WindowGroupLimit below the shuffle for
     // row_number()-filter patterns — per-partition top-k BEFORE the
