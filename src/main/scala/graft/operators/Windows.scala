@@ -139,8 +139,44 @@ object Windows {
     "q115_session_stats" -> ((s, d) => qSessionStats(s, d)),
     "q116_transition_matrix" -> ((s, d) => qTransitions(s, d)),
     "q118_analytic_extras" -> ((s, d) => qAnalyticExtras(s, d)),
-    "q123_burst_detection" -> ((s, d) => qBurst(s, d))
+    "q123_burst_detection" -> ((s, d) => qBurst(s, d)),
+    "q130_rows_sliding" -> ((s, d) => qRowsSliding(s, d))
   )
+
+  /** Rows-schedule sliding window (reference `Window::Sliding` +
+    * `Schedule::Rows`, flock/src/stream/window.rs:39-113 — declared there,
+    * never executed): per user, over the arrival order (`event_id` is the
+    * unique arrival sequence, so the order is total and both engines
+    * frame identically), every `slide`-th row emits aggregates over its
+    * trailing `size`-row frame. Value sums ride integer cents; the
+    * per-frame mean is a floor division of positive longs — safe because
+    * `value` ≥ 0 (Spark `div` truncates, DuckDB `//` floors; they agree
+    * only on non-negatives).
+    *
+    * Scale: one shuffle keyed by user; row_number and both frame
+    * aggregates share the single (user, event_id) sort, and ROWS frames
+    * evaluate with an O(1)-per-row slide. The emit filter is applied
+    * before the final projection, so only 1/slide of rows survive the
+    * window stage. Streaming sibling: StreamOps.rowsSlidingStream.
+    */
+  private def qRowsSliding(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val size = 50
+    val slide = 10
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val f = w.rowsBetween(-(size - 1), 0)
+    graft.Tables(s, d, "events")
+      .select($"user_id", $"event_id",
+        expr("CAST(floor(value * 100 + 0.5001) AS BIGINT)").as("cents"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("n_in_window", count(lit(1)).over(f).cast("long"))
+      .withColumn("sum_cents", sum($"cents").over(f).cast("long"))
+      .filter($"seq" % slide === 0)
+      .select($"user_id", $"seq", $"n_in_window", $"sum_cents",
+        expr("CAST(sum_cents DIV n_in_window AS BIGINT)").as("avg_cents"))
+      .orderBy($"user_id", $"seq")
+  }
 
   /** Burst detection via RANGE-interval frames — the rate-limit /
     * abuse-monitoring query: each event sees its trailing (t−1h, t]
@@ -526,6 +562,24 @@ object Windows {
          SELECT from_type, to_type, n,
            CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS permille
          FROM c ORDER BY from_type, to_type""",
+    "q130_rows_sliding" ->
+      """WITH ev AS (
+           SELECT user_id, event_id,
+             CAST(floor(value * 100 + 0.5001) AS BIGINT) AS cents
+           FROM events),
+         wd AS (
+           SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
+             count(*) OVER w AS n_in_window,
+             sum(cents) OVER w AS sum_cents
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+         SELECT user_id, CAST(seq AS BIGINT) AS seq,
+           CAST(n_in_window AS BIGINT) AS n_in_window,
+           CAST(sum_cents AS BIGINT) AS sum_cents,
+           CAST(sum_cents // n_in_window AS BIGINT) AS avg_cents
+         FROM wd WHERE seq % 10 = 0 ORDER BY user_id, seq""",
     "q114_gap_fill" ->
       """WITH ud AS (
            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

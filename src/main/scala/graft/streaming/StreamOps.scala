@@ -147,6 +147,50 @@ object StreamOps {
       }
   }
 
+  case class RowsEvent(user_id: Long, event_id: Long, cents: Long)
+  case class RowsWindowEmit(user_id: Long, seq: Long, n_in_window: Long,
+      sum_cents: Long, avg_cents: Long)
+  case class RowsWindowState(seen: Long, buf: List[Long])
+
+  /** Rows-schedule sliding window (reference `Window::Sliding` +
+    * `Schedule::Rows`, flock/src/stream/window.rs:39-113): per key, every
+    * `slide`-th arriving row emits aggregates over the trailing `size`-row
+    * frame. Count-based windows are defined by per-key ARRIVAL order, not
+    * event time — there is no watermark and no timeout; emission is driven
+    * purely by the row counter, exactly the reference's rows schedule.
+    * Within a micro-batch rows process in `event_id` order, so replay
+    * transports (files, MemoryStream) with monotone batches reproduce the
+    * batch q130_rows_sliding bit-for-bit.
+    *
+    * Scale: state per key is one counter + a ≤`size`-element ring of
+    * longs — independent of stream length; the only shuffle is the
+    * groupByKey. The mean is a floor division of the cents sum (exact,
+    * matching the batch/oracle convention for non-negative values).
+    */
+  def rowsSlidingStream(events: Dataset[RowsEvent], size: Int,
+      slide: Int): Dataset[RowsWindowEmit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RowsWindowState, RowsWindowEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[RowsEvent],
+            state: GroupState[RowsWindowState]) =>
+          var s = state.getOption.getOrElse(RowsWindowState(0L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer[RowsWindowEmit]()
+          rows.toSeq.sortBy(_.event_id).foreach { e =>
+            val buf = (e.cents :: s.buf).take(size) // newest-first ring
+            s = RowsWindowState(s.seen + 1, buf)
+            if (s.seen % slide == 0) {
+              val sum = buf.sum
+              out += RowsWindowEmit(user, s.seen, buf.length.toLong, sum,
+                sum / buf.length) // positive longs: / == floor division
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   /** Stream-static broadcast join (NEXMark q13 streaming form): each
     * micro-batch of bids joins the bounded side-input table; the static
     * side broadcasts once, no stream state.
