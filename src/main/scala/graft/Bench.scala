@@ -58,7 +58,7 @@ object Bench {
     // land on ~10×; the min over two runs reports the query's actual cost
     // (standard steady-state benchmarking) without changing the metric.
     val prefixes = args.headOption.map(_.split(",").toSeq)
-    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -89,11 +89,28 @@ object Bench {
       case Some(ps) => headline.filter(n => ps.exists(n.startsWith))
       case None => headline
     }
-    val results = selected.map(n => n -> (0 until reps).map(_ => run(n)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val results = selected.map(n => n -> (0 until reps).map(_ => run(n)))
+    val mins = results.map { case (k, vs) => k -> vs.min }
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-query max/min over the reps — a spread near 1.0 marks a stable
+    // measurement; large spreads flag host-interference windows so a
+    // round-over-round "regression" can be read against the noise floor
+    val spread = results.map { case (k, vs) =>
+      val ok = vs.filter(_ > 0)
+      val r = if (ok.isEmpty) -1.0 else ok.max / ok.min
+      "\"" + k + "\":" + f"$r%.2f"
+    }.mkString("{", ",", "}")
+    val total = mins.map(_._2).filter(_ >= 0).sum
+    // streaming rates (events/docs/queries per second) — same JSON line so
+    // the driver's per-round artifact records them; SPARK_GRAFT_STREAM=0
+    // skips for batch-only iteration
+    val stream =
+      if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) "{}"
+      else StreamBench.measure(spark, nBids = 400000, batchSize = 100000)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+        .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"stream":$stream,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,28 +10,39 @@ import graft.streaming.StreamOps
 /** Streaming throughput bench — the reference's canonical invocation is
   * NEXMark q5 at 1000 events/s for 10 s (BASELINE.md row 1); Spark
   * ingests far faster than the reference's paced generator, so this
-  * measures the SUSTAINED rate: pre-generated bids pushed through the
-  * hopping-window hot-items aggregation (q5's shape) in fixed-size
-  * micro-batches, reporting bids/second of end-to-end processing.
+  * measures the SUSTAINED rate: pre-generated events pushed through each
+  * stateful operator in fixed-size micro-batches, reporting events (or
+  * docs / queries) per second of end-to-end processing.
   *
-  * Usage: runMain graft.StreamBench [nBids] [batchSize] [cpus]
-  * Prints one line: streaming_q5_eps=<n> (bids/s) and the session
-  * variant streaming_q11_eps.
+  * `measure` is the reusable harness — `Bench` embeds it so the driver's
+  * per-round JSON records the streaming rates alongside the batch times;
+  * this main stays the knobs-exposed standalone
+  * (`runMain graft.StreamBench [nBids] [batchSize] [cpus]`).
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val nBids = args.headOption.map(_.toInt).getOrElse(200000)
-    val batchSize = args.lift(1).map(_.toInt).getOrElse(20000)
-    val cpus = args.lift(2).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+
+  /** Run every streaming-rate scenario; returns (name, events-per-sec).
+    * One untimed warm-up batch per scenario: session/codegen/state-store
+    * start-up cost belongs to no query's sustained rate.
+    */
+  def measure(spark: SparkSession, nBids: Int, batchSize: Int): Seq[(String, Double)] = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Stateful micro-batches want FEW shuffle partitions: with 32, each
+    // small batch pays 32 state-store commits and task launches per
+    // stateful operator, burying the per-event work (measured: ingest
+    // 400 docs/s at 32 partitions vs ~2000 at 8 on the same host).
+    // shuffle.partitions is a runtime conf — pin it for the measurement,
+    // restore after so the batch queries keep the session's setting.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try measureWith(spark, nBids, batchSize)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def measureWith(spark: SparkSession, nBids: Int,
+      batchSize: Int): Seq[(String, Double)] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
 
@@ -41,34 +52,29 @@ object StreamBench {
         / Nexmark.BidProportion))
       .filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
 
-    def run(name: String, build: MemoryStream[Bid] => org.apache.spark.sql.DataFrame,
-        mode: OutputMode): Double = {
-      val in = MemoryStream[Bid]
-      val q = build(in).writeStream.format("noop").outputMode(mode).start()
-      // one untimed warm-up batch: session/codegen/state-store start-up cost
-      // belongs to neither query's sustained rate
-      val chunks = bids.grouped(batchSize).toSeq
+    def rate[T](name: String, events: Seq[T], chunkSize: Int)(
+        build: MemoryStream[T] => org.apache.spark.sql.DataFrame)(
+        implicit enc: org.apache.spark.sql.Encoder[T]): (String, Double) = {
+      val in = MemoryStream[T]
+      val q = build(in).writeStream.format("noop")
+        .outputMode(OutputMode.Append).start()
+      val chunks = events.grouped(chunkSize).toSeq
       in.addData(chunks.head)
       q.processAllAvailable()
       val timed = chunks.tail
       val t0 = System.nanoTime()
-      timed.foreach { chunk =>
-        in.addData(chunk)
-        q.processAllAvailable()
-      }
+      timed.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
       val eps = timed.map(_.size).sum / secs
-      Console.err.println(f"[StreamBench] $name: $eps%.0f events/s over ${timed.size} batches")
-      eps
+      Console.err.println(f"[StreamBench] $name: $eps%.0f/s over ${timed.size} batches")
+      name -> eps
     }
 
-    val q5Eps = run("q5",
-      in => StreamOps.hoppingCounts(in.toDF(), "10 seconds", "5 seconds", "0 seconds"),
-      OutputMode.Append)
-    val q11Eps = run("q11",
-      in => StreamOps.sessionCounts(in.toDF(), "10 seconds", "0 seconds"),
-      OutputMode.Append)
+    val q5 = rate("q5_hopping_eps", bids, batchSize)(in =>
+      StreamOps.hoppingCounts(in.toDF(), "10 seconds", "5 seconds", "0 seconds"))
+    val q11 = rate("q11_session_eps", bids, batchSize)(in =>
+      StreamOps.sessionCounts(in.toDF(), "10 seconds", "0 seconds"))
 
     // LLM-ingest pipeline rate (docs/s): dedup -> quality -> langid ->
     // windowed counts, the two-stateful-operator chain. Word-salad docs,
@@ -87,23 +93,14 @@ object StreamBench {
       val text = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
       DocEvent(id, new java.sql.Timestamp(1_436_918_400_000L + id), text)
     }
-    def runDocs(name: String): Double = {
-      val in = MemoryStream[DocEvent]
-      val q = StreamOps.ingestPipelineStream(in.toDS(), "10 seconds")
-        .writeStream.format("noop").outputMode(OutputMode.Append).start()
-      val chunks = docEvents.grouped(docBatch).toSeq
-      in.addData(chunks.head)
-      q.processAllAvailable()
-      val timed = chunks.tail
-      val t0 = System.nanoTime()
-      timed.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      val dps = timed.map(_.size).sum / secs
-      Console.err.println(f"[StreamBench] $name: $dps%.0f docs/s over ${timed.size} batches")
-      dps
-    }
-    val ingestDps = runDocs("ingest")
+    val ingest = rate("ingest_dps", docEvents, docBatch)(in =>
+      StreamOps.ingestPipelineStream(in.toDS(), "10 seconds"))
+
+    // Misra-Gries heavy hitters (docs/s): per-window bounded-counter state
+    // over the exploded token stream — tokens are ~40× the doc rate.
+    val hh = rate("heavy_hitters_dps", docEvents, docBatch)(in =>
+      StreamOps.heavyHittersStream(in.toDS(), windowSecs = 10, k = 16,
+        watermark = "0 seconds").toDF())
 
     // CEP funnel rate (events/s): per-user flatMapGroupsWithState sequence
     // matching with event-time idle timeout — state evicts as the
@@ -112,28 +109,46 @@ object StreamBench {
     val funnelEvents: Seq[StreamOps.FunnelEvent] = bids.map(b =>
       StreamOps.FunnelEvent(b.bidder.toLong, b.b_date_time,
         funnelSteps(((b.auction % 3) + 3) % 3)))
-    def runFunnel(name: String): Double = {
-      val in = MemoryStream[StreamOps.FunnelEvent]
-      val q = StreamOps.funnelStream(in.toDS(), funnelSteps,
-          gapMs = 10_000L, idleCloseMs = 10_000L, watermark = "0 seconds")
-        .toDF().writeStream.format("noop").outputMode(OutputMode.Append).start()
-      val chunks = funnelEvents.grouped(batchSize).toSeq
-      in.addData(chunks.head)
-      q.processAllAvailable()
-      val timed = chunks.tail
-      val t0 = System.nanoTime()
-      timed.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      val eps = timed.map(_.size).sum / secs
-      Console.err.println(f"[StreamBench] $name: $eps%.0f events/s over ${timed.size} batches")
-      eps
+    val funnel = rate("funnel_eps", funnelEvents, batchSize)(in =>
+      StreamOps.funnelStream(in.toDS(), funnelSteps,
+        gapMs = 10_000L, idleCloseMs = 10_000L, watermark = "0 seconds").toDF())
+
+    // Stateless vector serving (queries/s): each query scans the broadcast
+    // 2048×64 int index for its top-10 — the brute-force serving baseline
+    // (an IVF/PQ index raises the ceiling, same operator shape).
+    val dim = 64
+    val index: Array[(Long, Array[Long])] = Array.tabulate(2048) { i =>
+      val rng = new Nexmark.Rng(i.toLong)
+      (i.toLong, Array.fill(dim)((rng.nextInt(201) - 100).toLong))
     }
-    val funnelEps = runFunnel("funnel")
-    println(f"streaming_q5_eps=${q5Eps}%.0f streaming_q11_eps=${q11Eps}%.0f " +
-      f"streaming_ingest_dps=${ingestDps}%.0f " +
-      f"streaming_funnel_eps=${funnelEps}%.0f " +
-      s"(n=${bids.size}, batch=$batchSize, cpus=$cpus)")
+    val nQueries = math.max(nBids / 20, 1000)
+    val queries: Seq[StreamOps.VecEvent] = (0L until nQueries.toLong).map { id =>
+      val rng = new Nexmark.Rng(id + 1_000_000L)
+      StreamOps.VecEvent(id, new java.sql.Timestamp(1_436_918_400_000L + id),
+        Array.fill(dim)((rng.nextInt(201) - 100).toLong))
+    }
+    val knn = rate("knn_qps", queries, math.max(1, batchSize / 20))(in =>
+      StreamOps.knnStream(in.toDS(), index, k = 10).toDF())
+
+    Seq(q5, q11, ingest, hh, funnel, knn)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nBids = args.headOption.map(_.toInt).getOrElse(200000)
+    val batchSize = args.lift(1).map(_.toInt).getOrElse(20000)
+    val cpus = args.lift(2).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val rates = measure(spark, nBids, batchSize)
+    println(rates.map { case (k, v) => f"$k=$v%.0f" }.mkString(" ") +
+      s" (n=$nBids, batch=$batchSize, cpus=$cpus)")
     spark.stop()
   }
 }
