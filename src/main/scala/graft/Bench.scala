@@ -86,7 +86,13 @@ object Bench {
 
     run("q01_pricing_summary") // warmup: session + codegen init
     val selected = prefixes match {
-      case Some(ps) => headline.filter(n => ps.exists(n.startsWith))
+      case Some(ps) =>
+        // local iteration may name catalog queries outside the frozen
+        // headline set (e.g. scale-checking a new operator at sf10)
+        val extras = SparkEntry.queries.keys.toSeq.sorted
+          .filterNot(headline.contains)
+          .filter(n => ps.exists(p => p.nonEmpty && n.startsWith(p)))
+        headline.filter(n => ps.exists(n.startsWith)) ++ extras
       case None => headline
     }
     val results = selected.map(n => n -> (0 until reps).map(_ => run(n)))
