@@ -7,7 +7,7 @@ Reads each <verifyOutDir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over <sfDir>'s
 tables, sorts columns by name, and compares values row-by-row.
 """
-import sys, os, json, glob
+import sys, os, json, glob, subprocess
 import duckdb
 import pandas as pd
 import numpy as np
@@ -102,7 +102,17 @@ def main():
             print(f"PASS {name} ({len(spark_df)} rows)")
             n_pass += 1
     print(f"\n== {n_pass} pass / {n_fail} fail / {n_rowsonly} rows-only ==")
-    sys.exit(1 if n_fail else 0)
+    # un-skippable oracle-typing lint (q116 bug class): selftest first so a
+    # broken lint cannot silently pass, then lint every committed oracle
+    lint = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "oracle_lint.py")
+    lint_ok = (
+        subprocess.run([sys.executable, lint, "--selftest"]).returncode == 0
+        and subprocess.run([sys.executable, lint, sf_dir,
+                            out_dir]).returncode == 0)
+    if not lint_ok:
+        print("== oracle_lint FAILED ==")
+    sys.exit(1 if (n_fail or not lint_ok) else 0)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,11 @@ driver's hash compare then diverges from Spark's int64). Fails on:
 
 Generated-input oracles (nx_/mm_) read /tmp/graft_oracle_inputs, so run
 `graft.Verify` first, same as check.py.
+
+`--selftest` proves the lint can actually catch the bug class: a
+deliberately-bad oracle (un-CAST sum(BIGINT) → HUGEINT) must be flagged
+and a CAST-wrapped one must pass. check.py runs this before the real
+lint, so a silently-broken lint fails the gate too.
 """
 import sys, os, json
 import duckdb
@@ -26,7 +31,29 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 BAD_PREFIXES = ("decimal", "halffloat")
 
 
+def bad_fields(schema):
+    return [(f.name, str(f.type)) for f in schema
+            if str(f.type).startswith(BAD_PREFIXES)
+            or str(f.type) == "uint64"]
+
+
+def selftest():
+    con = duckdb.connect()
+    bad = con.execute(
+        "SELECT sum(x) AS s FROM (VALUES (1::BIGINT)) t(x)"
+    ).fetch_arrow_table().schema
+    good = con.execute(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1::BIGINT)) t(x)"
+    ).fetch_arrow_table().schema
+    ok = bool(bad_fields(bad)) and not bad_fields(good)
+    print(f"SELFTEST {'PASS' if ok else 'FAIL'}: "
+          f"bad oracle -> {bad_fields(bad)}, good oracle -> {bad_fields(good)}")
+    sys.exit(0 if ok else 1)
+
+
 def main():
+    if "--selftest" in sys.argv:
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
@@ -45,9 +72,7 @@ def main():
             print(f"ERR  {name}: {str(e).splitlines()[0][:160]}")
             n_err += 1
             continue
-        bad = [(f.name, str(f.type)) for f in schema
-               if str(f.type).startswith(BAD_PREFIXES)
-               or str(f.type) == "uint64"]
+        bad = bad_fields(schema)
         if bad:
             print(f"LINT {name}: un-CAST oracle output column(s): {bad}")
             n_bad += 1

@@ -102,10 +102,13 @@ object Bench {
     // per-query max/min over the reps — a spread near 1.0 marks a stable
     // measurement; large spreads flag host-interference windows so a
     // round-over-round "regression" can be read against the noise floor
+    // Locale.ROOT: the artifact is machine-read JSON — f"" interpolators
+    // use the JVM default locale and emit `1,05` on comma-decimal hosts
     val spread = results.map { case (k, vs) =>
       val ok = vs.filter(_ > 0)
       val r = if (ok.isEmpty) -1.0 else ok.max / ok.min
-      "\"" + k + "\":" + f"$r%.2f"
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(r))
     }.mkString("{", ",", "}")
     val total = mins.map(_._2).filter(_ >= 0).sum
     // streaming rates (events/docs/queries per second) — same JSON line so
@@ -114,7 +117,8 @@ object Bench {
     val stream =
       if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) "{}"
       else StreamBench.measure(spark, nBids = 400000, batchSize = 100000)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.0f" }
+        .map { case (k, v) => "\"" + k + "\":" + String.format(
+          java.util.Locale.ROOT, "%.0f", Double.box(v)) }
         .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"stream":$stream,"sf":"$sfDir"}""")
     spark.stop()

@@ -176,11 +176,15 @@ object Multimodal {
     h
   }
 
-  /** Re-crawl with visible corruption: every 16th payload byte is bumped
-    * by 48 (mod 256) — the "same image, re-encoded with loss" scenario
-    * whose fingerprints differ by a few bits, not zero (zero bits moved
-    * is mm_dedup's exact-payload case; +1 bumps almost never cross the
-    * mean threshold).
+  /** Re-crawl with visible corruption: every 16th byte of the FIRST 64
+    * payload bytes is bumped by 48 (mod 256) — the "same image,
+    * re-encoded with loss" scenario whose fingerprints differ by a few
+    * bits, not zero (zero bits moved is mm_dedup's exact-payload case;
+    * +1 bumps almost never cross the mean threshold). The 64-byte bound
+    * keeps this byte-identical to the mm_phash_dedup oracle, which
+    * corrupts exactly `generate_series(1, 64)` of the payload — bumping
+    * the whole payload was equivalent only because ahash64 reads just
+    * those bytes, and would diverge silently under any full-payload hash.
     */
   private def recrawlNoisy(a: Asset): Asset = {
     // Unconditional corrupt+rename (header bytes kept verbatim): the
@@ -191,7 +195,7 @@ object Multimodal {
     val q = new Array[Byte](p.length)
     var j = 0
     while (j < p.length) {
-      q(j) = if (j % 16 == 0) ((p(j) + 48) & 0xff).toByte else p(j)
+      q(j) = if (j % 16 == 0 && j < 64) ((p(j) + 48) & 0xff).toByte else p(j)
       j += 1
     }
     Asset(a.asset_id + 100000L, a.kind, a.bytes.take(16) ++ q)

@@ -180,41 +180,89 @@ object PipelineOps {
     * edge-list form — 58.7M two-long rows checkpointed deserialized
     * thrash the heap, 1.6M array rows don't. The two localCheckpoints
     * (serialized, spill-safe) stop the cAdj subtree re-running under
-    * its three consumers. Hub skew stays bounded: the hottest supplier
-    * holds |customers| ≈ corpus/|suppliers| in one array; at true
-    * web-graph skew the same shape degrades by range-splitting hot
-    * arrays, not by re-planning.
+    * its three consumers. Hub skew stays bounded here: the hottest
+    * supplier holds |customers| ≈ corpus/|suppliers| in one array; at
+    * true web-graph skew pass `nSeg > 1` to [[graphRank]] — the degrade
+    * path below — which salt-splits hot arrays instead of re-planning.
     */
   private def q110(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.storage.StorageLevel
-    val cAdj = Tables(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+    val edges = Tables(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
       .join(Tables(s, d, "orders").select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
-      .groupBy($"c").agg(collect_set($"sk").as("sks"))
-      .withColumn("oc", size($"sks").cast("long"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    // supplier-side adjacency derives from cAdj (pairs already distinct)
-    // instead of re-running the orders⋈lineitem join
-    val sAdj = cAdj.select($"c", explode($"sks").as("sk"))
-      .groupBy($"sk").agg(collect_list($"c").as("cs"))
-      .withColumn("os", size($"cs").cast("long"))
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    val a1 = cAdj
-      .select(explode($"sks").as("sk"), expr("1000000 div oc").as("w"))
-      .groupBy($"sk").agg(sum($"w").as("mass_r1"))
-    val m1 = sAdj.join(a1, "sk")
-      .select(explode($"cs").as("c"), expr("mass_r1 div os").as("w"))
-      .groupBy($"c").agg(sum($"w").as("m1"))
-    val a2 = cAdj.join(m1, "c")
-      .select(explode($"sks").as("sk"), expr("m1 div oc").as("w"))
-      .groupBy($"sk").agg(sum($"w").as("mass_r2"))
-    a1.join(a2, "sk").join(sAdj.select($"sk", $"os"), "sk")
-      .select($"sk".as("s_suppkey"), $"os".as("n_customers"),
-        $"mass_r1", $"mass_r2")
+    graphRank(edges, nSeg = 1)
       .orderBy($"mass_r2".desc, $"s_suppkey")
       .limit(20)
+  }
+
+  /** q110's propagation core over arbitrary bipartite `(c, sk)` edges,
+    * with the hub-skew degrade path as a parameter. `nSeg = 1` (the q110
+    * default) builds one adjacency row per node — exactly the plan the
+    * sf10 measurement above was taken on. `nSeg > 1` salt-splits every
+    * adjacency list across `hash(neighbor) mod nSeg` SEGMENT rows at
+    * build time, so a web-scale hub's neighbors never funnel into a
+    * single collect_set task or a single giant array row: each segment
+    * builds in its own task and caps at ~degree/nSeg entries. The total
+    * degree each weight division needs is re-aggregated from segment
+    * sizes (segment-cardinality rows — cheap) and carried on every
+    * segment row, which keeps the propagation rounds IDENTICAL in shape:
+    * mass joins by node key, each segment explodes only its own slice,
+    * and the per-key sums are invariant to the split (pinned by
+    * GraphRankSkewSpec: nSeg 1 vs 8 byte-identical). Dedup still holds
+    * segment-locally because a given neighbor always hashes to the same
+    * segment.
+    */
+  /** Adjacency lists `(key, nbrs, deg)` from distinct-able edges: one row
+    * per key at `nSeg = 1`; at `nSeg > 1` every key's list is salt-split
+    * across `hash(neighbor) mod nSeg` segment rows (each built in its own
+    * task, each ≈ degree/nSeg entries, each carrying the key's TOTAL
+    * degree) — the hub-skew degrade path shared by [[graphRank]].
+    */
+  private[graft] def adjacency(df: DataFrame, key: String, nbr: String,
+      nSeg: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    if (nSeg == 1)
+      df.groupBy(col(key)).agg(collect_set(col(nbr)).as("nbrs"))
+        .withColumn("deg", size($"nbrs").cast("long"))
+    else {
+      val seg = df.groupBy(col(key),
+          pmod(xxhash64(col(nbr)), lit(nSeg)).as("seg"))
+        .agg(collect_set(col(nbr)).as("nbrs"))
+      val deg = seg.groupBy(col(key))
+        .agg(sum(size($"nbrs")).cast("long").as("deg"))
+      seg.join(deg, key).select(col(key), $"nbrs", $"deg")
+    }
+  }
+
+  private[graft] def graphRank(edges: DataFrame, nSeg: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val s = edges.sparkSession
+    import s.implicits._
+    require(nSeg >= 1, s"nSeg must be positive, got $nSeg")
+    val cAdj = adjacency(edges, "c", "sk", nSeg)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    // supplier-side adjacency derives from cAdj (pairs already distinct)
+    // instead of re-running the edge-producing join
+    val sAdj = adjacency(cAdj.select($"c", explode($"nbrs").as("sk")),
+        "sk", "c", nSeg)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    val a1 = cAdj
+      .select(explode($"nbrs").as("sk"), expr("1000000 div deg").as("w"))
+      .groupBy($"sk").agg(sum($"w").as("mass_r1"))
+    val m1 = sAdj.join(a1, "sk")
+      .select(explode($"nbrs").as("c"), expr("mass_r1 div deg").as("w"))
+      .groupBy($"c").agg(sum($"w").as("m1"))
+    val a2 = cAdj.join(m1, "c")
+      .select(explode($"nbrs").as("sk"), expr("m1 div deg").as("w"))
+      .groupBy($"sk").agg(sum($"w").as("mass_r2"))
+    val sDeg =
+      if (nSeg == 1) sAdj.select($"sk", $"deg")
+      else sAdj.select($"sk", $"deg").distinct()
+    a1.join(a2, "sk").join(sDeg, "sk")
+      .select($"sk".as("s_suppkey"), $"deg".as("n_customers"),
+        $"mass_r1", $"mass_r2")
   }
 
   /** Content-defined chunking (CDC) dedup — q89's fixed 16-token grid

@@ -94,13 +94,39 @@ object KinesisAnalog {
     * `batchSize` bounds files-per-trigger so a backlog drop cannot blow a
     * micro-batch; `startingPosition` TRIM_HORIZON replays existing files
     * while LATEST (the reference default) starts from new arrivals only.
+    *
+    * LATEST is implemented by snapshotting the newest modification time
+    * among files already in `dir` at stream construction and admitting
+    * only files written strictly after it, via the file source's
+    * `_metadata.file_modification_time` — the file source itself has no
+    * starting-position knob, and its `latestFirst` option merely REORDERS
+    * processing (the backlog would still be ingested, newest first, which
+    * additionally breaks arrival-order assumptions for sequence-number
+    * dedup). Files are admitted in normal oldest-first order on both
+    * paths. Granularity caveat: a delivery landing within the same
+    * filesystem-timestamp tick as the newest backlog file counts as
+    * backlog — the analog of attaching to a shard between two records
+    * with the same arrival timestamp.
     */
   def stream(spark: SparkSession, dir: String, schema: StructType,
-      mapping: EventSourceMapping = EventSourceMapping()): DataFrame =
-    spark.readStream.schema(schema)
+      mapping: EventSourceMapping = EventSourceMapping()): DataFrame = {
+    val base = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", math.max(1, mapping.batchSize / 1000).toString)
-      .option("latestFirst", (mapping.startingPosition == "LATEST").toString)
       .json(dir)
+    if (mapping.startingPosition == "LATEST")
+      base.where(col("_metadata.file_modification_time") >
+        lit(new Timestamp(backlogCutoffMillis(dir))))
+    else base
+  }
+
+  /** Newest `lastModified` among files already in `dir`; 0 (epoch — admit
+    * everything) when the dir is absent or empty. Driver-side, one
+    * listing at construction: O(backlog files) once, no per-batch cost.
+    */
+  private def backlogCutoffMillis(dir: String): Long =
+    Option(new java.io.File(dir).listFiles())
+      .map(_.iterator.filter(_.isFile).map(_.lastModified).foldLeft(0L)(math.max))
+      .getOrElse(0L)
 
   /** The mapping's gather policy as a Spark trigger: a per-delivery
     * tumbling window fires on that cadence; otherwise the max batching

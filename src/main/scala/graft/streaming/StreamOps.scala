@@ -166,6 +166,20 @@ object StreamOps {
     * longs — independent of stream length; the only shuffle is the
     * groupByKey. The mean is a floor division of the cents sum (exact,
     * matching the batch/oracle convention for non-negative values).
+    *
+    * PRECONDITION (per-key-per-batch memory): the arrival-order sort
+    * that makes replay deterministic must see one key's rows for one
+    * micro-batch together — Spark's state API hands them as an
+    * unordered iterator and has no sorted-groups variant — so a key's
+    * share of a micro-batch materializes on its task (in-place array
+    * sort, one object per row, no List overhead). STATE stays O(`size`)
+    * regardless; only the transient batch slice is O(rows). Bound it at
+    * the source (`maxFilesPerTrigger` / `maxOffsetsPerTrigger` /
+    * MemoryStream batch size): a 10M-row micro-batch landing on ONE hot
+    * key costs that task ~240 MB transient — within executor budgets,
+    * and RowsSlidingSkewSpec pins a single-key burst end-to-end. For
+    * transports that already deliver per-key-ordered batches the sort
+    * is a no-op pass over the same array.
     */
   def rowsSlidingStream(events: Dataset[RowsEvent], size: Int,
       slide: Int): Dataset[RowsWindowEmit] = {
@@ -177,7 +191,10 @@ object StreamOps {
             state: GroupState[RowsWindowState]) =>
           var s = state.getOption.getOrElse(RowsWindowState(0L, Nil))
           val out = scala.collection.mutable.ArrayBuffer[RowsWindowEmit]()
-          rows.toSeq.sortBy(_.event_id).foreach { e =>
+          val batch = rows.toArray
+          scala.util.Sorting.stableSort(batch,
+            (a: RowsEvent, b: RowsEvent) => a.event_id < b.event_id)
+          batch.foreach { e =>
             val buf = (e.cents :: s.buf).take(size) // newest-first ring
             s = RowsWindowState(s.seen + 1, buf)
             if (s.seen % slide == 0) {
@@ -558,15 +575,29 @@ object StreamOps {
   def knnStream(qs: Dataset[VecEvent], index: Array[(Long, Array[Long])],
       k: Int): Dataset[KnnMatch] = {
     import qs.sparkSession.implicits._
+    // The index is static: a ragged index is a build bug, so fail at
+    // construction, not per-event.
+    val dims = index.map(_._2.length).distinct
+    require(dims.length <= 1,
+      s"knnStream index has mixed dimensions: ${dims.sorted.mkString(",")}")
+    val indexDim = dims.headOption.getOrElse(0)
     val bIndex = qs.sparkSession.sparkContext.broadcast(index)
     qs.flatMap { q =>
+      // A query whose dimension disagrees with the index is corrupt input.
+      // Truncating to the shorter vector would score it on a silently
+      // wrong subspace — emit one explicit sentinel (rank -1, no
+      // neighbor) instead, so serving consumers can count/alert on
+      // rank = -1 while well-formed traffic flows on.
+      if (q.qv.length != indexDim)
+        Iterator.single(KnnMatch(q.qid, -1, -1L, -1L))
+      else {
       val idx = bIndex.value
       // bounded insertion into a k-sized buffer ordered by (dist, vec_id)
       val top = new scala.collection.mutable.ArrayBuffer[(Long, Long)](k + 1)
       idx.foreach { case (id, v) =>
         var dist = 0L
         var i = 0
-        val len = math.min(q.qv.length, v.length) // VectorMath convention
+        val len = v.length
         while (i < len) {
           val d = q.qv(i) - v(i); dist += d * d; i += 1
         }
@@ -583,6 +614,7 @@ object StreamOps {
       }
       top.iterator.zipWithIndex.map { case ((dist, id), r) =>
         KnnMatch(q.qid, r + 1, id, dist)
+      }
       }
     }
   }
@@ -658,11 +690,6 @@ object StreamOps {
       }
   }
 
-  /** Kafka source/sink configuration (reference ships Kafka/Kinesis as
-    * untested stubs — datasource/kafka.rs:48-111; same stance here: the
-    * connector package isn't in this container, so these return the fully
-    * configured reader/writer without starting it).
-    */
   /** NEXMark q3 in streaming form (local item — q3.sql): category-10
     * auctions stream joined against the (slow-changing, here static)
     * person dimension filtered to OR/ID/CA. Stateless stream-static
@@ -712,12 +739,19 @@ object StreamOps {
       .agg(count(lit(1)).as("n_views"))
       .select(col("w.start").as("w_start"), col("campaign_id"), col("n_views"))
 
+  /** Kafka reader — thin shim over [[graft.sources.KafkaAnalog]], which
+    * carries the full source surface (declared-schema decode, consumer
+    * contract, embedded transport; reference kafka.rs:48-143).
+    */
   def kafkaReader(spark: SparkSession, brokers: String, topic: String) =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", brokers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
+    graft.sources.KafkaAnalog.reader(spark, brokers,
+      graft.sources.KafkaAnalog.ConsumerContract(topics = Seq(topic),
+        startingPosition = "TRIM_HORIZON"))
 
+  /** Kafka sink configuration (reference has no sink analog; the
+    * connector package ships with Spark — returned unstarted, no broker
+    * in this container).
+    */
   def kafkaWriter(df: DataFrame, brokers: String, topic: String, checkpoint: String) =
     df.selectExpr("CAST(value AS STRING) AS value").writeStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)

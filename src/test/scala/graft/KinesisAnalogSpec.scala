@@ -93,6 +93,38 @@ class KinesisAnalogSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LATEST skips the pre-existing backlog and ingests only new arrivals") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("kinesis_latest").toString
+    def drop(name: String, lines: Seq[String], mtime: Long): Unit = {
+      val p = Files.write(Paths.get(dir, name),
+        lines.mkString("\n").getBytes(UTF_8))
+      // pin modification times so the backlog/new boundary is
+      // deterministic regardless of filesystem timestamp granularity
+      assert(p.toFile.setLastModified(mtime))
+    }
+    val t0 = System.currentTimeMillis() - 3600 * 1000L
+    drop("backlog1.json",
+      (1 to 20).map(i => s"""{"user_id":$i,"event_type":"view","amount":$i.0}"""), t0)
+    drop("backlog2.json",
+      (21 to 30).map(i => s"""{"user_id":$i,"event_type":"click","amount":$i.0}"""), t0 + 1000L)
+    val stream = KinesisAnalog.stream(spark, dir, schema,
+      KinesisAnalog.EventSourceMapping(startingPosition = "LATEST"))
+    val q = StreamOps.toMemory(stream, "kinesis_latest_test", OutputMode.Append)
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kinesis_latest_test").count() == 0,
+        "LATEST must not replay the backlog")
+      drop("new1.json",
+        Seq("""{"user_id":99,"event_type":"view","amount":9.0}"""),
+        System.currentTimeMillis())
+      q.processAllAvailable()
+      val got = spark.table("kinesis_latest_test")
+        .as[(Long, String, Double)].collect()
+      assert(got.toSeq == Seq((99L, "view", 9.0)))
+    } finally q.stop()
+  }
+
   test("delivery contract maps onto the trigger cadence") {
     import org.apache.spark.sql.streaming.Trigger
     assert(KinesisAnalog.trigger(KinesisAnalog.EventSourceMapping())

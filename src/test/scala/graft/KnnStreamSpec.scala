@@ -48,4 +48,41 @@ class KnnStreamSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("dim-mismatched queries are flagged with a rank -1 sentinel, not scored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = (0L until 10L).map(i =>
+      (i, Array.fill(8)(i * 10))).toArray
+    val t = new java.sql.Timestamp(1_436_918_400_000L)
+    val in = MemoryStream[StreamOps.VecEvent]
+    val q = StreamOps.toMemory(
+      StreamOps.knnStream(in.toDS(), index, 3).toDF(), "knn_dim_test",
+      OutputMode.Append)
+    try {
+      in.addData(
+        StreamOps.VecEvent(1L, t, Array.fill(8)(0L)),  // well-formed
+        StreamOps.VecEvent(2L, t, Array.fill(5)(0L)),  // too short
+        StreamOps.VecEvent(3L, t, Array.fill(12)(0L))) // too long
+      q.processAllAvailable()
+      val got = spark.table("knn_dim_test").as[StreamOps.KnnMatch].collect()
+        .groupBy(_.qid)
+      assert(got(1L).map(_.rank).sorted.toSeq == Seq(1, 2, 3))
+      // corrupt queries emit exactly one sentinel and zero neighbors
+      Seq(2L, 3L).foreach { qid =>
+        assert(got(qid).toSeq == Seq(StreamOps.KnnMatch(qid, -1, -1L, -1L)),
+          s"query $qid must be flagged, not truncated-and-scored")
+      }
+    } finally q.stop()
+  }
+
+  test("a ragged static index is rejected at construction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamOps.VecEvent]
+    val bad = Array((1L, Array.fill(8)(0L)), (2L, Array.fill(9)(0L)))
+    assertThrows[IllegalArgumentException] {
+      StreamOps.knnStream(in.toDS(), bad, 3)
+    }
+  }
 }
