@@ -41,6 +41,48 @@ object StreamBench {
     finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Sustained-rate harness for one scenario: pre-chunked events pushed
+    * through the built stream in fixed micro-batches, first batch
+    * untimed (warm-up). Shared with [[StreamProfile]]'s sweep.
+    */
+  private[graft] def rateOf[T](spark: SparkSession, name: String,
+      events: Seq[T], chunkSize: Int)(
+      build: MemoryStream[T] => org.apache.spark.sql.DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): (String, Double) = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[T]
+    val q = build(in).writeStream.format("noop")
+      .outputMode(OutputMode.Append).start()
+    val chunks = events.grouped(chunkSize).toSeq
+    in.addData(chunks.head)
+    q.processAllAvailable()
+    val timed = chunks.tail
+    val t0 = System.nanoTime()
+    timed.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    val secs = (System.nanoTime() - t0) / 1e9
+    q.stop()
+    val eps = timed.map(_.size).sum / secs
+    Console.err.println(f"[StreamBench] $name: $eps%.0f/s over ${timed.size} batches")
+    name -> eps
+  }
+
+  /** Deterministic word-salad ingest docs (1 ms event-time spacing, so
+    * watermark eviction bounds dedup state like production). Shared with
+    * [[StreamProfile]].
+    */
+  private[graft] def genDocs(nDocs: Int): Seq[StreamOps.DocEvent] = {
+    val vocab = Vector("the", "of", "and", "to", "in", "is", "der", "und",
+      "ist", "ein", "el", "la", "los", "y", "es", "le", "les", "et", "est",
+      "un", "alpha", "beta", "gamma", "delta", "omega", "kappa", "sigma",
+      "tau", "zeta", "lambda")
+    (0L until nDocs.toLong).map { id =>
+      val rng = new Nexmark.Rng(id)
+      val n = 20 + rng.nextInt(40)
+      val text = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      StreamOps.DocEvent(id, new java.sql.Timestamp(1_436_918_400_000L + id), text)
+    }
+  }
+
   private def measureWith(spark: SparkSession, nBids: Int,
       batchSize: Int): Seq[(String, Double)] = {
     import spark.implicits._
@@ -54,22 +96,8 @@ object StreamBench {
 
     def rate[T](name: String, events: Seq[T], chunkSize: Int)(
         build: MemoryStream[T] => org.apache.spark.sql.DataFrame)(
-        implicit enc: org.apache.spark.sql.Encoder[T]): (String, Double) = {
-      val in = MemoryStream[T]
-      val q = build(in).writeStream.format("noop")
-        .outputMode(OutputMode.Append).start()
-      val chunks = events.grouped(chunkSize).toSeq
-      in.addData(chunks.head)
-      q.processAllAvailable()
-      val timed = chunks.tail
-      val t0 = System.nanoTime()
-      timed.foreach { chunk => in.addData(chunk); q.processAllAvailable() }
-      val secs = (System.nanoTime() - t0) / 1e9
-      q.stop()
-      val eps = timed.map(_.size).sum / secs
-      Console.err.println(f"[StreamBench] $name: $eps%.0f/s over ${timed.size} batches")
-      name -> eps
-    }
+        implicit enc: org.apache.spark.sql.Encoder[T]): (String, Double) =
+      rateOf(spark, name, events, chunkSize)(build)
 
     val q5 = rate("q5_hopping_eps", bids, batchSize)(in =>
       StreamOps.hoppingCounts(in.toDF(), "10 seconds", "5 seconds", "0 seconds"))
@@ -81,18 +109,9 @@ object StreamBench {
     // deterministic per id; ts advances 1 ms/doc so watermark eviction
     // keeps dedup state horizon-bounded like production.
     import graft.streaming.StreamOps.DocEvent
-    val vocab = Vector("the", "of", "and", "to", "in", "is", "der", "und",
-      "ist", "ein", "el", "la", "los", "y", "es", "le", "les", "et", "est",
-      "un", "alpha", "beta", "gamma", "delta", "omega", "kappa", "sigma",
-      "tau", "zeta", "lambda")
     val docBatch = math.max(1, batchSize / 10)
     val nDocs = math.max(nBids / 10, docBatch * 2)
-    val docEvents: Seq[DocEvent] = (0L until nDocs.toLong).map { id =>
-      val rng = new Nexmark.Rng(id)
-      val n = 20 + rng.nextInt(40)
-      val text = Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
-      DocEvent(id, new java.sql.Timestamp(1_436_918_400_000L + id), text)
-    }
+    val docEvents: Seq[DocEvent] = genDocs(nDocs)
     val ingest = rate("ingest_dps", docEvents, docBatch)(in =>
       StreamOps.ingestPipelineStream(in.toDS(), "10 seconds"))
 
