@@ -34,8 +34,53 @@ object VectorOps {
     "q72_kmeans_assign" -> ((s, d) => q72(s, d)),
     "q90_pq_ann" -> ((s, d) => q90(s, d)),
     "q93_semdedup" -> ((s, d) => q93(s, d)),
-    "q105_ivfpq_ann" -> ((s, d) => q105(s, d))
+    "q105_ivfpq_ann" -> ((s, d) => q105(s, d)),
+    "q132_int8_quant" -> ((s, d) => q132(s, d))
   )
+
+  /** Int8 scalar-quantization calibration — the compression step that
+    * turns a float32 embedding store into a 4×-smaller int8 one (the
+    * standard serving-index footprint reduction, orthogonal to PQ's q90):
+    * per-dimension [min,max] is calibrated on a 10% sample, every value
+    * quantizes to `floor((v-min)*255/range)` clamped to [0,255], and the
+    * report shows, per dimension, the calibration bounds, how many
+    * corpus values fell outside them (clamped), and the mean midpoint-
+    * reconstruction error in permille of the range. All row arithmetic
+    * is single-expression float64 (bit-identical cross-engine); only
+    * integers are aggregated.
+    *
+    * Scale: the calibration aggregate is two-phase min/max over the
+    * sample (map-side partials, `dim` rows out); the bounds table (dim
+    * rows) broadcasts to the quantize pass, which is one codegen'd map +
+    * a two-phase integer agg — no corpus-sized shuffle anywhere, so the
+    * plan is insensitive to corpus row count.
+    */
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables(s, d, "embeddings")
+      .select($"vec_id",
+        posexplode(transform($"embedding", x => x.cast("double"))))
+      .select($"vec_id", $"pos".cast("long").as("dim"), $"col".as("v"))
+    val calib = base.filter($"vec_id" % 10 === 0)
+      .groupBy($"dim").agg(min($"v").as("vmin"), max($"v").as("vmax"))
+    base.join(broadcast(calib), "dim")
+      .withColumn("rng", $"vmax" - $"vmin")
+      .withColumn("craw", floor(($"v" - $"vmin") * lit(255.0) / $"rng"))
+      .withColumn("code", greatest(lit(0L), least(lit(255L), $"craw")))
+      .withColumn("dq",
+        $"vmin" + ($"code".cast("double") + lit(0.5)) * $"rng" / lit(255.0))
+      .withColumn("errp",
+        floor(abs($"v" - $"dq") * lit(1000.0) / $"rng"))
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n_vals"),
+        min($"vmin").as("vmin"), min($"vmax").as("vmax"),
+        sum(when($"craw" < 0, 1L).otherwise(0L)).as("n_clamped_lo"),
+        sum(when($"craw" > 255, 1L).otherwise(0L)).as("n_clamped_hi"),
+        sum($"errp").as("err_sum"))
+      .withColumn("avg_err_permille", expr("err_sum div n_vals"))
+      .drop("err_sum")
+      .orderBy($"dim")
+  }
 
   /** IVF-PQ ANN — the two compressions composed, i.e. the architecture
     * behind every billion-vector index (FAISS IVFPQ): an IVF coarse
@@ -704,6 +749,36 @@ object VectorOps {
            round(avg(nrm), 4) AS avg_norm,
            round(min(nrm), 4) AS min_norm,
            round(max(nrm), 4) AS max_norm
-         FROM m GROUP BY 1 ORDER BY 1"""
+         FROM m GROUP BY 1 ORDER BY 1""",
+    "q132_int8_quant" ->
+      """WITH b AS (
+           SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+           FROM embeddings,
+             LATERAL unnest(generate_series(1, len(embedding))) AS u(i)),
+         c AS (
+           SELECT dim, min(v) AS vmin, max(v) AS vmax
+           FROM b WHERE vec_id % 10 = 0 GROUP BY 1),
+         j AS (
+           SELECT b.dim, v, vmin, vmax, vmax - vmin AS rng,
+             floor((v - vmin) * 255.0 / (vmax - vmin)) AS craw
+           FROM b JOIN c ON b.dim = c.dim),
+         q AS (
+           SELECT dim, v, vmin, vmax, rng, craw,
+             greatest(0, least(255, CAST(craw AS BIGINT))) AS code
+           FROM j),
+         e AS (
+           SELECT dim, vmin, vmax, craw,
+             CAST(floor(abs(v - (vmin + (CAST(code AS DOUBLE) + 0.5)
+               * rng / 255.0)) * 1000.0 / rng) AS BIGINT) AS errp
+           FROM q)
+         SELECT dim, CAST(count(*) AS BIGINT) AS n_vals,
+           min(vmin) AS vmin, min(vmax) AS vmax,
+           CAST(sum(CASE WHEN craw < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_lo,
+           CAST(sum(CASE WHEN craw > 255 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clamped_hi,
+           CAST(CAST(sum(errp) AS BIGINT) // count(*) AS BIGINT)
+             AS avg_err_permille
+         FROM e GROUP BY 1 ORDER BY 1"""
   )
 }
