@@ -22,15 +22,41 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Driver-generated parquet stores naive micros (isAdjustedToUTC=false),
+    // which Spark 4 would infer as TIMESTAMP_NTZ; several time functions
+    // (unix_millis/unix_micros) and the engine's UTC-instant semantics want
+    // TIMESTAMP. Disabling inference makes the SCAN yield TIMESTAMP
+    // directly (sessions run UTC, so values are unchanged) and — unlike a
+    // cast above the scan — keeps ts predicates pushable to parquet.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // only the driver's NANOS files surface ts as a long; re-materialized
     // copies (MakeBigSf) already store a proper timestamp — leave those
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    val fixed =
+      if (name == "events" &&
+          df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    normalizeNtz(fixed)
+  }
+
+  /** Driver-generated parquet stores naive timestamps (isAdjustedToUTC =
+    * false), which Spark 4 infers as TIMESTAMP_NTZ. The engine (and its
+    * DuckDB oracles) treat all times as UTC instants, and several time
+    * functions (unix_millis/unix_micros, window ops) want TIMESTAMP — so
+    * cast NTZ → session-tz TIMESTAMP at the scan. Sessions run UTC, so
+    * values are unchanged; the cast sits above the scan and does not
+    * block pushdown/pruning of other columns.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.isEmpty) df
+    else df.withColumns(
+      ntz.map(f => f.name -> col(f.name).cast(TimestampType)).toMap)
   }
 
   /** Register every table as a temp view (for spark.sql paths). */
