@@ -47,7 +47,9 @@ object PipelineOps {
     "q110_graph_rank" -> ((s, d) => q110(s, d)),
     "q117_source_novelty" -> ((s, d) => q117(s, d)),
     "q119_weighted_sample" -> ((s, d) => q119(s, d)),
-    "q126_novelty_curve" -> ((s, d) => q126(s, d))
+    "q126_novelty_curve" -> ((s, d) => q126(s, d)),
+    "q133_source_quota" -> ((s, d) => q133(s, d)),
+    "q135_token_budget" -> ((s, d) => q135(s, d))
   )
 
   /** Corpus novelty curve — cumulative unique content vs documents
@@ -81,6 +83,63 @@ object PipelineOps {
       .withColumn("dup_permille",
         expr("(n_docs - new_uniques) * 1000 div n_docs"))
       .orderBy($"slice")
+  }
+
+  /** Per-source document quota — the corpus-curation cap ("at most K docs
+    * per domain, best-first", the anti-over-representation rule every web
+    * corpus applies per domain/host). Docs rank inside their source by an
+    * integer quality proxy (n_chars desc, doc_id tiebreak — total order,
+    * so the kept set is deterministic on any engine); rank <= 8 survives.
+    *
+    * Scale: `row_number <= K` compiles to WindowGroupLimit — each map
+    * task keeps a K-row heap per source BELOW the exchange, so the
+    * shuffle carries at most K·partitions rows per source instead of the
+    * corpus (the same partial-top-k plan pinned for q06 in PLANS.md).
+    * Output is K·|sources| rows — constant in corpus size.
+    */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, d, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id"))
+        .cast("long"))
+      .filter($"rk" <= 8)
+      .orderBy($"source", $"rk")
+  }
+
+  /** Token-budget corpus selection — fill a fixed per-language token
+    * budget best-first (the "assemble a B-token training mix" op; the
+    * budget-CAPPED complement of q87/q92's proportional mixing). Docs
+    * rank by the quality proxy (n_chars desc, doc_id tiebreak); a doc is
+    * kept while the running token total up to and including it stays
+    * within budget (greedy prefix — the standard knapsack relaxation).
+    * Token counts and running sums are int64 — bit-identical
+    * cross-engine; fill ratio reported as integer permille.
+    *
+    * Scale: ONE data exchange — hash-partition by lang, sort within
+    * partition for the cumulative sum, map-side filter; the per-lang
+    * rollup reuses the window's lang partitioning (no second hash
+    * exchange — only the final tiny result-ordering sort follows).
+    * Languages whose best doc already overflows the budget yield no row
+    * (consistent both engines).
+    */
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 3000L
+    Tables(s, d, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        size(split($"text", "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(
+        Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= budget)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("docs_kept"), max($"cum").as("toks_kept"),
+        expr(s"(1000 * max(cum)) div $budget").as("fill_permille"))
+      .orderBy($"lang")
   }
 
   /** Weighted SYSTEMATIC sampling — the float-free reproducible form of
@@ -1727,6 +1786,27 @@ object PipelineOps {
            (n_docs - coalesce(new_uniques, 0)) * 1000 // n_docs
              AS dup_permille
          FROM ps LEFT JOIN fi ON ps.slice = fi.slice
-         ORDER BY 1"""
+         ORDER BY 1""",
+    "q133_source_quota" ->
+      """SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 8 ORDER BY source, rk""",
+    "q135_token_budget" ->
+      """WITH t AS (
+           SELECT doc_id, lang, n_chars,
+             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT lang, sum(n_tok) OVER (PARTITION BY lang
+             ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t)
+         SELECT lang, count(*) AS docs_kept,
+           CAST(max(cum) AS BIGINT) AS toks_kept,
+           CAST((1000 * max(cum)) // 3000 AS BIGINT) AS fill_permille
+         FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang"""
   )
 }

@@ -129,7 +129,8 @@ object TextOps {
     "q109_unigram_surprisal" -> ((s, d) => q109(s, d)),
     "q111_inverted_index" -> ((s, d) => q111(s, d)),
     "q112_bm25_topk" -> ((s, d) => q112(s, d)),
-    "q120_fuzzy_match" -> ((s, d) => q120(s, d))
+    "q120_fuzzy_match" -> ((s, d) => q120(s, d)),
+    "q134_setsim_prefix_join" -> ((s, d) => q134(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -240,6 +241,72 @@ object TextOps {
       .withColumn("jaccard", $"inter" / ($"sz1" + $"sz2" - $"inter"))
       .filter($"jaccard" > 0.8)
       .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id1", $"id2")
+  }
+
+  /** Exact set-similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08) — every
+    * pair with token-set Jaccard >= 19/20, WITHOUT an all-pairs or
+    * frequent-token blowup, and exact (no LSH false negatives).
+    *
+    * Under a global rarity order (document frequency asc, token asc), a
+    * doc's PREFIX is its first `sz - ceil(19·sz/20) + 1` tokens. If
+    * J(A,B) >= 19/20 then |A∩B| >= ceil(19·szA/20), which cannot fit in
+    * A's suffix — so some prefix(A) token is in B. The candidate join is
+    * therefore prefix(a) ⋈ all-tokens(b): only RARE tokens ever probe,
+    * so the per-token candidate fan-out stays tiny where q32's
+    * inverted-index join pays df² on frequent tokens. A symmetric length
+    * filter (20·min(sz) >= 19·max(sz), necessary for J >= 19/20) prunes
+    * inside the join; survivors are verified with an exact intersection
+    * count. All thresholds are int64 cross-multiplications (τ = 19/20) —
+    * bit-identical cross-engine; similarity reported as integer permille.
+    * (τ is a parameter; 19/20 here because the synthetic word-salad
+    * corpus is so self-similar that lower thresholds return a constant
+    * fraction of ALL pairs — output size, not the algorithm, is then the
+    * quadratic term.)
+    *
+    * Scale: shuffles are token-keyed (the probe side carries ~sz/20 of
+    * each doc's tokens, rarest first) plus candidate-pair-keyed verify
+    * joins on already-distinct pairs. No driver state. Complements q33:
+    * MinHash-LSH stays the signature-only approximate path (k longs/doc
+    * on the wire); this is the exact path when recall must be 100%.
+    * Reference has no similarity join (SURVEY §2.10).
+    */
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+      .select($"doc_id", array_distinct($"toks").as("set"))
+      .withColumn("sz", size($"set").cast("long"))
+    val toks = base.select($"doc_id", $"sz", explode($"set").as("tok"))
+    // global rarity order; ties broken by the token string so both
+    // engines (binary string compare) rank identically
+    val rarity = toks.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
+    val pref = toks.join(rarity, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"tok_df", $"tok")))
+      .filter($"pos" <= expr("sz - ((19 * sz + 19) div 20) + 1"))
+      .select($"doc_id", $"sz", $"tok")
+    val cand = pref.as("a")
+      .join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        col("b.sz") * 20 >= col("a.sz") * 19 &&
+        col("a.sz") * 20 >= col("b.sz") * 19)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val t = base.select($"doc_id", explode($"set").as("tok"))
+    val inter = cand
+      .join(t.as("x"), $"id1" === col("x.doc_id"))
+      .join(t.as("y"), $"id2" === col("y.doc_id") && col("x.tok") === col("y.tok"))
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+    val sizes = base.select($"doc_id", $"sz")
+    inter
+      .join(sizes.select($"doc_id".as("id1"), $"sz".as("sz1")), "id1")
+      .join(sizes.select($"doc_id".as("id2"), $"sz".as("sz2")), "id2")
+      .withColumn("un", $"sz1" + $"sz2" - $"inter")
+      .filter($"inter" * 20 >= $"un" * 19)
+      .select($"id1", $"id2", $"inter", $"un",
+        expr("(1000 * inter) div un").as("permille"))
       .orderBy($"id1", $"id2")
   }
 
@@ -1104,6 +1171,40 @@ object TextOps {
          JOIN sizes s1 ON s1.doc_id = id1
          JOIN sizes s2 ON s2.doc_id = id2
          WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) > 0.8
+         ORDER BY id1, id2""",
+    "q134_setsim_prefix_join" ->
+      """WITH base AS (
+           SELECT doc_id, list_distinct(string_split_regex(text, '\s+')) AS s
+           FROM documents),
+         toks AS (
+           SELECT doc_id, CAST(len(s) AS BIGINT) AS sz, unnest(s) AS tok
+           FROM base),
+         szs AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS sz FROM base),
+         rarity AS (SELECT tok, count(*) AS tok_df FROM toks GROUP BY tok),
+         pref AS (
+           SELECT doc_id, sz, tok FROM (
+             SELECT t.doc_id, t.sz, t.tok,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY r.tok_df, t.tok) AS pos
+             FROM toks t JOIN rarity r USING (tok)) p
+           WHERE pos <= sz - ((19 * sz + 19) // 20) + 1),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM pref a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            AND b.sz * 20 >= a.sz * 19 AND a.sz * 20 >= b.sz * 19),
+         inter AS (
+           SELECT c.id1, c.id2, count(*) AS i
+           FROM cand c
+           JOIN toks x ON x.doc_id = c.id1
+           JOIN toks y ON y.doc_id = c.id2 AND y.tok = x.tok
+           GROUP BY 1, 2)
+         SELECT n.id1, n.id2, CAST(n.i AS BIGINT) AS inter,
+           CAST(s1.sz + s2.sz - n.i AS BIGINT) AS un,
+           CAST((1000 * n.i) // (s1.sz + s2.sz - n.i) AS BIGINT) AS permille
+         FROM inter n
+         JOIN szs s1 ON s1.doc_id = n.id1
+         JOIN szs s2 ON s2.doc_id = n.id2
+         WHERE n.i * 20 >= (s1.sz + s2.sz - n.i) * 19
          ORDER BY id1, id2""",
     "q63_winnow_md5" ->
       """WITH t AS (

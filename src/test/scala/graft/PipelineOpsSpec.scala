@@ -722,4 +722,57 @@ class PipelineOpsSpec extends SparkSpec {
       assert(nu <= n && pm >= 0 && pm <= 1000)
     }
   }
+
+  test("q134: prefix-filter setsim join equals brute-force all-pairs") {
+    import spark.implicits._
+    // driver-side brute force over ALL pairs at sf0.001 — the prefix
+    // filter must lose nothing (exactness is the operator's contract)
+    val sets = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split("\\s+").toSet) }
+      .sortBy(_._1)
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (id1, s1) = sets(i); (id2, s2) = sets(j)
+      inter = (s1 & s2).size.toLong
+      un = (s1.size + s2.size).toLong - inter
+      if inter * 20 >= un * 19
+    } yield (id1, id2, inter, un, 1000 * inter / un)).toSeq
+    val got = TextOps.defs("q134_setsim_prefix_join")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected.sortBy(p => (p._1, p._2)),
+      s"prefix join returned ${got.length} pairs, brute force ${expected.length}")
+  }
+
+  test("q133: source quota keeps exactly the per-source top-8") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"source", $"n_chars", $"doc_id")
+      .as[(String, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(r => (-r._2, r._3)).take(8).zipWithIndex
+        .map { case ((_, nc, id), i) => (id, src, nc, (i + 1).toLong) }
+    }.sortBy(r => (r._2, r._4))
+    val got = run("q133_source_quota")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q135: token budget is a greedy quality-ordered prefix per lang") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+      .select($"lang", $"n_chars", $"doc_id",
+        size(split($"text", "\\s+")).cast("long").as("n_tok"))
+      .as[(String, Long, Long, Long)].collect()
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val cums = rows.sortBy(r => (-r._2, r._3)).scanLeft(0L)(_ + _._4).tail
+      val kept = cums.takeWhile(_ <= 3000L)
+      if (kept.isEmpty) None
+      else Some((lang, kept.length.toLong, kept.last, 1000L * kept.last / 3000L))
+    }.sortBy(_._1)
+    val got = run("q135_token_budget")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
 }
