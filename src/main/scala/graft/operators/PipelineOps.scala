@@ -49,7 +49,8 @@ object PipelineOps {
     "q119_weighted_sample" -> ((s, d) => q119(s, d)),
     "q126_novelty_curve" -> ((s, d) => q126(s, d)),
     "q133_source_quota" -> ((s, d) => q133(s, d)),
-    "q135_token_budget" -> ((s, d) => q135(s, d))
+    "q135_token_budget" -> ((s, d) => q135(s, d)),
+    "q139_containment_decontam" -> ((s, d) => q139(s, d))
   )
 
   /** Corpus novelty curve — cumulative unique content vs documents
@@ -577,6 +578,45 @@ object PipelineOps {
         sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
         sum(when($"hit".isNull, 1L).otherwise(0L)).as("n_clean"))
       .orderBy($"lang")
+  }
+
+  /** Containment-scored decontamination — q82's boolean flag upgraded to
+    * the score GPT-3/PaLM-style audits threshold on: for each held-out
+    * eval document (hash split doc_id % 10 = 3 here), the best-matching
+    * training document by |grams(eval) ∩ grams(train)| / |grams(eval)|
+    * over DISTINCT 8-token windows. Containment (not Jaccard) is the
+    * right asymmetric measure: a long train doc that swallows a short
+    * benchmark item whole scores 1000‰ here but near-zero Jaccard.
+    * Reports eval docs whose best containment ≥ 250‰ with the argmax
+    * train doc (ties → smallest id, so output is deterministic).
+    *
+    * Scale: same posture as q82 — the eval side is the benchmark suite,
+    * small by construction, so its distinct-gram digest BROADCASTS; the
+    * train corpus explodes windows map-side and the pair counts shuffle
+    * on (eval_id, train_id), bounded by actual gram hits, never by the
+    * corpus. The row_number argmax partitions by eval_id (tiny). md5
+    * prefix = the oracle-parity hash; production would ship xxhash64.
+    */
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val g = docs(s, d).filter(size($"toks") >= 8)
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 16))")))
+        .as("h"))
+    val ev = g.filter($"doc_id" % 10 === 3).select($"doc_id".as("eval_id"), $"h")
+    val tr = g.filter($"doc_id" % 10 =!= 3).select($"doc_id".as("train_id"), $"h")
+    val esz = ev.groupBy($"eval_id").agg(count(lit(1)).as("n_grams"))
+    val shared = tr.join(broadcast(ev), "h")
+      .groupBy($"eval_id", $"train_id").agg(count(lit(1)).as("n_shared"))
+    shared.join(broadcast(esz), "eval_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"eval_id").orderBy($"n_shared".desc, $"train_id")))
+      .filter($"rn" === 1 && $"n_shared" * 4 >= $"n_grams")
+      .select($"eval_id", $"train_id".as("best_train"), $"n_shared", $"n_grams",
+        expr("(1000 * n_shared) div n_grams").as("permille"))
+      .orderBy($"eval_id")
   }
 
   /** Gopher-style rule-based quality filter: five repro-exact rules per
@@ -1623,6 +1663,32 @@ object PipelineOps {
              AS BIGINT) AS n_clean
          FROM tr LEFT JOIN hits ON tr.doc_id = hits.doc_id
          GROUP BY 1 ORDER BY 1""",
+    "q139_containment_decontam" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(toks) - 7),
+               i -> substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 16)))) AS h
+           FROM t WHERE len(toks) >= 8),
+         ev AS (SELECT doc_id AS eval_id, h FROM g WHERE doc_id % 10 = 3),
+         tr AS (SELECT doc_id AS train_id, h FROM g WHERE doc_id % 10 <> 3),
+         esz AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_grams
+                 FROM ev GROUP BY 1),
+         shared AS (
+           SELECT ev.eval_id, tr.train_id, CAST(count(*) AS BIGINT) AS n_shared
+           FROM ev JOIN tr ON ev.h = tr.h GROUP BY 1, 2),
+         best AS (
+           SELECT s.eval_id, s.train_id, s.n_shared, e.n_grams,
+             CAST((1000 * s.n_shared) // e.n_grams AS BIGINT) AS permille,
+             row_number() OVER (PARTITION BY s.eval_id
+               ORDER BY s.n_shared DESC, s.train_id) AS rn
+           FROM shared s JOIN esz e ON e.eval_id = s.eval_id)
+         SELECT eval_id, train_id AS best_train, n_shared, n_grams, permille
+         FROM best WHERE rn = 1 AND 4 * n_shared >= n_grams
+         ORDER BY eval_id""",
     "q83_gopher_rules" ->
       """WITH t AS (
            SELECT source, string_split_regex(text, '\s+') AS toks

@@ -130,7 +130,10 @@ object TextOps {
     "q111_inverted_index" -> ((s, d) => q111(s, d)),
     "q112_bm25_topk" -> ((s, d) => q112(s, d)),
     "q120_fuzzy_match" -> ((s, d) => q120(s, d)),
-    "q134_setsim_prefix_join" -> ((s, d) => q134(s, d))
+    "q134_setsim_prefix_join" -> ((s, d) => q134(s, d)),
+    "q136_dup_span_coverage" -> ((s, d) => q136(s, d)),
+    "q137_colloc_pairs" -> ((s, d) => q137(s, d)),
+    "q138_bigram_surprisal" -> ((s, d) => q138(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -308,6 +311,145 @@ object TextOps {
       .select($"id1", $"id2", $"inter", $"un",
         expr("(1000 * inter) div un").as("permille"))
       .orderBy($"id1", $"id2")
+  }
+
+  /** Exact-substring duplicated-span coverage (the exact-substring dedup
+    * signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): hash every 8-token sliding window, mark a
+    * window DUPLICATED when its text occurs in ≥2 distinct documents,
+    * and report each document's duplicated-window fraction. Documents
+    * with ≥50% duplicated windows are the span-level-dedup candidates
+    * that document-level near-dup (q33) misses — e.g. boilerplate
+    * stitched into otherwise-novel text. Window identity is the first 16
+    * md5 hex chars of the joined window (the q61/q63 device), so the
+    * DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale: ONE scan, NO join — windows explode map-side into a
+    * map-side-combined (hash, doc_id) count, so only (16-char hash, id,
+    * cnt) rows ever shuffle and text never moves; the distinct-doc
+    * count per hash is then a COUNT window over partition h on that
+    * pair relation, and the per-doc rollup follows. (The relational
+    * alternative — a second grouped agg joined back on h — either
+    * statically BROADCASTS a corpus-growing relation off a small
+    * aggregate-stats estimate (observed; the q33-recheck hazard class)
+    * or, SHUFFLE_HASH-hinted, re-scans and re-hashes the whole corpus
+    * because column pruning breaks the exchange reuse. The window form
+    * has the same skew exposure as that join's probe side — a universal
+    * boilerplate hash puts its distinct-doc rows on one task either
+    * way, counting only, spillable buffer.) A production run swaps the
+    * hex prefix for xxhash64 (8 bytes/window on the wire) — same plan;
+    * md5 is the oracle-parity choice.
+    */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs(s, d).filter(size($"toks") >= 8)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 7), " +
+          "i -> substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 16))"))
+        .as("h"))
+      .groupBy($"h", $"doc_id").agg(count(lit(1)).as("cnt"))
+    pairs
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy($"h")))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n_windows"),
+        sum(when($"nd" >= 2, $"cnt").otherwise(0L)).as("n_dup"))
+      .filter($"n_dup" * 2 >= $"n_windows")
+      .select($"doc_id", $"n_windows", $"n_dup",
+        expr("(1000 * n_dup) div n_windows").as("dup_permille"))
+      .orderBy($"dup_permille".desc, $"doc_id")
+  }
+
+  /** Collocation scan — the first iteration of a BPE-style merge search
+    * at word granularity: the 30 most frequent adjacent token pairs,
+    * scored with an integer PMI lift (1000·P(ab)/(P(a)·P(b)) as
+    * `(1000·cnt·N) div (c_a·c_b)`, exact int64). cnt is the merge gain a
+    * BPE step would realize; lift separates genuine collocations from
+    * pairs that are frequent only because both halves are.
+    *
+    * Scale: pairs explode map-side (two array indexes per position, no
+    * text copy beyond the pair string) into a map-side-combined count;
+    * the top-30 is a TakeOrderedAndProject over the pair relation, and
+    * only those 30 rows join the unigram counts — the lift arithmetic
+    * never touches the full pair distribution. Int64 width: cnt·N ≤
+    * ~10¹⁸ holds up to ~10⁹-token corpora per run; beyond that the lift
+    * drops a digit of scale (documented cap, same family as q112's
+    * idf_k operand bound).
+    */
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, d)
+    val u = t.select(explode($"toks").as("tok"))
+    val uc = u.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val n = u.agg(count(lit(1)).as("total"))
+    val top = t.filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"cnt".desc, $"pair").limit(30)
+    top.crossJoin(broadcast(n))
+      .withColumn("ltok", expr("split(pair, ' ')[0]"))
+      .withColumn("rtok", expr("split(pair, ' ')[1]"))
+      .join(uc.select($"tok".as("ltok"), $"c".as("lc")), Seq("ltok"))
+      .join(uc.select($"tok".as("rtok"), $"c".as("rc")), Seq("rtok"))
+      .select($"pair", $"cnt", $"n_docs",
+        expr("(1000 * cnt * total) div (lc * rc)").as("lift_permille"))
+      .orderBy($"cnt".desc, $"pair")
+  }
+
+  /** Bigram conditional surprisal — q109's unigram model upgraded one
+    * order: per position, bits(w|prev) = ⌊log₂ c(prev)⌋ − ⌊log₂
+    * c(prev,w)⌋ (whole bits via the `length(bin(x))−1` device, exact
+    * int64; c(prev,w) ≤ c(prev) so every term is ≥0). Reported per
+    * (lang, source) next to the unigram bits on the SAME positions, plus
+    * the model gain — the per-cell signal for "how much does local
+    * context compress this slice", which separates templated/boilerplate
+    * sources (high gain) from genuinely novel text (low gain).
+    *
+    * Scale: the bigram model is a map-side-combined (prev,cur) count;
+    * scoring re-joins the position relation to the model SHUFFLE-keyed
+    * on the bigram (unlike q109's broadcast vocab, the bigram table
+    * grows past broadcast range at corpus scale — the join stays a
+    * co-partitioned hash join on (prev,cur) and text never shuffles);
+    * unigram counts attach the same way, and only (doc, bits) pairs
+    * reach the rollup.
+    */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, d)
+    val u = t.select(explode($"toks").as("tok"))
+    val uc = u.groupBy($"tok").agg(count(lit(1)).as("c"))
+    val n = u.agg(count(lit(1)).as("total"))
+    val bg = t.filter(size($"toks") >= 2)
+      .select($"doc_id", $"lang", $"source", explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"))
+        .as("w"))
+      .select($"doc_id", $"lang", $"source",
+        $"w.prev".as("prev"), $"w.cur".as("cur"))
+    val bc = bg.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
+    val pd = bg
+      .join(bc, Seq("prev", "cur"))
+      .join(uc.select($"tok".as("prev"), $"c".as("cp")), Seq("prev"))
+      .join(uc.select($"tok".as("cur"), $"c".as("cc")), Seq("cur"))
+      .crossJoin(broadcast(n))
+      .withColumn("bgb",
+        ((length(bin($"cp")) - 1) - (length(bin($"c2")) - 1)).cast("long"))
+      .withColumn("ugb",
+        ((length(bin($"total")) - 1) - (length(bin($"cc")) - 1)).cast("long"))
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(sum($"bgb").as("bg_bits"), sum($"ugb").as("ug_bits"),
+        count(lit(1)).as("nt"))
+    pd.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(bg_bits * 1000 div nt) div count(1)").as("bg_bits_permille"),
+        expr("sum(ug_bits * 1000 div nt) div count(1)").as("ug_bits_permille"),
+        expr("sum((ug_bits - bg_bits) * 1000 div nt) div count(1)")
+          .as("gain_permille"))
+      .orderBy($"lang", $"source")
   }
 
   /** MinHash + LSH banding near-dup candidates, exact-Jaccard re-checked.
@@ -1206,6 +1348,87 @@ object TextOps {
          JOIN szs s2 ON s2.doc_id = n.id2
          WHERE n.i * 20 >= (s1.sz + s2.sz - n.i) * 19
          ORDER BY id1, id2""",
+    "q136_dup_span_coverage" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               i -> substring(md5(array_to_string(toks[i:i+7], ' ')), 1, 16))) AS h
+           FROM t WHERE len(toks) >= 8),
+         d AS (SELECT h FROM w GROUP BY h
+               HAVING count(DISTINCT doc_id) >= 2),
+         per AS (
+           SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(count(d.h) AS BIGINT) AS n_dup
+           FROM w LEFT JOIN d ON w.h = d.h GROUP BY 1)
+         SELECT doc_id, n_windows, n_dup,
+           CAST((1000 * n_dup) // n_windows AS BIGINT) AS dup_permille
+         FROM per WHERE 2 * n_dup >= n_windows
+         ORDER BY dup_permille DESC, doc_id""",
+    "q137_colloc_pairs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         u AS (SELECT unnest(toks) AS tok FROM t),
+         uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM u),
+         p AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS pair
+           FROM t WHERE len(toks) >= 2),
+         pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM p GROUP BY 1),
+         top AS (SELECT * FROM pc ORDER BY cnt DESC, pair LIMIT 30)
+         SELECT tp.pair, tp.cnt, tp.n_docs,
+           CAST((1000 * tp.cnt * n.total) // (l.c * r.c) AS BIGINT)
+             AS lift_permille
+         FROM top tp
+         CROSS JOIN n
+         JOIN uc l ON l.tok = string_split(tp.pair, ' ')[1]
+         JOIN uc r ON r.tok = string_split(tp.pair, ' ')[2]
+         ORDER BY tp.cnt DESC, tp.pair""",
+    "q138_bigram_surprisal" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source,
+             string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         u AS (SELECT unnest(toks) AS tok FROM t),
+         uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM u),
+         bg AS (
+           SELECT doc_id, lang, source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i])) AS prev,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i+1])) AS cur
+           FROM t WHERE len(toks) >= 2),
+         bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+                FROM bg GROUP BY 1, 2),
+         pd AS (
+           SELECT b.doc_id, b.lang, b.source,
+             CAST(sum((len(bin(up.c)) - 1)
+                      - (len(bin(bc.c2)) - 1)) AS BIGINT) AS bg_bits,
+             CAST(sum((len(bin(n.total)) - 1)
+                      - (len(bin(uc2.c)) - 1)) AS BIGINT) AS ug_bits,
+             CAST(count(*) AS BIGINT) AS nt
+           FROM bg b
+           JOIN bc ON bc.prev = b.prev AND bc.cur = b.cur
+           JOIN uc up ON up.tok = b.prev
+           JOIN uc uc2 ON uc2.tok = b.cur
+           CROSS JOIN n
+           GROUP BY 1, 2, 3)
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bg_bits * 1000 // nt) // count(*) AS BIGINT)
+             AS bg_bits_permille,
+           CAST(sum(ug_bits * 1000 // nt) // count(*) AS BIGINT)
+             AS ug_bits_permille,
+           CAST(sum((ug_bits - bg_bits) * 1000 // nt) // count(*) AS BIGINT)
+             AS gain_permille
+         FROM pd GROUP BY 1, 2 ORDER BY 1, 2""",
     "q63_winnow_md5" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

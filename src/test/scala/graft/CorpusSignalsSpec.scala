@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{PipelineOps, TextOps}
+
+/** Brute-force driver-side recomputation of the round-7 corpus-signal
+  * operators (q136 duplicated-span coverage, q137 collocation pairs,
+  * q138 bigram surprisal, q139 containment decontamination) on the
+  * sf0.001 corpus: every value the distributed plan produces is
+  * re-derived from the raw text with plain Scala collections and
+  * compared exactly. (The DuckDB oracle checks cross-engine agreement;
+  * this checks both engines against the definition.)
+  */
+class CorpusSignalsSpec extends SparkSpec {
+
+  private lazy val corpus: Seq[(Long, String, String, String)] = {
+    import spark.implicits._
+    Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source")
+      .as[(Long, String, String, String)].collect().toSeq.sortBy(_._1)
+  }
+  private def toks(text: String): Array[String] = text.split("\\s+")
+  private def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+
+  // 8-token window strings per doc (windows, not distinct), docs with >= 8 toks
+  private lazy val windows: Map[Long, Seq[String]] = corpus.flatMap {
+    case (id, text, _, _) =>
+      val t = toks(text)
+      if (t.length < 8) None
+      else Some(id -> t.sliding(8).map(_.mkString(" ")).toSeq)
+  }.toMap
+
+  test("q136: duplicated-span coverage equals brute-force recompute") {
+    import spark.implicits._
+    val docsPerWin = windows.toSeq
+      .flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).distinct.size) }
+    val expected = windows.toSeq.map { case (id, ws) =>
+      val nDup = ws.count(w => docsPerWin(w) >= 2).toLong
+      (id, ws.size.toLong, nDup,
+        if (ws.nonEmpty) 1000L * nDup / ws.size else 0L)
+    }.filter { case (_, nw, nd, _) => 2 * nd >= nw }
+      .sortBy { case (id, _, _, p) => (-p, id) }
+    val got = TextOps.defs("q136_dup_span_coverage")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q137: top-30 collocation pairs and integer lift equal brute force") {
+    import spark.implicits._
+    val allToks = corpus.flatMap { case (_, text, _, _) => toks(text) }
+    val uc = allToks.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val total = allToks.size.toLong
+    val pairOcc = corpus.flatMap { case (id, text, _, _) =>
+      val t = toks(text)
+      if (t.length < 2) Nil else t.sliding(2).map(p => (p.mkString(" "), id)).toSeq
+    }
+    val expected = pairOcc.groupBy(_._1).toSeq
+      .map { case (p, xs) => (p, xs.size.toLong, xs.map(_._2).distinct.size.toLong) }
+      .sortBy { case (p, c, _) => (-c, p) }.take(30)
+      .map { case (p, c, nd) =>
+        val Array(l, r) = p.split(" ", 2)
+        (p, c, nd, 1000L * c * total / (uc(l) * uc(r)))
+      }
+    val got = TextOps.defs("q137_colloc_pairs")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q138: bigram/unigram bits per (lang, source) equal brute force") {
+    import spark.implicits._
+    val allToks = corpus.flatMap { case (_, text, _, _) => toks(text) }
+    val uc = allToks.groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+    val total = allToks.size.toLong
+    val bigrams = corpus.flatMap { case (_, text, _, _) =>
+      val t = toks(text)
+      if (t.length < 2) Nil else t.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val bc = bigrams.groupBy(identity).map { case (b, xs) => (b, xs.size.toLong) }
+    val perDoc = corpus.flatMap { case (_, text, lang, source) =>
+      val t = toks(text)
+      if (t.length < 2) None
+      else {
+        val pos = t.sliding(2).map(p => (p(0), p(1))).toSeq
+        val bg = pos.map { case (p, c) => flog2(uc(p)) - flog2(bc((p, c))) }.sum
+        val ug = pos.map { case (_, c) => flog2(total) - flog2(uc(c)) }.sum
+        Some(((lang, source), (bg, ug, pos.size.toLong)))
+      }
+    }
+    val expected = perDoc.groupBy(_._1).toSeq.map { case ((lang, source), xs) =>
+      val ds = xs.map(_._2)
+      (lang, source, ds.size.toLong,
+        ds.map { case (bg, _, nt) => bg * 1000 / nt }.sum / ds.size,
+        ds.map { case (_, ug, nt) => ug * 1000 / nt }.sum / ds.size,
+        ds.map { case (bg, ug, nt) => (ug - bg) * 1000 / nt }.sum / ds.size)
+    }.sortBy { case (l, s, _, _, _, _) => (l, s) }
+    val got = TextOps.defs("q138_bigram_surprisal")(spark, sfDir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q139: best-containment matches equal brute force") {
+    import spark.implicits._
+    val gramSets: Map[Long, Set[String]] =
+      windows.map { case (id, ws) => (id, ws.toSet) }
+    val (ev, tr) = gramSets.partition { case (id, _) => id % 10 == 3 }
+    val expected = ev.toSeq.flatMap { case (eid, egrams) =>
+      val matches = tr.toSeq
+        .map { case (tid, tg) => (tid, (egrams & tg).size.toLong) }
+        .filter(_._2 > 0)
+      if (matches.isEmpty) None
+      else {
+        val (bestId, shared) =
+          matches.minBy { case (tid, n) => (-n, tid) }
+        val n = egrams.size.toLong
+        if (4 * shared >= n)
+          Some((eid, bestId, shared, n, 1000L * shared / n))
+        else None
+      }
+    }.sortBy(_._1)
+    val got = PipelineOps.defs("q139_containment_decontam")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+}
