@@ -318,6 +318,76 @@ object StreamOps {
       .join(broadcast(indexSigs.select(col("sig"))), Seq("sig"), "left_anti")
       .drop("sig")
 
+  /** One band-bucket collision on the near-dup stream: arriving `doc_id`
+    * shares minhash band `band` with the bucket's first occupant
+    * `first_id` (public: encoder requirement).
+    */
+  case class NearDupHit(doc_id: Long, ts: Timestamp, band: Int,
+      first_id: Long)
+  case class BucketState(firstId: Long, firstTsMs: Long)
+
+  /** Streaming MinHash-LSH near-dup detection — the streaming form of
+    * batch q33/q61's BANDING stage, and the step up from
+    * [[dedupSignatureStream]]: that op only collapses docs whose WHOLE
+    * 16-hash signature matches (near-identical docs); this one keys
+    * state by each of the 8 two-hash band buckets, so documents at
+    * Jaccard ≈ 0.8 — which agree on some bands but not all — collide
+    * too (the standard S-curve: P(hit) = 1−(1−J²)⁸ ≈ 0.96 at J=0.8).
+    * Each arriving document emits one [[NearDupHit]] per band whose
+    * bucket an EARLIER arrival already claimed (arrival order, like the
+    * other dedup ops; within a micro-batch, (ts, doc_id) order makes
+    * replay deterministic). Downstream either treats any-hit as "flag
+    * doc for exact recheck" (the q33 recheck runs in the batch layer on
+    * the flagged set) or collapses per doc_id.
+    *
+    * Scale: state per band bucket is TWO LONGS (first occupant id + its
+    * event-time millis) keyed by the folded 64-bit band hash, aged out
+    * by event-time timeout at the watermark horizon — so state is
+    * O(distinct buckets in horizon), independent of document size, and
+    * only (doc_id, ts, band, bandhash) rows ever shuffle; text stays in
+    * the stateless signature projection. The groupByKey shuffle is keyed
+    * on (band, bandhash) — uniform by construction (minhash output), no
+    * hot keys.
+    */
+  def nearDupLshStream(docs: Dataset[DocEvent], watermark: String,
+      horizonMs: Long, bands: Int = 8, k: Int = 16): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    val rows = k / bands
+    val banded = docs.toDF()
+      .withColumn("sig",
+        graft.functions.TextHashes.md5MinhashSig(split(col("text"), "\\s+"), k))
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))"))
+        .as(Seq("band", "bandhash")))
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Int, Long)]
+    banded.groupByKey { case (_, _, band, bh) => (band, bh) }
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((_, _), rowsIt, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rowsIt.toArray
+            java.util.Arrays.sort(batch,
+              Ordering.by((r: (Long, Timestamp, Int, Long)) =>
+                (r._2.getTime, r._1)))
+            val out = scala.collection.mutable.ArrayBuffer[NearDupHit]()
+            var s = state.getOption.orNull
+            batch.foreach { case (id, ts, band, _) =>
+              if (s == null) s = BucketState(id, ts.getTime)
+              else if (id != s.firstId)
+                out += NearDupHit(id, ts, band, s.firstId)
+            }
+            state.update(s)
+            // bucket ages out once the watermark passes its horizon
+            state.setTimeoutTimestamp(
+              batch.map(_._2.getTime).max + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   /** The ingestion pipeline COMPOSED as one streaming query — the
     * streaming form of the batch q65/q86 chain: exact dedup within the
     * watermark horizon → quality filter (token-count bounds) → stopword
