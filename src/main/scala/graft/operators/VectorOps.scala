@@ -35,8 +35,57 @@ object VectorOps {
     "q90_pq_ann" -> ((s, d) => q90(s, d)),
     "q93_semdedup" -> ((s, d) => q93(s, d)),
     "q105_ivfpq_ann" -> ((s, d) => q105(s, d)),
-    "q132_int8_quant" -> ((s, d) => q132(s, d))
+    "q132_int8_quant" -> ((s, d) => q132(s, d)),
+    "q142_hard_negatives" -> ((s, d) => q142(s, d))
   )
+
+  /** Hard-negative mining for contrastive training — per query vector,
+    * the 3 highest-cosine candidates with a DIFFERENT label, reported
+    * next to the best same-label cosine (the triplet-margin inputs:
+    * negatives that outrank positives are the pairs a contrastive loss
+    * learns most from). Candidates come from the q40 IVF route (assign
+    * every vector to its nearest of 16 coarse centroids, probe the
+    * query's 2 nearest cells) — NOT the q37 brute-force cross join —
+    * so the mining plan is the one that runs at billion-vector scale;
+    * positives are scoped to the same probed cells (standard in-batch /
+    * in-shard mining semantics). Queries with no same-label candidate
+    * in their probed cells drop (inner join, deterministic).
+    *
+    * Scale: centroids and the (query × 2 probes) relation broadcast
+    * (both KB-scale by construction); the corpus side is one
+    * assignment map pass + a cell-keyed candidate join; the per-query
+    * top-3 is a WindowGroupLimit over candidates, never the corpus.
+    */
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d)
+    val cents = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    val scored = e.crossJoin(broadcast(cents))
+      .select($"vec_id", $"label", $"v", $"nrm", $"cent_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("csim"))
+      .withColumn("crank", row_number().over(wAssign))
+    val assigned = scored.filter($"crank" === 1)
+      .select($"vec_id", $"label", $"v", $"nrm", $"cent_id")
+    val queries = scored.filter($"crank" <= 2 && $"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"label".as("qlabel"),
+        $"v".as("qv"), $"nrm".as("qn"), $"cent_id")
+    val cand = assigned.join(broadcast(queries), Seq("cent_id"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"qlabel", $"vec_id".as("neighbor"), $"label",
+        round(dot($"v", $"qv") / ($"nrm" * $"qn"), 6).as("cosine"))
+    val pos = cand.filter($"label" === $"qlabel")
+      .groupBy($"query_id").agg(max($"cosine").as("pos_cosine"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor")
+    cand.filter($"label" =!= $"qlabel")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .join(pos, Seq("query_id"))
+      .select($"query_id", $"rank", $"neighbor",
+        $"cosine".as("neg_cosine"), $"pos_cosine")
+      .orderBy($"query_id", $"rank")
+  }
 
   /** Int8 scalar-quantization calibration — the compression step that
     * turns a float32 embedding store into a 4×-smaller int8 one (the
@@ -738,6 +787,47 @@ object VectorOps {
          ORDER BY query_id"""),
     "q37_knn_bruteforce" -> Knn37Sql,
     "q40_ann_ivf" -> Ivf40Sql,
+    "q142_hard_negatives" ->
+      """WITH m AS (
+           SELECT vec_id, label, list_transform(embedding,
+             x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (SELECT vec_id, label, v,
+                 sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM m),
+         c AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+               FROM n WHERE vec_id < 16),
+         scored AS (
+           SELECT n.vec_id, n.label, n.v, n.nrm, c.cent_id,
+             list_sum(list_transform(list_zip(n.v, c.cv), x -> x[1]*x[2]))
+               / (n.nrm * c.cn) AS csim
+           FROM n, c),
+         assign AS (
+           SELECT vec_id, label, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY csim DESC, cent_id) AS crank
+           FROM scored),
+         assigned AS (SELECT vec_id, label, v, nrm, cent_id
+                      FROM assign WHERE crank = 1),
+         q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv,
+                 nrm AS qn, cent_id
+               FROM assign WHERE crank <= 2 AND vec_id % 100 = 0),
+         cand AS (
+           SELECT q.query_id, q.qlabel, a.vec_id AS neighbor, a.label,
+             round(list_sum(list_transform(list_zip(a.v, q.qv),
+               x -> x[1]*x[2])) / (a.nrm * q.qn), 6) AS cosine
+           FROM assigned a JOIN q ON a.cent_id = q.cent_id
+           WHERE a.vec_id <> q.query_id),
+         pos AS (SELECT query_id, max(cosine) AS pos_cosine
+                 FROM cand WHERE label = qlabel GROUP BY 1),
+         neg AS (
+           SELECT query_id, neighbor, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
+           FROM cand WHERE label <> qlabel)
+         SELECT g.query_id, g.rank, g.neighbor, g.cosine AS neg_cosine,
+           p.pos_cosine
+         FROM neg g JOIN pos p ON p.query_id = g.query_id
+         WHERE g.rank <= 3 ORDER BY 1, 2""",
     "q39_norm_stats" ->
       """WITH m AS (
            SELECT label,

@@ -140,8 +140,53 @@ object Windows {
     "q116_transition_matrix" -> ((s, d) => qTransitions(s, d)),
     "q118_analytic_extras" -> ((s, d) => qAnalyticExtras(s, d)),
     "q123_burst_detection" -> ((s, d) => qBurst(s, d)),
-    "q130_rows_sliding" -> ((s, d) => qRowsSliding(s, d))
+    "q130_rows_sliding" -> ((s, d) => qRowsSliding(s, d)),
+    "q141_lasttouch_attribution" -> ((s, d) => qAttribution(s, d))
   )
+
+  /** Last-touch attribution — revenue credit assignment, the canonical
+    * event-analytics join of marketing pipelines: each purchase credits
+    * its user's most recent click at-or-before it (clicks order before
+    * purchases on timestamp ties; `event_id` totalizes the order), and
+    * the credit expires after a 7-day lookback — stale or absent clicks
+    * land in the `-1` unattributed bucket. The channel is the click's
+    * `props.k`. Revenue rides integer cents (per-row floor quantization,
+    * the engine's money scheme) and the recency test is exact micros
+    * arithmetic, so the rollup is bit-identical cross-engine.
+    *
+    * Scale: ONE user-keyed exchange — the carry of "latest click so
+    * far" is a running `last(..., ignoreNulls)` over a ROWS frame, i.e.
+    * a single sort + linear pass per user partition, not an as-of join
+    * (no second relation, no range-join blowup); the channel rollup
+    * then shuffles one row per purchase. Per-user event counts bound
+    * the partition, so skew follows user activity, not corpus size.
+    */
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sevenDaysUs = 7L * 24 * 3600 * 1000000L
+    val e = graft.Tables(s, d, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("kind",
+        when($"event_type" === "click", 0)
+          .when($"event_type" === "purchase", 1).otherwise(2))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"kind", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("lc",
+        last(when($"kind" === 0, struct($"ts".as("cts"), $"k".as("ck"))),
+          ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .withColumn("channel",
+        when($"lc".isNull, -1L)
+          .when(unix_micros($"ts") - unix_micros($"lc.cts") > sevenDaysUs, -1L)
+          .otherwise($"lc.ck"))
+      .withColumn("cents",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("revenue_cents"))
+      .orderBy($"channel")
+  }
 
   /** Rows-schedule sliding window (reference `Window::Sliding` +
     * `Schedule::Rows`, flock/src/stream/window.rs:39-113 — declared there,
@@ -487,6 +532,30 @@ object Windows {
   }
 
   def oracles: Map[String, String] = Map(
+    "q141_lasttouch_attribution" ->
+      """WITH e AS (
+           SELECT event_id, ts, user_id, event_type, value,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+             CASE WHEN event_type = 'click' THEN 0
+                  WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS kind
+           FROM events),
+         w AS (
+           SELECT *,
+             last_value(CASE WHEN kind = 0
+                 THEN struct_pack(cts := ts, ck := k) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+           FROM e),
+         p AS (
+           SELECT CASE WHEN lc IS NULL THEN -1
+                       WHEN epoch_us(ts) - epoch_us(lc.cts) > 604800000000
+                         THEN -1
+                       ELSE lc.ck END AS channel,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+           FROM w WHERE kind = 1)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+         FROM p GROUP BY 1 ORDER BY 1""",
     "q123_burst_detection" ->
       """WITH ev AS (
            SELECT user_id, epoch_ns(ts) // 1000000 AS ms FROM events),
