@@ -40,9 +40,11 @@ object Plans {
     "q133_source_quota" -> "per-source quota: row_number <= K compiles to WindowGroupLimit partial top-k below the exchange; output constant in corpus size",
     "q134_setsim_prefix_join" -> "exact setsim join: rare-token prefix probes the token index (no frequent-token blowup), int64 length filter inside the join, exact-intersection verify on distinct candidate pairs",
     "q135_token_budget" -> "token-budget selection: one (lang) exchange for the window cumsum; rollup reuses the window partitioning",
-    "q136_dup_span_coverage" -> "duplicated-span coverage: windows hash map-side, dup test + coverage join share the window-hash exchange, text never shuffles",
+    "q136_dup_span_coverage" -> "duplicated-span coverage: one scan, no join — map-side (hash,doc) counts, distinct-doc test is a COUNT window over the hash partition, text never shuffles",
     "q138_bigram_surprisal" -> "bigram LM scoring: model joins shuffle-keyed on the bigram (no broadcast-vocab assumption), only (doc, bits) reach the rollup",
-    "q139_containment_decontam" -> "containment decontamination: eval gram digest broadcasts, train windows explode map-side, argmax over eval-keyed tiny window")
+    "q139_containment_decontam" -> "containment decontamination: eval gram digest broadcasts, train windows explode map-side, argmax over eval-keyed tiny window",
+    "q141_lasttouch_attribution" -> "last-touch attribution: one user-keyed window pass carries the running last-click struct; no as-of join, channel rollup shuffles one row per purchase",
+    "q142_hard_negatives" -> "hard-negative mining on the IVF route: broadcast centroids + query probes, cell-keyed candidate join, per-query top-3 window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -115,6 +115,13 @@ object StreamBench {
     val ingest = rate("ingest_dps", docEvents, docBatch)(in =>
       StreamOps.ingestPipelineStream(in.toDS(), "10 seconds"))
 
+    // Streaming LSH near-dup (docs/s): md5-minhash signature per doc
+    // (stateless map), then 8 band-bucket rows per doc through the
+    // two-long-per-bucket collision state — the stateful banding stage.
+    val neardup = rate("neardup_dps", docEvents, docBatch)(in =>
+      StreamOps.nearDupLshStream(in.toDS(), "10 seconds",
+        horizonMs = 10000L).toDF())
+
     // Misra-Gries heavy hitters (docs/s): per-window bounded-counter state
     // over the exploded token stream — tokens are ~40× the doc rate.
     val hh = rate("heavy_hitters_dps", docEvents, docBatch)(in =>
@@ -149,7 +156,7 @@ object StreamBench {
     val knn = rate("knn_qps", queries, math.max(1, batchSize / 20))(in =>
       StreamOps.knnStream(in.toDS(), index, k = 10).toDF())
 
-    Seq(q5, q11, ingest, hh, funnel, knn)
+    Seq(q5, q11, ingest, neardup, hh, funnel, knn)
   }
 
   def main(args: Array[String]): Unit = {
