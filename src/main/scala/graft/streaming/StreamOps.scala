@@ -234,6 +234,55 @@ object StreamOps {
                  AND b_date_time <= expires"""),
         "inner")
 
+  /** One CDC record: `op` is "upsert" or "delete"; `seq` totalizes
+    * same-timestamp changes (public: encoder requirement).
+    */
+  case class CdcEvent(key: Long, ts: Timestamp, seq: Long, op: String,
+      payload: String)
+  /** Net row state after applying a batch: `deleted` marks a tombstone
+    * (the key's latest change is a delete).
+    */
+  case class CdcRow(key: Long, ts: Timestamp, seq: Long, payload: String,
+      deleted: Boolean)
+
+  /** CDC apply / upsert materialization — the STREAMING sibling of the
+    * batch q104 MERGE: a change stream of keyed upserts/deletes folds
+    * into per-key net state, emitting each key's current row after
+    * every micro-batch that touched it (Update-mode changelog; the
+    * consumer's sink keeps the latest row per key, exactly how a
+    * MERGE-less object store materializes a table). Changes apply in
+    * (ts, seq) order, and state keeps only the LATEST version per key —
+    * an out-of-order stale change (older (ts, seq) than the applied
+    * one) is a no-op, so replays and late deliveries converge to the
+    * same table.
+    *
+    * Scale: state is one (ts, seq, payload, deleted) tuple per live
+    * key — the materialized table's own cardinality, the floor for any
+    * upsert engine; the only shuffle keys on `key`. Tombstones stay in
+    * state so late stale upserts cannot resurrect deleted keys (drop
+    * them downstream; a TTL pass in the batch layer compacts them —
+    * same division of labor as the reference's epoch/batch split).
+    */
+  def cdcApplyStream(changes: Dataset[CdcEvent]): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[CdcRow, CdcRow](GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[CdcEvent], state: GroupState[CdcRow]) =>
+          val batch = rows.toArray
+          java.util.Arrays.sort(batch,
+            Ordering.by((e: CdcEvent) => (e.ts.getTime, e.seq)))
+          var s = state.getOption.orNull
+          batch.foreach { e =>
+            val newer = s == null || s.ts.getTime < e.ts.getTime ||
+              (s.ts.getTime == e.ts.getTime && s.seq < e.seq)
+            if (newer)
+              s = CdcRow(key, e.ts, e.seq, e.payload, e.op == "delete")
+          }
+          state.update(s)
+          s
+      }
+  }
+
   /** Configure a builder for the RocksDB state store provider — the
     * disk-backed state backend (reference S3/EFS backends, state/mod.rs;
     * Spark's answer is checkpointed RocksDB instead of remote puts).
