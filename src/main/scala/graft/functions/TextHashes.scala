@@ -27,6 +27,51 @@ object TextHashes {
   def minhashSig(tokens: Column, k: Int, shingle: Int): Column =
     column(MinHashSigExpr(expression(tokens), k, shingle))
 
+  /** 16-hex-char md5 prefixes of every k-token sliding window
+    * (space-joined) — byte-identical to
+    * `transform(sequence(1, n-k+1), i -> substring(md5(array_join(
+    * slice(toks, i, k), ' ')), 1, 16))` but ONE digest and buffer
+    * reused across all windows of a document (the SQL form allocates a
+    * slice array, a joined string, and a 32-char hex string per window;
+    * q136's scan is nothing but this hash). Emits the empty array for
+    * docs shorter than k tokens.
+    */
+  def md5WindowPrefixes(tokens: Column, k: Int): Column =
+    column(Md5WindowPrefixExpr(expression(tokens), k))
+
+  private val HexChars = "0123456789abcdef".getBytes
+
+  def md5WindowPrefixesFromArrayData(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) { toks(t) = arr.getUTF8String(t).getBytes; t += 1 }
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks(i + j))
+        j += 1
+      }
+      val dig = md.digest()
+      val cs = new Array[Byte](16)
+      var b = 0
+      while (b < 8) {
+        cs(2 * b) = HexChars((dig(b) >> 4) & 0xF)
+        cs(2 * b + 1) = HexChars(dig(b) & 0xF)
+        b += 1
+      }
+      out(i) = UTF8String.fromBytes(cs)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Single-scan BPE-ish count (see [[BpeishCountExpr]]). */
   def bpeishCountCol(text: Column): Column =
     column(BpeishCountExpr(expression(text)))
@@ -445,6 +490,20 @@ case class Md5SimHash64Expr(child: Expression) extends UnaryExpression {
       s"graft.functions.TextHashes.md5Simhash64FromArrayData($c)")
   override def prettyName: String = "md5_simhash64"
   override protected def withNewChildInternal(c: Expression): Md5SimHash64Expr = copy(child = c)
+}
+
+/** array<string> → array<string> of 16-hex md5 prefixes per k-window. */
+case class Md5WindowPrefixExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.md5WindowPrefixesFromArrayData(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.md5WindowPrefixesFromArrayData($c, $k)")
+  override def prettyName: String = "md5_window_prefixes"
+  override protected def withNewChildInternal(c: Expression): Md5WindowPrefixExpr =
+    copy(child = c)
 }
 
 /** array<string> → array<long> md5-based winnow fingerprints. */

@@ -336,18 +336,19 @@ object TextOps {
     * because column pruning breaks the exchange reuse. The window form
     * has the same skew exposure as that join's probe side — a universal
     * boilerplate hash puts its distinct-doc rows on one task either
-    * way, counting only, spillable buffer.) A production run swaps the
-    * hex prefix for xxhash64 (8 bytes/window on the wire) — same plan;
-    * md5 is the oracle-parity choice.
+    * way, counting only, spillable buffer.) The window hashes compute
+    * in ONE native pass per doc (`Md5WindowPrefixExpr`: one digest +
+    * buffer reused — 46.5 s → 33.1 s at sf10 vs the SQL expression
+    * tree, which the oracle still runs, so the gate proves scan ==
+    * SQL). A production run swaps the hex prefix for xxhash64 (8
+    * bytes/window on the wire) — same plan; md5 is oracle parity.
     */
   private def q136(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val pairs = docs(s, d).filter(size($"toks") >= 8)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(toks) - 7), " +
-          "i -> substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 16))"))
-        .as("h"))
+      .select($"doc_id",
+        explode(TextHashes.md5WindowPrefixes($"toks", 8)).as("h"))
       .groupBy($"h", $"doc_id").agg(count(lit(1)).as("cnt"))
     pairs
       .withColumn("nd", count(lit(1)).over(Window.partitionBy($"h")))
@@ -409,13 +410,18 @@ object TextOps {
     * context compress this slice", which separates templated/boilerplate
     * sources (high gain) from genuinely novel text (low gain).
     *
-    * Scale: the bigram model is a map-side-combined (prev,cur) count;
-    * scoring re-joins the position relation to the model SHUFFLE-keyed
-    * on the bigram (unlike q109's broadcast vocab, the bigram table
-    * grows past broadcast range at corpus scale — the join stays a
-    * co-partitioned hash join on (prev,cur) and text never shuffles);
-    * unigram counts attach the same way, and only (doc, bits) pairs
-    * reach the rollup.
+    * Scale: the bigram model is a map-side-combined (prev,cur) count,
+    * and BOTH unigram counts attach to it at MODEL cardinality (the
+    * ~vocab² relation), so the 25M-per-GB position relation pays ONE
+    * shuffle join on the bigram key — not three. That join stays a
+    * co-partitioned hash join (unlike q109's broadcast vocab, the
+    * bigram table grows past broadcast range at corpus scale) and text
+    * never shuffles; per-position bit terms fold into per-model-row
+    * constants, so only (doc, bits) pairs reach the rollup. Measured at
+    * sf10: 39.0 s (three position joins) → 36.6 s — the tokenize/explode
+    * passes, not the joins, dominate at this corpus shape; the join
+    * collapse is kept for the shuffle-volume bound it puts on wider
+    * corpora (one position-cardinality exchange instead of three).
     */
   private def q138(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -430,16 +436,19 @@ object TextOps {
         .as("w"))
       .select($"doc_id", $"lang", $"source",
         $"w.prev".as("prev"), $"w.cur".as("cur"))
-    val bc = bg.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
-    val pd = bg
-      .join(bc, Seq("prev", "cur"))
+    // model relation carries every per-position constant: bigram count,
+    // prev/cur unigram counts, and the folded whole-bit terms
+    val model = bg.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
       .join(uc.select($"tok".as("prev"), $"c".as("cp")), Seq("prev"))
       .join(uc.select($"tok".as("cur"), $"c".as("cc")), Seq("cur"))
       .crossJoin(broadcast(n))
-      .withColumn("bgb",
-        ((length(bin($"cp")) - 1) - (length(bin($"c2")) - 1)).cast("long"))
-      .withColumn("ugb",
-        ((length(bin($"total")) - 1) - (length(bin($"cc")) - 1)).cast("long"))
+      .select($"prev", $"cur",
+        ((length(bin($"cp")) - 1) - (length(bin($"c2")) - 1)).cast("long")
+          .as("bgb"),
+        ((length(bin($"total")) - 1) - (length(bin($"cc")) - 1)).cast("long")
+          .as("ugb"))
+    val pd = bg
+      .join(model, Seq("prev", "cur"))
       .groupBy($"doc_id", $"lang", $"source")
       .agg(sum($"bgb").as("bg_bits"), sum($"ugb").as("ug_bits"),
         count(lit(1)).as("nt"))

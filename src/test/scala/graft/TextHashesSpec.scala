@@ -34,6 +34,25 @@ class TextHashesSpec extends SparkSpec {
     assert(fromHashes.toLongArray().toSeq == fastMd5.toLongArray().toSeq)
   }
 
+  test("md5_window_prefixes equals the SQL transform/slice/md5 form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+      .withColumn("toks", split($"text", "\\s+"))
+    val both = docs.select(
+      graft.functions.TextHashes.md5WindowPrefixes($"toks", 8).as("fast"),
+      when(size($"toks") < 8, expr("CAST(array() AS array<string>)"))
+        .otherwise(expr(
+          "transform(sequence(1, size(toks) - 7), " +
+            "i -> substring(md5(array_join(slice(toks, i, 8), ' ')), 1, 16))"))
+        .as("sql"))
+    assert(both.filter($"fast" =!= $"sql").count() == 0)
+    // short docs emit the empty array, not null
+    assert(Seq(Seq("a", "b")).toDF("toks")
+      .select(graft.functions.TextHashes.md5WindowPrefixes($"toks", 8).as("w"))
+      .head.getSeq[String](0).isEmpty)
+  }
+
   test("sorted_intersect_size equals array_intersect size on sorted sets") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
