@@ -110,6 +110,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q136 stays join-free and broadcast-free (one scan, window form)") {
+    // The relational attach form either statically broadcast a
+    // corpus-growing aggregate or double-scanned the corpus (round-7
+    // finding); the shipped form is one scan + a COUNT window over the
+    // hash partition. Pin: no join of any kind, no BroadcastExchange,
+    // exactly one parquet scan of documents.
+    val df = graft.operators.TextOps.defs("q136_dup_span_coverage")(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"q136 must not join:\n${p.take(800)}")
+    assert(!p.contains("BroadcastExchange"),
+      s"q136 must not broadcast:\n${p.take(800)}")
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).count(_.contains("documents"))
+    assert(scans == 1, s"q136 must scan documents once, found $scans")
+  }
+
+  test("q139/q142 broadcast only the small-by-construction sides") {
+    // q139: the eval digest (benchmark suite) broadcasts; the train
+    // corpus must not appear under a BroadcastExchange. With the
+    // thresholds zeroed, the only broadcasts left are the EXPLICIT
+    // hints (eval grams + per-eval sizes) — never the train side.
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p139 = plan(graft.operators.PipelineOps
+        .defs("q139_containment_decontam")(spark, sfDir))
+      val n139 = "BroadcastExchange".r.findAllIn(p139).length
+      assert(n139 == 2,
+        s"q139 must broadcast exactly eval grams + eval sizes, got $n139")
+      // q142: centroids (16 rows) and query probes broadcast; the
+      // assigned corpus side must never sit under a BroadcastExchange.
+      // Exact node counts vary with subtree duplication (cand feeds both
+      // pos and neg), so pin the property: EVERY broadcast subtree is
+      // the vec_id<16 centroid slice or the vec_id%100=0 query slice.
+      val p142 = plan(graft.operators.VectorOps
+        .defs("q142_hard_negatives")(spark, sfDir))
+      // subtree extraction by plan-string indentation (collect on the
+      // AQE root sees only itself, so walk the printed tree instead)
+      val lines = p142.linesIterator.toVector
+      def ind(l: String): Int = l.length - l.dropWhile(c =>
+        c == ' ' || c == ':' || c == '+' || c == '-').length
+      val marks = lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
+      assert(marks.nonEmpty, s"q142 must broadcast:\n${p142.take(600)}")
+      marks.foreach { case (l, i) =>
+        val here = ind(l)
+        val sub = (l +: lines.drop(i + 1).takeWhile(x =>
+          x.trim.isEmpty || ind(x) > here)).mkString("\n")
+        assert(sub.contains("LessThan(vec_id,16)") || sub.contains("% 100)"),
+          s"q142 broadcasts a corpus-sized subtree:\n${sub.take(600)}")
+      }
+    }
+  }
+
   test("rank-k window filters compile to WindowGroupLimit (partial top-k)") {
     // Spark 3.5+ plants WindowGroupLimit below the shuffle for
     // row_number()-filter patterns — per-partition top-k BEFORE the
