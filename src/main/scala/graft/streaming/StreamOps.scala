@@ -234,6 +234,70 @@ object StreamOps {
                  AND b_date_time <= expires"""),
         "inner")
 
+  /** One user-activity event on the attribution stream (public: encoder
+    * requirement). `k` is the click's channel (null-safe: -1 when the
+    * producing event carries none).
+    */
+  case class TouchEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String, value: Double, k: Long)
+  /** One attributed purchase: `channel` = -1 when unattributed. */
+  case class Credit(user_id: Long, ts: Timestamp, channel: Long,
+      cents: Long)
+  case class LastClick(tsMicros: Long, k: Long)
+
+  /** Streaming last-touch attribution — the streaming sibling of batch
+    * q141: per user, state is ONLY the latest click (event-time micros +
+    * channel, two longs); each purchase emits a [[Credit]] against that
+    * click when it is within the 7-day lookback, else against channel
+    * -1. Within a micro-batch events apply in (ts, kind, event_id)
+    * order — clicks before purchases on timestamp ties, exactly the
+    * batch window's ORDER BY — so event-ordered delivery reproduces
+    * q141's credits row-for-row and the per-channel rollup matches the
+    * batch result (pinned in AttributionStreamSpec). Cross-batch
+    * arrival is processing-order, like the dedup family: a click
+    * delivered after a later-ts purchase cannot retroactively
+    * re-attribute it (buffer-and-sort by watermark upstream when the
+    * transport reorders).
+    *
+    * Scale: two longs of state per active user; the only shuffle keys
+    * on user_id. Credits are integer cents (the engine's money scheme).
+    */
+  def attributionStream(events: Dataset[TouchEvent],
+      lookbackMs: Long = 7L * 24 * 3600 * 1000): Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, Credit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TouchEvent], state: GroupState[LastClick]) =>
+          def kind(t: String) =
+            if (t == "click") 0 else if (t == "purchase") 1 else 2
+          // true event-time micros (Timestamp.getTime truncates to ms)
+          def micros(t: Timestamp): Long =
+            t.getTime / 1000 * 1000000 + t.getNanos / 1000
+          val batch = rows.toArray
+          java.util.Arrays.sort(batch,
+            Ordering.by((e: TouchEvent) =>
+              (micros(e.ts), kind(e.event_type), e.event_id)))
+          var s = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[Credit]()
+          batch.foreach { e =>
+            kind(e.event_type) match {
+              case 0 => s = LastClick(micros(e.ts), e.k)
+              case 1 =>
+                val ch =
+                  if (s != null && micros(e.ts) - s.tsMicros
+                      <= lookbackMs * 1000) s.k
+                  else -1L
+                out += Credit(user, e.ts, ch,
+                  math.floor(e.value * 100 + 0.5).toLong)
+              case _ => ()
+            }
+          }
+          if (s != null) state.update(s)
+          out.iterator
+      }
+  }
+
   /** One CDC record: `op` is "upsert" or "delete"; `seq` totalizes
     * same-timestamp changes (public: encoder requirement).
     */
