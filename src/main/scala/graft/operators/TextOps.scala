@@ -132,6 +132,7 @@ object TextOps {
     "q120_fuzzy_match" -> ((s, d) => q120(s, d)),
     "q134_setsim_prefix_join" -> ((s, d) => q134(s, d)),
     "q136_dup_span_coverage" -> ((s, d) => q136(s, d)),
+    "q143_span_dedup_budget" -> ((s, d) => q143(s, d)),
     "q137_colloc_pairs" -> ((s, d) => q137(s, d)),
     "q138_bigram_surprisal" -> ((s, d) => q138(s, d))
   )
@@ -359,6 +360,53 @@ object TextOps {
       .select($"doc_id", $"n_windows", $"n_dup",
         expr("(1000 * n_dup) div n_windows").as("dup_permille"))
       .orderBy($"dup_permille".desc, $"doc_id")
+  }
+
+  /** Span-dedup token budget — q136's action-side accounting: how many
+    * TOKEN positions per source are covered by a cross-doc duplicated
+    * 8-token window, i.e. the token mass an exact-substring rewrite
+    * (Lee et al. 2022 cut the spans, not the docs) would remove. q136
+    * counts duplicated windows; overlapping windows over-count tokens,
+    * so this computes the exact interval-union length per doc: with
+    * duplicated window STARTS sorted, each contributes
+    * `min(8, i − lag(i))` new positions (8 for the first) — the union
+    * of fixed-length intervals in one lag pass, no position explosion.
+    *
+    * Scale: positions ride the q136 native window-hash scan; the
+    * ≥2-distinct-docs test is `min(doc) ≠ max(doc)` as unbounded
+    * min/max windows over the hash partition — O(1) per row, no sort,
+    * no countDistinct, NO JOIN (same join-free posture as q136, same
+    * documented hot-hash skew exposure); the union pass re-keys the
+    * surviving duplicated rows by doc_id. Totals come from one cheap
+    * extra documents projection (no second hashing pass).
+    */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d)
+    val w = base.filter(size($"toks") >= 8)
+      .select($"doc_id", $"source",
+        posexplode(TextHashes.md5WindowPrefixes($"toks", 8))
+          .as(Seq("pos", "h")))
+      .withColumn("i", ($"pos" + 1).cast("long"))
+    val hw = Window.partitionBy($"h")
+    val cov = w
+      .withColumn("dup", min($"doc_id").over(hw) =!= max($"doc_id").over(hw))
+      .filter($"dup")
+      .withColumn("prev", lag($"i", 1).over(
+        Window.partitionBy($"doc_id").orderBy($"i")))
+      .groupBy($"doc_id", $"source")
+      .agg(sum(when($"prev".isNull, 8L)
+        .otherwise(least(lit(8L), $"i" - $"prev"))).as("covered"))
+      .groupBy($"source").agg(sum($"covered").as("cv"))
+    base.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"toks").cast("long")).as("n_tokens"))
+      .join(cov, Seq("source"), "left")
+      .withColumn("covered_tokens", coalesce($"cv", lit(0L)))
+      .select($"source", $"n_docs", $"n_tokens", $"covered_tokens",
+        expr("1000 * covered_tokens div n_tokens").as("removable_permille"))
+      .orderBy($"source")
   }
 
   /** Collocation scan — the first iteration of a BPE-style merge search
@@ -1376,6 +1424,37 @@ object TextOps {
            CAST((1000 * n_dup) // n_windows AS BIGINT) AS dup_permille
          FROM per WHERE 2 * n_dup >= n_windows
          ORDER BY dup_permille DESC, doc_id""",
+    "q143_span_dedup_budget" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id, source,
+             unnest(generate_series(1, len(toks) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16))) AS h
+           FROM t WHERE len(toks) >= 8),
+         nd AS (SELECT h FROM w GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (SELECT w.doc_id, w.source, w.i
+                FROM w JOIN nd ON w.h = nd.h),
+         cov AS (
+           SELECT doc_id, source,
+             CAST(sum(CASE WHEN prev IS NULL THEN 8
+                           ELSE least(8, i - prev) END) AS BIGINT) AS covered
+           FROM (SELECT doc_id, source, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM dw) x
+           GROUP BY 1, 2),
+         csrc AS (SELECT source, CAST(sum(covered) AS BIGINT) AS cv
+                  FROM cov GROUP BY 1)
+         SELECT t.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(t.toks)) AS BIGINT) AS n_tokens,
+           CAST(coalesce(any_value(csrc.cv), 0) AS BIGINT) AS covered_tokens,
+           CAST(1000 * coalesce(any_value(csrc.cv), 0) // sum(len(t.toks))
+             AS BIGINT) AS removable_permille
+         FROM t LEFT JOIN csrc ON t.source = csrc.source
+         GROUP BY 1 ORDER BY 1""",
     "q137_colloc_pairs" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks

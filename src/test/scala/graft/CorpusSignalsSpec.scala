@@ -45,6 +45,31 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q143: covered-token interval union equals brute force") {
+    import spark.implicits._
+    val docsPerWin = windows.toSeq
+      .flatMap { case (id, ws) => ws.map(w => (w, id)) }
+      .groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).distinct.size) }
+    // per doc: union length of [i, i+7] over duplicated-window starts
+    val coveredPerDoc: Map[Long, Long] = windows.map { case (id, ws) =>
+      val starts = ws.zipWithIndex
+        .filter { case (w, _) => docsPerWin(w) >= 2 }.map(_._2 + 1)
+      val covered = starts.foldLeft((0L, Option.empty[Int])) {
+        case ((acc, prev), i) =>
+          (acc + prev.map(p => math.min(8, i - p)).getOrElse(8).toLong, Some(i))
+      }._1
+      (id, covered)
+    }
+    val expected = corpus.groupBy(_._4).toSeq.map { case (source, ds) =>
+      val nTok = ds.map { case (_, text, _, _) => toks(text).length.toLong }.sum
+      val cov = ds.map { case (id, _, _, _) => coveredPerDoc.getOrElse(id, 0L) }.sum
+      (source, ds.size.toLong, nTok, cov, 1000L * cov / nTok)
+    }.sortBy(_._1)
+    val got = TextOps.defs("q143_span_dedup_budget")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("q137: top-30 collocation pairs and integer lift equal brute force") {
     import spark.implicits._
     val allToks = corpus.flatMap { case (_, text, _, _) => toks(text) }
