@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   * corpus-mean relations cross twice-referenced subtrees; q126/q128
   * cross a 1-row max-id/total; q125 shows 8 — it embeds the q37 AND
   * q40 subtrees, each referenced twice, whose broadcast query/centroid
-  * crosses all reuse at runtime);
+  * crosses all reuse at runtime; round-7 additions: q137/q138 cross the
+  * 1-row corpus-total, and q142 shows 4 — the 16-row centroid cross in
+  * the assignment subtree, referenced by assigned×queries × pos/neg);
   * SortMergeJoin only where both sides
   * are large (q50, q93's cluster-local pair join, q105's
   * reconstruction⋈lists, tpch_q04/q21; q110's static plan SMJs the
