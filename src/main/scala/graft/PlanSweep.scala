@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   * cross a 1-row max-id/total; q125 shows 8 — it embeds the q37 AND
   * q40 subtrees, each referenced twice, whose broadcast query/centroid
   * crosses all reuse at runtime; round-7 additions: q137/q138 cross the
-  * 1-row corpus-total, and q142 shows 4 — the 16-row centroid cross in
-  * the assignment subtree, referenced by assigned×queries × pos/neg);
+  * 1-row corpus-total, and q142 shows 2 — the 16-row centroid cross in
+  * the assignment and query-probe subtrees; the round-7 single-pass
+  * rewrites cut q137 from 3 and q142 from 4 by sharing the position
+  * aggregate / folding mining into one bounded-state groupBy);
   * SortMergeJoin only where both sides
   * are large (q50, q93's cluster-local pair join, q105's
   * reconstruction⋈lists, tpch_q04/q21; q110's static plan SMJs the

@@ -82,6 +82,65 @@ class VecSum extends Aggregator[Seq[Long], VecSumBuf, Seq[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
+/** Input row for [[KTopScored]] (public: product encoder — the udaf
+  * surface takes the three fields as separate columns; `keep` filters
+  * inside the aggregate so callers never feed nullable structs).
+  */
+case class ScoredIn(score: Double, id: Long, keep: Boolean)
+
+/** Output element of [[KTopScored]]. */
+case class ScoredId(score: Double, id: Long)
+
+/** Buffer for [[KTopScored]] — parallel arrays kept sorted by
+  * (score desc, id asc), truncated at k.
+  */
+case class TopScoredBuf(scores: Array[Double], ids: Array[Long])
+
+/** Top-k (score, id) pairs per group by (score desc, id asc) with a
+  * BOUNDED O(k) buffer. The window-function form of a per-group top-k
+  * shuffles and sorts every candidate row; this aggregator folds each
+  * map task's candidates down to k rows before the exchange, so the
+  * shuffle carries O(groups × k × tasks) instead of the candidate
+  * relation (the same partial/final split as [[KSmallest]], at the
+  * cardinality that matters for ANN mining — q142 keeps 3 rows per
+  * query where its candidate relation is cells × cell-size).
+  * Deterministic: id is unique per group, so the order is total.
+  */
+class KTopScored(k: Int)
+    extends Aggregator[ScoredIn, TopScoredBuf, Seq[ScoredId]] {
+
+  override def zero: TopScoredBuf = TopScoredBuf(Array.empty, Array.empty)
+
+  private def worseThanLast(b: TopScoredBuf, score: Double, id: Long): Boolean = {
+    val last = b.scores.length - 1
+    score < b.scores(last) || (score == b.scores(last) && id > b.ids(last))
+  }
+
+  private def rebuild(pairs: Array[(Double, Long)]): TopScoredBuf = {
+    val sorted = pairs.sortBy { case (s, i) => (-s, i) }
+    val kept = if (sorted.length > k) sorted.take(k) else sorted
+    TopScoredBuf(kept.map(_._1), kept.map(_._2))
+  }
+
+  override def reduce(b: TopScoredBuf, a: ScoredIn): TopScoredBuf =
+    if (a == null || !a.keep) b
+    else if (b.scores.length == k && worseThanLast(b, a.score, a.id)) b
+    else rebuild(b.scores.zip(b.ids) :+ (a.score, a.id))
+
+  override def merge(b1: TopScoredBuf, b2: TopScoredBuf): TopScoredBuf =
+    if (b2.scores.isEmpty) b1
+    else if (b1.scores.isEmpty) b2
+    else rebuild(b1.scores.zip(b1.ids) ++ b2.scores.zip(b2.ids))
+
+  override def finish(b: TopScoredBuf): Seq[ScoredId] =
+    b.scores.zip(b.ids).map { case (s, i) => ScoredId(s, i) }.toSeq
+
+  override def bufferEncoder: Encoder[TopScoredBuf] =
+    Encoders.product[TopScoredBuf]
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+}
+
 object BoundedAggs {
   /** DataFrame-usable column function: k smallest longs per group, csv. */
   def kSmallest(col: Column, k: Int): Column =
@@ -92,4 +151,12 @@ object BoundedAggs {
     udaf(new VecSum,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
       .apply(col)
+
+  /** Top-k (score: double, id: bigint) rows per group by
+    * (score desc, id asc); rows with keep = false are skipped inside
+    * the aggregate. Returns the sorted array<struct<score, id>>
+    * (possibly shorter than k, possibly empty).
+    */
+  def topScored(score: Column, id: Column, keep: Column, k: Int): Column =
+    udaf(new KTopScored(k), Encoders.product[ScoredIn]).apply(score, id, keep)
 }

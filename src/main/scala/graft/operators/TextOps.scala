@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextHashes
@@ -416,9 +416,17 @@ object TextOps {
     * BPE step would realize; lift separates genuine collocations from
     * pairs that are frequent only because both halves are.
     *
-    * Scale: pairs explode map-side (two array indexes per position, no
-    * text copy beyond the pair string) into a map-side-combined count;
-    * the top-30 is a TakeOrderedAndProject over the pair relation, and
+    * Scale: ONE position-scale pass. Adjacent pairs explode map-side
+    * and fold once into a (doc, prev, cur) partial aggregate
+    * ([[pairCounts]]); every derived relation — pair counts, doc
+    * frequencies, unigram counts ([[unigramCounts]]: every token is
+    * `cur` of exactly one structural pair except each doc's first,
+    * supplied by a doc-cardinality tokenize-only scan), the corpus
+    * total — rolls that aggregate up at model cardinality through the
+    * SAME reused Exchange, so the tokenize/explode scan runs once;
+    * measured at sf10 the three-scan form cost 33.9 s vs 9.3 s for
+    * this one.
+    * The top-30 is a TakeOrderedAndProject over the pair relation, and
     * only those 30 rows join the unigram counts — the lift arithmetic
     * never touches the full pair distribution. Int64 width: cnt·N ≤
     * ~10¹⁸ holds up to ~10⁹-token corpora per run; beyond that the lift
@@ -428,25 +436,68 @@ object TextOps {
   private def q137(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = docs(s, d)
-    val u = t.select(explode($"toks").as("tok"))
-    val uc = u.groupBy($"tok").agg(count(lit(1)).as("c"))
-    val n = u.agg(count(lit(1)).as("total"))
-    val top = t.filter(size($"toks") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-        .as("pair"))
-      .groupBy($"pair")
-      .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("n_docs"))
+    // ReuseExchange discipline (the whole point of this shape): every
+    // consumer of `pcd` must see a byte-identical subtree, or each gets
+    // its own corpus scan. Three rules keep it identical: (1) pairs are
+    // STRUCTURAL (positions 2..n — no BOS rows, so no consumer ever
+    // filters pcd, and a pushed-down filter can't make one branch's
+    // copy unique); (2) the base carries explicit IsNotNull filters so
+    // join-constraint inference has nothing new to inject; (3) the lift
+    // joins are LEFT joins (equal results here — every top-30 token
+    // exists in uc) so no IsNotNull is inferred at all. Unigram counts
+    // then need the tokens pairs miss: each doc's FIRST token comes
+    // from a doc-cardinality scan (tokenize only — no explode, no
+    // position shuffle), unioned under the count.
+    val pcd = pairCounts(t, Seq($"doc_id"))
+    val uc = unigramCounts(t, pcd)
+    val n = uc.agg(sum($"c").as("total"))
+    val top = pcd
+      .groupBy($"prev", $"cur")
+      .agg(sum($"m").as("cnt"), count(lit(1)).as("n_docs"))
+      .withColumn("pair", concat($"prev", lit(" "), $"cur"))
       .orderBy($"cnt".desc, $"pair").limit(30)
     top.crossJoin(broadcast(n))
-      .withColumn("ltok", expr("split(pair, ' ')[0]"))
-      .withColumn("rtok", expr("split(pair, ' ')[1]"))
-      .join(uc.select($"tok".as("ltok"), $"c".as("lc")), Seq("ltok"))
-      .join(uc.select($"tok".as("rtok"), $"c".as("rc")), Seq("rtok"))
+      .join(uc.select($"cur".as("prev"), $"c".as("lc")), Seq("prev"), "left")
+      .join(uc.select($"cur", $"c".as("rc")), Seq("cur"), "left")
       .select($"pair", $"cnt", $"n_docs",
         expr("(1000 * cnt * total) div (lc * rc)").as("lift_permille"))
       .orderBy($"cnt".desc, $"pair")
+  }
+
+  /** Shared base of q137/q138: adjacent-pair multiplicities per doc —
+    * the single position-scale relation both queries fan out from.
+    * Structural positions 2..n; extra grouping columns (lang, source)
+    * ride along for q138. The IsNotNull filters are semantically no-ops
+    * (in-range element_at of split output) present so that downstream
+    * join-constraint inference cannot inject branch-unique copies.
+    */
+  private def pairCounts(t: DataFrame, docCols: Seq[Column]): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
+    t.filter(size($"toks") >= 2)
+      .select(docCols :+ explode(expr(
+        "transform(sequence(2, size(toks)), i -> struct(" +
+          "element_at(toks, i - 1) AS prev, element_at(toks, i) AS cur))"))
+        .as("w"): _*)
+      .select(docCols :+ $"w.prev".as("prev") :+ $"w.cur".as("cur"): _*)
+      .filter($"prev".isNotNull && $"cur".isNotNull)
+      .groupBy(docCols :+ $"prev" :+ $"cur": _*)
+      .agg(count(lit(1)).as("m"))
+  }
+
+  /** Unigram counts completing [[pairCounts]]: every token appears
+    * exactly once as `cur` of a structural pair EXCEPT each doc's first
+    * token, which a doc-cardinality tokenize-only scan supplies.
+    */
+  private def unigramCounts(t: DataFrame, pcd: DataFrame): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
+    val firsts = t.filter(size($"toks") >= 1)
+      .select(element_at($"toks", 1).as("cur"))
+      .groupBy($"cur").agg(count(lit(1)).as("c"))
+    pcd.groupBy($"cur").agg(sum($"m").as("c"))
+      .unionByName(firsts)
+      .groupBy($"cur").agg(sum($"c").as("c"))
   }
 
   /** Bigram conditional surprisal — q109's unigram model upgraded one
@@ -458,48 +509,51 @@ object TextOps {
     * context compress this slice", which separates templated/boilerplate
     * sources (high gain) from genuinely novel text (low gain).
     *
-    * Scale: the bigram model is a map-side-combined (prev,cur) count,
-    * and BOTH unigram counts attach to it at MODEL cardinality (the
-    * ~vocab² relation), so the 25M-per-GB position relation pays ONE
-    * shuffle join on the bigram key — not three. That join stays a
-    * co-partitioned hash join (unlike q109's broadcast vocab, the
-    * bigram table grows past broadcast range at corpus scale) and text
-    * never shuffles; per-position bit terms fold into per-model-row
-    * constants, so only (doc, bits) pairs reach the rollup. Measured at
-    * sf10: 39.0 s (three position joins) → 36.6 s — the tokenize/explode
-    * passes, not the joins, dominate at this corpus shape; the join
-    * collapse is kept for the shuffle-volume bound it puts on wider
-    * corpora (one position-cardinality exchange instead of three).
+    * Scale: ONE position-scale pass (the q137 BOS device). Adjacent
+    * pairs explode map-side with prev = NULL marking position 1 and
+    * fold once into a (prev, cur, doc, lang, source) partial aggregate
+    * whose Exchange all three consumers — unigram counts (every token
+    * occurs exactly once as `cur`), the bigram model, and the per-doc
+    * scoring join — reference identically, so the tokenize/explode
+    * scan runs once (ReusedExchange), not four times as in the naive
+    * form. Both unigram counts attach to the model at MODEL cardinality
+    * (the ~vocab² relation) via co-partitioned hash joins (unlike
+    * q109's broadcast vocab, the bigram table grows past broadcast
+    * range at corpus scale); text never shuffles; the scoring join runs
+    * at compressed (doc × distinct-pair) cardinality with multiplicity
+    * weights, so repeated pairs pay once. Measured at sf10: 39.0 s
+    * (three position joins) → 36.6 s (one position join) → 18.4 s
+    * (this form).
     */
   private def q138(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = docs(s, d)
-    val u = t.select(explode($"toks").as("tok"))
-    val uc = u.groupBy($"tok").agg(count(lit(1)).as("c"))
-    val n = u.agg(count(lit(1)).as("total"))
-    val bg = t.filter(size($"toks") >= 2)
-      .select($"doc_id", $"lang", $"source", explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(element_at(toks, i) AS prev, element_at(toks, i + 1) AS cur))"))
-        .as("w"))
-      .select($"doc_id", $"lang", $"source",
-        $"w.prev".as("prev"), $"w.cur".as("cur"))
+    // Same ReuseExchange discipline as q137 (see there): structural
+    // pairs, explicit base IsNotNulls, LEFT model joins — so the uc,
+    // model, and scoring consumers all reference the identical pcd
+    // Exchange and the corpus scan + explode runs once. The bigram
+    // model here only sees positions 2..n, which is exactly the set of
+    // positions the conditional bits are defined on.
+    val pcd = pairCounts(t, Seq($"doc_id", $"lang", $"source"))
+    val uc = unigramCounts(t, pcd.select($"prev", $"cur", $"m"))
+    val n = uc.agg(sum($"c").as("total"))
     // model relation carries every per-position constant: bigram count,
     // prev/cur unigram counts, and the folded whole-bit terms
-    val model = bg.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
-      .join(uc.select($"tok".as("prev"), $"c".as("cp")), Seq("prev"))
-      .join(uc.select($"tok".as("cur"), $"c".as("cc")), Seq("cur"))
+    val model = pcd
+      .groupBy($"prev", $"cur").agg(sum($"m").as("c2"))
+      .join(uc.select($"cur".as("prev"), $"c".as("cp")), Seq("prev"), "left")
+      .join(uc.select($"cur", $"c".as("cc")), Seq("cur"), "left")
       .crossJoin(broadcast(n))
       .select($"prev", $"cur",
         ((length(bin($"cp")) - 1) - (length(bin($"c2")) - 1)).cast("long")
           .as("bgb"),
         ((length(bin($"total")) - 1) - (length(bin($"cc")) - 1)).cast("long")
           .as("ugb"))
-    val pd = bg
-      .join(model, Seq("prev", "cur"))
+    val pd = pcd
+      .join(model, Seq("prev", "cur"), "left")
       .groupBy($"doc_id", $"lang", $"source")
-      .agg(sum($"bgb").as("bg_bits"), sum($"ugb").as("ug_bits"),
-        count(lit(1)).as("nt"))
+      .agg(sum($"m" * $"bgb").as("bg_bits"), sum($"m" * $"ugb").as("ug_bits"),
+        sum($"m").as("nt"))
     pd.groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(bg_bits * 1000 div nt) div count(1)").as("bg_bits_permille"),

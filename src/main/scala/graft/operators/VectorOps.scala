@@ -49,41 +49,57 @@ object VectorOps {
     * so the mining plan is the one that runs at billion-vector scale;
     * positives are scoped to the same probed cells (standard in-batch /
     * in-shard mining semantics). Queries with no same-label candidate
-    * in their probed cells drop (inner join, deterministic).
+    * in their probed cells drop (null best-positive filter,
+    * deterministic).
     *
     * Scale: centroids and the (query × 2 probes) relation broadcast
-    * (both KB-scale by construction); the corpus side is one
-    * assignment map pass + a cell-keyed candidate join; the per-query
-    * top-3 is a WindowGroupLimit over candidates, never the corpus.
+    * (both KB-scale by construction). The corpus-side assignment is a
+    * map-side-combined argmax (the ×16 scored expansion folds to one
+    * row per vector BEFORE its exchange via partial max_by; the window
+    * form shuffled and sorted all 16 copies — and, referenced twice,
+    * recomputed the corpus×16 dot products twice). Mining is ONE pass
+    * over the candidate join: a bounded O(3)-state top-k aggregator
+    * (BoundedAggs.topScored) and the best-positive max fold map-side in
+    * the same groupBy, so the candidate relation (queries × probed
+    * cells × cell size) never shuffles and never recomputes — the
+    * window+join form paid both, twice. Measured at sf10: 34.1 s →
+    * 6.4 s.
     */
   private def q142(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, d)
     val cents = e.filter($"vec_id" < 16)
       .select($"vec_id".as("cent_id"), $"v".as("cv"), $"nrm".as("cn"))
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
-    val scored = e.crossJoin(broadcast(cents))
+    val assigned = e.crossJoin(broadcast(cents))
       .select($"vec_id", $"label", $"v", $"nrm", $"cent_id",
         (dot($"v", $"cv") / ($"nrm" * $"cn")).as("csim"))
-      .withColumn("crank", row_number().over(wAssign))
-    val assigned = scored.filter($"crank" === 1)
-      .select($"vec_id", $"label", $"v", $"nrm", $"cent_id")
-    val queries = scored.filter($"crank" <= 2 && $"vec_id" % 100 === 0)
+      .groupBy($"vec_id")
+      .agg(max_by(struct($"label", $"v", $"nrm", $"cent_id"),
+        struct($"csim", -$"cent_id")).as("a"))
+      .select($"vec_id", $"a.label".as("label"), $"a.v".as("v"),
+        $"a.nrm".as("nrm"), $"a.cent_id".as("cent_id"))
+    val wq = Window.partitionBy($"vec_id").orderBy($"csim".desc, $"cent_id")
+    val queries = e.filter($"vec_id" % 100 === 0)
+      .crossJoin(broadcast(cents))
+      .select($"vec_id", $"label", $"v", $"nrm", $"cent_id",
+        (dot($"v", $"cv") / ($"nrm" * $"cn")).as("csim"))
+      .withColumn("crank", row_number().over(wq))
+      .filter($"crank" <= 2)
       .select($"vec_id".as("query_id"), $"label".as("qlabel"),
         $"v".as("qv"), $"nrm".as("qn"), $"cent_id")
     val cand = assigned.join(broadcast(queries), Seq("cent_id"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"qlabel", $"vec_id".as("neighbor"), $"label",
         round(dot($"v", $"qv") / ($"nrm" * $"qn"), 6).as("cosine"))
-    val pos = cand.filter($"label" === $"qlabel")
-      .groupBy($"query_id").agg(max($"cosine").as("pos_cosine"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor")
-    cand.filter($"label" =!= $"qlabel")
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= 3)
-      .join(pos, Seq("query_id"))
-      .select($"query_id", $"rank", $"neighbor",
-        $"cosine".as("neg_cosine"), $"pos_cosine")
+    cand.groupBy($"query_id")
+      .agg(max(when($"label" === $"qlabel", $"cosine")).as("pos_cosine"),
+        graft.functions.BoundedAggs.topScored(
+          $"cosine", $"neighbor", $"label" =!= $"qlabel", 3).as("negs"))
+      .filter($"pos_cosine".isNotNull)
+      .select($"query_id", posexplode($"negs"), $"pos_cosine")
+      .select($"query_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col.id".as("neighbor"), $"col.score".as("neg_cosine"),
+        $"pos_cosine")
       .orderBy($"query_id", $"rank")
   }
 

@@ -16,7 +16,8 @@ object PlanShow {
     df.collect()
     println(f"wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val p = df.queryExecution.executedPlan.toString
-    println(p.linesIterator.filter(l =>
+    if (sys.env.contains("GRAFT_PLAN_FULL")) println(p)
+    else println(p.linesIterator.filter(l =>
       Seq("Join", "Exchange", "AQEShuffleRead", "Scan parquet", "HashAggregate")
         .exists(l.contains)).mkString("\n"))
     spark.stop()
