@@ -3,24 +3,30 @@
 
 Usage: python3 scripts/oracle_lint.py <sfDir> <verifyOutDir>
 
-Runs every oracle_sql.json entry in DuckDB over <sfDir>'s tables and
-inspects the RESULT SCHEMA via Arrow (fetchdf would hide the problem:
-pandas silently materializes HUGEINT as float64, which is exactly how the
-driver's hash compare then diverges from Spark's int64). Fails on:
+Inspects every oracle_sql.json entry's RESULT SCHEMA in DuckDB over
+<sfDir>'s tables and fails on types Spark's hash compare can't represent
+(fetchdf would hide the problem: pandas silently materializes HUGEINT as
+float64, which is exactly how the driver's hash compare then diverges
+from Spark's int64). Flagged:
 
-- decimal columns (DuckDB HUGEINT / DECIMAL — `sum(BIGINT)`, windowed
-  sums, and `//` on them promote; the fix is CAST(... AS BIGINT) in the
-  final select)
-- unsigned int64 columns (UBIGINT has no Spark counterpart; values past
+- DECIMAL / HUGEINT columns (`sum(BIGINT)`, windowed sums, and `//` on
+  them promote; the fix is CAST(... AS BIGINT) in the final select)
+- UBIGINT columns, scalar or nested (no Spark counterpart; values past
   2^63 can never hash-match)
+
+The schema comes from `DESCRIBE <final select>` — NO oracle executes, so
+the lint costs the same at sf1 as at sf0.01 (executing the full corpus
+replay here is what made the round-7 sf1 gate hang for an hour). Setup
+statements before the final select (macro definitions) still run.
 
 Generated-input oracles (nx_/mm_) read /tmp/graft_oracle_inputs, so run
 `graft.Verify` first, same as check.py.
 
 `--selftest` proves the lint can actually catch the bug class: a
-deliberately-bad oracle (un-CAST sum(BIGINT) → HUGEINT) must be flagged
-and a CAST-wrapped one must pass. check.py runs this before the real
-lint, so a silently-broken lint fails the gate too.
+deliberately-bad oracle (un-CAST sum(BIGINT) -> HUGEINT/DECIMAL) must be
+flagged and a CAST-wrapped one must pass, through the same DESCRIBE
+path as the real lint. check.py runs this before the real lint, so a
+silently-broken lint fails the gate too.
 """
 import sys, os, json
 import duckdb
@@ -28,23 +34,45 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
-BAD_PREFIXES = ("decimal", "halffloat")
+BAD_MARKS = ("DECIMAL", "HUGEINT", "UBIGINT", "HALF")
+
+
+def split_statements(sql):
+    """Split on top-level semicolons only (quoted ';' stays intact)."""
+    stmts, cur, inq = [], [], False
+    for ch in sql:
+        if ch == "'":
+            inq = not inq
+            cur.append(ch)
+        elif ch == ";" and not inq:
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    stmts.append("".join(cur))
+    return [s for s in stmts if s.strip()]
+
+
+def result_schema(con, sql):
+    """(name, type) pairs of the final statement, without executing it."""
+    stmts = split_statements(sql)
+    for s in stmts[:-1]:
+        con.execute(s)
+    return [(r[0], r[1]) for r in
+            con.execute("DESCRIBE " + stmts[-1]).fetchall()]
 
 
 def bad_fields(schema):
-    return [(f.name, str(f.type)) for f in schema
-            if str(f.type).startswith(BAD_PREFIXES)
-            or str(f.type) == "uint64"]
+    return [(n, t) for n, t in schema
+            if any(m in t.upper() for m in BAD_MARKS)]
 
 
 def selftest():
     con = duckdb.connect()
-    bad = con.execute(
-        "SELECT sum(x) AS s FROM (VALUES (1::BIGINT)) t(x)"
-    ).fetch_arrow_table().schema
-    good = con.execute(
-        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1::BIGINT)) t(x)"
-    ).fetch_arrow_table().schema
+    bad = result_schema(
+        con, "SELECT sum(x) AS s FROM (VALUES (1::BIGINT)) t(x)")
+    good = result_schema(
+        con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1::BIGINT)) t(x)")
     ok = bool(bad_fields(bad)) and not bad_fields(good)
     print(f"SELFTEST {'PASS' if ok else 'FAIL'}: "
           f"bad oracle -> {bad_fields(bad)}, good oracle -> {bad_fields(good)}")
@@ -67,7 +95,7 @@ def main():
     n_bad = n_err = 0
     for name in sorted(oracle):
         try:
-            schema = con.execute(oracle[name]).fetch_arrow_table().schema
+            schema = result_schema(con, oracle[name])
         except Exception as e:
             print(f"ERR  {name}: {str(e).splitlines()[0][:160]}")
             n_err += 1

@@ -134,7 +134,8 @@ object TextOps {
     "q136_dup_span_coverage" -> ((s, d) => q136(s, d)),
     "q143_span_dedup_budget" -> ((s, d) => q143(s, d)),
     "q137_colloc_pairs" -> ((s, d) => q137(s, d)),
-    "q138_bigram_surprisal" -> ((s, d) => q138(s, d))
+    "q138_bigram_surprisal" -> ((s, d) => q138(s, d)),
+    "q144_bpe_merges" -> ((s, d) => q144(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -561,6 +562,136 @@ object TextOps {
         expr("sum((ug_bits - bg_bits) * 1000 div nt) div count(1)")
           .as("gain_permille"))
       .orderBy($"lang", $"source")
+  }
+
+  /** Distributed BPE merge training (Sennrich et al. 2016) — the first
+    * `BpeK` merges of a byte-pair-encoding tokenizer learned from the
+    * corpus: start from characters (plus the standard `</w>` end-of-word
+    * marker), repeatedly take the highest-count adjacent symbol pair
+    * (ties broken lexicographically for determinism), merge its
+    * occurrences greedily left-to-right, and recount. Output is the
+    * ordered merge table — the artifact a tokenizer trainer ships.
+    *
+    * Scale: the ONLY corpus-scale pass is the word-count aggregation
+    * (map-side combined); every merge iteration runs on the word-TYPE
+    * table, whose size is Heaps-law bounded (vocab, not corpus), yet
+    * stays fully distributed — pair counts are weighted by word count
+    * and two-phase aggregated, the argmax is a 1-row TakeOrdered
+    * broadcast back into the rewrite, and the greedy merge is a
+    * codegen'd array fold per word. Iteration state is
+    * `localCheckpoint`ed each round (the q81 loop rule: each round
+    * references the previous twice, so uncut lineage doubles the
+    * analyzed plan per iteration). Reference implementations train
+    * single-node on this same word-type table; this one shards it.
+    */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var words = docs(s, d)
+      .select(explode($"toks").as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .groupBy($"w").agg(count(lit(1)).as("wcnt"))
+      .select($"w", $"wcnt", expr(
+        "concat(transform(sequence(1, length(w)), i -> substring(w, i, 1)), " +
+          "array('</w>'))").as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[DataFrame]
+    for (k <- 1 to BpeK) {
+      val pc = words
+        .select($"wcnt", explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(" +
+            "element_at(syms, i) AS l, element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"wcnt").as("cnt"))
+      val best = pc.orderBy($"cnt".desc, $"l", $"r").limit(1)
+        .select($"l", $"r", concat($"l", $"r").as("m"), $"cnt")
+        .localCheckpoint(true)
+      merges += best.select(lit(k.toLong).as("merge_rank"), $"l".as("lhs"),
+        $"r".as("rhs"), $"m".as("merged"), $"cnt".as("pair_count"))
+      // Greedy left-to-right rewrite: fold each word's symbols; a merge
+      // consumes its right symbol, and the merged symbol (l||r, strictly
+      // longer than l) can never chain as the left of another merge of
+      // the SAME rule in the same pass — the standard non-overlapping
+      // semantics.
+      words = words.crossJoin(broadcast(best))
+        .select($"w", $"wcnt", expr(
+          "aggregate(syms, cast(array() as array<string>), (out, s) -> " +
+            "IF(size(out) > 0 AND element_at(out, -1) = l AND s = r, " +
+            "concat(slice(out, 1, size(out) - 1), array(m)), " +
+            "concat(out, array(s))))").as("syms"))
+        .localCheckpoint(true)
+    }
+    merges.result().reduce(_ unionByName _).orderBy($"merge_rank")
+  }
+
+  /** Number of BPE merges q144 learns (kept small so the DuckDB oracle —
+    * one generated CTE stage per merge — stays tractable; the Spark loop
+    * itself is K-agnostic).
+    */
+  private val BpeK = 8
+
+  /** DuckDB replay of q144: one CTE stage per merge. The greedy
+    * left-to-right application is expressed relationally — candidate
+    * positions, then within each run of CONSECUTIVE candidates keep the
+    * even offsets (consecutive candidates only arise for l = r rules,
+    * where greedy = every other occurrence; spaced candidates never
+    * overlap), then rebuild each word's symbol list dropping consumed
+    * right symbols. Exactly the fold q144 runs, in SQL.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val head =
+      """WITH w0 AS MATERIALIZED (
+           SELECT w, CAST(count(*) AS BIGINT) AS wcnt,
+             list_append(list_transform(generate_series(1, length(w)),
+               i -> substring(w, i, 1)), '</w>') AS syms
+           FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w
+                 FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$')
+           GROUP BY w)"""
+    val stages = (1 to k).map { n =>
+      val p = n - 1
+      s"""
+         pc$n AS MATERIALIZED (
+           SELECT syms[i] AS l, syms[i + 1] AS r,
+             CAST(sum(wcnt) AS BIGINT) AS cnt
+           FROM (SELECT wcnt, syms,
+                   unnest(generate_series(1, len(syms) - 1)) AS i FROM w$p)
+           GROUP BY 1, 2),
+         b$n AS MATERIALIZED (SELECT l, r, l || r AS m, cnt FROM pc$n
+                 ORDER BY cnt DESC, l, r LIMIT 1),
+         cand$n AS MATERIALIZED (
+           SELECT w, pos FROM (
+             SELECT ww.w, ww.syms,
+               unnest(generate_series(1, len(ww.syms) - 1)) AS pos,
+               b.l AS bl, b.r AS br
+             FROM w$p ww CROSS JOIN b$n b)
+           WHERE syms[pos] = bl AND syms[pos + 1] = br),
+         take$n AS MATERIALIZED (
+           SELECT w, pos FROM (
+             SELECT w, pos, min(pos) OVER (PARTITION BY w, grp) AS rs FROM (
+               SELECT w, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
+               FROM cand$n))
+           WHERE (pos - rs) % 2 = 0),
+         w$n AS MATERIALIZED (
+           SELECT w, wcnt, list(sym ORDER BY pos) AS syms FROM (
+             SELECT z.w, z.wcnt, z.pos,
+               CASE WHEN tk.pos IS NOT NULL THEN z.m ELSE z.syms[z.pos] END
+                 AS sym,
+               tk2.pos IS NOT NULL AS dropped
+             FROM (SELECT ww.w, ww.wcnt, ww.syms, b.m,
+                     unnest(generate_series(1, len(ww.syms))) AS pos
+                   FROM w$p ww CROSS JOIN b$n b) z
+             LEFT JOIN take$n tk ON tk.w = z.w AND tk.pos = z.pos
+             LEFT JOIN take$n tk2 ON tk2.w = z.w AND tk2.pos = z.pos - 1)
+           WHERE NOT dropped
+           GROUP BY w, wcnt)"""
+    }
+    val finals = (1 to k).map { n =>
+      s"""SELECT CAST($n AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+            m AS merged, cnt AS pair_count FROM b$n"""
+    }.mkString("\n         UNION ALL\n         ")
+    (head +: stages).mkString(",") + "\n         " + finals +
+      "\n         ORDER BY merge_rank"
   }
 
   /** MinHash + LSH banding near-dup candidates, exact-Jaccard re-checked.
@@ -1571,6 +1702,7 @@ object TextOps {
            CAST(sum((ug_bits - bg_bits) * 1000 // nt) // count(*) AS BIGINT)
              AS gain_permille
          FROM pd GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q144_bpe_merges" -> bpeOracleSql(BpeK),
     "q63_winnow_md5" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

@@ -123,6 +123,36 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q144: BPE merge table equals single-node reference trainer") {
+    import spark.implicits._
+    val wc = corpus.flatMap { case (_, text, _, _) => toks(text) }
+      .filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, xs) => (w, xs.size.toLong) }
+    var state: Seq[(Vector[String], Long)] = wc.toSeq.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ "</w>", c)
+    }
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (k <- 1 to 8) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- state; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((l, r), cnt) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+      merges += ((k.toLong, l, r, l + r, cnt))
+      state = state.map { case (syms, c) =>
+        val out = scala.collection.mutable.Buffer[String]()
+        for (sym <- syms) {
+          if (out.nonEmpty && out.last == l && sym == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += sym
+        }
+        (out.toVector, c)
+      }
+    }
+    val got = TextOps.defs("q144_bpe_merges")(spark, sfDir)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == merges.result())
+  }
+
   test("q139: best-containment matches equal brute force") {
     import spark.implicits._
     val gramSets: Map[Long, Set[String]] =

@@ -126,6 +126,41 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"q136 must scan documents once, found $scans")
   }
 
+  test("q137/q138 explode positions once (ReusedExchange holds)") {
+    // The single-pass forms depend on every consumer referencing a
+    // byte-identical copy of the pair-counts subtree; one pushed-down
+    // or join-inferred filter silently splits the subtrees and each
+    // consumer re-scans + re-explodes the corpus (the naive form's 3-4
+    // tokenize passes — sf10: q137 33.9 s vs 9.3 s). AQE applies the
+    // reuse at stage materialization, so run the query, then pin the
+    // final plan: exactly one position-scale Generate, reuse present.
+    for (q <- Seq("q137_colloc_pairs", "q138_bigram_surprisal")) {
+      val df = graft.operators.TextOps.defs(q)(spark, sfDir)
+      df.collect()
+      // executedPlan.toString appends the pre-AQE "Initial Plan" (where
+      // reuse has not happened yet) — count only the final section
+      val p = plan(df).split("== Initial Plan ==")(0)
+      val gens = p.linesIterator.count(_.contains("Generate explode"))
+      assert(gens == 1, s"$q must explode positions once, found $gens")
+      assert(p.contains("ReusedExchange"), s"$q lost exchange reuse:\n${p.take(1200)}")
+    }
+  }
+
+  test("q142 mines in one bounded-state pass (no candidate window)") {
+    // The assignment argmax is a map-side-combined max_by and the
+    // mining is one groupBy with the bounded top-k aggregator — the
+    // only Window left is over the 1%-sampled query probes. A second
+    // Window (or a rank filter) would mean the candidate relation is
+    // being shuffled and sorted again (sf10: 34.1 s vs 6.4 s).
+    val df = graft.operators.VectorOps.defs("q142_hard_negatives")(spark, sfDir)
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==")(0)
+    assert(p.linesIterator.count(_.contains("Window [")) == 1,
+      s"q142 must window only the query probes:\n${p.take(1200)}")
+    assert(p.contains("ktopscored"), "q142 must mine via the bounded top-k aggregator")
+    assert(p.contains("max_by"), "q142 assignment must be the max_by argmax")
+  }
+
   test("q139/q142 broadcast only the small-by-construction sides") {
     // q139: the eval digest (benchmark suite) broadcasts; the train
     // corpus must not appear under a BroadcastExchange. With the
