@@ -135,7 +135,8 @@ object TextOps {
     "q143_span_dedup_budget" -> ((s, d) => q143(s, d)),
     "q137_colloc_pairs" -> ((s, d) => q137(s, d)),
     "q138_bigram_surprisal" -> ((s, d) => q138(s, d)),
-    "q144_bpe_merges" -> ((s, d) => q144(s, d))
+    "q144_bpe_merges" -> ((s, d) => q144(s, d)),
+    "q145_bpe_segment" -> ((s, d) => q145(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -586,6 +587,45 @@ object TextOps {
     */
   private def q144(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    bpeTrain(s, d)._1.reduce(_ unionByName _).orderBy($"merge_rank")
+  }
+
+  /** BPE tokenizer APPLICATION — the segmentation report a curation
+    * pipeline reads before committing to a vocab: per source, the token
+    * count, the pre-merge symbol mass (characters + the `</w>` marker),
+    * the post-merge symbol mass under the q144-learned table, and the
+    * resulting compression permille. Sources whose text the merges
+    * compress least are the out-of-domain ones.
+    *
+    * Scale: one corpus pass for per-(source, word) counts; the learned
+    * word-type table (vocab cardinality) attaches by a word equi-join
+    * carrying just the per-word symbol count, so no per-position work
+    * happens at all after training.
+    */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val words = bpeTrain(s, d)._2
+    val perSource = docs(s, d)
+      .select($"source", explode($"toks").as("w"))
+      .filter($"w".rlike("^[a-z]+$"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
+    perSource
+      .join(words.select($"w", size($"syms").cast("long").as("n_syms"),
+        (length($"w") + 1).cast("long").as("n_chars")), Seq("w"))
+      .groupBy($"source")
+      .agg(sum($"cnt").as("n_tokens"),
+        sum($"cnt" * $"n_chars").as("n_char_symbols"),
+        sum($"cnt" * $"n_syms").as("n_bpe_symbols"))
+      .withColumn("compression_permille",
+        expr("1000 * n_bpe_symbols div n_char_symbols"))
+      .orderBy($"source")
+  }
+
+  /** The q144 trainer: learns [[BpeK]] merges; returns the per-merge
+    * result rows and the final word-type table (w, wcnt, syms).
+    */
+  private def bpeTrain(s: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
+    import s.implicits._
     var words = docs(s, d)
       .select(explode($"toks").as("w"))
       .filter($"w".rlike("^[a-z]+$"))
@@ -620,7 +660,7 @@ object TextOps {
             "concat(out, array(s))))").as("syms"))
         .localCheckpoint(true)
     }
-    merges.result().reduce(_ unionByName _).orderBy($"merge_rank")
+    (merges.result(), words)
   }
 
   /** Number of BPE merges q144 learns (kept small so the DuckDB oracle —
@@ -692,6 +732,30 @@ object TextOps {
     }.mkString("\n         UNION ALL\n         ")
     (head +: stages).mkString(",") + "\n         " + finals +
       "\n         ORDER BY merge_rank"
+  }
+
+  /** DuckDB replay of q145: the q144 training CTE chain, then the
+    * per-(source, word) counts joined to the final word-type table.
+    */
+  private def bpeSegmentOracleSql(k: Int): String = {
+    val train = bpeOracleSql(k)
+    // drop the q144 final UNION: keep WITH w0 ... w$k, then aggregate
+    val prefix = train.substring(0, train.indexOf("\n         SELECT CAST(1"))
+    prefix + s""",
+         ps AS MATERIALIZED (
+           SELECT source, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT source, unnest(string_split_regex(text, '\\s+')) AS w
+             FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$$')
+           GROUP BY 1, 2)
+         SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(sum(cnt * (length(w) + 1)) AS BIGINT) AS n_char_symbols,
+           CAST(sum(cnt * len(syms)) AS BIGINT) AS n_bpe_symbols,
+           CAST(1000 * sum(cnt * len(syms))
+                // sum(cnt * (length(w) + 1)) AS BIGINT)
+             AS compression_permille
+         FROM ps JOIN w$k USING (w)
+         GROUP BY source ORDER BY source"""
   }
 
   /** MinHash + LSH banding near-dup candidates, exact-Jaccard re-checked.
@@ -1703,6 +1767,7 @@ object TextOps {
              AS gain_permille
          FROM pd GROUP BY 1, 2 ORDER BY 1, 2""",
     "q144_bpe_merges" -> bpeOracleSql(BpeK),
+    "q145_bpe_segment" -> bpeSegmentOracleSql(BpeK),
     "q63_winnow_md5" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

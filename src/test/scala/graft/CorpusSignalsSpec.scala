@@ -151,6 +151,25 @@ class CorpusSignalsSpec extends SparkSpec {
     val got = TextOps.defs("q144_bpe_merges")(spark, sfDir)
       .as[(Long, String, String, String, Long)].collect().toSeq
     assert(got == merges.result())
+
+    // q145: segmentation report under the final merge table (words
+    // reconstruct from their symbols by stripping the </w> marker, which
+    // merged symbols may carry embedded, e.g. "ow</w>")
+    val wordSyms: Map[String, Int] = state.map { case (syms, _) =>
+      (syms.mkString.replace("</w>", ""), syms.length)
+    }.toMap
+    val bySource = corpus.flatMap { case (_, text, _, src) =>
+      toks(text).filter(_.matches("^[a-z]+$")).map(w => (src, w))
+    }.groupBy { case (src, _) => src }
+    val expected145 = bySource.toSeq.map { case (src, ws) =>
+      val nTok = ws.size.toLong
+      val nChar = ws.map { case (_, w) => (w.length + 1).toLong }.sum
+      val nBpe = ws.map { case (_, w) => wordSyms(w).toLong }.sum
+      (src, nTok, nChar, nBpe, 1000L * nBpe / nChar)
+    }.sortBy(_._1)
+    val got145 = TextOps.defs("q145_bpe_segment")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got145 == expected145)
   }
 
   test("q139: best-containment matches equal brute force") {
