@@ -38,6 +38,19 @@ object FileSources {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** ORC read — the second columnar interchange format warehouses hand
+    * over (Hive/Trino-side exports). Spark's native vectorized ORC
+    * reader: column pruning and predicate pushdown work exactly as for
+    * parquet (pinned in FileFormatsSpec), so a downstream query plans
+    * identically against either format. Schema declared, never inferred.
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** ORC sink (zlib, the interchange default). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
   /** Partitioned parquet sink (NEXMark q10's date-partitioned log). */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
