@@ -46,13 +46,14 @@ object StreamBench {
     * untimed (warm-up). Shared with [[StreamProfile]]'s sweep.
     */
   private[graft] def rateOf[T](spark: SparkSession, name: String,
-      events: Seq[T], chunkSize: Int)(
+      events: Seq[T], chunkSize: Int,
+      mode: OutputMode = OutputMode.Append)(
       build: MemoryStream[T] => org.apache.spark.sql.DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[T]): (String, Double) = {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[T]
     val q = build(in).writeStream.format("noop")
-      .outputMode(OutputMode.Append).start()
+      .outputMode(mode).start()
     val chunks = events.grouped(chunkSize).toSeq
     in.addData(chunks.head)
     q.processAllAvailable()
@@ -94,10 +95,11 @@ object StreamBench {
         / Nexmark.BidProportion))
       .filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
 
-    def rate[T](name: String, events: Seq[T], chunkSize: Int)(
+    def rate[T](name: String, events: Seq[T], chunkSize: Int,
+        mode: OutputMode = OutputMode.Append)(
         build: MemoryStream[T] => org.apache.spark.sql.DataFrame)(
         implicit enc: org.apache.spark.sql.Encoder[T]): (String, Double) =
-      rateOf(spark, name, events, chunkSize)(build)
+      rateOf(spark, name, events, chunkSize, mode)(build)
 
     val q5 = rate("q5_hopping_eps", bids, batchSize)(in =>
       StreamOps.hoppingCounts(in.toDF(), "10 seconds", "5 seconds", "0 seconds"))
@@ -156,7 +158,30 @@ object StreamBench {
     val knn = rate("knn_qps", queries, math.max(1, batchSize / 20))(in =>
       StreamOps.knnStream(in.toDS(), index, k = 10).toDF())
 
-    Seq(q5, q11, ingest, neardup, hh, funnel, knn)
+    // CDC upsert materialization (changes/s): per-key latest-version
+    // state (ts, seq) with tombstoned deletes — 64k hot keys so state
+    // stays bounded while every change is a state hit.
+    val cdcEvents: Seq[StreamOps.CdcEvent] = bids.zipWithIndex.map {
+      case (b, i) =>
+        StreamOps.CdcEvent(b.bidder % 65536, b.b_date_time, i.toLong,
+          if (b.auction % 10 == 0) "delete" else "upsert", s"p${b.price}")
+    }
+    val cdc = rate("cdc_cps", cdcEvents, batchSize, OutputMode.Update)(in =>
+      StreamOps.cdcApplyStream(in.toDS()).toDF())
+
+    // Last-touch attribution (events/s): two longs of last-click state
+    // per user; purchases emit credits against the 7-day lookback.
+    val touchEvents: Seq[StreamOps.TouchEvent] = bids.map { b =>
+      val isClick = b.auction % 3 != 0
+      StreamOps.TouchEvent(b.bidder % 65536, b.b_date_time, b.auction,
+        if (isClick) "click" else "purchase", b.price / 100.0,
+        if (isClick) b.auction % 7 else -1L)
+    }
+    val attrib = rate("attrib_eps", touchEvents, batchSize)(in =>
+      StreamOps.attributionStream(in.toDS(),
+        lookbackMs = 7L * 24 * 3600 * 1000).toDF())
+
+    Seq(q5, q11, ingest, neardup, hh, funnel, knn, cdc, attrib)
   }
 
   def main(args: Array[String]): Unit = {
