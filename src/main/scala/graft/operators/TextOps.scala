@@ -136,7 +136,8 @@ object TextOps {
     "q137_colloc_pairs" -> ((s, d) => q137(s, d)),
     "q138_bigram_surprisal" -> ((s, d) => q138(s, d)),
     "q144_bpe_merges" -> ((s, d) => q144(s, d)),
-    "q145_bpe_segment" -> ((s, d) => q145(s, d))
+    "q145_bpe_segment" -> ((s, d) => q145(s, d)),
+    "q146_source_divergence" -> ((s, d) => q146(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -618,6 +619,49 @@ object TextOps {
         sum($"cnt" * $"n_syms").as("n_bpe_symbols"))
       .withColumn("compression_permille",
         expr("1000 * n_bpe_symbols div n_char_symbols"))
+      .orderBy($"source")
+  }
+
+  /** Per-source divergence from the corpus — the domain-weighting signal
+    * (DoReMi-style mixing reads exactly this): for each source, the
+    * whole-bit cost of coding its tokens under the CORPUS unigram model
+    * vs under its OWN source-conditional model, and the gap between
+    * them (the exact-entropy version is the KL divergence; whole bits
+    * via the `length(bin(x))-1` device keep every term int64-exact and
+    * engine-independent). High-gain sources are the out-of-distribution
+    * ones; near-zero gain means the source looks like the corpus.
+    *
+    * Scale: ONE corpus-scale pass (the (source, token) count, map-side
+    * combined); the global model rolls that aggregate up and re-attaches
+    * at MODEL cardinality through the same reused Exchange (the
+    * q137/q138 discipline: no filters on the shared subtree, LEFT join
+    * so no IsNotNull is inferred into one branch). The per-source sums
+    * fold the per-token bit terms as masses — N_s·bits(N) − Σc·bits —
+    * so no per-position work exists at all, and the gain is reported as
+    * a raw mass (no division, sign-exact in both engines).
+    */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = docs(s, d)
+      .select($"source", explode($"toks").as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+    val g = sc.groupBy($"tok").agg(sum($"c").as("gc"))
+    val n = g.agg(sum($"gc").as("n_total"))
+    sc.join(g, Seq("tok"), "left")
+      .groupBy($"source")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum($"c" * (length(bin($"c")) - 1).cast("long")).as("self_mass"),
+        sum($"c" * (length(bin($"gc")) - 1).cast("long")).as("corpus_mass"))
+      .crossJoin(broadcast(n))
+      .select($"source", $"n_tokens", $"vocab",
+        expr("(n_tokens * (length(bin(n_total)) - 1) - corpus_mass) * 1000" +
+          " div n_tokens").as("corpus_bits_permille"),
+        expr("(n_tokens * (length(bin(n_tokens)) - 1) - self_mass) * 1000" +
+          " div n_tokens").as("self_bits_permille"),
+        expr("(n_tokens * (length(bin(n_total)) - 1) - corpus_mass)" +
+          " - (n_tokens * (length(bin(n_tokens)) - 1) - self_mass)")
+          .as("gain_bits_mass"))
       .orderBy($"source")
   }
 
@@ -1768,6 +1812,29 @@ object TextOps {
          FROM pd GROUP BY 1, 2 ORDER BY 1, 2""",
     "q144_bpe_merges" -> bpeOracleSql(BpeK),
     "q145_bpe_segment" -> bpeSegmentOracleSql(BpeK),
+    "q146_source_divergence" ->
+      """WITH sc AS (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents)
+           GROUP BY 1, 2),
+         g AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc FROM sc GROUP BY 1),
+         n AS (SELECT CAST(sum(gc) AS BIGINT) AS n_total FROM g),
+         p AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c * (len(bin(c)) - 1)) AS BIGINT) AS self_mass,
+             CAST(sum(c * (len(bin(gc)) - 1)) AS BIGINT) AS corpus_mass
+           FROM sc JOIN g USING (tok) GROUP BY 1)
+         SELECT source, n_tokens, vocab,
+           CAST((n_tokens * (len(bin(n_total)) - 1) - corpus_mass) * 1000
+                // n_tokens AS BIGINT) AS corpus_bits_permille,
+           CAST((n_tokens * (len(bin(n_tokens)) - 1) - self_mass) * 1000
+                // n_tokens AS BIGINT) AS self_bits_permille,
+           CAST((n_tokens * (len(bin(n_total)) - 1) - corpus_mass)
+                - (n_tokens * (len(bin(n_tokens)) - 1) - self_mass)
+             AS BIGINT) AS gain_bits_mass
+         FROM p CROSS JOIN n ORDER BY source""",
     "q63_winnow_md5" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks FROM documents),

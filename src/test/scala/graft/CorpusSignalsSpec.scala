@@ -172,6 +172,28 @@ class CorpusSignalsSpec extends SparkSpec {
     assert(got145 == expected145)
   }
 
+  test("q146: source-vs-corpus whole-bit divergence equals brute force") {
+    import spark.implicits._
+    val all = corpus.flatMap { case (_, text, _, src) =>
+      toks(text).map(w => (src, w))
+    }
+    val gc = all.groupBy(_._2).map { case (w, xs) => (w, xs.size.toLong) }
+    val nTotal = all.size.toLong
+    val expected = all.groupBy(_._1).toSeq.map { case (src, ws) =>
+      val sc = ws.groupBy(_._2).map { case (w, xs) => (w, xs.size.toLong) }
+      val nTok = ws.size.toLong
+      val selfMass = sc.map { case (_, c) => c * flog2(c) }.sum
+      val corpusMass = sc.map { case (w, c) => c * flog2(gc(w)) }.sum
+      val corpusNum = nTok * flog2(nTotal) - corpusMass
+      val selfNum = nTok * flog2(nTok) - selfMass
+      (src, nTok, sc.size.toLong,
+        corpusNum * 1000 / nTok, selfNum * 1000 / nTok, corpusNum - selfNum)
+    }.sortBy(_._1)
+    val got = TextOps.defs("q146_source_divergence")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("q139: best-containment matches equal brute force") {
     import spark.implicits._
     val gramSets: Map[Long, Set[String]] =
