@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   * corpus-mean relations cross twice-referenced subtrees; q126/q128
   * cross a 1-row max-id/total; q125 shows 8 — it embeds the q37 AND
   * q40 subtrees, each referenced twice, whose broadcast query/centroid
-  * crosses all reuse at runtime; round-7 additions: q137/q138 cross the
+  * crosses all reuse at runtime; round-7 additions: q137/q138/q146 cross the
   * 1-row corpus-total, and q142 shows 2 — the 16-row centroid cross in
   * the assignment and query-probe subtrees; the round-7 single-pass
   * rewrites cut q137 from 3 and q142 from 4 by sharing the position

@@ -41,10 +41,13 @@ object Plans {
     "q134_setsim_prefix_join" -> "exact setsim join: rare-token prefix probes the token index (no frequent-token blowup), int64 length filter inside the join, exact-intersection verify on distinct candidate pairs",
     "q135_token_budget" -> "token-budget selection: one (lang) exchange for the window cumsum; rollup reuses the window partitioning",
     "q136_dup_span_coverage" -> "duplicated-span coverage: one scan, no join — map-side (hash,doc) counts, distinct-doc test is a COUNT window over the hash partition, text never shuffles",
-    "q138_bigram_surprisal" -> "bigram LM scoring: model joins shuffle-keyed on the bigram (no broadcast-vocab assumption), only (doc, bits) reach the rollup",
+    "q137_colloc_pairs" -> "collocations, single-pass form: every consumer reuses the one (doc,prev,cur) Exchange; TakeOrdered-30 before the lift joins",
+    "q138_bigram_surprisal" -> "bigram LM scoring, single-pass form: one position-scale Exchange reused by unigram counts, model, and scoring; model joins shuffle-keyed (no broadcast-vocab assumption), only (doc, bits) reach the rollup",
     "q139_containment_decontam" -> "containment decontamination: eval gram digest broadcasts, train windows explode map-side, argmax over eval-keyed tiny window",
     "q141_lasttouch_attribution" -> "last-touch attribution: one user-keyed window pass carries the running last-click struct; no as-of join, channel rollup shuffles one row per purchase",
-    "q142_hard_negatives" -> "hard-negative mining on the IVF route: broadcast centroids + query probes, cell-keyed candidate join, per-query top-3 window")
+    "q142_hard_negatives" -> "hard-negative mining on the IVF route: broadcast centroids + query probes, map-side max_by assignment, one bounded-state groupBy (KTopScored) — the candidate relation never shuffles",
+    "q144_bpe_merges" -> "BPE training: one corpus pass to word counts; merge rounds run on the checkpointed word-type table, argmax = 1-row TakeOrdered broadcast into a codegen'd array fold",
+    "q146_source_divergence" -> "per-source divergence: (source,token) counts once, global model rolls up through the reused Exchange, all bit terms folded as masses")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
