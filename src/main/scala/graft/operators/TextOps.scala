@@ -426,9 +426,11 @@ object TextOps {
     * `cur` of exactly one structural pair except each doc's first,
     * supplied by a doc-cardinality tokenize-only scan), the corpus
     * total — rolls that aggregate up at model cardinality through the
-    * SAME reused Exchange, so the tokenize/explode scan runs once;
-    * measured at sf10 the three-scan form cost 33.9 s vs 9.3 s for
-    * this one.
+    * SAME reused Exchange, so the tokenize/explode scan runs ONCE
+    * where the naive form ran it three times. On page-cached sf10 the
+    * wall is neutral (~9.5 s either way, idle A/B vs the three-scan
+    * commit) — the win is the two eliminated full tokenize passes,
+    * which are the dominant cost on a real cold 100 TB scan.
     * The top-30 is a TakeOrderedAndProject over the pair relation, and
     * only those 30 rows join the unigram counts — the lift arithmetic
     * never touches the full pair distribution. Int64 width: cnt·N ≤
@@ -452,11 +454,18 @@ object TextOps {
     // from a doc-cardinality scan (tokenize only — no explode, no
     // position shuffle), unioned under the count.
     val pcd = pairCounts(t, Seq($"doc_id"))
-    val uc = unigramCounts(t, pcd)
-    val n = uc.agg(sum($"c").as("total"))
-    val top = pcd
+    // (prev, cur) rollup: BOTH the top-30 and (via a further rollup to
+    // `cur`) the unigram counts read this one aggregate, so the
+    // position-scale relation has exactly ONE consumer and its final
+    // aggregation runs once — deriving uc from pcd directly would
+    // re-run the 20M-row final agg a second time above the reused
+    // exchange.
+    val pairAgg = pcd
       .groupBy($"prev", $"cur")
       .agg(sum($"m").as("cnt"), count(lit(1)).as("n_docs"))
+    val uc = unigramCounts(t, pairAgg.select($"cur", $"cnt".as("m")))
+    val n = uc.agg(sum($"c").as("total"))
+    val top = pairAgg
       .withColumn("pair", concat($"prev", lit(" "), $"cur"))
       .orderBy($"cnt".desc, $"pair").limit(30)
     top.crossJoin(broadcast(n))
@@ -477,6 +486,17 @@ object TextOps {
   private def pairCounts(t: DataFrame, docCols: Seq[Column]): DataFrame = {
     val s = t.sparkSession
     import s.implicits._
+    rawPairs(t, docCols)
+      .groupBy(docCols :+ $"prev" :+ $"cur": _*)
+      .agg(count(lit(1)).as("m"))
+  }
+
+  /** The raw position-scale adjacent-pair relation (one row per
+    * position 2..n) underneath [[pairCounts]].
+    */
+  private def rawPairs(t: DataFrame, docCols: Seq[Column]): DataFrame = {
+    val s = t.sparkSession
+    import s.implicits._
     t.filter(size($"toks") >= 2)
       .select(docCols :+ explode(expr(
         "transform(sequence(2, size(toks)), i -> struct(" +
@@ -484,8 +504,6 @@ object TextOps {
         .as("w"): _*)
       .select(docCols :+ $"w.prev".as("prev") :+ $"w.cur".as("cur"): _*)
       .filter($"prev".isNotNull && $"cur".isNotNull)
-      .groupBy(docCols :+ $"prev" :+ $"cur": _*)
-      .agg(count(lit(1)).as("m"))
   }
 
   /** Unigram counts completing [[pairCounts]]: every token appears
@@ -512,38 +530,48 @@ object TextOps {
     * context compress this slice", which separates templated/boilerplate
     * sources (high gain) from genuinely novel text (low gain).
     *
-    * Scale: ONE position-scale pass (the q137 BOS device). Adjacent
-    * pairs explode map-side with prev = NULL marking position 1 and
-    * fold once into a (prev, cur, doc, lang, source) partial aggregate
-    * whose Exchange all three consumers — unigram counts (every token
-    * occurs exactly once as `cur`), the bigram model, and the per-doc
-    * scoring join — reference identically, so the tokenize/explode
-    * scan runs once (ReusedExchange), not four times as in the naive
-    * form. Both unigram counts attach to the model at MODEL cardinality
-    * (the ~vocab² relation) via co-partitioned hash joins (unlike
-    * q109's broadcast vocab, the bigram table grows past broadcast
-    * range at corpus scale); text never shuffles; the scoring join runs
-    * at compressed (doc × distinct-pair) cardinality with multiplicity
-    * weights, so repeated pairs pay once. Measured at sf10: 39.0 s
-    * (three position joins) → 36.6 s (one position join) → 18.4 s
-    * (this form).
+    * Scale: TWO corpus scans, no model-side position exchange. The
+    * bigram model folds to MODEL cardinality map-side (the groupBy's
+    * partial aggregate compresses each task's positions to its
+    * distinct pairs before the exchange, so the exchange carries
+    * ~vocab² rows per task, never positions); unigram counts and the
+    * corpus total derive from that rollup plus a doc-cardinality
+    * first-token scan. The scoring join runs on the raw position
+    * relation: at broadcastable model sizes AQE broadcasts it and
+    * positions NEVER shuffle; past broadcast range (the bigram table
+    * grows to billions of types on a real corpus, unlike q109's
+    * broadcast vocab) it degrades to exactly one co-partitioned
+    * position shuffle, and the per-doc rollup partial-aggregates
+    * map-side to doc cardinality either way.
     */
   private def q138(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = docs(s, d)
-    // Same ReuseExchange discipline as q137 (see there): structural
-    // pairs, explicit base IsNotNulls, LEFT model joins — so the uc,
-    // model, and scoring consumers all reference the identical pcd
-    // Exchange and the corpus scan + explode runs once. The bigram
-    // model here only sees positions 2..n, which is exactly the set of
-    // positions the conditional bits are defined on.
-    val pcd = pairCounts(t, Seq($"doc_id", $"lang", $"source"))
-    val uc = unigramCounts(t, pcd.select($"prev", $"cur", $"m"))
+    // Two corpus scans by DESIGN (idle sf10 A/B): the 1-scan form that
+    // shares q137's position aggregate with the scoring join forces a
+    // position-scale exchange plus a repeated 20M-row final aggregation
+    // and measured 14-16 s, vs 10.5 for the naive 4-scan form and 10.8
+    // for this one — on page-cached input, re-scanning is cheaper than
+    // exchanging positions. This form keeps the naive form's wall while
+    // cutting 4 scans to 2 and bounding shuffle at scale (see below).
+    // The bigram model only sees positions 2..n, which is exactly the
+    // set of positions the conditional bits are defined on.
+    val pairs = rawPairs(t, Seq($"doc_id", $"lang", $"source"))
+    // The model side folds to MODEL cardinality map-side: the bigram
+    // groupBy partial-aggregates each task's positions down to its
+    // distinct (prev, cur) pairs before its exchange, so the exchange
+    // carries ~vocab² rows per task, never positions. Unigram counts
+    // and the corpus total derive from the bigram rollup (plus the
+    // doc-cardinality first-token scan), so the position relation has
+    // exactly TWO consumers — this rollup and the scoring join — and
+    // the corpus is tokenized twice, with no position-scale exchange
+    // on the model side at all.
+    val bigram = pairs.groupBy($"prev", $"cur").agg(count(lit(1)).as("c2"))
+    val uc = unigramCounts(t, bigram.select($"cur", $"c2".as("m")))
     val n = uc.agg(sum($"c").as("total"))
     // model relation carries every per-position constant: bigram count,
     // prev/cur unigram counts, and the folded whole-bit terms
-    val model = pcd
-      .groupBy($"prev", $"cur").agg(sum($"m").as("c2"))
+    val model = bigram
       .join(uc.select($"cur".as("prev"), $"c".as("cp")), Seq("prev"), "left")
       .join(uc.select($"cur", $"c".as("cc")), Seq("cur"), "left")
       .crossJoin(broadcast(n))
@@ -552,11 +580,16 @@ object TextOps {
           .as("bgb"),
         ((length(bin($"total")) - 1) - (length(bin($"cc")) - 1)).cast("long")
           .as("ugb"))
-    val pd = pcd
+    // Scoring join on the RAW position relation: with a broadcastable
+    // model (AQE decides) positions never shuffle at all; past
+    // broadcast range it degrades to ONE co-partitioned position
+    // shuffle — either way the per-doc rollup partial-aggregates
+    // map-side to doc cardinality.
+    val pd = pairs
       .join(model, Seq("prev", "cur"), "left")
       .groupBy($"doc_id", $"lang", $"source")
-      .agg(sum($"m" * $"bgb").as("bg_bits"), sum($"m" * $"ugb").as("ug_bits"),
-        sum($"m").as("nt"))
+      .agg(sum($"bgb").as("bg_bits"), sum($"ugb").as("ug_bits"),
+        count(lit(1)).as("nt"))
     pd.groupBy($"lang", $"source")
       .agg(count(lit(1)).as("n_docs"),
         expr("sum(bg_bits * 1000 div nt) div count(1)").as("bg_bits_permille"),

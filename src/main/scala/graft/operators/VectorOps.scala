@@ -62,8 +62,10 @@ object VectorOps {
     * (BoundedAggs.topScored) and the best-positive max fold map-side in
     * the same groupBy, so the candidate relation (queries × probed
     * cells × cell size) never shuffles and never recomputes — the
-    * window+join form paid both, twice. Measured at sf10: 34.1 s →
-    * 6.4 s.
+    * window+join form paid both, twice. Idle same-host sf10 A/B vs the
+    * window form: 6.0 s → 4.8 s (the dramatic earlier delta was
+    * contended-host noise; this ~20% is the real gain, plus the
+    * bounded shuffle the window form lacked).
     */
   private def q142(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -31,4 +31,40 @@ class BoundedAggsSpec extends SparkSpec {
       .head().getString(1)
     assert(got == "1,2,3,3,9")
   }
+
+  test("topScored equals sort-take under many partitions and keep filter") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // deliberately few distinct scores so ties exercise the id tiebreak
+    val rows = (0 until 4000).map { i =>
+      (rnd.nextInt(6), rnd.nextInt(12) / 10.0, i.toLong, rnd.nextBoolean())
+    } :+ ((9, 0.5, 99L, true)) :+ ((8, 0.1, 7L, false)) // small / all-filtered
+    val df = rows.toDF("g", "score", "id", "keep").repartition(16)
+    val got = df.groupBy($"g")
+      .agg(BoundedAggs.topScored($"score", $"id", $"keep", 3).as("t"))
+      .as[(Int, Seq[(Double, Long)])].collect().toMap
+    val want = rows.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.filter(_._4).map(x => (x._2, x._3))
+        .sortBy { case (s, i) => (-s, i) }.take(3)
+    }
+    assert(got.keySet == want.keySet)
+    for (g <- want.keys) assert(got(g) == want(g), s"group $g")
+    assert(got(8).isEmpty)
+    assert(got(9) == Seq((0.5, 99L)))
+  }
+
+  test("topScored merge is order-insensitive (random partitionings agree)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 1000).map(i => (0, rnd.nextInt(5) / 10.0, i.toLong, true))
+    val expected = rows.map(x => (x._2, x._3))
+      .sortBy { case (s, i) => (-s, i) }.take(3)
+    for (parts <- Seq(1, 3, 17, 64)) {
+      val got = rows.toDF("g", "score", "id", "keep").repartition(parts)
+        .groupBy($"g")
+        .agg(BoundedAggs.topScored($"score", $"id", $"keep", 3).as("t"))
+        .as[(Int, Seq[(Double, Long)])].head()._2
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }

@@ -126,24 +126,32 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"q136 must scan documents once, found $scans")
   }
 
-  test("q137/q138 explode positions once (ReusedExchange holds)") {
-    // The single-pass forms depend on every consumer referencing a
-    // byte-identical copy of the pair-counts subtree; one pushed-down
-    // or join-inferred filter silently splits the subtrees and each
-    // consumer re-scans + re-explodes the corpus (the naive form's 3-4
-    // tokenize passes — sf10: q137 33.9 s vs 9.3 s). AQE applies the
+  test("q137 explodes positions once; q138 twice with a tiny model exchange") {
+    // q137's consumers all reference a byte-identical copy of the
+    // pair-counts subtree; one pushed-down or join-inferred filter
+    // silently splits the subtrees and each consumer re-scans +
+    // re-explodes the corpus (the naive form's 3-4 tokenize passes).
+    // q138's chosen shape is 2 scans: the model side folds to model
+    // cardinality MAP-SIDE (partial agg before its exchange), and the
+    // scoring join runs on raw positions so AQE may broadcast the
+    // model (no position shuffle at all at this scale) or degrade to
+    // one co-partitioned shuffle past broadcast range. AQE applies
     // reuse at stage materialization, so run the query, then pin the
-    // final plan: exactly one position-scale Generate, reuse present.
-    for (q <- Seq("q137_colloc_pairs", "q138_bigram_surprisal")) {
-      val df = graft.operators.TextOps.defs(q)(spark, sfDir)
+    // final plan.
+    def finalPlan(q: String, m: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame]) = {
+      val df = m(q)(spark, sfDir)
       df.collect()
       // executedPlan.toString appends the pre-AQE "Initial Plan" (where
       // reuse has not happened yet) — count only the final section
-      val p = plan(df).split("== Initial Plan ==")(0)
-      val gens = p.linesIterator.count(_.contains("Generate explode"))
-      assert(gens == 1, s"$q must explode positions once, found $gens")
-      assert(p.contains("ReusedExchange"), s"$q lost exchange reuse:\n${p.take(1200)}")
+      plan(df).split("== Initial Plan ==")(0)
     }
+    val p137 = finalPlan("q137_colloc_pairs", graft.operators.TextOps.defs)
+    val gens137 = p137.linesIterator.count(_.contains("Generate explode"))
+    assert(gens137 == 1, s"q137 must explode positions once, found $gens137")
+    assert(p137.contains("ReusedExchange"), s"q137 lost exchange reuse:\n${p137.take(1200)}")
+    val p138 = finalPlan("q138_bigram_surprisal", graft.operators.TextOps.defs)
+    val gens138 = p138.linesIterator.count(_.contains("Generate explode"))
+    assert(gens138 == 2, s"q138 must explode positions exactly twice, found $gens138")
   }
 
   test("q142 mines in one bounded-state pass (no candidate window)") {
@@ -151,7 +159,8 @@ class PlanSpec extends SparkSpec {
     // mining is one groupBy with the bounded top-k aggregator — the
     // only Window left is over the 1%-sampled query probes. A second
     // Window (or a rank filter) would mean the candidate relation is
-    // being shuffled and sorted again (sf10: 34.1 s vs 6.4 s).
+    // being shuffled and sorted again (idle sf10 A/B: 6.0 -> 4.8 s,
+    // and the candidate shuffle the window form pays is unbounded).
     val df = graft.operators.VectorOps.defs("q142_hard_negatives")(spark, sfDir)
     df.collect()
     val p = plan(df).split("== Initial Plan ==")(0)
