@@ -38,17 +38,42 @@ BAD_MARKS = ("DECIMAL", "HUGEINT", "UBIGINT", "HALF")
 
 
 def split_statements(sql):
-    """Split on top-level semicolons only (quoted ';' stays intact)."""
-    stmts, cur, inq = [], [], False
-    for ch in sql:
-        if ch == "'":
-            inq = not inq
-            cur.append(ch)
-        elif ch == ";" and not inq:
-            stmts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
+    """Split on top-level semicolons only. A ';' inside a single-quoted
+    string, a double-quoted identifier, a `--` line comment, or a
+    `/* */` block comment stays intact (a mis-split would DESCRIBE a
+    fragment and report a spurious ERR for that oracle)."""
+    stmts, cur = [], []
+    state = None  # None | "'" | '"' | '--' | '/*'
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        two = sql[i:i + 2]
+        if state is None:
+            if ch in ("'", '"'):
+                state = ch
+            elif two == "--":
+                state = "--"
+            elif two == "/*":
+                state = "/*"
+            elif ch == ";":
+                stmts.append("".join(cur))
+                cur = []
+                i += 1
+                continue
+        elif state in ("'", '"'):
+            if ch == state:
+                state = None
+        elif state == "--":
+            if ch == "\n":
+                state = None
+        elif state == "/*":
+            if two == "*/":
+                cur.append(two)
+                state = None
+                i += 2
+                continue
+        cur.append(ch)
+        i += 1
     stmts.append("".join(cur))
     return [s for s in stmts if s.strip()]
 
@@ -74,8 +99,15 @@ def selftest():
     good = result_schema(
         con, "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1::BIGINT)) t(x)")
     ok = bool(bad_fields(bad)) and not bad_fields(good)
+    # the splitter must not split on ';' inside comments, quoted strings,
+    # or double-quoted identifiers
+    tricky = ('CREATE MACRO f(x) AS x + 1 -- line; comment\n;'
+              '/* block; comment */ SELECT f(1) AS "a;b", \'x;y\' AS s')
+    split_ok = len(split_statements(tricky)) == 2
+    ok = ok and split_ok
     print(f"SELFTEST {'PASS' if ok else 'FAIL'}: "
-          f"bad oracle -> {bad_fields(bad)}, good oracle -> {bad_fields(good)}")
+          f"bad oracle -> {bad_fields(bad)}, good oracle -> {bad_fields(good)}, "
+          f"comment-aware split -> {split_ok}")
     sys.exit(0 if ok else 1)
 
 

@@ -29,6 +29,14 @@ object Tables {
     // directly (sessions run UTC, so values are unchanged) and — unlike a
     // cast above the scan — keeps ts predicates pushable to parquet.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Engine default: Spark rewrites `rank <= k` filters into
+    // WindowGroupLimit (bounded per-task heaps BELOW the exchange) only
+    // for k <= spark.sql.optimizer.windowGroupLimitThreshold (1000).
+    // Budget-capped curation ops (q135: row_number <= 3000 pre-prune)
+    // rely on that rewrite with k in the low thousands — a k-row heap
+    // per task is exactly the bounded structure the plan wants, so every
+    // graft session raises the ceiling.
+    spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "100000")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // only the driver's NANOS files surface ts as a long; re-materialized
     // copies (MakeBigSf) already store a proper timestamp — leave those

@@ -105,6 +105,14 @@ case class TopScoredBuf(scores: Array[Double], ids: Array[Long])
   * cardinality that matters for ANN mining — q142 keeps 3 rows per
   * query where its candidate relation is cells × cell-size).
   * Deterministic: id is unique per group, so the order is total.
+  *
+  * NaN scores are DROPPED inside the aggregate (a NaN cosine means a
+  * zero-norm vector — 0/0 — and "NaN is the best match" is never the
+  * mining semantic). Note this intentionally differs from the window
+  * form it replaces: Spark's `orderBy(desc)` sorts NaN as LARGEST, so a
+  * NaN-scored row would win a rank-1 window; here it is excluded, which
+  * also keeps the Scala-side comparisons (where NaN answers false to
+  * every `<`/`==`) from silently disagreeing with the sort order.
   */
 class KTopScored(k: Int)
     extends Aggregator[ScoredIn, TopScoredBuf, Seq[ScoredId]] {
@@ -123,7 +131,7 @@ class KTopScored(k: Int)
   }
 
   override def reduce(b: TopScoredBuf, a: ScoredIn): TopScoredBuf =
-    if (a == null || !a.keep) b
+    if (a == null || !a.keep || a.score.isNaN) b
     else if (b.scores.length == k && worseThanLast(b, a.score, a.id)) b
     else rebuild(b.scores.zip(b.ids) :+ (a.score, a.id))
 
@@ -153,9 +161,9 @@ object BoundedAggs {
       .apply(col)
 
   /** Top-k (score: double, id: bigint) rows per group by
-    * (score desc, id asc); rows with keep = false are skipped inside
-    * the aggregate. Returns the sorted array<struct<score, id>>
-    * (possibly shorter than k, possibly empty).
+    * (score desc, id asc); rows with keep = false or a NaN score are
+    * skipped inside the aggregate. Returns the sorted
+    * array<struct<score, id>> (possibly shorter than k, possibly empty).
     */
   def topScored(score: Column, id: Column, keep: Column, k: Int): Column =
     udaf(new KTopScored(k), Encoders.product[ScoredIn]).apply(score, id, keep)

@@ -119,23 +119,35 @@ object PipelineOps {
     * Token counts and running sums are int64 — bit-identical
     * cross-engine; fill ratio reported as integer permille.
     *
-    * Scale: ONE data exchange — hash-partition by lang, sort within
-    * partition for the cumulative sum, map-side filter; the per-lang
-    * rollup reuses the window's lang partitioning (no second hash
-    * exchange — only the final tiny result-ordering sort follows).
-    * Languages whose best doc already overflows the budget yield no row
-    * (consistent both engines).
+    * Scale: the naive form (shipped through round 7) hash-partitioned by
+    * lang and ran the cumsum window over each language's ENTIRE document
+    * set — on a web corpus with one dominant language that is a
+    * single-task sort of most of the corpus, the classic skewed-key
+    * scale-killer. The fix exploits n_tok >= 1 (split() yields >= 1
+    * element even for empty text): a doc at quality rank r has cum >= r,
+    * so rank > budget implies cum > budget — a `row_number() <= budget`
+    * pre-filter over the SAME window spec keeps a provable superset of
+    * the kept set while compiling to WindowGroupLimit, i.e. every map
+    * task keeps at most `budget` rows per language BELOW the exchange.
+    * The cumsum window then sorts at most `budget` rows per language
+    * (constant in corpus size), and the per-lang rollup reuses the
+    * window's lang partitioning — still one corpus-touching exchange,
+    * now carrying <= budget·partitions rows per language instead of the
+    * corpus. Languages whose best doc already overflows the budget yield
+    * no row (consistent both engines).
     */
   private def q135(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val budget = 3000L
+    val byQuality = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
     Tables(s, d, "documents")
       .select($"doc_id", $"lang", $"n_chars",
         size(split($"text", "\\s+")).cast("long").as("n_tok"))
+      .withColumn("rk", row_number().over(byQuality))
+      .filter($"rk" <= budget)
       .withColumn("cum", sum($"n_tok").over(
-        Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        byQuality.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter($"cum" <= budget)
       .groupBy($"lang")
       .agg(count(lit(1)).as("docs_kept"), max($"cum").as("toks_kept"),

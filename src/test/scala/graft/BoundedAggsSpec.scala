@@ -53,6 +53,26 @@ class BoundedAggsSpec extends SparkSpec {
     assert(got(9) == Seq((0.5, 99L)))
   }
 
+  test("topScored drops NaN scores (zero-norm cosines never 'win')") {
+    import spark.implicits._
+    // NaN answers false to every comparison Scala-side while Spark's
+    // orderBy(desc) would sort it LARGEST — the aggregator defines NaN
+    // away (documented divergence from the window form): a NaN-scored
+    // row must neither appear nor evict a real row.
+    val rows = Seq(
+      (0, Double.NaN, 1L, true), (0, 0.9, 2L, true), (0, 0.7, 3L, true),
+      (0, Double.NaN, 4L, true), (0, 0.8, 5L, true), (0, 0.6, 6L, true),
+      (1, Double.NaN, 7L, true)) // group with ONLY NaN scores
+    for (parts <- Seq(1, 4)) {
+      val got = rows.toDF("g", "score", "id", "keep").repartition(parts)
+        .groupBy($"g")
+        .agg(BoundedAggs.topScored($"score", $"id", $"keep", 3).as("t"))
+        .as[(Int, Seq[(Double, Long)])].collect().toMap
+      assert(got(0) == Seq((0.9, 2L), (0.8, 5L), (0.7, 3L)), s"parts=$parts")
+      assert(got(1).isEmpty, s"parts=$parts")
+    }
+  }
+
   test("topScored merge is order-insensitive (random partitionings agree)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -207,6 +207,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q135 bounds the per-language exchange with a partial group limit") {
+    // Round-7 verdict flag: the cumsum window used to sort each
+    // language's ENTIRE document set on one task (skewed-key
+    // scale-killer at 100 TB with a dominant language). The shipped form
+    // pre-prunes with row_number() <= budget over the same window spec
+    // (valid because n_tok >= 1, so rank > budget implies cum > budget),
+    // which compiles to WindowGroupLimit: map tasks keep at most
+    // `budget` rows per language BELOW the exchange, and the cumsum sort
+    // above it touches at most `budget` rows per language.
+    val df = graft.operators.PipelineOps.defs("q135_token_budget")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    assert(p.contains("Partial"), "expected partial (pre-shuffle) group limit")
+    // one lang hash exchange feeds group-limit, both windows, and the
+    // rollup — no second corpus-touching exchange appears
+    val n = p.sliding("Exchange hashpartitioning(lang".length)
+      .count(_ == "Exchange hashpartitioning(lang")
+    assert(n == 1, s"expected exactly one lang exchange, found $n:\n${p.take(1200)}")
+  }
+
   test("rank-k window filters compile to WindowGroupLimit (partial top-k)") {
     // Spark 3.5+ plants WindowGroupLimit below the shuffle for
     // row_number()-filter patterns — per-partition top-k BEFORE the
