@@ -340,22 +340,34 @@ object TextOps {
     * because column pruning breaks the exchange reuse. The window form
     * has the same skew exposure as that join's probe side — a universal
     * boilerplate hash puts its distinct-doc rows on one task either
-    * way, counting only, spillable buffer.) The window hashes compute
+    * way, counting only, spillable buffer; at TRUE boilerplate skew
+    * pass `nSeg > 1` to [[dupSpanCoverage]], whose salt-split degrade
+    * path spreads the hot hash over nSeg partial-count tasks and joins
+    * the per-hash rollup back — pinned nSeg-invariant by
+    * SpanDupSkewSpec.) The window hashes compute
     * in ONE native pass per doc (`Md5WindowPrefixExpr`: one digest +
     * buffer reused — 46.5 s → 33.1 s at sf10 vs the SQL expression
     * tree, which the oracle still runs, so the gate proves scan ==
     * SQL). A production run swaps the hex prefix for xxhash64 (8
     * bytes/window on the wire) — same plan; md5 is oracle parity.
     */
-  private def q136(s: SparkSession, d: String): DataFrame = {
+  private def q136(s: SparkSession, d: String): DataFrame =
+    dupSpanCoverage(docs(s, d), nSeg = 1)
+
+  /** q136's body over an arbitrary docs frame (doc_id, toks), with the
+    * hot-hash degrade path as a parameter — same contract as
+    * [[PipelineOps.adjacency]]'s nSeg. `nSeg = 1` is the catalog plan
+    * (join-free window form, PlanSpec-pinned); at true boilerplate skew
+    * pass `nSeg > 1` (SpanDupSkewSpec pins nSeg-invariance).
+    */
+  private[graft] def dupSpanCoverage(docsF: DataFrame, nSeg: Int): DataFrame = {
+    val s = docsF.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val pairs = docs(s, d).filter(size($"toks") >= 8)
+    val pairs = docsF.filter(size($"toks") >= 8)
       .select($"doc_id",
         explode(TextHashes.md5WindowPrefixes($"toks", 8)).as("h"))
       .groupBy($"h", $"doc_id").agg(count(lit(1)).as("cnt"))
-    pairs
-      .withColumn("nd", count(lit(1)).over(Window.partitionBy($"h")))
+    withDistinctDocCount(pairs, nSeg)
       .groupBy($"doc_id")
       .agg(sum($"cnt").as("n_windows"),
         sum(when($"nd" >= 2, $"cnt").otherwise(0L)).as("n_dup"))
@@ -363,6 +375,76 @@ object TextOps {
       .select($"doc_id", $"n_windows", $"n_dup",
         expr("(1000 * n_dup) div n_windows").as("dup_permille"))
       .orderBy($"dup_permille".desc, $"doc_id")
+  }
+
+  /** Attaches the per-hash distinct-doc count `nd` to a grouped
+    * (h, doc_id, cnt) pair relation — the ≥2-distinct-docs primitive
+    * behind q136. `nSeg = 1`: a COUNT window over partition h — one
+    * exchange, counting-only, spillable, but a window partition is
+    * irreducibly ONE task, so a universal-boilerplate hash funnels its
+    * whole pair set through a single task (the round-7 verdict's skew
+    * flag). `nSeg > 1` — the salt-split degrade path: partial counts
+    * per (h, hash(doc_id) mod nSeg) spread a hot hash across nSeg
+    * tasks, roll up to ONE row per hash (≤ nSeg rows in), and LEFT-join
+    * back. The join probe STREAMS (no per-partition sort or buffer),
+    * and AQE's skew-join splitting can subdivide a hot probe partition
+    * — something it can never do to a window partition. Branch
+    * discipline (PLANS.md ReuseExchange notes): the per-salt count is
+    * `sum(least(cnt, 1))` — cnt ≥ 1 always, so it equals the row count,
+    * but unlike `count(cnt)` (which Catalyst rewrites to count(1) and
+    * then prunes cnt away, forking the shared subtree — observed) it
+    * genuinely references cnt, so both branches keep the byte-identical
+    * pairs aggregate and its (h, doc_id) Exchange is materialized ONCE
+    * (ReusedExchange, pinned by SpanDupSkewSpec). The join is LEFT so
+    * no IsNotNull(h) is inferred into only one branch.
+    */
+  private[graft] def withDistinctDocCount(pairs: DataFrame, nSeg: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(nSeg >= 1, s"nSeg must be positive, got $nSeg")
+    if (nSeg == 1)
+      pairs.withColumn("nd", count(lit(1)).over(Window.partitionBy($"h")))
+    else {
+      val perSalt = pairs
+        .groupBy($"h", pmod(xxhash64($"doc_id"), lit(nSeg.toLong)).as("salt"))
+        .agg(sum(least($"cnt", lit(1L))).as("c"))
+      val perH = perSalt.groupBy($"h").agg(sum($"c").as("nd"))
+      pairs.join(perH, Seq("h"), "left")
+    }
+  }
+
+  /** Attaches the cross-doc duplication flag `dup` to a position-level
+    * (…, doc_id, h) relation — q143's ≥2-distinct-docs test. Same
+    * degrade contract as [[withDistinctDocCount]]: `nSeg = 1` computes
+    * min/max doc over the h window partition (one task per hash);
+    * `nSeg > 1` folds per-(h, salt) min/max MAP-SIDE (partial agg
+    * before any exchange — position rows of a hot hash never gather),
+    * rolls up to one boolean row per hash, and LEFT-joins back. Honest
+    * cost: unlike [[withDistinctDocCount]] there is no exchange to
+    * reuse (the probe consumes raw position rows that never shuffled),
+    * so the flag branch re-runs the tokenize+hash scan — one extra
+    * corpus pass whose output folds to (h, salt) cardinality before its
+    * only exchange (the q138-class trade: an extra map-side-folded scan
+    * beats forcing a position-scale exchange), in return for removing
+    * the irreducible single-task hot window.
+    */
+  private[graft] def withCrossDocDup(w: DataFrame, nSeg: Int): DataFrame = {
+    val s = w.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    require(nSeg >= 1, s"nSeg must be positive, got $nSeg")
+    if (nSeg == 1) {
+      val hw = Window.partitionBy($"h")
+      w.withColumn("dup", min($"doc_id").over(hw) =!= max($"doc_id").over(hw))
+    } else {
+      val perSalt = w
+        .groupBy($"h", pmod(xxhash64($"doc_id"), lit(nSeg.toLong)).as("salt"))
+        .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      val perH = perSalt.groupBy($"h")
+        .agg((min($"mn") =!= max($"mx")).as("dup"))
+      w.join(perH, Seq("h"), "left")
+    }
   }
 
   /** Span-dedup token budget — q136's action-side accounting: how many
@@ -378,23 +460,30 @@ object TextOps {
     * Scale: positions ride the q136 native window-hash scan; the
     * ≥2-distinct-docs test is `min(doc) ≠ max(doc)` as unbounded
     * min/max windows over the hash partition — O(1) per row, no sort,
-    * no countDistinct, NO JOIN (same join-free posture as q136, same
-    * documented hot-hash skew exposure); the union pass re-keys the
-    * surviving duplicated rows by doc_id. Totals come from one cheap
-    * extra documents projection (no second hashing pass).
+    * no countDistinct, NO JOIN (same join-free posture as q136; the
+    * hot-hash skew exposure now has the same `nSeg > 1` salt-split
+    * degrade path — [[withCrossDocDup]], SpanDupSkewSpec); the union
+    * pass re-keys the surviving duplicated rows by doc_id. Totals come
+    * from one cheap extra documents projection (no second hashing pass).
     */
-  private def q143(s: SparkSession, d: String): DataFrame = {
+  private def q143(s: SparkSession, d: String): DataFrame =
+    spanDedupBudget(docs(s, d), nSeg = 1)
+
+  /** q143's body over an arbitrary docs frame (doc_id, source, toks),
+    * with the hot-hash degrade path as a parameter (`nSeg = 1` is the
+    * catalog plan; SpanDupSkewSpec pins nSeg-invariance on a
+    * boilerplate-skewed corpus).
+    */
+  private[graft] def spanDedupBudget(base: DataFrame, nSeg: Int): DataFrame = {
+    val s = base.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val base = docs(s, d)
     val w = base.filter(size($"toks") >= 8)
       .select($"doc_id", $"source",
         posexplode(TextHashes.md5WindowPrefixes($"toks", 8))
           .as(Seq("pos", "h")))
       .withColumn("i", ($"pos" + 1).cast("long"))
-    val hw = Window.partitionBy($"h")
-    val cov = w
-      .withColumn("dup", min($"doc_id").over(hw) =!= max($"doc_id").over(hw))
+    val cov = withCrossDocDup(w, nSeg)
       .filter($"dup")
       .withColumn("prev", lag($"i", 1).over(
         Window.partitionBy($"doc_id").orderBy($"i")))
