@@ -39,14 +39,16 @@ object Plans {
     "q130_rows_sliding" -> "rows-schedule sliding window: per-key arrival-order ROWS frame + every-slide-th emission filter, one (key) shuffle",
     "q133_source_quota" -> "per-source quota: row_number <= K compiles to WindowGroupLimit partial top-k below the exchange; output constant in corpus size",
     "q134_setsim_prefix_join" -> "exact setsim join: rare-token prefix probes the token index (no frequent-token blowup), int64 length filter inside the join, exact-intersection verify on distinct candidate pairs",
-    "q135_token_budget" -> "token-budget selection: one (lang) exchange for the window cumsum; rollup reuses the window partitioning",
-    "q136_dup_span_coverage" -> "duplicated-span coverage: one scan, no join — map-side (hash,doc) counts, distinct-doc test is a COUNT window over the hash partition, text never shuffles",
+    "q135_token_budget" -> "token-budget selection: row_number <= budget pre-prune compiles to WindowGroupLimit (n_tok >= 1 makes it a provable superset), bounding the one (lang) exchange; cumsum sorts <= budget rows per language; rollup reuses the window partitioning",
+    "q136_dup_span_coverage" -> "duplicated-span coverage: one scan, no join — map-side (hash,doc) counts, distinct-doc test is a COUNT window over the hash partition, text never shuffles (boilerplate-skew salt-split path via dupSpanCoverage nSeg, q110-style)",
     "q137_colloc_pairs" -> "collocations, single-pass form: every consumer reuses the one (doc,prev,cur) Exchange; TakeOrdered-30 before the lift joins",
     "q138_bigram_surprisal" -> "bigram LM scoring, single-pass form: one position-scale Exchange reused by unigram counts, model, and scoring; model joins shuffle-keyed (no broadcast-vocab assumption), only (doc, bits) reach the rollup",
     "q139_containment_decontam" -> "containment decontamination: eval gram digest broadcasts, train windows explode map-side, argmax over eval-keyed tiny window",
     "q141_lasttouch_attribution" -> "last-touch attribution: one user-keyed window pass carries the running last-click struct; no as-of join, channel rollup shuffles one row per purchase",
     "q142_hard_negatives" -> "hard-negative mining on the IVF route: broadcast centroids + query probes, map-side max_by assignment, one bounded-state groupBy (KTopScored) — the candidate relation never shuffles",
-    "q144_bpe_merges" -> "BPE training: one corpus pass to word counts; merge rounds run on the checkpointed word-type table, argmax = 1-row TakeOrdered broadcast into a codegen'd array fold",
+    "q143_span_dedup_budget" -> "span-dedup budget: positions ride the q136 hash scan, >=2-docs test = min/max windows over the hash partition (salt-split degrade via withCrossDocDup nSeg), interval union = one lag pass re-keyed by doc",
+    "q144_bpe_merges" -> "BPE training: one corpus pass to word counts; BATCHED merge rounds on the checkpointed word-type table (safe-prefix selector, exact vs sequential) — top candidates collect to the driver and apply as literal codegen'd array folds, no per-merge broadcast join",
+    "q145_bpe_segment" -> "BPE application report: one corpus pass to (source,word) counts, vocab-cardinality join to the learned word-type table — nothing per-position after training",
     "q146_source_divergence" -> "per-source divergence: (source,token) counts once, global model rolls up through the reused Exchange, all bit terms folded as masses")
 
   def main(args: Array[String]): Unit = {

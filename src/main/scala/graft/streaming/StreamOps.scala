@@ -234,6 +234,68 @@ object StreamOps {
                  AND b_date_time <= expires"""),
         "inner")
 
+  /** Watermark-buffered event-time reorder — the upstream wrapper the
+    * attribution/CDC state machines assume when the transport reorders:
+    * each key's events are held in state until the watermark passes
+    * their event time, then released in the caller's event-time order.
+    * Composable in FRONT of another keyed state machine
+    * ([[attributionStream]]; multiple flatMapGroupsWithState operators
+    * chain in Append mode) — ReorderStreamSpec pins scrambled delivery
+    * + wrapper == the event-ordered/batch results.
+    *
+    * Contract: `events` must already carry `withWatermark` on the
+    * column `tsMsOf` reads (EventTimeTimeout requires it). An event
+    * arriving with ts <= the current watermark is LATE by definition
+    * and dropped here explicitly — the wrapper turns "reordered within
+    * the watermark slack" into "in order"; it cannot resurrect data the
+    * watermark already closed. Releases are monotone across
+    * micro-batches (batch N+1 releases only ts above batch N's
+    * watermark), so the per-key output is globally event-time-ordered.
+    *
+    * Scale: state per key = only the events inside the watermark slack
+    * (slack × per-key rate — the irreducible price of reordering on any
+    * engine); the only shuffle keys on `keyOf`. Flushes ride
+    * EventTimeTimeout on the min buffered ts, so a key with no new
+    * arrivals still releases as the watermark advances.
+    *
+    * Composition notes: chaining a second flatMapGroupsWithState behind
+    * this one trips Spark's global-watermark correctness check — the
+    * reorder stage by DESIGN emits rows at the watermark boundary,
+    * which a downstream event-time-filtering operator could discard.
+    * [[attributionStream]] uses NoTimeout and never consults event
+    * time, so the chain is safe; disable
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * for exactly that query (Spark's sanctioned escape hatch;
+    * ReorderStreamSpec does). `mapGroupsWithState` consumers cannot
+    * chain AT ALL (Spark rejects mixing them with
+    * flatMapGroupsWithState) — for CDC use [[cdcApplyOrderedStream]],
+    * which fuses the reorder into the apply state machine: one shuffle,
+    * one state store, no chain.
+    */
+  def reorderByWatermark[E <: Product](events: Dataset[E],
+      keyOf: E => Long, tsMsOf: E => Long)(
+      implicit ord: Ordering[E],
+      tt: scala.reflect.runtime.universe.TypeTag[E]): Dataset[E] = {
+    val eEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[E]()
+    val bufEnc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[E]]()
+    events.groupByKey(keyOf)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[Seq[E], E](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[E], state: GroupState[Seq[E]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // drop late arrivals ourselves: an event at/below the
+          // watermark may already have been "overtaken" by a release
+          val buf = state.getOption.getOrElse(Seq.empty) ++
+            rows.filter(e => tsMsOf(e) > wm)
+          val (hold, ready) = buf.partition(e => tsMsOf(e) > wm)
+          if (hold.nonEmpty) {
+            state.update(hold)
+            state.setTimeoutTimestamp(hold.map(tsMsOf).min)
+          } else if (state.exists) state.remove()
+          ready.sorted(ord).iterator
+      }(bufEnc, eEnc)
+  }
+
   /** One user-activity event on the attribution stream (public: encoder
     * requirement). `k` is the click's channel (null-safe: -1 when the
     * producing event carries none).
@@ -256,8 +318,9 @@ object StreamOps {
     * batch result (pinned in AttributionStreamSpec). Cross-batch
     * arrival is processing-order, like the dedup family: a click
     * delivered after a later-ts purchase cannot retroactively
-    * re-attribute it (buffer-and-sort by watermark upstream when the
-    * transport reorders).
+    * re-attribute it — compose [[reorderByWatermark]] in front when the
+    * transport reorders (ReorderStreamSpec pins scrambled delivery +
+    * wrapper == the batch q141 rollup).
     *
     * Scale: two longs of state per active user; the only shuffle keys
     * on user_id. Credits are integer cents (the engine's money scheme).
@@ -344,6 +407,61 @@ object StreamOps {
           }
           state.update(s)
           s
+      }
+  }
+
+  /** Per-key state of [[cdcApplyOrderedStream]]: the applied row (None
+    * until the first event releases) plus the changes still inside the
+    * watermark slack (public: encoder requirement).
+    */
+  case class CdcOrderedState(row: Option[CdcRow], buffered: Seq[CdcEvent])
+
+  /** [[cdcApplyStream]] with watermark-buffered reordering FUSED into
+    * the apply state machine. Spark rejects chaining mapGroupsWithState
+    * behind another stateful operator, and fusing is cheaper anyway:
+    * one shuffle, one state store, and the released-then-applied events
+    * never cross an operator boundary. Changes buffer per key until the
+    * watermark passes their event time (late arrivals — ts at/below the
+    * watermark — are dropped, the watermark contract), then apply in
+    * (ts, seq) order; each micro-batch whose releases changed a key's
+    * row emits that row once (Append-mode changelog — the consumer
+    * keeps the latest row per key, same contract as cdcApplyStream's
+    * Update output). With an ordered release sequence a stale change
+    * CANNOT arrive behind a newer one inside the slack, so the emitted
+    * changelog is version-monotone per key — the property scrambled
+    * delivery into plain cdcApplyStream loses (it still converges, but
+    * emissions can go backward transiently).
+    *
+    * Scale: state = one applied tuple per live key + the slack-bounded
+    * buffer; the only shuffle keys on `key`. Requires `withWatermark`
+    * on `ts` upstream (EventTimeTimeout drives idle-key flushes).
+    */
+  def cdcApplyOrderedStream(changes: Dataset[CdcEvent]): Dataset[CdcRow] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .flatMapGroupsWithState[CdcOrderedState, CdcRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[CdcEvent], state: GroupState[CdcOrderedState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(CdcOrderedState(None, Seq.empty))
+          val buf = st.buffered ++ rows.filter(_.ts.getTime > wm)
+          val (hold, ready) = buf.partition(_.ts.getTime > wm)
+          var row = st.row.orNull
+          var changed = false
+          ready.sortBy(e => (e.ts.getTime, e.seq)).foreach { e =>
+            val newer = row == null || row.ts.getTime < e.ts.getTime ||
+              (row.ts.getTime == e.ts.getTime && row.seq < e.seq)
+            if (newer) {
+              row = CdcRow(key, e.ts, e.seq, e.payload, e.op == "delete")
+              changed = true
+            }
+          }
+          // the applied row persists for the key's lifetime (tombstones
+          // included — same retention contract as cdcApplyStream)
+          state.update(CdcOrderedState(Option(row), hold))
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(hold.map(_.ts.getTime).min)
+          if (changed) Iterator.single(row) else Iterator.empty
       }
   }
 
