@@ -49,7 +49,8 @@ object Plans {
     "q143_span_dedup_budget" -> "span-dedup budget: positions ride the q136 hash scan, >=2-docs test = min/max windows over the hash partition (salt-split degrade via withCrossDocDup nSeg), interval union = one lag pass re-keyed by doc",
     "q144_bpe_merges" -> "BPE training: one corpus pass to word counts; BATCHED merge rounds on the checkpointed word-type table (safe-prefix selector, exact vs sequential) — top candidates collect to the driver and apply as literal codegen'd array folds, no per-merge broadcast join",
     "q145_bpe_segment" -> "BPE application report: one corpus pass to (source,word) counts, vocab-cardinality join to the learned word-type table — nothing per-position after training",
-    "q146_source_divergence" -> "per-source divergence: (source,token) counts once, global model rolls up through the reused Exchange, all bit terms folded as masses")
+    "q146_source_divergence" -> "per-source divergence: (source,token) counts once, global model rolls up through the reused Exchange, all bit terms folded as masses",
+    "q147_ivf_learned" -> "IVF over LEARNED centroids: one Lloyd step (broadcast seed argmin + VecSum update) checkpointed at 16 rows, then the q40-shape 2-probe serve — corpus contributes one long per vector per assignment pass")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

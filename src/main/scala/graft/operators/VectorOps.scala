@@ -36,7 +36,8 @@ object VectorOps {
     "q93_semdedup" -> ((s, d) => q93(s, d)),
     "q105_ivfpq_ann" -> ((s, d) => q105(s, d)),
     "q132_int8_quant" -> ((s, d) => q132(s, d)),
-    "q142_hard_negatives" -> ((s, d) => q142(s, d))
+    "q142_hard_negatives" -> ((s, d) => q142(s, d)),
+    "q147_ivf_learned" -> ((s, d) => q147(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -460,7 +461,9 @@ object VectorOps {
   /** IVF-style ANN: coarse centroids = vectors with vec_id < 16; every
     * vector is assigned to its nearest centroid (one distributed pass);
     * queries probe their 2 nearest centroid cells; exact cosine re-rank
-    * inside the probed cells.
+    * inside the probed cells. (Fixed seed centroids keep this entry a
+    * pure SERVING benchmark; the real index-BUILD path — k-means-learned
+    * centroids feeding the same route — is [[q147]].)
     */
   private def q40(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -488,6 +491,71 @@ object VectorOps {
         round(dot($"v", $"qv") / ($"nrm" * $"qn"), 6).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= 5)
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** IVF with LEARNED coarse centroids — the real index-BUILD path,
+    * composing the Lloyd halves the catalog already verifies (q72
+    * assignment, q85 update) with the q40 routing surface: seed with
+    * vec_id < 16, run ONE full Lloyd step (assign every vector to its
+    * nearest seed, then take each cell's per-component mean), and serve
+    * queries through the LEARNED cells (2-probe, exact int64 re-rank).
+    * Everything stays in the q72 exact-integer space; the component
+    * mean is floor(sum / n) computed in double (|sum| far below 2^53 —
+    * IEEE-identical division on both engines, and floor-then-cast
+    * sidesteps DuckDB's rounding CAST), so the oracle replays training
+    * AND serving bit-exactly.
+    *
+    * Scale: two broadcast-argmin passes (seed and learned centroids —
+    * 16 rows each, packed (dist·16 + cid) min keeps HashAggregate with
+    * map-side combine), one k×dim VecSum update between them (q85's
+    * shuffle shape), then the q40 probe join: queries broadcast, the
+    * corpus contributes one long per vector per assignment pass plus
+    * the probed-cell candidates. More Lloyd rounds = repeat the two
+    * middle stages; the round count is a driver loop over k×dim-sized
+    * state, like q144's merge rounds.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables(s, d, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"
+      ).as("qv"))
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    def argmin(in: DataFrame, cents: DataFrame): DataFrame =
+      in.crossJoin(broadcast(cents))
+        .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+        .groupBy($"vec_id")
+        .agg(min($"dist" * 16 + $"cid").as("packed"))
+        .select($"vec_id", pmod($"packed", lit(16)).as("cid"))
+    // localCheckpoint: three consumers reference the learned table (both
+    // serving argmins + the probe ranking); without the cut each would
+    // re-run the whole training pass (the q110/q144 iteration-state rule)
+    val learned = argmin(emb, seeds).join(emb, "vec_id")
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.BoundedAggs.vecSum($"qv").as("sums"))
+      .select($"cid",
+        expr("transform(sums, sv -> CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT))")
+          .as("cq"))
+      .localCheckpoint(true)
+    val assigned = argmin(emb, learned).join(emb, "vec_id")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+      .crossJoin(broadcast(learned))
+      .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"dist", $"cid")))
+      .filter($"crank" <= 2)
+      .select($"vec_id".as("query_id"), $"qv".as("probe_qv"), $"cid")
+    val w = Window.partitionBy($"query_id").orderBy($"dist", $"neighbor")
+    assigned.join(broadcast(queries), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"qv", $"probe_qv").as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"neighbor", $"dist")
       .orderBy($"query_id", $"rank")
   }
 
@@ -589,6 +657,54 @@ object VectorOps {
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
   def oracles: Map[String, String] = Map(
+    "q147_ivf_learned" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 16),
+         a0 AS (
+           SELECT vec_id, cid FROM (
+             SELECT q.vec_id, s.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qv, s.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), s.cid) AS rn
+             FROM q, seeds s) WHERE rn = 1),
+         cellsum AS (
+           SELECT a0.cid, t.i, sum(q.qv[t.i]) AS sdim, count(*) AS nvec
+           FROM a0 JOIN q USING (vec_id), generate_series(1, 64) AS t(i)
+           GROUP BY 1, 2),
+         cents AS (
+           SELECT cid, list(CAST(floor(CAST(sdim AS DOUBLE) / nvec) AS BIGINT)
+             ORDER BY i) AS cq
+           FROM cellsum GROUP BY cid),
+         a1 AS (
+           SELECT vec_id, cid FROM (
+             SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM q, cents c) WHERE rn = 1),
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT q.vec_id, q.qv, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM q, cents c WHERE q.vec_id % 100 = 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, a1.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM a1 JOIN q aq USING (vec_id) JOIN qs ON a1.cid = qs.cid
+           WHERE a1.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, neighbor, dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS BIGINT) AS rank
+           FROM cand)
+         SELECT query_id, rank, neighbor, dist FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q105_ivfpq_ann" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,
