@@ -84,6 +84,34 @@ object StreamBench {
     }
   }
 
+  /** Deterministic NEXMark bids (pre-generated: the generator's cost is
+    * the source's, not the engine's). Shared with [[StreamProfile]].
+    */
+  private[graft] def genBids(nBids: Int): Seq[Bid] =
+    (0L until (nBids.toLong * Nexmark.ProportionDenominator
+        / Nexmark.BidProportion))
+      .filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
+
+  /** Bid-derived CDC change log (64k hot keys, ~1/10 deletes). Shared
+    * with [[StreamProfile]].
+    */
+  private[graft] def genCdc(bids: Seq[Bid]): Seq[StreamOps.CdcEvent] =
+    bids.zipWithIndex.map { case (b, i) =>
+      StreamOps.CdcEvent(b.bidder % 65536, b.b_date_time, i.toLong,
+        if (b.auction % 10 == 0) "delete" else "upsert", s"p${b.price}")
+    }
+
+  /** Bid-derived attribution touches (2/3 clicks, 7 channels). Shared
+    * with [[StreamProfile]].
+    */
+  private[graft] def genTouch(bids: Seq[Bid]): Seq[StreamOps.TouchEvent] =
+    bids.map { b =>
+      val isClick = b.auction % 3 != 0
+      StreamOps.TouchEvent(b.bidder % 65536, b.b_date_time, b.auction,
+        if (isClick) "click" else "purchase", b.price / 100.0,
+        if (isClick) b.auction % 7 else -1L)
+    }
+
   private def measureWith(spark: SparkSession, nBids: Int,
       batchSize: Int): Seq[(String, Double)] = {
     import spark.implicits._
@@ -91,9 +119,7 @@ object StreamBench {
 
     // events must exist before timing starts: the generator's cost is the
     // source's, not the engine's (the reference also pre-generates epochs)
-    val bids: Seq[Bid] = (0L until (nBids.toLong * Nexmark.ProportionDenominator
-        / Nexmark.BidProportion))
-      .filter(Nexmark.kindOf(_) == 2).map(Nexmark.genBid(_, 1000))
+    val bids: Seq[Bid] = genBids(nBids)
 
     def rate[T](name: String, events: Seq[T], chunkSize: Int,
         mode: OutputMode = OutputMode.Append)(
@@ -161,22 +187,13 @@ object StreamBench {
     // CDC upsert materialization (changes/s): per-key latest-version
     // state (ts, seq) with tombstoned deletes — 64k hot keys so state
     // stays bounded while every change is a state hit.
-    val cdcEvents: Seq[StreamOps.CdcEvent] = bids.zipWithIndex.map {
-      case (b, i) =>
-        StreamOps.CdcEvent(b.bidder % 65536, b.b_date_time, i.toLong,
-          if (b.auction % 10 == 0) "delete" else "upsert", s"p${b.price}")
-    }
+    val cdcEvents: Seq[StreamOps.CdcEvent] = genCdc(bids)
     val cdc = rate("cdc_cps", cdcEvents, batchSize, OutputMode.Update)(in =>
       StreamOps.cdcApplyStream(in.toDS()).toDF())
 
     // Last-touch attribution (events/s): two longs of last-click state
     // per user; purchases emit credits against the 7-day lookback.
-    val touchEvents: Seq[StreamOps.TouchEvent] = bids.map { b =>
-      val isClick = b.auction % 3 != 0
-      StreamOps.TouchEvent(b.bidder % 65536, b.b_date_time, b.auction,
-        if (isClick) "click" else "purchase", b.price / 100.0,
-        if (isClick) b.auction % 7 else -1L)
-    }
+    val touchEvents: Seq[StreamOps.TouchEvent] = genTouch(bids)
     val attrib = rate("attrib_eps", touchEvents, batchSize)(in =>
       StreamOps.attributionStream(in.toDS(),
         lookbackMs = 7L * 24 * 3600 * 1000).toDF())

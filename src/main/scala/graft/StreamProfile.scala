@@ -5,18 +5,20 @@ import java.util.Locale
 import org.apache.spark.sql.SparkSession
 import graft.streaming.StreamOps
 
-/** Rate-vs-batch-size profile for the two slowest streaming paths —
-  * ingest (dedup→quality→langid→windowed counts, two stateful operators)
-  * and Misra-Gries heavy hitters — across micro-batch size and state
-  * store provider: `runMain graft.StreamProfile [maxBatch] [cpus]`.
+/** Rate-vs-batch-size profile for the stateful streaming paths — ingest
+  * (dedup→quality→langid→windowed counts, two stateful operators),
+  * Misra-Gries heavy hitters, LSH near-dup banding, CDC upsert
+  * materialization, and last-touch attribution — across micro-batch
+  * size and state store provider:
+  * `runMain graft.StreamProfile [maxBatch] [cpus]`.
   *
   * Motivation: the windowed NEXMark ops sustain 76–100k events/s while
-  * these two sit at ~7k docs/s; the suspected cost is per-batch overhead
-  * (state-store commits + task launches per stateful operator), which
-  * amortizes with batch size. The sweep holds everything fixed except
-  * micro-batch size and provider, and prints ONE JSON line whose rows
-  * locate the knee. Each config pre-generates its own docs (4 batches: 1
-  * warm-up + 3 timed).
+  * the doc-keyed pipelines sit at ~7k docs/s; the dominant cost is
+  * per-batch overhead (state-store commits + task launches per stateful
+  * operator), which amortizes with batch size. The sweep holds
+  * everything fixed except micro-batch size and provider, and prints
+  * ONE JSON line whose rows locate the knee. Each config pre-generates
+  * its own events (4 batches: 1 warm-up + 3 timed).
   */
 object StreamProfile {
 
@@ -44,21 +46,36 @@ object StreamProfile {
     } yield {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
       val docs = StreamBench.genDocs(batch * 4)
+      // event-keyed ops run at the raw batch size (the doc ops carry
+      // ~40 tokens/doc, so their per-row work is an order heavier)
+      val bids = StreamBench.genBids(batch * 4)
       import spark.implicits._
       val ingest = StreamBench.rateOf(spark, s"ingest/$store/$batch",
         docs, batch)(in => StreamOps.ingestPipelineStream(in.toDS(), "10 seconds"))
       val hh = StreamBench.rateOf(spark, s"hh/$store/$batch",
         docs, batch)(in => StreamOps.heavyHittersStream(in.toDS(),
         windowSecs = 10, k = 16, watermark = "0 seconds").toDF())
-      (store, batch, ingest._2, hh._2)
+      val nd = StreamBench.rateOf(spark, s"neardup/$store/$batch",
+        docs, batch)(in => StreamOps.nearDupLshStream(in.toDS(),
+        "10 seconds", horizonMs = 10000L).toDF())
+      val cdc = StreamBench.rateOf(spark, s"cdc/$store/$batch",
+        StreamBench.genCdc(bids), bids.length / 4,
+        org.apache.spark.sql.streaming.OutputMode.Update)(in =>
+        StreamOps.cdcApplyStream(in.toDS()).toDF())
+      val at = StreamBench.rateOf(spark, s"attrib/$store/$batch",
+        StreamBench.genTouch(bids), bids.length / 4)(in =>
+        StreamOps.attributionStream(in.toDS()).toDF())
+      (store, batch, ingest._2, hh._2, nd._2, cdc._2, at._2)
     }
 
-    val json = rows.map { case (store, batch, ing, hh) =>
+    val json = rows.map { case (store, batch, ing, hh, nd, cdc, at) =>
       String.format(Locale.ROOT,
-        """{"store":"%s","batch":%d,"ingest_dps":%.0f,"hh_dps":%.0f}""",
-        store, Int.box(batch), Double.box(ing), Double.box(hh))
+        """{"store":"%s","batch":%d,"ingest_dps":%.0f,"hh_dps":%.0f,""" +
+          """"neardup_dps":%.0f,"cdc_cps":%.0f,"attrib_eps":%.0f}""",
+        store, Int.box(batch), Double.box(ing), Double.box(hh),
+        Double.box(nd), Double.box(cdc), Double.box(at))
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"stream_profile","unit":"docs_per_sec","cpus":"$cpus","rows":$json}""")
+    println(s"""{"metric":"stream_profile","unit":"rows_per_sec","cpus":"$cpus","rows":$json}""")
     spark.stop()
   }
 }

@@ -37,6 +37,15 @@ object Tables {
     // per task is exactly the bounded structure the plan wants, so every
     // graft session raises the ceiling.
     spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "100000")
+    // Engine invariant: ANSI arithmetic. The integer lift/ratio devices
+    // (q137's `1000·cnt·total div (lc·rc)`, q112's idf_k cross-product)
+    // carry documented corpus-size operand caps (~10⁹ tokens); under
+    // ANSI an int64 overflow past those caps ERRORS — same behavior as
+    // DuckDB — where legacy mode would silently wrap into a
+    // plausible-looking wrong value. Spark 4 defaults to true; pinning
+    // it here makes the cap enforcement independent of any session
+    // builder's config (LiftOverflowSpec proves the failure mode).
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // only the driver's NANOS files surface ts as a long; re-materialized
     // copies (MakeBigSf) already store a proper timestamp — leave those

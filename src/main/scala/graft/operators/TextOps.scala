@@ -523,9 +523,12 @@ object TextOps {
     * The top-30 is a TakeOrderedAndProject over the pair relation, and
     * only those 30 rows join the unigram counts — the lift arithmetic
     * never touches the full pair distribution. Int64 width: cnt·N ≤
-    * ~10¹⁸ holds up to ~10⁹-token corpora per run; beyond that the lift
-    * drops a digit of scale (documented cap, same family as q112's
-    * idf_k operand bound).
+    * ~10¹⁸ holds up to ~10⁹-token corpora per run; past that the lift
+    * ERRORS rather than silently wrapping — every graft session runs
+    * ANSI arithmetic (pinned in Tables, proven by LiftOverflowSpec),
+    * matching DuckDB's own BIGINT overflow error. Same enforced bound
+    * as q112's idf_k operand cap; the remedy at that scale is dropping
+    * the permille digit (divide cnt·N by 1000 before the lift).
     */
   private def q137(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1547,9 +1550,11 @@ object TextOps {
     * the k1/b rationals cross-multiplied into one floor division, so
     * Spark and DuckDB rank identically (a float BM25 would tie-break on
     * summation noise). idf is the quantized-ratio device from q84; at
-    * extreme N/df ratios the product is bounded by capping idf_k's
-    * operand widths (documented, not hit by query terms — high-df by
-    * construction).
+    * extreme N/df ratios the cross-product can exceed int64 — not hit
+    * by query terms (high-df by construction), and ENFORCED rather than
+    * remembered: ANSI arithmetic (pinned in Tables) makes an overflow
+    * error out loudly, same as DuckDB (LiftOverflowSpec proves the
+    * failure mode on this exact expression shape).
     *
     * Scale: tf/df/len relations derive from one (tok, doc_id) pair
     * aggregation (map-side combined); the 3-term query relation
