@@ -50,7 +50,10 @@ object Plans {
     "q144_bpe_merges" -> "BPE training: one corpus pass to word counts; BATCHED merge rounds on the checkpointed word-type table (safe-prefix selector, exact vs sequential) — top candidates collect to the driver and apply as literal codegen'd array folds, no per-merge broadcast join",
     "q145_bpe_segment" -> "BPE application report: one corpus pass to (source,word) counts, vocab-cardinality join to the learned word-type table — nothing per-position after training",
     "q146_source_divergence" -> "per-source divergence: (source,token) counts once, global model rolls up through the reused Exchange, all bit terms folded as masses",
-    "q147_ivf_learned" -> "IVF over LEARNED centroids: one Lloyd step (broadcast seed argmin + VecSum update) checkpointed at 16 rows, then the q40-shape 2-probe serve — corpus contributes one long per vector per assignment pass")
+    "q147_ivf_learned" -> "IVF over LEARNED centroids: one Lloyd step (broadcast seed argmin + VecSum update) checkpointed at 16 rows, then the q40-shape 2-probe serve — corpus contributes one long per vector per assignment pass",
+    "q148_split_leakage" -> "split-leakage audit: banded LSH pair join (never all-pairs) + map-side md5 split assignment; classification joins at PAIR cardinality, 6-row matrix rollup",
+    "q149_kmeans_convergence" -> "Lloyd convergence report: per iteration one broadcast packed-argmin pass (one long per vector) + 16-row rollup; iteration count is the driver-loop bound, data work constant per round",
+    "q150_zipf_profile" -> "Zipf profile: one (source,tok) count pass; rank window pre-prunes rk <= 256 into WindowGroupLimit (never sorts a full vocabulary on one task); totals reuse the count exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

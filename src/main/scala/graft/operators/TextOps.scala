@@ -115,6 +115,8 @@ object TextOps {
     "q35_langid" -> ((s, d) => q35(s, d)),
     "q36_winnow_fingerprints" -> ((s, d) => q36(s, d)),
     "q61_minhash_md5" -> ((s, d) => q61(s, d)),
+    "q148_split_leakage" -> ((s, d) => q148(s, d)),
+    "q150_zipf_profile" -> ((s, d) => q150(s, d)),
     "q63_winnow_md5" -> ((s, d) => q63(s, d)),
     "q64_simhash_md5" -> ((s, d) => q64(s, d)),
     "q65_pipeline" -> ((s, d) => q65(s, d)),
@@ -566,6 +568,53 @@ object TextOps {
       .select($"pair", $"cnt", $"n_docs",
         expr("(1000 * cnt * total) div (lc * rc)").as("lift_permille"))
       .orderBy($"cnt".desc, $"pair")
+  }
+
+  /** Zipf profile — the corpus-naturalness signal a curation pipeline
+    * reads beside volume and quality scores: natural language follows
+    * count ∝ rank^(-s) with s ≈ 1, so the BITS of the rank-r count
+    * drop ≈ s·log2(r); machine-generated or template spam flattens or
+    * cliffs the curve. Per source: the whole-bit count heights at ranks
+    * 1/4/16/64/256 (rank ties broken by token string — total order,
+    * engine-independent) and the integer slope in permille-bits per
+    * doubling, computed from the deepest rank the source's vocabulary
+    * reaches (-1 sentinels for missing ranks). Whole-bit device as in
+    * q109/q146 — everything int64-exact.
+    *
+    * Scale: ONE (source, tok) count pass (map-side combined); the rank
+    * window pre-prunes with `row_number <= 256`, which compiles to
+    * WindowGroupLimit — each map task keeps 256 rows per source below
+    * the exchange, so the ranking never sorts a source's full
+    * vocabulary on one task (the q135 device); the totals rollup reuses
+    * the same count aggregate (no pruning-divergent columns, so the
+    * exchange is shared).
+    */
+  private def q150(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sc = docs(s, d)
+      .select($"source", explode($"toks").as("tok"))
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"tok")
+    def bitsAt(r: Int) = coalesce(
+      max(when($"rk" === r, expr("length(bin(cnt)) - 1"))), lit(-1L))
+    val prof = sc.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 256)
+      .groupBy($"source")
+      .agg(bitsAt(1).as("b1"), bitsAt(4).as("b4"), bitsAt(16).as("b16"),
+        bitsAt(64).as("b64"), bitsAt(256).as("b256"))
+    val tot = sc.groupBy($"source")
+      .agg(count(lit(1)).as("vocab"), sum($"cnt").as("n_tokens"))
+    tot.join(prof, "source")
+      .withColumn("slope_permille", expr(
+        """CASE WHEN b256 >= 0 THEN (1000 * (b1 - b256)) div 8
+                WHEN b64  >= 0 THEN (1000 * (b1 - b64))  div 6
+                WHEN b16  >= 0 THEN (1000 * (b1 - b16))  div 4
+                WHEN b4   >= 0 THEN (1000 * (b1 - b4))   div 2
+                ELSE 0 END"""))
+      .select($"source", $"vocab", $"n_tokens", $"b1", $"b4", $"b16",
+        $"b64", $"b256", $"slope_permille")
+      .orderBy($"source")
   }
 
   /** Shared base of q137/q138: adjacent-pair multiplicities per doc —
@@ -1229,6 +1278,59 @@ object TextOps {
     md5LshScoredPairs(s, d)
       .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
       .orderBy($"id1", $"id2")
+  }
+
+  /** Train/val/test split + near-dup leakage audit — the split-hygiene
+    * check a pre-training pipeline runs before committing a split: docs
+    * are assigned 90/5/5 by a deterministic content-free hash of their
+    * id, and every near-dup pair (the md5-LSH dedup family's J > 0.8
+    * relation, q61's corpus slice) is classified by the split sides it
+    * straddles. A train↔val/test pair is LEAKAGE — the eval metric
+    * would partially score memorization; within-split pairs are the
+    * ordinary dedup backlog. Output is the full 6-cell split-pair
+    * matrix with split sizes, so a zero-leak result is a visible row,
+    * not an absent one.
+    *
+    * Scale: the pair relation is the q33/q61 banded LSH join (never
+    * all-pairs); split assignment is one md5 per doc id, map-side; the
+    * classification attaches two id-keyed (doc_id, split) lookups at
+    * PAIR cardinality, and the matrix rollup is six rows.
+    */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val splits = Tables(s, d, "documents").filter($"doc_id" % 5 === 0)
+      .select($"doc_id", expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)" +
+          " as bigint) % 100").as("bucket"))
+      .select($"doc_id",
+        when($"bucket" < 90, "train").when($"bucket" < 95, "val")
+          .otherwise("test").as("part"))
+    val combos = Seq(("train", "train"), ("train", "val"), ("train", "test"),
+      ("val", "val"), ("val", "test"), ("test", "test"))
+      .toDF("split_a", "split_b")
+    def rankOf(c: String) =
+      expr(s"CASE $c WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END")
+    val cls = md5LshScoredPairs(s, d).select($"id1", $"id2")
+      .join(splits.select($"doc_id".as("id1"), $"part".as("p1")), "id1")
+      .join(splits.select($"doc_id".as("id2"), $"part".as("p2")), "id2")
+      .withColumn("r1", rankOf("p1")).withColumn("r2", rankOf("p2"))
+      .select(when($"r1" <= $"r2", $"p1").otherwise($"p2").as("split_a"),
+        when($"r1" <= $"r2", $"p2").otherwise($"p1").as("split_b"))
+    val counts = cls.groupBy($"split_a", $"split_b")
+      .agg(count(lit(1)).as("np"))
+    val sizes = splits.groupBy($"part").agg(count(lit(1)).as("nd"))
+    combos
+      .join(counts, Seq("split_a", "split_b"), "left")
+      .join(sizes.select($"part".as("split_a"), $"nd".as("nda")),
+        Seq("split_a"), "left")
+      .join(sizes.select($"part".as("split_b"), $"nd".as("ndb")),
+        Seq("split_b"), "left")
+      .select($"split_a", $"split_b",
+        coalesce($"nda", lit(0L)).as("n_docs_a"),
+        coalesce($"ndb", lit(0L)).as("n_docs_b"),
+        coalesce($"np", lit(0L)).as("n_pairs"),
+        ($"split_a" =!= $"split_b").as("is_leak"))
+      .orderBy(rankOf("split_a"), rankOf("split_b"))
   }
 
   /** Winnowed rolling-hash document fingerprints (window 4). */
@@ -2137,6 +2239,76 @@ object TextOps {
       """
          SELECT id1, id2, round(jaccard, 4) AS jaccard
          FROM j WHERE jaccard > 0.8 ORDER BY id1, id2"""),
+    "q148_split_leakage" ->
+      (DuckMacros.Sm64 + "WITH " + Md5LshChainSql + """,
+         pr AS (SELECT id1, id2 FROM j WHERE jaccard > 0.8),
+         sp AS (
+           SELECT doc_id, CASE WHEN bk < 90 THEN 'train'
+                               WHEN bk < 95 THEN 'val'
+                               ELSE 'test' END AS part
+           FROM (SELECT doc_id,
+                   CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS UBIGINT) % 100 AS bk
+                 FROM documents WHERE doc_id % 5 = 0)),
+         combos(split_a, split_b) AS (VALUES
+           ('train','train'),('train','val'),('train','test'),
+           ('val','val'),('val','test'),('test','test')),
+         cls AS (
+           SELECT CASE WHEN r1 <= r2 THEN p1 ELSE p2 END AS split_a,
+                  CASE WHEN r1 <= r2 THEN p2 ELSE p1 END AS split_b
+           FROM (
+             SELECT s1.part AS p1, s2.part AS p2,
+               CASE s1.part WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS r1,
+               CASE s2.part WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END AS r2
+             FROM pr JOIN sp s1 ON pr.id1 = s1.doc_id
+                     JOIN sp s2 ON pr.id2 = s2.doc_id)),
+         cnt AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS np
+                 FROM cls GROUP BY 1, 2),
+         sz AS (SELECT part, CAST(count(*) AS BIGINT) AS nd
+                FROM sp GROUP BY 1)
+         SELECT c.split_a, c.split_b,
+           CAST(coalesce(sa.nd, 0) AS BIGINT) AS n_docs_a,
+           CAST(coalesce(sb.nd, 0) AS BIGINT) AS n_docs_b,
+           CAST(coalesce(cnt.np, 0) AS BIGINT) AS n_pairs,
+           (c.split_a <> c.split_b) AS is_leak
+         FROM combos c
+         LEFT JOIN cnt ON c.split_a = cnt.split_a AND c.split_b = cnt.split_b
+         LEFT JOIN sz sa ON c.split_a = sa.part
+         LEFT JOIN sz sb ON c.split_b = sb.part
+         ORDER BY CASE c.split_a WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END,
+                  CASE c.split_b WHEN 'train' THEN 0 WHEN 'val' THEN 1 ELSE 2 END"""),
+    "q150_zipf_profile" ->
+      """WITH sc AS (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT source,
+                   unnest(string_split_regex(text, '\s+')) AS tok
+                 FROM documents)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT source, cnt,
+             row_number() OVER (PARTITION BY source
+               ORDER BY cnt DESC, tok) AS rk
+           FROM sc),
+         prof AS (
+           SELECT source,
+             CAST(coalesce(max(CASE WHEN rk = 1 THEN len(bin(cnt)) - 1 END), -1) AS BIGINT) AS b1,
+             CAST(coalesce(max(CASE WHEN rk = 4 THEN len(bin(cnt)) - 1 END), -1) AS BIGINT) AS b4,
+             CAST(coalesce(max(CASE WHEN rk = 16 THEN len(bin(cnt)) - 1 END), -1) AS BIGINT) AS b16,
+             CAST(coalesce(max(CASE WHEN rk = 64 THEN len(bin(cnt)) - 1 END), -1) AS BIGINT) AS b64,
+             CAST(coalesce(max(CASE WHEN rk = 256 THEN len(bin(cnt)) - 1 END), -1) AS BIGINT) AS b256
+           FROM ranked WHERE rk IN (1, 4, 16, 64, 256) GROUP BY source),
+         tot AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens
+           FROM sc GROUP BY 1)
+         SELECT t.source, vocab, n_tokens, b1, b4, b16, b64, b256,
+           CAST(CASE WHEN b256 >= 0 THEN (1000 * (b1 - b256)) // 8
+                     WHEN b64  >= 0 THEN (1000 * (b1 - b64))  // 6
+                     WHEN b16  >= 0 THEN (1000 * (b1 - b16))  // 4
+                     WHEN b4   >= 0 THEN (1000 * (b1 - b4))   // 2
+                     ELSE 0 END AS BIGINT) AS slope_permille
+         FROM tot t JOIN prof USING (source)
+         ORDER BY t.source""",
     "q109_unigram_surprisal" ->
       """WITH toks AS (
            SELECT doc_id, lang, source,

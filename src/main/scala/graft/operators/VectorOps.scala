@@ -37,7 +37,8 @@ object VectorOps {
     "q105_ivfpq_ann" -> ((s, d) => q105(s, d)),
     "q132_int8_quant" -> ((s, d) => q132(s, d)),
     "q142_hard_negatives" -> ((s, d) => q142(s, d)),
-    "q147_ivf_learned" -> ((s, d) => q147(s, d))
+    "q147_ivf_learned" -> ((s, d) => q147(s, d)),
+    "q149_kmeans_convergence" -> ((s, d) => q149(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -515,24 +516,39 @@ object VectorOps {
     * middle stages; the round count is a driver loop over k×dim-sized
     * state, like q144's merge rounds.
     */
-  private def q147(s: SparkSession, d: String): DataFrame = {
+  /** int64-quantized embeddings (the q72/q85/q147/q149 shared space). */
+  private def quantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables(s, d, "embeddings")
+    Tables(s, d, "embeddings")
       .select($"vec_id", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"
       ).as("qv"))
-    val seeds = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"qv".as("cq"))
-    def argmin(in: DataFrame, cents: DataFrame): DataFrame =
-      in.crossJoin(broadcast(cents))
-        .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
-        .groupBy($"vec_id")
-        .agg(min($"dist" * 16 + $"cid").as("packed"))
-        .select($"vec_id", pmod($"packed", lit(16)).as("cid"))
-    // localCheckpoint: three consumers reference the learned table (both
-    // serving argmins + the probe ranking); without the cut each would
-    // re-run the whole training pass (the q110/q144 iteration-state rule)
-    val learned = argmin(emb, seeds).join(emb, "vec_id")
+  }
+
+  /** Packed-argmin assignment (vec_id, cid, dist) against <=16 broadcast
+    * centroids — see q72 for the dist·16+cid encoding rationale.
+    */
+  private def argminPacked(in: DataFrame, cents: DataFrame): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    in.crossJoin(broadcast(cents))
+      .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .groupBy($"vec_id")
+      .agg(min($"dist" * 16 + $"cid").as("packed"))
+      .select($"vec_id", pmod($"packed", lit(16)).as("cid"),
+        expr("packed div 16").as("dist"))
+  }
+
+  /** One Lloyd update: per-cell integer-floor means of an assignment
+    * (floor(sum / n) in IEEE double — |sum| far below 2^53, identical
+    * on both engines, and floor-then-cast sidesteps DuckDB's rounding
+    * CAST). localCheckpoint'ed: the learned table is consumed by
+    * several downstream subtrees (the q110/q144 iteration-state rule).
+    */
+  private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    argminPacked(emb, cents).join(emb, "vec_id")
       .groupBy($"cid")
       .agg(count(lit(1)).as("n"),
         graft.functions.BoundedAggs.vecSum($"qv").as("sums"))
@@ -540,6 +556,16 @@ object VectorOps {
         expr("transform(sums, sv -> CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT))")
           .as("cq"))
       .localCheckpoint(true)
+  }
+
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    def argmin(in: DataFrame, cents: DataFrame): DataFrame =
+      argminPacked(in, cents).drop("dist")
+    val learned = lloydStep(emb, seeds)
     val assigned = argmin(emb, learned).join(emb, "vec_id")
     val queries = emb.filter($"vec_id" % 100 === 0)
       .crossJoin(broadcast(learned))
@@ -557,6 +583,40 @@ object VectorOps {
       .filter($"rank" <= 5)
       .select($"query_id", $"rank", $"neighbor", $"dist")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Lloyd-iteration convergence report — the metric an index-build
+    * pipeline watches while training the q147 coarse quantizer: per
+    * iteration (0 = raw seeds, 1 = after one Lloyd step), the number of
+    * non-empty cells, the hottest cell's size (routing skew — a
+    * too-hot cell is the IVF analog of a hot shuffle key), and the
+    * total distortion (sum of each vector's squared distance to its
+    * centroid — Lloyd's objective, guaranteed non-increasing). All
+    * int64-exact: distortion sums are bounded by ~2.6e8 per vector, so
+    * int64 holds to ~3·10^10 vectors.
+    *
+    * Scale: each iteration is one broadcast packed-argmin pass (one
+    * long per vector through its shuffle) + a 16-row rollup; more
+    * iterations append more rows — the driver-loop count is the bound,
+    * exactly like q144's merge rounds, with data work constant per
+    * round.
+    */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val learned = lloydStep(emb, seeds)
+    def report(iter: Long, cents: DataFrame): DataFrame = {
+      val a = argminPacked(emb, cents)
+      val cells = a.groupBy($"cid").agg(count(lit(1)).as("n"))
+      a.agg(count(lit(1)).as("n_vecs"), sum($"dist").as("distortion"))
+        .crossJoin(cells.agg(count(lit(1)).as("n_cells"),
+          max($"n").as("max_cell")))
+        .select(lit(iter).as("iter"), $"n_cells", $"n_vecs", $"max_cell",
+          $"distortion")
+    }
+    report(0L, seeds).unionByName(report(1L, learned)).orderBy($"iter")
   }
 
   /** The hyperplane family in DuckDB: sign p at dim i = low bit of
@@ -657,6 +717,55 @@ object VectorOps {
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
   def oracles: Map[String, String] = Map(
+    "q149_kmeans_convergence" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         seeds AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 16),
+         d0 AS (
+           SELECT q.vec_id, s.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, s.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM q, seeds s),
+         a0 AS (
+           SELECT vec_id, cid, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1),
+         cellsum AS (
+           SELECT a0.cid, t.i, sum(q.qv[t.i]) AS sdim, count(*) AS nvec
+           FROM a0 JOIN q USING (vec_id), generate_series(1, 64) AS t(i)
+           GROUP BY 1, 2),
+         cents AS (
+           SELECT cid, list(CAST(floor(CAST(sdim AS DOUBLE) / nvec) AS BIGINT)
+             ORDER BY i) AS cq
+           FROM cellsum GROUP BY cid),
+         d1 AS (
+           SELECT q.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM q, cents c),
+         a1 AS (
+           SELECT vec_id, cid, dist FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
+         r0 AS (
+           SELECT CAST(0 AS BIGINT) AS iter,
+             CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             (SELECT CAST(max(c) AS BIGINT) FROM
+               (SELECT count(*) AS c FROM a0 GROUP BY cid)) AS max_cell,
+             CAST(sum(dist) AS BIGINT) AS distortion
+           FROM a0),
+         r1 AS (
+           SELECT CAST(1 AS BIGINT) AS iter,
+             CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
+             CAST(count(*) AS BIGINT) AS n_vecs,
+             (SELECT CAST(max(c) AS BIGINT) FROM
+               (SELECT count(*) AS c FROM a1 GROUP BY cid)) AS max_cell,
+             CAST(sum(dist) AS BIGINT) AS distortion
+           FROM a1)
+         SELECT * FROM r0 UNION ALL SELECT * FROM r1 ORDER BY iter""",
     "q147_ivf_learned" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,

@@ -195,4 +195,18 @@ class VectorOpsSpec extends SparkSpec {
     // recall is a proper fraction
     got.foreach { case (_, k, m, pm) => assert(m <= k && pm <= 1000) }
   }
+
+  test("q149: a Lloyd step never increases distortion, never loses vectors") {
+    import spark.implicits._
+    val rows = VectorOps.defs("q149_kmeans_convergence")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L))
+    val Seq(seed, learned) = rows
+    assert(seed._3 == learned._3, "every vector stays assigned")
+    assert(learned._5 <= seed._5,
+      s"Lloyd's objective must not increase: ${seed._5} -> ${learned._5}")
+    assert(learned._5 < seed._5,
+      "on the driver corpus the first step strictly improves")
+    assert(seed._2 <= 16 && learned._2 <= 16)
+  }
 }
