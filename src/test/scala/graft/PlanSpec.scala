@@ -227,6 +227,20 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected exactly one lang exchange, found $n:\n${p.take(1200)}")
   }
 
+  test("q150 bounds the rank window and shares one (source, tok) exchange") {
+    // rk <= 256 must compile to WindowGroupLimit (no source's full
+    // vocabulary sorts on one task), and the profile + totals branches
+    // must reuse ONE (source, tok) count exchange — tok is a group key
+    // in both, so pruning cannot fork the subtrees.
+    val df = graft.operators.TextOps.defs("q150_zipf_profile")(spark, sfDir)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+    df.collect()
+    val fin = plan(df).split("== Initial Plan ==")(0)
+    assert(fin.contains("ReusedExchange"),
+      s"q150 must share the count exchange:\n${fin.take(1200)}")
+  }
+
   test("rank-k window filters compile to WindowGroupLimit (partial top-k)") {
     // Spark 3.5+ plants WindowGroupLimit below the shuffle for
     // row_number()-filter patterns — per-partition top-k BEFORE the
