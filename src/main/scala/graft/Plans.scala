@@ -53,7 +53,8 @@ object Plans {
     "q147_ivf_learned" -> "IVF over LEARNED centroids: one Lloyd step (broadcast seed argmin + VecSum update) checkpointed at 16 rows, then the q40-shape 2-probe serve — corpus contributes one long per vector per assignment pass",
     "q148_split_leakage" -> "split-leakage audit: banded LSH pair join (never all-pairs) + map-side md5 split assignment; classification joins at PAIR cardinality, 6-row matrix rollup",
     "q149_kmeans_convergence" -> "Lloyd convergence report: per iteration one broadcast packed-argmin pass (one long per vector) + 16-row rollup; iteration count is the driver-loop bound, data work constant per round",
-    "q150_zipf_profile" -> "Zipf profile: one (source,tok) count pass; rank window pre-prunes rk <= 256 into WindowGroupLimit (never sorts a full vocabulary on one task); totals reuse the count exchange")
+    "q150_zipf_profile" -> "Zipf profile: one (source,tok) count pass; rank window pre-prunes rk <= 256 into WindowGroupLimit (never sorts a full vocabulary on one task); totals reuse the count exchange",
+    "q151_dup_spectrum" -> "duplicate-mass spectrum: in-row CDC chunking, md5 map-side so only (digest, ch_tok) shuffles once with map-side combine; 6-row rollup — text never moves")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -44,6 +44,7 @@ object PipelineOps {
     "q104_snapshot_merge" -> ((s, d) => q104(s, d)),
     "q106_cluster_split" -> ((s, d) => q106(s, d)),
     "q107_cdc_chunks" -> ((s, d) => q107(s, d)),
+    "q151_dup_spectrum" -> ((s, d) => q151(s, d)),
     "q110_graph_rank" -> ((s, d) => q110(s, d)),
     "q117_source_novelty" -> ((s, d) => q117(s, d)),
     "q119_weighted_sample" -> ((s, d) => q119(s, d)),
@@ -354,11 +355,53 @@ object PipelineOps {
     * per source. Same dataflow as q89 with the grid swapped for content
     * boundaries.
     */
+  /** Duplicate-mass SPECTRUM — where the duplicated mass lives: for
+    * every distinct content-defined chunk (q107's CDC unit), its
+    * occurrence multiplicity, bucketed on a log2-ish scale. A corpus
+    * whose removable mass concentrates in the 17+ bucket is dominated
+    * by boilerplate mega-families (fix: one exact-hash pass, q31/q89);
+    * mass spread across 2–8 is organic near-duplication (fix: the LSH
+    * family, q33/q86) — the histogram IS the dedup-strategy decision
+    * input, which single totals (q107's per-source rollup) can't give.
+    * `removable_tokens` = Σ (occ−1)·chunk_tokens per bucket — the exact
+    * token mass a keep-one-occurrence rewrite frees. All six buckets
+    * always present (zero rows visible, the q148 principle).
+    *
+    * Scale: one chunking pass (inside-the-row higher-order functions,
+    * q107's path); md5 computes map-side so only (16-byte hash, ch_tok)
+    * ever shuffles — ONE digest-keyed exchange with map-side combine;
+    * the spectrum rollup is 6 rows. Text never moves.
+    */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucketCase =
+      """CASE WHEN occ = 1 THEN 0 WHEN occ = 2 THEN 1
+              WHEN occ <= 4 THEN 2 WHEN occ <= 8 THEN 3
+              WHEN occ <= 16 THEN 4 ELSE 5 END"""
+    val combos = Seq(("1", 0), ("2", 1), ("3-4", 2), ("5-8", 3),
+      ("9-16", 4), ("17+", 5)).toDF("bucket", "rk")
+    val perHash = cdcChunks(docs(s, d))
+      .select(md5($"chunk").as("h"), $"ch_tok")
+      .groupBy($"h")
+      .agg(count(lit(1)).as("occ"), max($"ch_tok").as("ch_tok"))
+    val agg = perHash.withColumn("rk", expr(bucketCase))
+      .groupBy($"rk")
+      .agg(count(lit(1)).as("nc"), sum($"occ").as("no"),
+        sum(($"occ" - 1) * $"ch_tok").as("rm"))
+    combos.join(agg, Seq("rk"), "left")
+      .select($"bucket",
+        coalesce($"nc", lit(0L)).as("n_chunks"),
+        coalesce($"no", lit(0L)).as("n_occurrences"),
+        coalesce($"rm", lit(0L)).as("removable_tokens"))
+      .orderBy($"rk")
+      .select($"bucket", $"n_chunks", $"n_occurrences", $"removable_tokens")
+  }
+
   /** Content-defined chunk rows (…, chunk, ch_tok) from a frame with a
     * `toks` array column — boundaries AFTER tokens whose md5 prefix
     * ≡ 0 (mod 8). The token count rides along from the boundary
     * arithmetic (ends−starts) instead of re-splitting the joined string.
-    * Shared by q107 and the insertion-robustness spec.
+    * Shared by q107, q151, and the insertion-robustness spec.
     */
   private[graft] def cdcChunks(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1262,6 +1305,55 @@ object PipelineOps {
              AS n_tokens_kept
          FROM ch LEFT JOIN dup ON ch.h = dup.h
          GROUP BY 1 ORDER BY 1""",
+    "q151_dup_spectrum" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, source, toks,
+             list_filter(list_transform(toks, (tk, i) ->
+               CASE WHEN ('0x' || substr(md5(tk), 1, 7))::UBIGINT % 8 = 0
+                 THEN i - 1 ELSE -1 END), x -> x >= 0) AS bpos
+           FROM t),
+         s AS (
+           SELECT doc_id, source, toks,
+             list_prepend(0, list_transform(bpos, x -> x + 1)) AS starts,
+             list_append(list_transform(bpos, x -> x + 1), len(toks)) AS ends
+           FROM b),
+         ch0 AS (
+           SELECT doc_id, source,
+             unnest(list_filter(list_transform(range(1, len(starts) + 1),
+               k -> array_to_string(toks[starts[k] + 1 : ends[k]], ' ')),
+               c -> c <> '')) AS chunk
+           FROM s),
+         ch AS (
+           SELECT md5(chunk) AS h,
+             CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS ch_tok
+           FROM ch0),
+         per AS (
+           SELECT h, CAST(count(*) AS BIGINT) AS occ,
+             CAST(max(ch_tok) AS BIGINT) AS ch_tok
+           FROM ch GROUP BY h),
+         bk AS (
+           SELECT CASE WHEN occ = 1 THEN 0 WHEN occ = 2 THEN 1
+                       WHEN occ <= 4 THEN 2 WHEN occ <= 8 THEN 3
+                       WHEN occ <= 16 THEN 4 ELSE 5 END AS rk,
+             occ, ch_tok
+           FROM per),
+         combos(bucket, rk) AS (VALUES
+           ('1', 0), ('2', 1), ('3-4', 2), ('5-8', 3),
+           ('9-16', 4), ('17+', 5)),
+         agg AS (
+           SELECT rk, CAST(count(*) AS BIGINT) AS nc,
+             CAST(sum(occ) AS BIGINT) AS no,
+             CAST(sum((occ - 1) * ch_tok) AS BIGINT) AS rm
+           FROM bk GROUP BY 1)
+         SELECT c.bucket,
+           CAST(coalesce(nc, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(no, 0) AS BIGINT) AS n_occurrences,
+           CAST(coalesce(rm, 0) AS BIGINT) AS removable_tokens
+         FROM combos c LEFT JOIN agg USING (rk)
+         ORDER BY c.rk""",
     "q106_cluster_split" ->
       (DuckMacros.Sm64 +
       "CREATE OR REPLACE TEMP TABLE q106_pairs AS WITH " +

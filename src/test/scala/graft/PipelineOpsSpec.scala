@@ -447,6 +447,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(r => r._1 -> r._2).toMap == expect)
   }
 
+  test("q151: duplicate-mass spectrum equals a driver-side recompute") {
+    import spark.implicits._
+    // recompute CDC chunking from raw text on the driver: boundary AFTER
+    // any token whose md5 7-hex prefix % 8 == 0 (the q107 rule)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunksOf(toks: Seq[String]): Seq[Seq[String]] = {
+      val out = Seq.newBuilder[Seq[String]]
+      var cur = Seq.newBuilder[String]
+      var n = 0
+      toks.foreach { t =>
+        cur += t; n += 1
+        if (java.lang.Long.parseLong(md5hex(t).take(7), 16) % 8 == 0) {
+          out += cur.result(); cur = Seq.newBuilder[String]; n = 0
+        }
+      }
+      if (n > 0) out += cur.result()
+      out.result()
+    }
+    val texts = Tables(spark, sfDir, "documents")
+      .select($"text".as[String]).collect().toSeq
+    val occ = texts.flatMap(t => chunksOf(t.split("\\s+").toSeq))
+      .map(c => (c.mkString(" "), c.length.toLong))
+      .groupBy(_._1).toSeq // toSeq BEFORE mapping to pairs: mapping a
+      .map { case (_, xs) => (xs.size.toLong, xs.head._2) }
+      // Map to (occ, ch_tok) pairs would re-key by occ and deduplicate
+    def rk(o: Long) = if (o == 1) 0 else if (o == 2) 1 else if (o <= 4) 2
+      else if (o <= 8) 3 else if (o <= 16) 4 else 5
+    val byBucket = occ.groupBy { case (o, _) => rk(o) }
+    val names = Seq("1", "2", "3-4", "5-8", "9-16", "17+")
+    val expected = names.zipWithIndex.map { case (b, r) =>
+      val xs = byBucket.getOrElse(r, Seq.empty)
+      (b, xs.size.toLong, xs.map(_._1).sum,
+        xs.map { case (o, tk) => (o - 1) * tk }.sum)
+    }
+    val got = run("q151_dup_spectrum")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum ==
+      texts.map(t => chunksOf(t.split("\\s+").toSeq).size.toLong).sum,
+      "occurrences across buckets must cover every chunk")
+  }
+
   test("q107: CDC chunking is insertion-robust where a fixed grid is not") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
