@@ -526,17 +526,32 @@ object VectorOps {
   }
 
   /** Packed-argmin assignment (vec_id, cid, dist) against <=16 broadcast
-    * centroids — see q72 for the dist·16+cid encoding rationale.
+    * centroids — see q72 for the dist·16+cid encoding rationale. With
+    * `carryQv` the vector rides THROUGH the aggregate via
+    * `min_by(qv, packed)` (packed is unique per (vec, cent), so the
+    * argmin is deterministic): the map-side partial agg collapses the
+    * 16 candidate rows to one per vector before the exchange either
+    * way, so carrying qv costs nothing extra on the wire and saves the
+    * vec_id-keyed join-back exchange + sorts a consumer would otherwise
+    * pay to re-attach the vector.
     */
-  private def argminPacked(in: DataFrame, cents: DataFrame): DataFrame = {
+  private def argminPacked(in: DataFrame, cents: DataFrame,
+      carryQv: Boolean = false): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
-    in.crossJoin(broadcast(cents))
+    val scored = in.crossJoin(broadcast(cents))
       .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
-      .groupBy($"vec_id")
-      .agg(min($"dist" * 16 + $"cid").as("packed"))
-      .select($"vec_id", pmod($"packed", lit(16)).as("cid"),
-        expr("packed div 16").as("dist"))
+    val aggd =
+      if (carryQv)
+        scored.groupBy($"vec_id")
+          .agg(min($"dist" * 16 + $"cid").as("packed"),
+            expr("min_by(qv, dist * 16 + cid)").as("qv"))
+      else
+        scored.groupBy($"vec_id")
+          .agg(min($"dist" * 16 + $"cid").as("packed"))
+    aggd.withColumn("cid", pmod($"packed", lit(16)))
+      .withColumn("dist", expr("packed div 16"))
+      .drop("packed")
   }
 
   /** One Lloyd update: per-cell integer-floor means of an assignment
@@ -548,7 +563,7 @@ object VectorOps {
   private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    argminPacked(emb, cents).join(emb, "vec_id")
+    argminPacked(emb, cents, carryQv = true)
       .groupBy($"cid")
       .agg(count(lit(1)).as("n"),
         graft.functions.BoundedAggs.vecSum($"qv").as("sums"))
@@ -563,10 +578,8 @@ object VectorOps {
     val emb = quantized(s, d)
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
-    def argmin(in: DataFrame, cents: DataFrame): DataFrame =
-      argminPacked(in, cents).drop("dist")
     val learned = lloydStep(emb, seeds)
-    val assigned = argmin(emb, learned).join(emb, "vec_id")
+    val assigned = argminPacked(emb, learned, carryQv = true).drop("dist")
     val queries = emb.filter($"vec_id" % 100 === 0)
       .crossJoin(broadcast(learned))
       .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
