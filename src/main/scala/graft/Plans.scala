@@ -24,7 +24,7 @@ object Plans {
     "q61_minhash_md5" -> "oracle-reproducible MinHash LSH (md5 base hashes, id-only band join)",
     "q82_decontaminate" -> "decontamination: broadcast eval n-gram digest, corpus text never shuffles",
     "q84_tfidf_topk" -> "vocabulary build: explode → two-phase (lang,token) agg → top-k over the small vocab relation",
-    "q85_kmeans_update" -> "centroid update: broadcast argmin + element-wise VecSum aggregate (k×dim state)",
+    "q85_kmeans_update" -> "centroid update: broadcast argmin carrying the vector via min_by (no vec_id join-back exchange) + element-wise VecSum aggregate (k×dim state)",
     "q93_semdedup" -> "SemDeDup: broadcast-centroid assign, pair join confined to cluster-local shuffles",
     "q94_bloom_dedup" -> "bloom build = bit_or agg over (word,mask); probe = map-side broadcast join",
     "q95_zorder_layout" -> "z-value = one codegen'd bit-fold map pass; 1-row bounds broadcast",

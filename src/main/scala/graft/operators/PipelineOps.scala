@@ -755,11 +755,15 @@ object PipelineOps {
     * is exact int64 — no division whose negative-operand rounding could
     * differ between engines.
     *
-    * Scale: assignment reuses q72's packed-argmin (broadcast centroids,
-    * one long per vector through the shuffle); the update aggregates
-    * dim-length arrays with map-side combine — k×dim longs per
-    * partition, NOT one row per (vector × dimension) as a posexplode
-    * formulation would shuffle.
+    * Scale: assignment reuses q72's packed-argmin (broadcast centroids;
+    * the vector rides THROUGH the aggregate via min_by(qv, packed) —
+    * the map-side partial collapses the k candidate rows to one per
+    * vector before the exchange, so carrying the payload costs nothing
+    * on the wire and the vec_id-keyed join-back the pre-round-8 form
+    * paid is gone — q147's measured 1.8× at sf10); the update
+    * aggregates dim-length arrays with map-side combine — k×dim longs
+    * per partition, NOT one row per (vector × dimension) as a
+    * posexplode formulation would shuffle.
     */
   private def q85(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -770,12 +774,12 @@ object PipelineOps {
     val cents = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     // packed (dist, cid) argmin — see q72 for the encoding rationale
-    val assign = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .groupBy($"vec_id")
-      .agg(min($"dist" * 16 + $"cid").as("packed"))
-      .select($"vec_id", pmod($"packed", lit(16)).as("cid"))
-    assign.join(emb, "vec_id")
+      .agg(min($"dist" * 16 + $"cid").as("packed"),
+        expr("min_by(qv, dist * 16 + cid)").as("qv"))
+      .select($"vec_id", pmod($"packed", lit(16)).as("cid"), $"qv")
       .groupBy($"cid")
       .agg(count(lit(1)).as("n_vecs"),
         graft.functions.BoundedAggs.vecSum($"qv").as("sums"))
