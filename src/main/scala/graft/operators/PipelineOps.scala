@@ -135,7 +135,11 @@ object PipelineOps {
     * window's lang partitioning — still one corpus-touching exchange,
     * now carrying <= budget·partitions rows per language instead of the
     * corpus. Languages whose best doc already overflows the budget yield
-    * no row (consistent both engines).
+    * no row (consistent both engines). The n_tok >= 1 invariant the
+    * prune relies on is made EXPLICIT with a coalesce: split() of a
+    * NULL text is NULL (size → NULL, sum skips it), which would let a
+    * NULL-text doc consume a rank while adding nothing to cum — the
+    * coalesce charges it 1 token in BOTH engines instead.
     */
   private def q135(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -144,7 +148,7 @@ object PipelineOps {
     val byQuality = Window.partitionBy($"lang").orderBy($"n_chars".desc, $"doc_id")
     Tables(s, d, "documents")
       .select($"doc_id", $"lang", $"n_chars",
-        size(split($"text", "\\s+")).cast("long").as("n_tok"))
+        coalesce(size(split($"text", "\\s+")).cast("long"), lit(1L)).as("n_tok"))
       .withColumn("rk", row_number().over(byQuality))
       .filter($"rk" <= budget)
       .withColumn("cum", sum($"n_tok").over(
@@ -1971,7 +1975,8 @@ object PipelineOps {
     "q135_token_budget" ->
       """WITH t AS (
            SELECT doc_id, lang, n_chars,
-             CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tok
+             coalesce(CAST(len(string_split_regex(text, '\s+')) AS BIGINT),
+               1) AS n_tok
            FROM documents),
          c AS (
            SELECT lang, sum(n_tok) OVER (PARTITION BY lang

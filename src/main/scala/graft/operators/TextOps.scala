@@ -955,9 +955,14 @@ object TextOps {
     * string tie-break could flip), and the leader survives untrimmed
     * because step 1 uses exact counts by definition. When the scan ends
     * without conflict, the next unexamined candidate's count bounds
-    * everything unseen (conservative when the fetched slice is the
-    * whole distribution — costs at most a smaller batch, never
-    * wrongness).
+    * everything unseen. If the scan instead consumed the whole slice
+    * AND the slice is complete (fewer than the 4m+1 fetch-limit rows
+    * came back, so it IS the entire pair distribution), there is
+    * nothing unseen to bound and no conflicting pair exists at all —
+    * counts are exactly stable across the batch's sequential steps, so
+    * every accepted rule ships untrimmed. Only when the fetch limit was
+    * actually hit does the slice's last (accepted) row double as the
+    * unseen bound, trimming accepted tail rules that tie it.
     */
   private[graft] def selectSafeBatch(
       cands: Seq[(String, String, Long)], m: Int): Seq[(String, String, Long)] = {
@@ -979,7 +984,7 @@ object TextOps {
       }
     }
     if (!stopped && idx < cands.length) cStar = cands(idx)._3
-    else if (!stopped && cands.nonEmpty) cStar = cands.last._3
+    else if (!stopped && cands.length >= 4 * m + 1) cStar = cands.last._3
     accepted.headOption.toSeq ++ accepted.drop(1).takeWhile(_._3 > cStar)
   }
 

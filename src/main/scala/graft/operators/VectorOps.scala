@@ -91,10 +91,16 @@ object VectorOps {
       .filter($"crank" <= 2)
       .select($"vec_id".as("query_id"), $"label".as("qlabel"),
         $"v".as("qv"), $"nrm".as("qn"), $"cent_id")
+    // A NaN cosine means a zero-norm vector (0/0); excluded from mining
+    // on BOTH the positive and negative sides, and the DuckDB oracle
+    // filters identically — so oracle parity is not data-dependent
+    // (KTopScored also drops NaN internally; this filter makes the
+    // positive max agree instead of returning NaN-as-largest).
     val cand = assigned.join(broadcast(queries), Seq("cent_id"))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"qlabel", $"vec_id".as("neighbor"), $"label",
         round(dot($"v", $"qv") / ($"nrm" * $"qn"), 6).as("cosine"))
+      .filter(!isnan($"cosine"))
     cand.groupBy($"query_id")
       .agg(max(when($"label" === $"qlabel", $"cosine")).as("pos_cosine"),
         graft.functions.BoundedAggs.topScored(
@@ -1074,12 +1080,13 @@ object VectorOps {
            FROM assigned a JOIN q ON a.cent_id = q.cent_id
            WHERE a.vec_id <> q.query_id),
          pos AS (SELECT query_id, max(cosine) AS pos_cosine
-                 FROM cand WHERE label = qlabel GROUP BY 1),
+                 FROM cand WHERE label = qlabel AND NOT isnan(cosine)
+                 GROUP BY 1),
          neg AS (
            SELECT query_id, neighbor, cosine,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY cosine DESC, neighbor) AS BIGINT) AS rank
-           FROM cand WHERE label <> qlabel)
+           FROM cand WHERE label <> qlabel AND NOT isnan(cosine))
          SELECT g.query_id, g.rank, g.neighbor, g.cosine AS neg_cosine,
            p.pos_cosine
          FROM neg g JOIN pos p ON p.query_id = g.query_id
