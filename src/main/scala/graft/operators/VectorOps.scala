@@ -504,23 +504,26 @@ object VectorOps {
   /** IVF with LEARNED coarse centroids — the real index-BUILD path,
     * composing the Lloyd halves the catalog already verifies (q72
     * assignment, q85 update) with the q40 routing surface: seed with
-    * vec_id < 16, run ONE full Lloyd step (assign every vector to its
-    * nearest seed, then take each cell's per-component mean), and serve
-    * queries through the LEARNED cells (2-probe, exact int64 re-rank).
-    * Everything stays in the q72 exact-integer space; the component
-    * mean is floor(sum / n) computed in double (|sum| far below 2^53 —
-    * IEEE-identical division on both engines, and floor-then-cast
-    * sidesteps DuckDB's rounding CAST), so the oracle replays training
-    * AND serving bit-exactly.
+    * vec_id < 16, run [[lloydTrain]] to CONVERGENCE (up to
+    * [[LloydMaxIters]] full Lloyd iterations, stopping at the first
+    * round whose distortion improvement drops below
+    * [[LloydMinImprove]]), and serve queries through the learned cells
+    * (2-probe, exact int64 re-rank). Everything stays in the q72
+    * exact-integer space; the component mean is floor(sum / n) computed
+    * in double (|sum| far below 2^53 — IEEE-identical division on both
+    * engines, and floor-then-cast sidesteps DuckDB's rounding CAST), so
+    * the oracle replays training, the CONVERGENCE DECISION, and serving
+    * bit-exactly (the stop rule is a lag-window filter over the
+    * per-stage distortions — [[lloydOracleCtes]]).
     *
-    * Scale: two broadcast-argmin passes (seed and learned centroids —
-    * 16 rows each, packed (dist·16 + cid) min keeps HashAggregate with
-    * map-side combine), one k×dim VecSum update between them (q85's
-    * shuffle shape), then the q40 probe join: queries broadcast, the
-    * corpus contributes one long per vector per assignment pass plus
-    * the probed-cell candidates. More Lloyd rounds = repeat the two
-    * middle stages; the round count is a driver loop over k×dim-sized
-    * state, like q144's merge rounds.
+    * Scale: each Lloyd round is one broadcast-argmin pass (16-row
+    * centroid table broadcast; packed (dist·16 + cid) min keeps
+    * HashAggregate with map-side combine) fused with its k×dim VecSum
+    * update and distortion rollup, then the q40 probe join: queries
+    * broadcast, the corpus contributes one long + one carried vector
+    * per assignment pass plus the probed-cell candidates. The round
+    * count is a driver loop over k×dim-sized state, like q144's merge
+    * rounds — data work per round is constant in corpus size.
     */
   /** int64-quantized embeddings (the q72/q85/q147/q149 shared space). */
   private def quantized(s: SparkSession, d: String): DataFrame = {
@@ -560,31 +563,87 @@ object VectorOps {
       .drop("packed")
   }
 
-  /** One Lloyd update: per-cell integer-floor means of an assignment
-    * (floor(sum / n) in IEEE double — |sum| far below 2^53, identical
-    * on both engines, and floor-then-cast sidesteps DuckDB's rounding
-    * CAST). localCheckpoint'ed: the learned table is consumed by
+  /** One Lloyd pass fused with its quality report: per cell of the
+    * assignment against `cents`, the member count, the NEXT centroid
+    * (integer-floor mean — floor(sum / n) in IEEE double, |sum| far
+    * below 2^53 so identical on both engines, and floor-then-cast
+    * sidesteps DuckDB's rounding CAST), and the cell's distortion sum.
+    * ONE corpus pass yields both the update and the convergence signal
+    * — the loop never pays a separate measurement scan.
+    * localCheckpoint'ed (16 rows): the learned table is consumed by
     * several downstream subtrees (the q110/q144 iteration-state rule).
     */
-  private def lloydStep(emb: DataFrame, cents: DataFrame): DataFrame = {
+  private def lloydPass(emb: DataFrame, cents: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     argminPacked(emb, cents, carryQv = true)
       .groupBy($"cid")
       .agg(count(lit(1)).as("n"),
-        graft.functions.BoundedAggs.vecSum($"qv").as("sums"))
-      .select($"cid",
+        graft.functions.BoundedAggs.vecSum($"qv").as("sums"),
+        sum($"dist").as("dsum"))
+      .select($"cid", $"n",
         expr("transform(sums, sv -> CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT))")
-          .as("cq"))
+          .as("cq"), $"dsum")
       .localCheckpoint(true)
   }
+
+  /** Per-iteration Lloyd quality stats (one row per reported round). */
+  private[graft] case class LloydRound(
+      iter: Long, nCells: Long, nVecs: Long, maxCell: Long, distortion: Long)
+
+  /** Driver-bounded Lloyd loop with convergence stop — the q144-merge-
+    * rounds pattern applied to k-means: each round is ONE corpus pass
+    * ([[lloydPass]]: packed-argmin + 16-row rollup carrying counts,
+    * floor-mean sums, AND distortion), the driver collects only the
+    * 16-row cell table, and the loop stops at the first iteration whose
+    * distortion improves on the previous one by less than `minImprove`
+    * (floor-quantized means void Lloyd's strict monotonicity near the
+    * fixed point, so "improvement < 1" is the exact integer convergence
+    * test — it also catches a small INCREASE) or at `maxIters`. Returns
+    * the SERVED centroid table — the one whose distortion the final
+    * report row measured, never an unmeasured update — plus every
+    * round's stats. All integer-exact, so the DuckDB oracle replays the
+    * loop AND the stop decision relationally ([[lloydOracleCtes]]).
+    *
+    * Scale: per-round data work is one broadcast-argmin exchange of one
+    * long + one k×dim vector per corpus partition; driver state is k
+    * rows per round. Round count — not corpus size — bounds the build,
+    * exactly like q144's merge rounds.
+    */
+  private[graft] def lloydTrain(emb: DataFrame, seeds: DataFrame,
+      maxIters: Int, minImprove: Long): (DataFrame, Seq[LloydRound]) = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val rounds = scala.collection.mutable.Buffer[LloydRound]()
+    var cents = seeds
+    var iter = 0
+    while (true) {
+      val pass = lloydPass(emb, cents)
+      val cells = pass.select($"n", $"dsum").as[(Long, Long)].collect()
+      rounds += LloydRound(iter.toLong, cells.length.toLong, cells.map(_._1).sum,
+        cells.map(_._1).max, cells.map(_._2).sum)
+      val converged = iter > 0 &&
+        rounds(iter - 1).distortion - rounds(iter).distortion < minImprove
+      if (converged || iter >= maxIters) return (cents, rounds.toSeq)
+      cents = pass.select($"cid", $"cq")
+      iter += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Lloyd loop bounds shared by q147/q149/the IVF index build and
+    * their DuckDB oracles (the oracle unrolls `maxIters` stages, so it
+    * is a fixed replay bound, not a tunable).
+    */
+  private[graft] val LloydMaxIters = 4
+  private[graft] val LloydMinImprove = 1L
 
   private def q147(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = quantized(s, d)
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
-    val learned = lloydStep(emb, seeds)
+    val (learned, _) = lloydTrain(emb, seeds, LloydMaxIters, LloydMinImprove)
     val assigned = argminPacked(emb, learned, carryQv = true).drop("dist")
     val queries = emb.filter($"vec_id" % 100 === 0)
       .crossJoin(broadcast(learned))
@@ -606,36 +665,35 @@ object VectorOps {
 
   /** Lloyd-iteration convergence report — the metric an index-build
     * pipeline watches while training the q147 coarse quantizer: per
-    * iteration (0 = raw seeds, 1 = after one Lloyd step), the number of
-    * non-empty cells, the hottest cell's size (routing skew — a
-    * too-hot cell is the IVF analog of a hot shuffle key), and the
-    * total distortion (sum of each vector's squared distance to its
-    * centroid — Lloyd's objective, guaranteed non-increasing). All
-    * int64-exact: distortion sums are bounded by ~2.6e8 per vector, so
-    * int64 holds to ~3·10^10 vectors.
+    * iteration of the FULL converged [[lloydTrain]] run (0 = raw
+    * seeds, then one row per Lloyd step up to the convergence stop),
+    * the number of non-empty cells, the hottest cell's size (routing
+    * skew — a too-hot cell is the IVF analog of a hot shuffle key),
+    * and the total distortion (sum of each vector's squared distance
+    * to its centroid — Lloyd's objective; non-increasing while the
+    * loop runs, with the final row allowed to flatline or tick up by
+    * < [[LloydMinImprove]] because floor-quantized means void strict
+    * monotonicity at the fixed point — that is exactly the stop
+    * signal). All int64-exact: distortion sums are bounded by ~2.6e8
+    * per vector, so int64 holds to ~3·10^10 vectors; the stats ride
+    * the SAME pass as each round's centroid update (lloydPass), so the
+    * report costs no extra scans over the training itself.
     *
     * Scale: each iteration is one broadcast packed-argmin pass (one
-    * long per vector through its shuffle) + a 16-row rollup; more
-    * iterations append more rows — the driver-loop count is the bound,
-    * exactly like q144's merge rounds, with data work constant per
-    * round.
+    * long + one carried vector per corpus row through its shuffle) + a
+    * 16-row rollup; more iterations append more rows — the driver-loop
+    * count is the bound, exactly like q144's merge rounds, with data
+    * work constant per round.
     */
   private def q149(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = quantized(s, d)
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
-    val learned = lloydStep(emb, seeds)
-    def report(iter: Long, cents: DataFrame): DataFrame = {
-      val a = argminPacked(emb, cents)
-      val cells = a.groupBy($"cid").agg(count(lit(1)).as("n"))
-      a.agg(count(lit(1)).as("n_vecs"), sum($"dist").as("distortion"))
-        .crossJoin(cells.agg(count(lit(1)).as("n_cells"),
-          max($"n").as("max_cell")))
-        .select(lit(iter).as("iter"), $"n_cells", $"n_vecs", $"max_cell",
-          $"distortion")
-    }
-    report(0L, seeds).unionByName(report(1L, learned)).orderBy($"iter")
+    val (_, rounds) = lloydTrain(emb, seeds, LloydMaxIters, LloydMinImprove)
+    rounds.map(r => (r.iter, r.nCells, r.nVecs, r.maxCell, r.distortion))
+      .toDF("iter", "n_cells", "n_vecs", "max_cell", "distortion")
+      .orderBy($"iter")
   }
 
   /** The hyperplane family in DuckDB: sign p at dim i = low bit of
@@ -735,104 +793,112 @@ object VectorOps {
          SELECT query_id, neighbor, cosine, rank FROM ranked2
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
-  def oracles: Map[String, String] = Map(
-    "q149_kmeans_convergence" ->
-      """WITH q AS (
+  /** DuckDB replay of the [[lloydTrain]] loop: one (distance →
+    * argmin-assignment → report, then floor-mean update) CTE block per
+    * unrolled stage, then the convergence decision itself as SQL — a
+    * lag window over the per-stage distortions picks `stop_iter` (first
+    * improvement < minImprove, else maxIters), exactly the driver
+    * loop's stop rule. Intermediate stages MATERIALIZED (the q144
+    * lesson: chained CTEs referenced multiply inline exponentially).
+    * Emits the WITH body only; callers append their own final CTEs
+    * (q149 filters the report rows, q147 selects the stop-stage
+    * centroid/assignment tables and serves through them).
+    */
+  private def lloydCtes(maxIters: Int, minImprove: Long): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """q AS MATERIALIZED (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
            FROM embeddings),
-         seeds AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 16),
-         d0 AS (
-           SELECT q.vec_id, s.cid,
-             CAST(list_sum(list_transform(list_zip(q.qv, s.cq),
-               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
-           FROM q, seeds s),
-         a0 AS (
-           SELECT vec_id, cid, dist FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id
-               ORDER BY dist, cid) AS rn FROM d0) WHERE rn = 1),
-         cellsum AS (
-           SELECT a0.cid, t.i, sum(q.qv[t.i]) AS sdim, count(*) AS nvec
-           FROM a0 JOIN q USING (vec_id), generate_series(1, 64) AS t(i)
-           GROUP BY 1, 2),
-         cents AS (
-           SELECT cid, list(CAST(floor(CAST(sdim AS DOUBLE) / nvec) AS BIGINT)
-             ORDER BY i) AS cq
-           FROM cellsum GROUP BY cid),
-         d1 AS (
+         c0 AS MATERIALIZED (
+           SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 16)"""
+    for (r <- 0 to maxIters) {
+      sb ++= s""",
+         d$r AS (
            SELECT q.vec_id, c.cid,
              CAST(list_sum(list_transform(list_zip(q.qv, c.cq),
                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
-           FROM q, cents c),
-         a1 AS (
+           FROM q, c$r c),
+         a$r AS MATERIALIZED (
            SELECT vec_id, cid, dist FROM (
              SELECT *, row_number() OVER (PARTITION BY vec_id
-               ORDER BY dist, cid) AS rn FROM d1) WHERE rn = 1),
-         r0 AS (
-           SELECT CAST(0 AS BIGINT) AS iter,
+               ORDER BY dist, cid) AS rn FROM d$r) WHERE rn = 1),
+         r$r AS (
+           SELECT CAST($r AS BIGINT) AS iter,
              CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
              CAST(count(*) AS BIGINT) AS n_vecs,
              (SELECT CAST(max(c) AS BIGINT) FROM
-               (SELECT count(*) AS c FROM a0 GROUP BY cid)) AS max_cell,
+               (SELECT count(*) AS c FROM a$r GROUP BY cid)) AS max_cell,
              CAST(sum(dist) AS BIGINT) AS distortion
-           FROM a0),
-         r1 AS (
-           SELECT CAST(1 AS BIGINT) AS iter,
-             CAST(count(DISTINCT cid) AS BIGINT) AS n_cells,
-             CAST(count(*) AS BIGINT) AS n_vecs,
-             (SELECT CAST(max(c) AS BIGINT) FROM
-               (SELECT count(*) AS c FROM a1 GROUP BY cid)) AS max_cell,
-             CAST(sum(dist) AS BIGINT) AS distortion
-           FROM a1)
-         SELECT * FROM r0 UNION ALL SELECT * FROM r1 ORDER BY iter""",
-    "q147_ivf_learned" ->
-      """WITH q AS (
-           SELECT vec_id, list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
-           FROM embeddings),
-         seeds AS (SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 16),
-         a0 AS (
-           SELECT vec_id, cid FROM (
-             SELECT q.vec_id, s.cid,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(list_zip(q.qv, s.cq),
-                   z -> (z[1] - z[2]) * (z[1] - z[2]))), s.cid) AS rn
-             FROM q, seeds s) WHERE rn = 1),
-         cellsum AS (
-           SELECT a0.cid, t.i, sum(q.qv[t.i]) AS sdim, count(*) AS nvec
-           FROM a0 JOIN q USING (vec_id), generate_series(1, 64) AS t(i)
-           GROUP BY 1, 2),
-         cents AS (
+           FROM a$r)"""
+      if (r < maxIters) sb ++= s""",
+         c${r + 1} AS MATERIALIZED (
            SELECT cid, list(CAST(floor(CAST(sdim AS DOUBLE) / nvec) AS BIGINT)
              ORDER BY i) AS cq
-           FROM cellsum GROUP BY cid),
-         a1 AS (
-           SELECT vec_id, cid FROM (
-             SELECT q.vec_id, c.cid,
-               row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                 list_sum(list_transform(list_zip(q.qv, c.cq),
-                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
-             FROM q, cents c) WHERE rn = 1),
+           FROM (SELECT a$r.cid, t.i, sum(q.qv[t.i]) AS sdim,
+                   count(*) AS nvec
+                 FROM a$r JOIN q USING (vec_id),
+                   generate_series(1, 64) AS t(i)
+                 GROUP BY 1, 2)
+           GROUP BY cid)"""
+    }
+    val union = (0 to maxIters).map(r => s"SELECT * FROM r$r")
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+         allr AS ($union),
+         lagd AS (SELECT *, lag(distortion) OVER (ORDER BY iter) AS prev
+                  FROM allr),
+         stop AS (SELECT coalesce(min(iter), $maxIters) AS stop_iter
+                  FROM lagd
+                  WHERE prev IS NOT NULL AND prev - distortion < $minImprove)"""
+    sb.result()
+  }
+
+  private def q149OracleSql: String =
+    s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove)}
+         SELECT iter, n_cells, n_vecs, max_cell, distortion
+         FROM allr, stop WHERE iter <= stop_iter ORDER BY iter"""
+
+  private def q147OracleSql: String = {
+    val centsUnion = (0 to LloydMaxIters)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS it, cid, cq FROM c$r")
+      .mkString(" UNION ALL ")
+    val assignUnion = (0 to LloydMaxIters)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS it, vec_id, cid FROM a$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove)},
+         cstar AS MATERIALIZED (
+           SELECT u.cid, u.cq FROM ($centsUnion) u, stop
+           WHERE u.it = stop.stop_iter),
+         astar AS MATERIALIZED (
+           SELECT u.vec_id, u.cid FROM ($assignUnion) u, stop
+           WHERE u.it = stop.stop_iter),
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
              SELECT q.vec_id, q.qv, c.cid,
                row_number() OVER (PARTITION BY q.vec_id ORDER BY
                  list_sum(list_transform(list_zip(q.qv, c.cq),
                    z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
-             FROM q, cents c WHERE q.vec_id % 100 = 0) WHERE rn <= 2),
+             FROM q, cstar c WHERE q.vec_id % 100 = 0) WHERE rn <= 2),
          cand AS (
-           SELECT qs.query_id, a1.vec_id AS neighbor,
+           SELECT qs.query_id, astar.vec_id AS neighbor,
              CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
                z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
-           FROM a1 JOIN q aq USING (vec_id) JOIN qs ON a1.cid = qs.cid
-           WHERE a1.vec_id <> qs.query_id),
+           FROM astar JOIN q aq USING (vec_id) JOIN qs ON astar.cid = qs.cid
+           WHERE astar.vec_id <> qs.query_id),
          ranked AS (
            SELECT query_id, neighbor, dist,
              CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY dist, neighbor) AS BIGINT) AS rank
            FROM cand)
          SELECT query_id, rank, neighbor, dist FROM ranked
-         WHERE rank <= 5 ORDER BY query_id, rank""",
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q149_kmeans_convergence" -> q149OracleSql,
+    "q147_ivf_learned" -> q147OracleSql,
     "q105_ivfpq_ann" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,

@@ -196,17 +196,27 @@ class VectorOpsSpec extends SparkSpec {
     got.foreach { case (_, k, m, pm) => assert(m <= k && pm <= 1000) }
   }
 
-  test("q149: a Lloyd step never increases distortion, never loses vectors") {
+  test("q149: Lloyd rounds monotonically improve until the stop rule fires") {
     import spark.implicits._
     val rows = VectorOps.defs("q149_kmeans_convergence")(spark, sfDir)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
-    assert(rows.map(_._1) == Seq(0L, 1L))
-    val Seq(seed, learned) = rows
-    assert(seed._3 == learned._3, "every vector stays assigned")
-    assert(learned._5 <= seed._5,
-      s"Lloyd's objective must not increase: ${seed._5} -> ${learned._5}")
-    assert(learned._5 < seed._5,
+    // the loop reports iter 0 (seeds) plus >= 1 learned rounds, capped
+    assert(rows.map(_._1) == (0L until rows.length.toLong),
+      "iterations are contiguous from 0")
+    assert(rows.length >= 2 && rows.length <= 5)
+    rows.foreach { r =>
+      assert(r._3 == rows.head._3, "every vector stays assigned every round")
+      assert(r._2 <= 16)
+    }
+    // every round before the last strictly improved by >= minImprove
+    // (else the loop would have stopped there); the LAST round either
+    // hit the iteration cap (still improving) or fired the convergence
+    // stop (improvement < 1 — floor-quantized means may even tick up)
+    rows.sliding(2).toSeq.dropRight(1).foreach { case Seq(a, b) =>
+      assert(a._5 - b._5 >= 1L,
+        s"non-final round must strictly improve: ${a._5} -> ${b._5}")
+    }
+    assert(rows(1)._5 < rows(0)._5,
       "on the driver corpus the first step strictly improves")
-    assert(seed._2 <= 16 && learned._2 <= 16)
   }
 }
