@@ -15,6 +15,7 @@ object SparkEntry {
       (operators.TextOps.defs, operators.TextOps.oracles),
       (operators.PipelineOps.defs, operators.PipelineOps.oracles),
       (operators.VectorOps.defs, operators.VectorOps.oracles),
+      (operators.IvfIndex.defs, operators.IvfIndex.oracles),
       (operators.NexmarkQueries.defs, operators.NexmarkQueries.oracles),
       (operators.SqlShapes.defs, operators.SqlShapes.oracles),
       (operators.TpchLike.defs, operators.TpchLike.oracles),

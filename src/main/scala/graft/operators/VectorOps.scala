@@ -526,7 +526,7 @@ object VectorOps {
     * rounds — data work per round is constant in corpus size.
     */
   /** int64-quantized embeddings (the q72/q85/q147/q149 shared space). */
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables(s, d, "embeddings")
       .select($"vec_id", expr(
@@ -544,7 +544,7 @@ object VectorOps {
     * vec_id-keyed join-back exchange + sorts a consumer would otherwise
     * pay to re-attach the vector.
     */
-  private def argminPacked(in: DataFrame, cents: DataFrame,
+  private[graft] def argminPacked(in: DataFrame, cents: DataFrame,
       carryQv: Boolean = false): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
@@ -804,13 +804,15 @@ object VectorOps {
     * (q149 filters the report rows, q147 selects the stop-stage
     * centroid/assignment tables and serves through them).
     */
-  private def lloydCtes(maxIters: Int, minImprove: Long): String = {
+  private[graft] def lloydCtes(maxIters: Int, minImprove: Long,
+      srcWhere: String = ""): String = {
     val sb = new StringBuilder
     sb ++=
-      """q AS MATERIALIZED (
+      s"""allq AS MATERIALIZED (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
            FROM embeddings),
+         q AS MATERIALIZED (SELECT * FROM allq $srcWhere),
          c0 AS MATERIALIZED (
            SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 16)"""
     for (r <- 0 to maxIters) {
@@ -860,20 +862,28 @@ object VectorOps {
          SELECT iter, n_cells, n_vecs, max_cell, distortion
          FROM allr, stop WHERE iter <= stop_iter ORDER BY iter"""
 
-  private def q147OracleSql: String = {
-    val centsUnion = (0 to LloydMaxIters)
+  /** The converged centroid (`cstar`) and assignment (`astar`) tables:
+    * tagged unions over the unrolled stages filtered by `stop_iter` —
+    * the relational form of "the table the driver loop returned".
+    */
+  private[graft] def lloydStarCtes(maxIters: Int): String = {
+    val centsUnion = (0 to maxIters)
       .map(r => s"SELECT CAST($r AS BIGINT) AS it, cid, cq FROM c$r")
       .mkString(" UNION ALL ")
-    val assignUnion = (0 to LloydMaxIters)
+    val assignUnion = (0 to maxIters)
       .map(r => s"SELECT CAST($r AS BIGINT) AS it, vec_id, cid FROM a$r")
       .mkString(" UNION ALL ")
-    s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove)},
-         cstar AS MATERIALIZED (
+    s"""cstar AS MATERIALIZED (
            SELECT u.cid, u.cq FROM ($centsUnion) u, stop
            WHERE u.it = stop.stop_iter),
          astar AS MATERIALIZED (
            SELECT u.vec_id, u.cid FROM ($assignUnion) u, stop
-           WHERE u.it = stop.stop_iter),
+           WHERE u.it = stop.stop_iter)"""
+  }
+
+  private def q147OracleSql: String = {
+    s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove)},
+         ${lloydStarCtes(LloydMaxIters)},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
              SELECT q.vec_id, q.qv, c.cid,

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, VectorOps}
+
+/** Persisted-IVF-index evidence: the parquet roundtrip is lossless, the
+  * stored-index serve equals an in-memory serve, incremental ingest
+  * assigns exactly like a fresh broadcast-argmin against the stored
+  * centroids, and the occupancy/split report reconciles with the raw
+  * posting files.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_ivf_$name").toString
+
+  test("build persists a lossless centroid + posting roundtrip") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("rt")
+    IvfIndex.build(emb, dir)
+    val cents = IvfIndex.centroids(spark, dir)
+    val post = IvfIndex.postings(spark, dir)
+    assert(cents.count() <= 16 && cents.count() >= 1)
+    // every corpus vector is stored exactly once, with its vector intact
+    assert(post.count() === emb.count())
+    val stored = post.select($"vec_id", $"qv").as[(Long, Seq[Long])]
+      .collect().toMap
+    val orig = emb.as[(Long, Seq[Long])].collect().toMap
+    assert(stored === orig, "stored qv must roundtrip bit-exactly")
+    // postings are laid out one directory per cell (the pruning unit)
+    val cells = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(cells.nonEmpty &&
+      cells == cents.select($"cid").as[Long].collect()
+        .filter(c => post.filter($"cid" === c).count() > 0)
+        .map(c => s"cid=$c").toSet)
+  }
+
+  test("stored-index serve equals the in-memory serve, and prunes to probed cells") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("serve")
+    IvfIndex.build(emb, dir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val served = IvfIndex.serve(spark, dir, queries)
+    // in-memory reference: identical probe + re-rank against the frames
+    // the index was built from
+    val cents = IvfIndex.centroids(spark, dir)
+    val assigned = VectorOps.argminPacked(emb, cents, carryQv = true)
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy($"cdist", $"cid")))
+      .filter($"crank" <= 2)
+      .select($"vec_id".as("query_id"), $"qv".as("probe_qv"), $"cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"dist", $"neighbor")
+    val cellSize = assigned.groupBy($"cid").agg(count(lit(1)).as("cell_size"))
+    val expected = assigned.join(broadcast(probed), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"), $"cid",
+        graft.functions.VectorMath.sqDistLong($"qv", $"probe_qv").as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .join(broadcast(cellSize), Seq("cid"))
+      .select($"query_id", $"rank", $"neighbor", $"dist", $"cell_size")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(served.as[(Long, Long, Long, Long, Long)].collect().toSet
+      === expected)
+    // scale evidence: the serve scan reads only the probed cells' files
+    val nProbedCells = probed.select($"cid").distinct().count()
+    val allFiles = spark.read.parquet(s"$dir/postings").inputFiles.length
+    served.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val scanned = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+      .map(_.metrics("numFiles").value).max
+    assert(nProbedCells < 16 || allFiles >= 16,
+      "fixture should not probe every cell")
+    if (nProbedCells < cents.count())
+      assert(scanned < allFiles,
+        s"serve read $scanned of $allFiles posting files — no pruning")
+  }
+
+  test("incremental ingest appends, assigns like fresh argmin, flags hot cells") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val dir = tmp("inc")
+    IvfIndex.build(base, dir)
+    val report = IvfIndex.addBatch(spark, dir, batch)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // counts reconcile: base rows at gen 0, batch rows at gen 1
+    assert(report.map(_._2).sum === base.count(), "n_base total")
+    assert(report.map(_._3).sum === batch.count(), "n_added total")
+    report.foreach { case (_, nb, na, nt, _) => assert(nb + na === nt) }
+    // the appended assignments equal a fresh argmin vs stored centroids
+    val cents = IvfIndex.centroids(spark, dir)
+    val expectedAssign = VectorOps.argminPacked(batch, cents)
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().toMap
+    val storedAssign = IvfIndex.postings(spark, dir)
+      .filter($"gen" === 1L).select($"vec_id", $"cid".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(storedAssign === expectedAssign)
+    // the split rule is exactly n_total * 8 > corpus total
+    val total = report.map(_._4).sum
+    report.foreach { case (cid, _, _, nt, flag) =>
+      assert(flag === (if (nt * 8 > total) 1L else 0L), s"cell $cid flag")
+    }
+    // a second batch keeps accumulating generations, not overwriting
+    val report2 = IvfIndex.addBatch(spark, dir, batch, gen = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(report2.map(_._3).sum === 2 * batch.count(),
+      "second ingest appends a second generation")
+  }
+}
