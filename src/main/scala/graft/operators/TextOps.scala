@@ -135,6 +135,7 @@ object TextOps {
     "q134_setsim_prefix_join" -> ((s, d) => q134(s, d)),
     "q136_dup_span_coverage" -> ((s, d) => q136(s, d)),
     "q143_span_dedup_budget" -> ((s, d) => q143(s, d)),
+    "q154_span_dedup_apply" -> ((s, d) => q154(s, d)),
     "q137_colloc_pairs" -> ((s, d) => q137(s, d)),
     "q138_bigram_surprisal" -> ((s, d) => q138(s, d)),
     "q144_bpe_merges" -> ((s, d) => q144(s, d)),
@@ -173,7 +174,7 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
-  private def docs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def docs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables(s, d, "documents").withColumn("toks", split($"text", "\\s+"))
   }
@@ -501,6 +502,74 @@ object TextOps {
       .select($"source", $"n_docs", $"n_tokens", $"covered_tokens",
         expr("1000 * covered_tokens div n_tokens").as("removable_permille"))
       .orderBy($"source")
+  }
+
+  /** Span-dedup APPLY — the action side q143 only budgets: emit the
+    * CLEANED corpus. Per doc, every token position covered by a
+    * cross-doc duplicated 8-token window (the exact Lee et al. 2022
+    * rewrite semantics — cut the spans, keep the doc) is stripped;
+    * output is (doc_id, source, cleaned_text, n_tokens,
+    * tokens_removed), and per-source sum(tokens_removed) reconciles
+    * EXACTLY with q143's covered_tokens (the budget is the plan, this
+    * is the execution — SpanDedupApplySpec pins the reconciliation).
+    *
+    * Scale: the duplicated-window detection is the SAME single
+    * hash-scan shape as q143 (position rows carry only longs; the
+    * ≥2-distinct-docs test has the same nSeg degrade). The rewrite
+    * then needs intervals and text to MEET once: duplicated starts
+    * fold to MERGED disjoint intervals first (lag + running-break
+    * windows over the per-doc starts, then one struct row per merged
+    * interval — a boilerplate-heavy doc yields a handful of intervals
+    * no matter how many windows hit), so the join payload is compact
+    * and only dup docs appear on the build side. AQE broadcasts that
+    * side when the dup-doc set is small (the common case); otherwise
+    * the join degrades to a doc_id-keyed exchange — the irreducible
+    * rendezvous, which a doc_id-bucketed corpus makes exchange-free.
+    * Text never rides a hash-keyed shuffle. The strip itself is one
+    * codegen'd filter-lambda (O(intervals) per token) and the token
+    * mass removed is provably the interval union q143 counted.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame =
+    spanDedupApply(docs(s, d), nSeg = 1)
+
+  /** q154's body over an arbitrary docs frame (doc_id, source, toks),
+    * with the hot-hash degrade parameter (same contract as
+    * [[spanDedupBudget]]).
+    */
+  private[graft] def spanDedupApply(base: DataFrame, nSeg: Int): DataFrame = {
+    val s = base.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = base.filter(size($"toks") >= 8)
+      .select($"doc_id",
+        posexplode(TextHashes.md5WindowPrefixes($"toks", 8))
+          .as(Seq("pos", "h")))
+      .withColumn("i", ($"pos" + 1).cast("long"))
+    val dw = Window.partitionBy($"doc_id").orderBy($"i")
+    // duplicated starts -> merged disjoint [s, e] intervals: a new
+    // interval begins where the gap to the previous start exceeds the
+    // window width (i - prev > 8; == 8 is adjacent and merges), so the
+    // running break-count is the interval id — both window functions
+    // share one sort
+    val spans = withCrossDocDup(w, nSeg)
+      .filter($"dup")
+      .withColumn("brk",
+        when($"i" - lag($"i", 1).over(dw) > 8L, 1L).otherwise(0L))
+      .withColumn("grp", sum($"brk").over(
+        dw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"i").as("s"), (max($"i") + 7L).as("e"))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"s", $"e"))).as("ivs"))
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when($"ivs".isNull, $"toks").otherwise(expr(
+        "filter(toks, (t, p) -> NOT exists(ivs, " +
+          "iv -> p + 1 >= iv.s AND p + 1 <= iv.e))")))
+      .select($"doc_id", $"source",
+        array_join($"kept", " ").as("cleaned_text"),
+        size($"toks").cast("long").as("n_tokens"),
+        (size($"toks") - size($"kept")).cast("long").as("tokens_removed"))
+      .orderBy($"doc_id")
   }
 
   /** Collocation scan — the first iteration of a BPE-style merge search
@@ -2090,6 +2159,41 @@ object TextOps {
              AS BIGINT) AS removable_permille
          FROM t LEFT JOIN csrc ON t.source = csrc.source
          GROUP BY 1 ORDER BY 1""",
+    "q154_span_dedup_apply" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16))) AS h
+           FROM t WHERE len(toks) >= 8),
+         nd AS (SELECT h FROM w GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (SELECT w.doc_id, w.i FROM w JOIN nd ON w.h = nd.h),
+         cov AS (
+           SELECT DISTINCT doc_id, i + g AS p
+           FROM dw, generate_series(0, 7) AS gs(g)),
+         pos AS (
+           SELECT doc_id, unnest(toks) AS tk,
+             unnest(generate_series(1, len(toks))) AS p
+           FROM t),
+         keptagg AS (
+           SELECT pos.doc_id,
+             string_agg(pos.tk, ' ' ORDER BY pos.p) AS cleaned,
+             CAST(count(*) AS BIGINT) AS n_kept
+           FROM pos LEFT JOIN cov
+             ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+           WHERE cov.p IS NULL
+           GROUP BY 1)
+         SELECT t.doc_id, t.source,
+           coalesce(k.cleaned, '') AS cleaned_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS tokens_removed
+         FROM t LEFT JOIN keptagg k USING (doc_id)
+         ORDER BY doc_id""",
     "q137_colloc_pairs" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
