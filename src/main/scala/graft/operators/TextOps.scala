@@ -1024,14 +1024,14 @@ object TextOps {
     * string tie-break could flip), and the leader survives untrimmed
     * because step 1 uses exact counts by definition. When the scan ends
     * without conflict, the next unexamined candidate's count bounds
-    * everything unseen. If the scan instead consumed the whole slice
-    * AND the slice is complete (fewer than the 4m+1 fetch-limit rows
-    * came back, so it IS the entire pair distribution), there is
-    * nothing unseen to bound and no conflicting pair exists at all —
-    * counts are exactly stable across the batch's sequential steps, so
-    * every accepted rule ships untrimmed. Only when the fetch limit was
-    * actually hit does the slice's last (accepted) row double as the
-    * unseen bound, trimming accepted tail rules that tie it.
+    * everything unseen. If the scan instead consumed the whole slice,
+    * every row was accepted — so the slice held at most m rows, came
+    * back UNDER the 4m+1 fetch limit, and is therefore the complete
+    * pair distribution: nothing unseen to bound, no conflicting pair
+    * exists at all, counts are exactly stable across the batch's
+    * sequential steps, and every accepted rule ships untrimmed
+    * (trimming against the slice's own tail — the pre-round-9 behavior
+    * — only shrank batches on small vocabularies, never correctness).
     */
   private[graft] def selectSafeBatch(
       cands: Seq[(String, String, Long)], m: Int): Seq[(String, String, Long)] = {
@@ -1052,8 +1052,10 @@ object TextOps {
         idx += 1
       }
     }
+    // no-conflict full consumption means EVERY row was accepted, so
+    // cands.length <= m < the 4m+1 fetch limit — the slice is provably
+    // the complete pair distribution and cStar stays unset (no trim)
     if (!stopped && idx < cands.length) cStar = cands(idx)._3
-    else if (!stopped && cands.length >= 4 * m + 1) cStar = cands.last._3
     accepted.headOption.toSeq ++ accepted.drop(1).takeWhile(_._3 > cStar)
   }
 

@@ -99,6 +99,28 @@ class BpeParallelSpec extends SparkSpec {
     assert(rounds < 8, s"expected batching to engage, took $rounds rounds")
   }
 
+  test("K=64 on the driver corpus: batched == sequential, rounds amortize") {
+    import spark.implicits._
+    // real-K oracle is the single-node reference trainer (the per-merge
+    // DuckDB CTE replay stops being tractable past ~8 merges)
+    val texts = Tables(spark, sfDir, "documents")
+      .select($"text").as[String].collect().toSeq
+    val want = sequentialBpe(texts, 64)
+    assert(want.length == 64, "corpus must support 64 merges")
+    val (got, _, rounds) = train(texts, 64, 8)
+    assert(got == want, "batched 64-merge training diverged from sequential")
+    assert(rounds < 64, s"batching must amortize at K=64, took $rounds rounds")
+    info(s"64 merges in $rounds driver rounds (batchM=8)")
+  }
+
+  test("a complete candidate slice ships accepted ties untrimmed") {
+    // 3 disjoint equal-count pairs, fetch limit 4*4+1=17 not hit: the
+    // slice IS the whole distribution, so the tail ties survive (the
+    // old behavior trimmed rows 2-3 against the slice's own last row)
+    val cands = Seq(("a", "b", 50L), ("c", "d", 50L), ("e", "f", 50L))
+    assert(TextOps.selectSafeBatch(cands, 4) == cands)
+  }
+
   test("selectSafeBatch trims ties against the conflict bound") {
     // leader always survives; a non-leader tying the first conflicting
     // candidate's count must be trimmed (string tie-break could flip)
