@@ -259,18 +259,70 @@ object PipelineOps {
     * (serialized, spill-safe) stop the cAdj subtree re-running under
     * its three consumers. Hub skew stays bounded here: the hottest
     * supplier holds |customers| ≈ corpus/|suppliers| in one array; at
-    * true web-graph skew pass `nSeg > 1` to [[graphRank]] — the degrade
-    * path below — which salt-splits hot arrays instead of re-planning.
+    * true web-graph skew the hub-split degrade ([[graphRank]] with
+    * `nSeg > 1`) salt-splits hot arrays instead of re-planning — and
+    * since round 9 the operator picks nSeg ITSELF from a sampled
+    * hottest-degree sketch ([[graphAutoNSeg]], SkewAutoSpec).
     */
   private def q110(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = Tables(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
-      .join(Tables(s, d, "orders").select($"o_orderkey", $"o_custkey"),
-        $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
-    graphRank(edges, nSeg = 1)
+    def edgesFrom(li: DataFrame): DataFrame =
+      li.select($"l_orderkey", $"l_suppkey")
+        .join(Tables(s, d, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
+    // push the trigger's sample BELOW the edge join: each lineitem row
+    // yields exactly one edge row, so sampling lineitem first is a
+    // uniform edge sample at a fraction of the join's cost (sample()
+    // does not push through joins on its own)
+    val f = graft.plans.SkewSketch.DefaultFraction
+    val nSeg = graphNSegFromSample(
+      edgesFrom(Tables(s, d, "lineitem")
+        .sample(f, graft.plans.SkewSketch.DefaultSeed)), f)
+    graphRank(edgesFrom(Tables(s, d, "lineitem")), nSeg)
       .orderBy($"mass_r2".desc, $"s_suppkey")
       .limit(20)
+  }
+
+  /** Max adjacency-list entries one collect_set task / one array row
+    * should hold before the hub-split degrade engages: 1M longs is an
+    * 8 MB row — fine; a web-scale hub is orders of magnitude past it.
+    */
+  private[graft] val GraphHotTarget = 1000000L
+
+  /** The graph auto-trigger ([[graft.plans.SkewSketch]]): sample the
+    * edge relation once (checkpointed — the sample is tiny and feeds
+    * two aggregates), estimate the hottest degree on EACH side of the
+    * bipartite graph, and pick nSeg from the max. Honest cost note:
+    * on a DERIVED edge relation `edges.sample` runs the producing join
+    * before sampling (sampling does not push through joins) — callers
+    * who can sample below that join should (q110 samples lineitem
+    * first via [[graphNSegFromSample]]; each lineitem row yields one
+    * edge row, so that is a uniform edge sample at ~fraction of the
+    * join cost — BENCH_SF10 skew_auto_round9 for both walls). On
+    * uniform graphs this returns 1 and the pinned one-row-per-node plan
+    * is untouched; results are nSeg-invariant (GraphRankSkewSpec).
+    */
+  private[graft] def graphAutoNSeg(edges: DataFrame,
+      target: Long = GraphHotTarget,
+      fraction: Double = graft.plans.SkewSketch.DefaultFraction): Int =
+    graphNSegFromSample(
+      edges.sample(fraction, graft.plans.SkewSketch.DefaultSeed),
+      fraction, target)
+
+  /** Trigger decision from an ALREADY-sampled edge frame — lets a
+    * caller who can sample below the edge-producing join (q110 samples
+    * lineitem first) skip re-running that join at full volume.
+    */
+  private[graft] def graphNSegFromSample(sampledEdges: DataFrame,
+      fraction: Double, target: Long = GraphHotTarget): Int = {
+    val s = sampledEdges.sparkSession
+    import s.implicits._
+    val sm = sampledEdges.localCheckpoint(true)
+    val hot = math.max(
+      graft.plans.SkewSketch.estimatedHotCount(sm, $"c", fraction),
+      graft.plans.SkewSketch.estimatedHotCount(sm, $"sk", fraction))
+    graft.plans.SkewSketch.pickNSeg(hot, target)
   }
 
   /** q110's propagation core over arbitrary bipartite `(c, sk)` edges,

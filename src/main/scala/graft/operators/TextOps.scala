@@ -344,10 +344,12 @@ object TextOps {
     * has the same skew exposure as that join's probe side — a universal
     * boilerplate hash puts its distinct-doc rows on one task either
     * way, counting only, spillable buffer; at TRUE boilerplate skew
-    * pass `nSeg > 1` to [[dupSpanCoverage]], whose salt-split degrade
-    * path spreads the hot hash over nSeg partial-count tasks and joins
-    * the per-hash rollup back — pinned nSeg-invariant by
-    * SpanDupSkewSpec.) The window hashes compute
+    * the salt-split degrade path spreads the hot hash over nSeg
+    * partial-count tasks and joins the per-hash rollup back — pinned
+    * nSeg-invariant by SpanDupSkewSpec, and since round 9 the operator
+    * picks nSeg ITSELF from a sampled hot-hash sketch
+    * ([[spanAutoNSeg]]; SkewAutoSpec pins both trigger directions).)
+    * The window hashes compute
     * in ONE native pass per doc (`Md5WindowPrefixExpr`: one digest +
     * buffer reused — 46.5 s → 33.1 s at sf10 vs the SQL expression
     * tree, which the oracle still runs, so the gate proves scan ==
@@ -355,7 +357,37 @@ object TextOps {
     * bytes/window on the wire) — same plan; md5 is oracle parity.
     */
   private def q136(s: SparkSession, d: String): DataFrame =
-    dupSpanCoverage(docs(s, d), nSeg = 1)
+    dupSpanCoverage(docs(s, d), spanAutoNSeg(docs(s, d)))
+
+  /** How many position rows one window-partition task may absorb before
+    * the salt-split degrade engages (the q136/q143/q154 trigger): a
+    * 2M-row partition of (hash, doc, pos) longs sorts comfortably in
+    * one task; a universal boilerplate hash at web scale exceeds this
+    * by orders of magnitude. The degrade costs 1.6–1.9× on uniform
+    * corpora (BENCH_SF10 span_dup_forms), so the budget errs high.
+    */
+  private[graft] val SpanHotTarget = 2000000L
+
+  /** The span-family auto-trigger ([[graft.plans.SkewSketch]]): hash a
+    * seeded `fraction` of the docs — the pre-pass pays `fraction` of
+    * ONE hashing pass, nothing else — and pick nSeg from the hottest
+    * window hash's scaled-up multiplicity. On a uniform corpus this
+    * returns 1 and the catalog keeps its pinned join-free window plan;
+    * results are nSeg-invariant either way (SpanDupSkewSpec), so the
+    * trigger can only change the shuffle shape, never the answer.
+    */
+  private[graft] def spanAutoNSeg(docsF: DataFrame,
+      target: Long = SpanHotTarget,
+      fraction: Double = graft.plans.SkewSketch.DefaultFraction): Int = {
+    val s = docsF.sparkSession
+    import s.implicits._
+    val sampled = docsF.filter(size($"toks") >= 8)
+      .sample(fraction, graft.plans.SkewSketch.DefaultSeed)
+      .select(explode(TextHashes.md5WindowPrefixes($"toks", 8)).as("h"))
+    graft.plans.SkewSketch.pickNSeg(
+      graft.plans.SkewSketch.estimatedHotCount(sampled, $"h", fraction),
+      target)
+  }
 
   /** q136's body over an arbitrary docs frame (doc_id, toks), with the
     * hot-hash degrade path as a parameter — same contract as
@@ -470,7 +502,7 @@ object TextOps {
     * from one cheap extra documents projection (no second hashing pass).
     */
   private def q143(s: SparkSession, d: String): DataFrame =
-    spanDedupBudget(docs(s, d), nSeg = 1)
+    spanDedupBudget(docs(s, d), spanAutoNSeg(docs(s, d)))
 
   /** q143's body over an arbitrary docs frame (doc_id, source, toks),
     * with the hot-hash degrade path as a parameter (`nSeg = 1` is the
@@ -530,7 +562,7 @@ object TextOps {
     * mass removed is provably the interval union q143 counted.
     */
   private def q154(s: SparkSession, d: String): DataFrame =
-    spanDedupApply(docs(s, d), nSeg = 1)
+    spanDedupApply(docs(s, d), spanAutoNSeg(docs(s, d)))
 
   /** q154's body over an arbitrary docs frame (doc_id, source, toks),
     * with the hot-hash degrade parameter (same contract as
