@@ -198,7 +198,20 @@ object StreamBench {
       StreamOps.attributionStream(in.toDS(),
         lookbackMs = 7L * 24 * 3600 * 1000).toDF())
 
-    Seq(q5, q11, ingest, neardup, hh, funnel, knn, cdc, attrib)
+    // Online curation gate (docs/s): per-language token-budget
+    // admission — two longs of state per language, every doc one O(1)
+    // decision; 16 langs, 20-60-token docs, budget sized so admission
+    // stays live (state hit, not a closed gate) through the run.
+    val curationEvents: Seq[StreamOps.CurationDoc] =
+      bids.indices.map { i =>
+        val rng = new Nexmark.Rng(i.toLong)
+        StreamOps.CurationDoc(i.toLong, i.toLong, s"lang${rng.nextInt(16)}",
+          20L + rng.nextInt(40))
+      }
+    val curation = rate("curation_dps", curationEvents, batchSize)(in =>
+      StreamOps.tokenBudgetStream(in.toDS(), budget = Long.MaxValue / 2).toDF())
+
+    Seq(q5, q11, ingest, neardup, hh, funnel, knn, cdc, attrib, curation)
   }
 
   def main(args: Array[String]): Unit = {

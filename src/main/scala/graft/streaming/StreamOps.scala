@@ -689,6 +689,62 @@ object StreamOps {
     * value), so a per-partition pre-summary stage can bound even the
     * shuffle at k rows per partition per window.
     */
+  /** A document offered to the online curation gate: `seq` is the
+    * delivery-order rank (the batch quality rank when the upstream
+    * feeds best-first), `n_tok` its token count — computed upstream
+    * map-side, so the admission state machine never sees text.
+    */
+  case class CurationDoc(doc_id: Long, seq: Long, lang: String, n_tok: Long)
+
+  /** Per-language admission state: tokens charged so far (including
+    * rejected docs — the q135 prefix rule) and docs admitted.
+    */
+  case class LangBudgetState(spent: Long, kept: Long)
+
+  case class Admission(lang: String, doc_id: Long, admitted: Boolean,
+      cum: Long, kept_count: Long)
+
+  /** Streaming curation — the ONLINE form of q135's per-language token
+    * budget (round-8 verdict item 7): documents arrive, each language's
+    * gate charges its running total and admits while the total stays
+    * within budget. Same greedy-prefix semantics as the batch operator
+    * (a doc's tokens are charged whether or not it is admitted, so
+    * admission ends at the first overflow — cum is monotone), which
+    * makes the equivalence exact: under event-ordered delivery (seq =
+    * the batch quality rank) the admitted set IS the batch q135 kept
+    * set, pinned by CurationStreamSpec across arbitrary micro-batch
+    * splits and within-batch scrambling (the handler orders each
+    * group's slice by seq before charging).
+    *
+    * Scale: state is TWO LONGS per language — no buffering, no
+    * timeout, no watermark dependence; the only shuffle carries
+    * (doc_id, seq, lang, n_tok) rows (text never moves — token counts
+    * fold map-side upstream); each decision is O(1). The operator
+    * sustains whatever rate the lang-keyed exchange sustains, with the
+    * usual caveat that one dominant language serializes through one
+    * task — the admission itself is so cheap (two adds, one compare)
+    * that the exchange, not the state machine, is the bound.
+    */
+  def tokenBudgetStream(docs: Dataset[CurationDoc],
+      budget: Long): Dataset[Admission] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.groupByKey(_.lang)
+      .flatMapGroupsWithState[LangBudgetState, Admission](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang, it, state) =>
+          var st = state.getOption.getOrElse(LangBudgetState(0L, 0L))
+          val out = it.toVector.sortBy(e => (e.seq, e.doc_id)).map { e =>
+            val cum = st.spent + e.n_tok
+            val ok = cum <= budget
+            st = LangBudgetState(cum, st.kept + (if (ok) 1L else 0L))
+            Admission(lang, e.doc_id, ok, cum, st.kept)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def heavyHittersStream(docs: Dataset[DocEvent], windowSecs: Int, k: Int,
       watermark: String): Dataset[HeavyHitter] = {
     import docs.sparkSession.implicits._
