@@ -50,11 +50,14 @@ object Plans {
     "q144_bpe_merges" -> "BPE training: one corpus pass to word counts; BATCHED merge rounds on the checkpointed word-type table (safe-prefix selector, exact vs sequential) — top candidates collect to the driver and apply as literal codegen'd array folds, no per-merge broadcast join",
     "q145_bpe_segment" -> "BPE application report: one corpus pass to (source,word) counts, vocab-cardinality join to the learned word-type table — nothing per-position after training",
     "q146_source_divergence" -> "per-source divergence: (source,token) counts once, global model rolls up through the reused Exchange, all bit terms folded as masses",
-    "q147_ivf_learned" -> "IVF over LEARNED centroids: one Lloyd step (broadcast seed argmin + VecSum update) checkpointed at 16 rows, then the q40-shape 2-probe serve — corpus contributes one long per vector per assignment pass",
+    "q147_ivf_learned" -> "IVF over LEARNED centroids: Lloyd run to CONVERGENCE (lloydPass fuses update+stats, driver stops at improvement < 1 or 4 iters; passes eagerly checkpointed at 16 rows) feeding the q40-shape 2-probe serve — corpus contributes one long + one carried vector per assignment pass",
     "q148_split_leakage" -> "split-leakage audit: banded LSH pair join (never all-pairs) + map-side md5 split assignment; classification joins at PAIR cardinality, 6-row matrix rollup",
-    "q149_kmeans_convergence" -> "Lloyd convergence report: per iteration one broadcast packed-argmin pass (one long per vector) + 16-row rollup; iteration count is the driver-loop bound, data work constant per round",
+    "q149_kmeans_convergence" -> "Lloyd convergence report: the stats ride the SAME lloydPass as each round's centroid update (16-row cell rollup collected per round), so the final plan is just the driver-assembled report — no corpus work beyond training itself",
     "q150_zipf_profile" -> "Zipf profile: one (source,tok) count pass; rank window pre-prunes rk <= 256 into WindowGroupLimit (never sorts a full vocabulary on one task); totals reuse the count exchange",
-    "q151_dup_spectrum" -> "duplicate-mass spectrum: in-row CDC chunking, md5 map-side so only (digest, ch_tok) shuffles once with map-side combine; 6-row rollup — text never moves")
+    "q151_dup_spectrum" -> "duplicate-mass spectrum: in-row CDC chunking, md5 map-side so only (digest, ch_tok) shuffles once with map-side combine; 6-row rollup — text never moves",
+    "q152_ivf_index_serve" -> "persisted-IVF serve: STORED centroids broadcast, probe list collected (<= nlists ids) and pushed as a STATIC partition filter on the cid-partitioned postings — the scan plans to nprobe directories; exact re-rank + broadcast cell-size join",
+    "q153_ivf_incremental" -> "incremental IVF ingest: one broadcast-argmin cross of the batch vs the stored 16-row centroid table, generation append without touching base postings, occupancy = 16-row rollup left-joined to the centroid ids",
+    "q154_span_dedup_apply" -> "span-dedup APPLY: q143's hash scan + dup flags fold duplicated starts into MERGED interval structs (one doc-keyed sort shared by lag+running-break windows); the interval join to documents is AQE-broadcastable (dup docs only) and the strip is one codegen'd filter lambda — text never rides a hash shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
