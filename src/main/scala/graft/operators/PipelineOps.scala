@@ -51,8 +51,85 @@ object PipelineOps {
     "q126_novelty_curve" -> ((s, d) => q126(s, d)),
     "q133_source_quota" -> ((s, d) => q133(s, d)),
     "q135_token_budget" -> ((s, d) => q135(s, d)),
-    "q139_containment_decontam" -> ((s, d) => q139(s, d))
+    "q139_containment_decontam" -> ((s, d) => q139(s, d)),
+    "q155_corpus_release" -> ((s, d) => q155(s, d))
   )
+
+  /** Corpus RELEASE pipeline — the end-to-end composition a training
+    * run actually executes, with per-language loss accounting at every
+    * stage: exact dedup (keep the smallest doc_id per identical text) →
+    * length-window quality gate (20–1000 tokens, q65's rule) → span
+    * cleanup (q154's apply: strip cross-doc duplicated 8-token windows
+    * from the SURVIVORS — dedup first, so boilerplate shared only among
+    * exact clones is already gone and the span pass sees each text
+    * once) → per-language token budget over the CLEANED token counts
+    * (q135's greedy prefix; empty-after-cleaning docs are dropped
+    * before ranking so the n_clean ≥ 1 prune invariant holds). One row
+    * per language: docs in, dropped per stage, span token mass removed,
+    * docs/tokens admitted, fill permille — the release report next to
+    * the release itself (the cleaned text is q154's output; this entry
+    * is the AUDIT of the composition).
+    *
+    * Scale: each stage keeps its own plan's posture — the dedup key at
+    * production scale is a 16-byte content hash (q31) rather than raw
+    * text; the span stage is the q154 single hash-scan with the
+    * auto-triggered nSeg degrade; the budget stage ranks ≤ budget rows
+    * per language below its exchange (WindowGroupLimit); every report
+    * rollup is language-cardinality. Text crosses exactly the joins
+    * q154 already pays — nothing new moves at corpus scale.
+    */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 3000L
+    val docs = Tables(s, d, "documents")
+      .select($"doc_id", $"lang", $"source", $"text",
+        split($"text", "\\s+").as("toks"))
+    val keepIds = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val quality = deduped
+      .filter(size($"toks").cast("long").between(20L, 1000L))
+    val cleaned = TextOps.spanDedupApply(
+        quality.select($"doc_id", $"source", $"toks"),
+        TextOps.spanAutoNSeg(quality))
+      // audit columns only — the cleaned TEXT is q154's own output;
+      // dropping it before the checkpoint lets Catalyst prune the
+      // rejoin payload and keeps the materialized state to four longs
+      // + lang per doc
+      .select($"doc_id", $"n_tokens", $"tokens_removed")
+      .join(deduped.select($"doc_id", $"lang"), "doc_id")
+      .withColumn("n_clean", $"n_tokens" - $"tokens_removed")
+      .localCheckpoint(true)
+    val byQ = Window.partitionBy($"lang").orderBy($"n_clean".desc, $"doc_id")
+    val kept = cleaned.filter($"n_clean" >= 1L)
+      .withColumn("rk", row_number().over(byQ)).filter($"rk" <= budget)
+      .withColumn("cum", sum($"n_clean").over(
+        byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= budget)
+    val inC = docs.groupBy($"lang").agg(count(lit(1)).as("n_in"))
+    val ddC = deduped.groupBy($"lang").agg(count(lit(1)).as("n_dedup"))
+    val qC = quality.groupBy($"lang").agg(count(lit(1)).as("n_q"))
+    val spanC = cleaned.groupBy($"lang")
+      .agg(sum($"tokens_removed").as("span_removed"))
+    val keptC = kept.groupBy($"lang")
+      .agg(count(lit(1)).as("docs_kept"), max($"cum").as("toks_kept"))
+    inC.join(ddC, Seq("lang"), "left")
+      .join(qC, Seq("lang"), "left")
+      .join(spanC, Seq("lang"), "left")
+      .join(keptC, Seq("lang"), "left")
+      .select($"lang", $"n_in",
+        ($"n_in" - coalesce($"n_dedup", lit(0L))).as("n_dup_dropped"),
+        (coalesce($"n_dedup", lit(0L)) - coalesce($"n_q", lit(0L)))
+          .as("n_quality_dropped"),
+        coalesce($"span_removed", lit(0L)).as("span_tokens_removed"),
+        coalesce($"docs_kept", lit(0L)).as("docs_kept"),
+        coalesce($"toks_kept", lit(0L)).as("toks_kept"),
+        expr(s"1000 * coalesce(toks_kept, 0) div $budget")
+          .as("fill_permille"))
+      .orderBy($"lang")
+  }
 
   /** Corpus novelty curve — cumulative unique content vs documents
     * ingested, in 10 crawl-order slices: the diminishing-returns curve
@@ -2024,6 +2101,75 @@ object PipelineOps {
                ORDER BY n_chars DESC, doc_id) AS rk
            FROM documents) t
          WHERE rk <= 8 ORDER BY source, rk""",
+    "q155_corpus_release" ->
+      """WITH raw AS MATERIALIZED (
+           SELECT doc_id, lang, source, text,
+             string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         keep AS (SELECT min(doc_id) AS doc_id FROM raw GROUP BY text),
+         dd AS MATERIALIZED (SELECT raw.* FROM raw JOIN keep USING (doc_id)),
+         t AS MATERIALIZED (
+           SELECT doc_id, source, toks FROM dd
+           WHERE len(toks) BETWEEN 20 AND 1000),
+         w AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16))) AS h
+           FROM t WHERE len(toks) >= 8),
+         nd AS (SELECT h FROM w GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (SELECT w.doc_id, w.i FROM w JOIN nd ON w.h = nd.h),
+         cov AS (
+           SELECT DISTINCT doc_id, i + g AS p
+           FROM dw, generate_series(0, 7) AS gs(g)),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS p
+           FROM t),
+         keptagg AS (
+           SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+           FROM pos LEFT JOIN cov
+             ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+           WHERE cov.p IS NULL
+           GROUP BY 1),
+         cleaned AS MATERIALIZED (
+           SELECT t.doc_id, dd.lang,
+             CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS removed,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_clean
+           FROM t LEFT JOIN keptagg k USING (doc_id)
+             JOIN dd USING (doc_id)),
+         ranked AS (
+           SELECT lang, doc_id, n_clean,
+             sum(n_clean) OVER (PARTITION BY lang
+               ORDER BY n_clean DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM cleaned WHERE n_clean >= 1),
+         keptc AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS docs_kept,
+             CAST(max(cum) AS BIGINT) AS toks_kept
+           FROM ranked WHERE cum <= 3000 GROUP BY 1),
+         inc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in
+                 FROM raw GROUP BY 1),
+         ddc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup
+                 FROM dd GROUP BY 1),
+         qc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_q
+                FROM dd WHERE len(toks) BETWEEN 20 AND 1000 GROUP BY 1),
+         spanc AS (SELECT lang, CAST(sum(removed) AS BIGINT) AS span_removed
+                   FROM cleaned GROUP BY 1)
+         SELECT inc.lang, inc.n_in,
+           CAST(inc.n_in - coalesce(ddc.n_dedup, 0) AS BIGINT)
+             AS n_dup_dropped,
+           CAST(coalesce(ddc.n_dedup, 0) - coalesce(qc.n_q, 0) AS BIGINT)
+             AS n_quality_dropped,
+           CAST(coalesce(spanc.span_removed, 0) AS BIGINT)
+             AS span_tokens_removed,
+           CAST(coalesce(keptc.docs_kept, 0) AS BIGINT) AS docs_kept,
+           CAST(coalesce(keptc.toks_kept, 0) AS BIGINT) AS toks_kept,
+           CAST(1000 * coalesce(keptc.toks_kept, 0) // 3000 AS BIGINT)
+             AS fill_permille
+         FROM inc LEFT JOIN ddc USING (lang) LEFT JOIN qc USING (lang)
+           LEFT JOIN spanc USING (lang) LEFT JOIN keptc USING (lang)
+         ORDER BY inc.lang""",
     "q135_token_budget" ->
       """WITH t AS (
            SELECT doc_id, lang, n_chars,

@@ -471,6 +471,15 @@ object VectorOps {
     * inside the probed cells. (Fixed seed centroids keep this entry a
     * pure SERVING benchmark; the real index-BUILD path — k-means-learned
     * centroids feeding the same route — is [[q147]].)
+    *
+    * Query-set bound: the probe relation BROADCASTS, which is correct
+    * only because a serving batch is bounded (the fixture's
+    * `vec_id % 100` sampling makes it corpus-proportional, but that is
+    * a fixture artifact — a real deployment serves bounded request
+    * batches, and the unbounded-stream case is [[graft.streaming
+    * .StreamOps.knnStream]]). If a batch ever outgrew broadcast, the
+    * probe join degrades to a shuffle keyed by cell id with no plan
+    * rewrite — the same degrade AQE applies to any broadcast join.
     */
   private def q40(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -520,7 +529,9 @@ object VectorOps {
     * centroid table broadcast; packed (dist·16 + cid) min keeps
     * HashAggregate with map-side combine) fused with its k×dim VecSum
     * update and distortion rollup, then the q40 probe join: queries
-    * broadcast, the corpus contributes one long + one carried vector
+    * broadcast (bounded serving batch — see q40's query-set-bound note;
+    * the fixture's %100 sample is corpus-proportional only as a fixture
+    * artifact), the corpus contributes one long + one carried vector
     * per assignment pass plus the probed-cell candidates. The round
     * count is a driver loop over k×dim-sized state, like q144's merge
     * rounds — data work per round is constant in corpus size.

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q155 — the composed release pipeline. Pins per-stage accounting on a
+  * constructed corpus with known exact dups, short docs, and shared
+  * boilerplate, plus the cross-stage invariants on the driver fixture.
+  */
+class CorpusReleaseSpec extends SparkSpec {
+
+  private def release(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_rel").toString
+    rows.toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SparkEntry.queries("q155_corpus_release")(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  test("stage accounting on a constructed corpus") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    def words(pfx: String, n: Int) = (1 to n).map(i => s"$pfx$i").mkString(" ")
+    val rows = Seq(
+      // en: one exact-dup pair (doc 2 dropped), one too-short doc
+      // (doc 3), two boilerplate-sharing docs (10 tokens stripped each)
+      (1L, "en", "s0", words("a", 25)),
+      (2L, "en", "s0", words("a", 25)),            // exact dup of 1
+      (3L, "en", "s0", "tiny doc"),                // quality drop (< 20)
+      (4L, "en", "s0", s"$boiler ${words("c", 15)}"),
+      (5L, "en", "s1", s"$boiler ${words("d", 15)}"),
+      // de: clean singleton
+      (6L, "de", "s0", words("e", 30)))
+    val got = release(rows)
+    val byLang = got.map(r => r._1 -> r).toMap
+    val en = byLang("en")
+    // (lang, n_in, dup_dropped, quality_dropped, span_removed,
+    //  docs_kept, toks_kept, fill)
+    assert(en._2 == 5L && en._3 == 1L && en._4 == 1L)
+    assert(en._5 == 20L, s"both boilerplate docs lose their 10 tokens: $en")
+    // survivors: doc1 (25 clean), doc4/doc5 (15 clean each) -> all fit
+    assert(en._6 == 3L && en._7 == 55L)
+    val de = byLang("de")
+    assert(de == (("de", 1L, 0L, 0L, 0L, 1L, 30L, 10L)))
+  }
+
+  test("cross-stage invariants hold on the driver fixture") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q155_corpus_release")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (lang, nIn, dup, qual, span, kept, toks, fill) =>
+      assert(dup >= 0 && qual >= 0 && span >= 0, lang)
+      assert(dup + qual <= nIn, s"$lang stage drops exceed input")
+      assert(kept <= nIn - dup - qual, s"$lang kept exceeds survivors")
+      assert(toks <= 3000L, s"$lang budget overrun")
+      assert(fill == 1000L * toks / 3000L, lang)
+    }
+    // the fixture has shared boilerplate — the span stage must bite
+    // (exact text dups exist at sf0.01 but not in the sf0.001 slice, so
+    // the dedup stage is exercised by the constructed-corpus test)
+    assert(got.map(_._5).sum > 0, "no span mass removed on fixture")
+  }
+}
