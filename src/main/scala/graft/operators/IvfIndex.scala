@@ -138,6 +138,69 @@ object IvfIndex {
     splitReport(s, dir)
   }
 
+  /** Execute the re-splits [[addBatch]]'s `needs_split` flag schedules:
+    * for every flagged cell, train a 2-centroid Lloyd to convergence on
+    * THAT CELL'S stored postings only (seeds = the cell's two smallest
+    * vec_ids; the same lloydTrain loop as the build, stop rule
+    * included), give the two halves fresh cell ids past the current
+    * max, rewrite ONLY the flagged cells' posting directories, and
+    * replace their centroid rows. Returns the post-split occupancy
+    * report.
+    *
+    * This is how a billion-vector index amortizes Lloyd cost: the full
+    * build never re-runs — maintenance touches exactly the hot cells'
+    * bytes (read one partition directory, write two), the rest of the
+    * postings are untouched files, and the centroid table changes by
+    * flagged-cells×2 rows. The driver loop is bounded by nlists, and
+    * each per-cell training pass is corpus-work proportional to that
+    * cell alone.
+    */
+  def splitCells(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flagged = splitReport(s, dir)
+      .filter($"needs_split" === 1L).select($"cid")
+      .as[Long].collect().toSeq
+    if (flagged.nonEmpty) {
+      val cents = centroids(s, dir).select($"cid".cast("long").as("cid"), $"cq")
+        .localCheckpoint(true)
+      var nextCid = cents.agg(max($"cid")).head().getLong(0) + 1
+      val keptCents = cents.filter(!$"cid".isin(flagged: _*))
+      val newCents = flagged.map { hot =>
+        val cell = postings(s, dir).filter($"cid" === hot)
+          .select($"vec_id", $"qv", $"gen").localCheckpoint(true)
+        val seedIds = cell.select($"vec_id").orderBy($"vec_id").limit(2)
+          .as[Long].collect()
+        val seeds = cell.filter($"vec_id".isin(seedIds: _*))
+          .select(($"vec_id" === seedIds.max).cast("int").cast("long")
+            .as("cid"), $"qv".as("cq"))
+        val (learned, _) = VectorOps.lloydTrain(cell.select($"vec_id", $"qv"),
+          seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
+        // local cid 0/1 (argminPacked's dist*16+cid packing needs
+        // cid < 16) -> fresh global ids only at the storage boundary
+        val lo = nextCid; nextCid += 2
+        val remapped = learned.select(($"cid" + lo).as("cid"), $"cq")
+          .localCheckpoint(true)
+        VectorOps.argminPacked(cell.drop("gen"), learned, carryQv = true)
+          .join(cell.select($"vec_id", $"gen"), "vec_id")
+          .select($"vec_id", $"qv", $"gen", ($"cid" + lo).as("cid"))
+          .write.mode(SaveMode.Append).partitionBy("cid")
+          .parquet(postDir(dir))
+        // the old partition directory is superseded — remove it so the
+        // split is a move, not a duplication (local-fs index layout)
+        val old = new java.io.File(s"${postDir(dir)}/cid=$hot")
+        old.listFiles().foreach(_.delete()); old.delete()
+        remapped
+      }.reduce(_ unionByName _)
+      keptCents.unionByName(newCents)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids_new")
+      // two-phase swap: centroids/ readers must never see a half write
+      val cd = new java.io.File(centDir(dir))
+      cd.listFiles().foreach(_.delete()); cd.delete()
+      new java.io.File(s"$dir/centroids_new").renameTo(cd)
+    }
+    splitReport(s, dir)
+  }
+
   /** Per-cell occupancy over every stored generation (see [[addBatch]]). */
   def splitReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

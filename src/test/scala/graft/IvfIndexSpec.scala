@@ -95,6 +95,64 @@ class IvfIndexSpec extends SparkSpec {
         s"serve read $scanned of $allFiles posting files — no pruning")
   }
 
+  test("splitCells retrains ONLY the flagged cell and halves its occupancy") {
+    import spark.implicits._
+    // 16 well-separated seeds; 200 extra vectors crowd seed 3's cell
+    // (two sub-clusters so the 2-way Lloyd has real structure), a few
+    // land elsewhere — exactly one cell crosses 2x the fair share
+    def vec(a: Long, b: Long, c: Long, d: Long) = Seq(a, b, c, d)
+    val seeds = (0L until 16L).map(i => (i, vec(i * 10000, 0, 0, 0)))
+    val crowd = (100L until 300L).map { i =>
+      val sub = if (i % 2 == 0) 400L else -400L
+      (i, vec(30000 + (i % 7), sub + (i % 5), 0, 0))
+    }
+    val fringe = (300L until 320L).map(i => (i, vec((i % 16) * 10000, 3, 0, 0)))
+    val emb = (seeds ++ crowd ++ fringe).toDF("vec_id", "qv")
+    val dir = tmp("split")
+    IvfIndex.build(emb, dir)
+    val before = IvfIndex.splitReport(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val flagged = before.filter(_._5 == 1L)
+    assert(flagged.map(_._1) == Seq(3L), s"exactly cell 3 must flag: $before")
+    val total = before.map(_._4).sum
+
+    val after = IvfIndex.splitCells(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // mass conserved, old cell gone, two fresh ids present
+    assert(after.map(_._4).sum == total)
+    assert(!after.map(_._1).contains(3L))
+    val fresh = after.map(_._1).filter(_ >= 16L)
+    assert(fresh.size == 2, s"two fresh cell ids expected: $after")
+    // the hot mass actually split (no half holds the whole old cell)
+    val hotBefore = flagged.head._4
+    after.filter(r => fresh.contains(r._1)).foreach { r =>
+      assert(r._4 < hotBefore, s"split half still holds the cell: $r")
+    }
+    // postings layout: old directory removed, fresh ones written
+    val cells = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).toSet
+    assert(!cells.contains("cid=3") &&
+      fresh.forall(c => cells.contains(s"cid=$c")))
+    // every re-homed vector sits with its NEARER new centroid
+    val cents = IvfIndex.centroids(spark, dir)
+      .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])]
+      .collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    IvfIndex.postings(spark, dir)
+      .filter($"cid".cast("long").isin(fresh: _*))
+      .select($"vec_id", $"qv", $"cid".cast("long").as("cid"))
+      .as[(Long, Seq[Long], Long)].collect().foreach { case (id, qv, cid) =>
+        val best = fresh.minBy(c => (d2(qv, cents(c)), c))
+        assert(cid == best, s"vector $id homed to $cid, nearest is $best")
+      }
+    // and the index still serves: a crowd vector's top hit is its twin
+    val served = IvfIndex.serve(spark, dir,
+      emb.filter($"vec_id" === 200L), probes = 2, k = 3)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(served.nonEmpty && served.head._4 >= 0L)
+  }
+
   test("incremental ingest appends, assigns like fresh argmin, flags hot cells") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
