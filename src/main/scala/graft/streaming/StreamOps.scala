@@ -725,6 +725,58 @@ object StreamOps {
     * task — the admission itself is so cheap (two adds, one compare)
     * that the exchange, not the state machine, is the bound.
     */
+  /** The ONLINE release pipeline — q155's streaming sibling, composed
+    * from the already-pinned stages: within-watermark exact dedup
+    * (stateful) → token-window quality gate + stopword langid
+    * (stateless, the ingestPipelineStream scorer) → per-language token
+    * budget admission ([[tokenBudgetStream]]'s gate, second stateful
+    * operator). Emits one [[Admission]] per SURVIVING doc; `seq` for
+    * the admission order is the arriving doc_id (the transport's
+    * delivery rank — feed best-first to reproduce a batch selection).
+    *
+    * Chaining note: a flatMapGroupsWithState behind another stateful
+    * operator trips the same global-watermark correctness check as the
+    * reorder→attribution chain; the gate neither consults event time
+    * nor times out, so disabling the check for this query is safe (the
+    * sanctioned escape hatch, see [[reorderByWatermark]]).
+    *
+    * Scale: dedup state is the watermark horizon's fingerprints;
+    * admission state is two longs per language; text is dropped at the
+    * langid boundary, so the second exchange carries four-field rows.
+    */
+  def releaseAdmissionStream(docs: Dataset[DocEvent], watermark: String,
+      budget: Long, minTok: Int = 3, maxTok: Int = 1000): Dataset[Admission] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val stop = Map(
+      "en" -> Seq("a", "the", "of", "and", "to", "in", "is"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+      "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "des"))
+    val deduped = dedupExactStream(docs, watermark)
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens").between(minTok, maxTok))
+    val scored = stop.toSeq.sortBy(_._1).foldLeft(deduped) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang", size(expr(
+          s"filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))")))
+    }
+    val curated = scored
+      .withColumn("best", greatest(lit(0), col("score_en"), col("score_de"),
+        col("score_es"), col("score_fr")))
+      .withColumn("lang",
+        when(col("best") === 0, "unknown")
+          .when(col("score_de") === col("best"), "de")
+          .when(col("score_en") === col("best"), "en")
+          .when(col("score_es") === col("best"), "es")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("doc_id").as("seq"), col("lang"),
+        col("n_tokens").cast("long").as("n_tok"))
+      .as[CurationDoc]
+    tokenBudgetStream(curated, budget)
+  }
+
   def tokenBudgetStream(docs: Dataset[CurationDoc],
       budget: Long): Dataset[Admission] = {
     val s = docs.sparkSession

@@ -88,6 +88,65 @@ class CurationStreamSpec extends SparkSpec {
     checkAgainstBatch(runStream(scrambled, "cur_scram"))
   }
 
+  test("releaseAdmissionStream == driver replay of dedup->quality->langid->budget") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stop = Map(
+      "en" -> Set("a", "the", "of", "and", "to", "in", "is"),
+      "de" -> Set("der", "die", "das", "und", "ist", "ein"),
+      "es" -> Set("el", "la", "los", "de", "y", "es", "un"),
+      "fr" -> Set("le", "la", "les", "et", "est", "un", "des"))
+    // deterministic docs with langid signal, one exact dup, one short doc
+    def doc(id: Long, text: String) = StreamOps.DocEvent(
+      id, new java.sql.Timestamp(1700000000000L + id), text)
+    val events = Seq(
+      doc(1L, "the cat sat on the mat and the dog is here now today ok"),
+      doc(2L, "der hund ist ein tier und der baum ist hier auch heute ja"),
+      doc(3L, "the cat sat on the mat and the dog is here now today ok"), // dup of 1
+      doc(4L, "too short"),                                               // quality drop
+      doc(5L, "el gato es un animal y la casa es de los dos aqui hoy"),
+      doc(6L, "a big the day of all and some to go in here is fine more"))
+    // driver replay: dedup by text (first id), 3..1000 tokens, argmax
+    // stopword lang (tie order de,en,es,fr; 0 -> unknown), then the
+    // greedy prefix per lang in doc_id order with budget 20
+    val survivors = events.groupBy(_.text).map(_._2.minBy(_.doc_id)).toSeq
+      .sortBy(_.doc_id)
+      .map(e => (e.doc_id, e.text.split("\\s+").toSeq))
+      .filter { case (_, t) => t.size >= 3 && t.size <= 1000 }
+      .map { case (id, t) =>
+        val scores = stop.map { case (l, ws) => l -> t.count(ws) }
+        val best = scores.values.max
+        val lang = if (best == 0) "unknown"
+          else Seq("de", "en", "es", "fr").find(scores(_) == best).get
+        (id, lang, t.size.toLong)
+      }
+    val budget = 20L
+    val expected = survivors.groupBy(_._2).flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, _, n) =>
+        cum += n; (lang, id, cum <= budget, cum)
+      }
+    }.toSet
+    val in = MemoryStream[StreamOps.DocEvent]
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+    spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val q = StreamOps.toMemory(
+      StreamOps.releaseAdmissionStream(in.toDS(), "10 seconds", budget).toDF(),
+      "rel_adm", OutputMode.Append)
+    try {
+      events.grouped(2).foreach { b => in.addData(b); q.processAllAvailable() }
+      val got = spark.table("rel_adm").as[Admission].collect()
+        .map(a => (a.lang, a.doc_id, a.admitted, a.cum)).toSet
+      assert(got == expected, s"\n got $got\nwant $expected")
+    } finally {
+      q.stop()
+      prev.foreach(v => spark.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", v))
+    }
+  }
+
   test("overflow ends admission for the language (prefix rule)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
