@@ -211,7 +211,23 @@ object StreamBench {
     val curation = rate("curation_dps", curationEvents, batchSize)(in =>
       StreamOps.tokenBudgetStream(in.toDS(), budget = Long.MaxValue / 2).toDF())
 
-    Seq(q5, q11, ingest, neardup, hh, funnel, knn, cdc, attrib, curation)
+    // Online release pipeline (docs/s): within-watermark dedup → quality
+    // gate + langid → per-language budget admission — the two-stateful-
+    // operator chain (q155's streaming sibling). Same sanctioned
+    // correctness-check disable as CurationStreamSpec: the admission gate
+    // neither consults event time nor times out.
+    val release = {
+      val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try rate("release_dps", docEvents, docBatch)(in =>
+        StreamOps.releaseAdmissionStream(in.toDS(), "10 seconds",
+          budget = Long.MaxValue / 2).toDF())
+      finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+
+    Seq(q5, q11, ingest, neardup, hh, funnel, knn, cdc, attrib, curation,
+      release)
   }
 
   def main(args: Array[String]): Unit = {

@@ -119,6 +119,72 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Metadata-filtered index build: the same converged coarse quantizer,
+    * but every posting carries its vector's `label` attribute and the
+    * posting files are partitioned TWO levels deep — `cid` then `label`.
+    * This is how production vector stores make "top-k WHERE tenant = t"
+    * cheap: the filter attribute lives in the physical layout, so a
+    * filtered probe prunes to (nprobe × |labels in the filter|)
+    * directories and the unselected labels' bytes are never opened —
+    * pre-filter semantics (candidates are filtered BEFORE ranking, so
+    * top-k is exact over the matching subset, never starved by
+    * rank-then-filter). The label rides through the build's argmin
+    * aggregate as a `min_by` carry — no join-back exchange.
+    */
+  def buildLabeled(emb: DataFrame, dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = VectorOps.lloydTrain(
+      emb.select($"vec_id", $"qv"), seeds,
+      VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
+    learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
+      .parquet(centDir(dir))
+    VectorOps.argminPacked(emb, learned, carryQv = true, carry = Seq("label"))
+      .select($"vec_id", $"qv", lit(0L).as("gen"), $"cid", $"label")
+      .write.mode(SaveMode.Overwrite).partitionBy("cid", "label")
+      .parquet(postDir(dir))
+  }
+
+  /** Filtered top-k serve: each query (vec_id, qv, label) ranks only
+    * same-label vectors in its `probes` nearest cells. Both partition
+    * levels get static pruning predicates — the probe list as in
+    * [[serve]], plus the batch's distinct label set — so a
+    * label-concentrated serving batch (the tenant-scoped reality) reads
+    * nprobe × |batch labels| directories; the per-query label equality
+    * in the join keeps per-query semantics exact even when the batch
+    * spans labels.
+    */
+  def serveLabeled(s: SparkSession, dir: String, queries: DataFrame,
+      probes: Int = 2, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val cents = centroids(s, dir)
+    val post = postings(s, dir)
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")))
+      .filter($"crank" <= probes)
+      .select($"vec_id".as("query_id"), $"qv".as("probe_qv"),
+        $"label", $"cid")
+      .localCheckpoint(true)
+    val probedCells = probed.select($"cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val probedLabels = probed.select($"label").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val w = Window.partitionBy($"query_id").orderBy($"dist", $"neighbor")
+    post.filter($"cid".isin(probedCells: _*) &&
+        $"label".isin(probedLabels: _*))
+      .join(broadcast(probed), Seq("cid", "label"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"label", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"qv", $"probe_qv").as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Incremental ingest: assign `newVecs` (vec_id, qv) to the stored
     * cells, append their postings under generation `gen`, and return
     * the per-cell occupancy report — (cid, n_base, n_added, n_total,
@@ -255,9 +321,24 @@ object IvfIndex {
     addBatch(s, dir, emb.filter($"vec_id" % 5 === 0))
   }
 
+  /** Filtered vector search end-to-end: labeled build → (cid, label)-
+    * partitioned store → same-label top-5 for every 100th vector as the
+    * query batch. Pre-filter semantics: each query ranks ONLY its own
+    * label's vectors inside its 2 probed cells. The oracle replays
+    * training, labeled assignment, and the filtered serve relationally.
+    */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantizedLabeled(s, d)
+    val dir = scratch("q156")
+    buildLabeled(emb, dir)
+    serveLabeled(s, dir, emb.filter($"vec_id" % 100 === 0))
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
-    "q153_ivf_incremental" -> ((s, d) => q153(s, d))
+    "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
+    "q156_filtered_ann" -> ((s, d) => q156(s, d))
   )
 
   private def q152OracleSql: String =
@@ -318,8 +399,38 @@ object IvfIndex {
              AS BIGINT) AS needs_split
          FROM rep, tot ORDER BY cid"""
 
+  private def q156OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(
+           VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+         qs AS (
+           SELECT vec_id AS query_id, qv, label, cid FROM (
+             SELECT q.vec_id, q.qv, l.label, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(q.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM q JOIN lab l USING (vec_id), cstar c
+             WHERE q.vec_id % 100 = 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, qs.label, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM astar JOIN q aq USING (vec_id) JOIN lab nl USING (vec_id)
+             JOIN qs ON astar.cid = qs.cid AND nl.label = qs.label
+           WHERE astar.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, label, neighbor, dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS BIGINT) AS rank
+           FROM cand)
+         SELECT query_id, label, neighbor, dist, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
-    "q153_ivf_incremental" -> q153OracleSql
+    "q153_ivf_incremental" -> q153OracleSql,
+    "q156_filtered_ann" -> q156OracleSql
   )
 }

@@ -545,6 +545,18 @@ object VectorOps {
       ).as("qv"))
   }
 
+  /** [[quantized]] plus the vector's metadata label (the filterable
+    * attribute the q156 filtered serve prunes on), widened to int64 so
+    * both engines agree on the compare type.
+    */
+  private[graft] def quantizedLabeled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d, "embeddings")
+      .select($"vec_id", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000d + 0.5d) AS BIGINT))"
+      ).as("qv"), $"label".cast("long").as("label"))
+  }
+
   /** Packed-argmin assignment (vec_id, cid, dist) against <=16 broadcast
     * centroids — see q72 for the dist·16+cid encoding rationale. With
     * `carryQv` the vector rides THROUGH the aggregate via
@@ -553,22 +565,22 @@ object VectorOps {
     * 16 candidate rows to one per vector before the exchange either
     * way, so carrying qv costs nothing extra on the wire and saves the
     * vec_id-keyed join-back exchange + sorts a consumer would otherwise
-    * pay to re-attach the vector.
+    * pay to re-attach the vector. `carry` rides further per-vector
+    * attribute columns (e.g. a filter label) through the same
+    * aggregate — constant per vector, so `min_by` returns the one value
+    * every candidate row agrees on.
     */
   private[graft] def argminPacked(in: DataFrame, cents: DataFrame,
-      carryQv: Boolean = false): DataFrame = {
+      carryQv: Boolean = false, carry: Seq[String] = Nil): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
     val scored = in.crossJoin(broadcast(cents))
       .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
-    val aggd =
-      if (carryQv)
-        scored.groupBy($"vec_id")
-          .agg(min($"dist" * 16 + $"cid").as("packed"),
-            expr("min_by(qv, dist * 16 + cid)").as("qv"))
-      else
-        scored.groupBy($"vec_id")
-          .agg(min($"dist" * 16 + $"cid").as("packed"))
+    val carryAggs =
+      (if (carryQv) Seq(expr("min_by(qv, dist * 16 + cid)").as("qv")) else Nil) ++
+        carry.map(c => expr(s"min_by($c, dist * 16 + cid)").as(c))
+    val aggd = scored.groupBy($"vec_id")
+      .agg(min($"dist" * 16 + $"cid").as("packed"), carryAggs: _*)
     aggd.withColumn("cid", pmod($"packed", lit(16)))
       .withColumn("dist", expr("packed div 16"))
       .drop("packed")

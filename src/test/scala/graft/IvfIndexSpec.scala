@@ -153,6 +153,73 @@ class IvfIndexSpec extends SparkSpec {
     assert(served.nonEmpty && served.head._4 >= 0L)
   }
 
+  test("labeled serve pre-filters exactly and prunes BOTH partition levels") {
+    import spark.implicits._
+    val emb = VectorOps.quantizedLabeled(spark, sfDir)
+    val dir = tmp("lab")
+    IvfIndex.buildLabeled(emb, dir)
+    // two-level layout: cid directories each holding label directories
+    val cidDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cid="))
+    assert(cidDirs.nonEmpty && cidDirs.forall(c =>
+      c.listFiles().exists(_.getName.startsWith("label="))),
+      "postings must be partitioned cid then label")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val served = IvfIndex.serveLabeled(spark, dir, queries)
+    // pre-filter reference: same-label top-5 inside the 2 probed cells,
+    // computed against an in-memory labeled argmin assignment
+    val cents = IvfIndex.centroids(spark, dir)
+    val assigned = VectorOps.argminPacked(emb, cents,
+      carryQv = true, carry = Seq("label"))
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+          .orderBy($"cdist", $"cid")))
+      .filter($"crank" <= 2)
+      .select($"vec_id".as("query_id"), $"qv".as("probe_qv"),
+        $"label", $"cid")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"dist", $"neighbor")
+    val expected = assigned.join(broadcast(probed), Seq("cid", "label"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"label", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"qv", $"probe_qv").as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"label", $"neighbor", $"dist", $"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val got = served.as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // pre-filter semantics: every neighbor carries its query's label
+    val qLabel = queries.select($"vec_id", $"label")
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (q, lab, _, _, _) => assert(lab === qLabel(q)) }
+    // scale evidence: the scan opens only probed (cid, label) leaves
+    served.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val allLeaves = spark.read.parquet(s"$dir/postings").inputFiles.length
+    val scanned = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings")))
+      .map(_.metrics("numFiles").value).max
+    val nProbedPairs = probed.select($"cid", $"label").distinct().count()
+    if (nProbedPairs < allLeaves)
+      assert(scanned < allLeaves,
+        s"labeled serve read $scanned of $allLeaves leaves — no pruning")
+  }
+
   test("incremental ingest appends, assigns like fresh argmin, flags hot cells") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
