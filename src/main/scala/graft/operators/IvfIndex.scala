@@ -50,6 +50,7 @@ object IvfIndex {
 
   private def centDir(dir: String) = s"$dir/centroids"
   private def postDir(dir: String) = s"$dir/postings"
+  private def tombDir(dir: String) = s"$dir/tombstones"
 
   /** Train coarse centroids to convergence on `emb` (vec_id, qv) and
     * persist centroids + cid-partitioned postings (gen = 0).
@@ -57,6 +58,7 @@ object IvfIndex {
   def build(emb: DataFrame, dir: String): Unit = {
     val s = emb.sparkSession
     import s.implicits._
+    clearTombstones(dir) // a fresh build owes nothing to prior deletes
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
@@ -75,6 +77,32 @@ object IvfIndex {
   def postings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(postDir(dir))
 
+  /** Tombstone deletes: record the ids in `tombstones/` without touching
+    * a posting byte — the LSM discipline every mutable index uses at
+    * scale. Serving masks tombstones logically ([[masked]]); [[compact]]
+    * later removes them physically. Deletes therefore cost O(batch)
+    * regardless of corpus size, and the tombstone set stays bounded by
+    * the delete volume between compactions (which is what makes the
+    * serve-side broadcast anti-join safe).
+    */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).write.mode(SaveMode.Append)
+      .parquet(tombDir(dir))
+
+  private def tombstones(s: SparkSession, dir: String): Option[DataFrame] =
+    if (new java.io.File(tombDir(dir)).exists)
+      Some(s.read.parquet(tombDir(dir))) else None
+
+  /** Postings with the tombstone mask applied — the relation every serve
+    * ranks against. Broadcast anti-join: see [[delete]] for the bound.
+    */
+  private def masked(s: SparkSession, dir: String): DataFrame = {
+    val post = postings(s, dir)
+    tombstones(s, dir).fold(post)(t =>
+      post.join(broadcast(t.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti"))
+  }
+
   /** Top-k exact-re-rank serve from the stored index: probe the
     * `probes` nearest stored cells per query, rank the probed cells'
     * stored vectors by exact int64 distance, and report each hit next
@@ -86,7 +114,7 @@ object IvfIndex {
       probes: Int = 2, k: Int = 5): DataFrame = {
     import s.implicits._
     val cents = centroids(s, dir)
-    val post = postings(s, dir)
+    val post = masked(s, dir)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .withColumn("crank", row_number().over(
@@ -134,6 +162,7 @@ object IvfIndex {
   def buildLabeled(emb: DataFrame, dir: String): Unit = {
     val s = emb.sparkSession
     import s.implicits._
+    clearTombstones(dir)
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
@@ -160,7 +189,7 @@ object IvfIndex {
       probes: Int = 2, k: Int = 5): DataFrame = {
     import s.implicits._
     val cents = centroids(s, dir)
-    val post = postings(s, dir)
+    val post = masked(s, dir)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .withColumn("crank", row_number().over(
@@ -267,6 +296,73 @@ object IvfIndex {
     splitReport(s, dir)
   }
 
+  private def clearTombstones(dir: String): Unit = {
+    val td = new java.io.File(tombDir(dir))
+    if (td.exists) { td.listFiles().foreach(_.delete()); td.delete() }
+  }
+
+  /** Physically apply the accumulated tombstones and fold ingest
+    * generations back to gen 0 — the LSM compaction to [[delete]]'s
+    * logical mask. Affected cells = those holding a tombstoned vector
+    * or more than one generation; their posting directories are
+    * rewritten in ONE Spark pass (filter + anti-join, partitionBy cid
+    * into a staging dir, per-directory two-phase swap) and every other
+    * cell's files are left byte-untouched. The tombstone log is cleared
+    * at the end, so serve-side mask cost resets to zero.
+    *
+    * Returns the per-cell report (cid, n_before, n_removed,
+    * n_gens_before, n_after, compacted). Scale: the decision scan reads
+    * only (vec_id, gen) + the cid partition column (postings' qv bytes
+    * untouched); the rewrite reads and writes exactly the affected
+    * cells' bytes — compaction cost tracks delete/ingest volume, not
+    * corpus size.
+    */
+  def compact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val post = postings(s, dir)
+    val tomb = tombstones(s, dir)
+      .map(_.select($"vec_id").distinct().localCheckpoint(true))
+    val tombCells = tomb.fold(
+      post.select($"cid").distinct().withColumn("n_tomb", lit(0L)).limit(0))(
+      t => post.join(broadcast(t), "vec_id")
+        .groupBy($"cid").agg(count(lit(1)).as("n_tomb")))
+    val report = post.groupBy($"cid")
+      .agg(count(lit(1)).as("n_before"),
+        countDistinct($"gen").as("n_gens_before"))
+      .join(tombCells, Seq("cid"), "left")
+      .select($"cid", $"n_before",
+        coalesce($"n_tomb", lit(0L)).as("n_removed"), $"n_gens_before")
+      .withColumn("n_after", $"n_before" - $"n_removed")
+      .withColumn("compacted",
+        when($"n_removed" > 0 || $"n_gens_before" > 1, 1L).otherwise(0L))
+      .select($"cid", $"n_before", $"n_removed", $"n_gens_before",
+        $"n_after", $"compacted")
+      .orderBy($"cid")
+      .localCheckpoint(true)
+    val affected = report.filter($"compacted" === 1L)
+      .select($"cid").as[Long].collect().toSeq
+    if (affected.nonEmpty) {
+      val tmp = s"$dir/postings_compact_tmp"
+      val rewritten = post.filter($"cid".isin(affected: _*))
+      tomb.fold(rewritten)(t =>
+          rewritten.join(broadcast(t), Seq("vec_id"), "left_anti"))
+        .select($"vec_id", $"qv", lit(0L).as("gen"), $"cid")
+        .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(tmp)
+      affected.foreach { c =>
+        val old = new java.io.File(s"${postDir(dir)}/cid=$c")
+        if (old.exists) { old.listFiles().foreach(_.delete()); old.delete() }
+        val fresh = new java.io.File(s"$tmp/cid=$c")
+        // a fully-tombstoned cell writes no staging dir: the delete IS
+        // its compaction (the centroid row stays; occupancy reads 0)
+        if (fresh.exists) fresh.renameTo(old)
+      }
+      val td = new java.io.File(tmp)
+      if (td.exists) { td.listFiles().foreach(_.delete()); td.delete() }
+    }
+    clearTombstones(dir)
+    report
+  }
+
   /** Per-cell occupancy over every stored generation (see [[addBatch]]). */
   def splitReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -335,10 +431,32 @@ object IvfIndex {
     serveLabeled(s, dir, emb.filter($"vec_id" % 100 === 0))
   }
 
+  /** The full mutable-index lifecycle in one entry: build on the base
+    * corpus (vec_id % 5 != 0), ingest the held-out fifth as generation
+    * 1, tombstone-delete every 7th vector, COMPACT (deletes applied
+    * physically, generations folded, only affected cell directories
+    * rewritten), then serve from the compacted store. The oracle
+    * replays training, the incremental assignment, and the delete set
+    * relationally — a hash match proves the stored index survived
+    * delete + ingest + compaction with contents exactly equal to "the
+    * corpus minus the deletes", cell sizes included.
+    */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q157")
+    build(emb.filter($"vec_id" % 5 =!= 0), dir)
+    addBatch(s, dir, emb.filter($"vec_id" % 5 === 0))
+    delete(s, dir, emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    compact(s, dir)
+    serve(s, dir, emb.filter($"vec_id" % 100 === 0 && $"vec_id" % 7 =!= 0))
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
-    "q156_filtered_ann" -> ((s, d) => q156(s, d))
+    "q156_filtered_ann" -> ((s, d) => q156(s, d)),
+    "q157_ivf_delete_compact" -> ((s, d) => q157(s, d))
   )
 
   private def q152OracleSql: String =
@@ -428,9 +546,54 @@ object IvfIndex {
          SELECT query_id, label, neighbor, dist, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  private def q157OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+           VectorOps.LloydMinImprove, "WHERE vec_id % 5 <> 0")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         nd AS (
+           SELECT a.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, cstar c WHERE a.vec_id % 5 = 0),
+         anew AS (
+           SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM nd) WHERE rn = 1),
+         comb AS MATERIALIZED (
+           SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
+           UNION ALL
+           SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
+         cellsz AS (
+           SELECT cid, CAST(count(*) AS BIGINT) AS cell_size
+           FROM comb GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c
+             WHERE a.vec_id % 100 = 0 AND a.vec_id % 7 <> 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, cb.vec_id AS neighbor, cb.cid,
+             CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM comb cb JOIN allq aq USING (vec_id)
+             JOIN qs ON cb.cid = qs.cid
+           WHERE cb.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, neighbor, cid, dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS BIGINT) AS rank
+           FROM cand)
+         SELECT query_id, rank, neighbor, dist, cell_size
+         FROM ranked JOIN cellsz USING (cid)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
-    "q156_filtered_ann" -> q156OracleSql
+    "q156_filtered_ann" -> q156OracleSql,
+    "q157_ivf_delete_compact" -> q157OracleSql
   )
 }

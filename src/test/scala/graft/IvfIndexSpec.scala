@@ -220,6 +220,79 @@ class IvfIndexSpec extends SparkSpec {
         s"labeled serve read $scanned of $allLeaves leaves — no pruning")
   }
 
+  test("tombstones mask serving immediately; compact applies them physically") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("del")
+    IvfIndex.build(emb.filter($"vec_id" % 5 =!= 0), dir)
+    IvfIndex.addBatch(spark, dir, emb.filter($"vec_id" % 5 === 0))
+    val deleted = emb.filter($"vec_id" % 7 === 0).select($"vec_id")
+    val nDeleted = deleted.count()
+    IvfIndex.delete(spark, dir, deleted)
+    val queries = emb.filter($"vec_id" % 100 === 0 && $"vec_id" % 7 =!= 0)
+    // BEFORE compaction: the mask alone must already hide every
+    // tombstoned vector from the serve path
+    val preCompact = IvfIndex.serve(spark, dir, queries)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(preCompact.nonEmpty &&
+      !preCompact.exists { case (_, _, n, _, _) => n % 7 == 0 })
+    val before = IvfIndex.postings(spark, dir).count()
+    val report = IvfIndex.compact(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // per-cell accounting reconciles with the delete batch exactly
+    assert(report.map(_._3).sum === nDeleted)
+    report.foreach { case (cid, nb, nr, ng, na, c) =>
+      assert(na === nb - nr, s"cell $cid mass")
+      assert(c === (if (nr > 0 || ng > 1) 1L else 0L), s"cell $cid flag")
+    }
+    // physical state: rows gone, generations folded, tombstone log empty
+    val post = IvfIndex.postings(spark, dir)
+    assert(post.count() === before - nDeleted)
+    assert(post.filter($"gen" =!= 0L).count() === 0L)
+    assert(post.filter($"vec_id" % 7 === 0).count() === 0L)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    // and serving is oblivious to WHEN compaction ran
+    val postCompact = IvfIndex.serve(spark, dir, queries)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(postCompact === preCompact)
+  }
+
+  test("compact rewrites ONLY the cells the tombstones touch") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("cmp")
+    IvfIndex.build(emb, dir)
+    // pick one cell and tombstone three of its vectors: with a single
+    // generation everywhere, that cell alone is affected
+    val victim = IvfIndex.postings(spark, dir)
+      .groupBy($"cid").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n")).limit(1).select($"cid".cast("long"))
+      .as[Long].head()
+    val ids = IvfIndex.postings(spark, dir)
+      .filter($"cid" === victim).select($"vec_id")
+      .orderBy($"vec_id").limit(3)
+    IvfIndex.delete(spark, dir, ids)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(s"$dir/postings").listFiles()
+        .filter(_.getName.startsWith("cid=")).map(d =>
+          d.getName -> d.listFiles().map(f =>
+            (f.getName, f.length(), f.lastModified())).toSeq.sortBy(_._1))
+        .toMap
+    val pre = snapshot()
+    val report = IvfIndex.compact(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(report.filter(_._6 == 1L).map(_._1) === Seq(victim))
+    val post = snapshot()
+    // untouched cells: byte-identical files (name, size, mtime)
+    pre.keys.filter(_ != s"cid=$victim").foreach { c =>
+      assert(post(c) === pre(c), s"$c was rewritten without need")
+    }
+    // the victim cell: rewritten, three rows lighter
+    assert(post(s"cid=$victim") !== pre(s"cid=$victim"))
+    assert(IvfIndex.postings(spark, dir).filter($"cid" === victim).count()
+      === report.find(_._1 == victim).get._5)
+  }
+
   test("incremental ingest appends, assigns like fresh argmin, flags hot cells") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
