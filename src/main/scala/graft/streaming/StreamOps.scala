@@ -1038,6 +1038,42 @@ object StreamOps {
   case class AsOfTagged(key: Int, t: Long, bid: Option[Bid],
       rate: Option[RateUpdate])
 
+  /** One corpus vector for the online index-maintenance sink (public:
+    * encoder requirement). Same quantized int64 space as [[VecEvent]].
+    */
+  case class IndexVec(vec_id: Long, qv: Array[Long])
+
+  /** Online maintenance of the PERSISTED IVF index ([[graft.operators.IvfIndex]]):
+    * each micro-batch of corpus vectors is assigned to the stored cells
+    * in one broadcast-argmin pass and appended as its own posting
+    * GENERATION (gen = batchId + 1 — deterministic, so a replayed batch
+    * overwrite-appends the same content rather than double-counting
+    * under at-least-once foreachBatch semantics the caller must dedup;
+    * the spec pins content equality, not file identity). Every
+    * `compactEvery` batches the accumulated generations fold back to
+    * gen 0 via [[graft.operators.IvfIndex.compact]], so serve-path read
+    * amplification (files per cell) stays bounded by compactEvery × the
+    * batch file count instead of growing with stream length — the LSM
+    * write/compact discipline, which is exactly how a streaming vector
+    * store keeps ingest append-only AND queries fast.
+    *
+    * Scale: per batch the only corpus-sized relation is the batch
+    * itself (centroids broadcast, one map-side-combined argmin); the
+    * periodic compaction rewrites only cells holding >1 generation —
+    * bounded by ingest volume since the last fold, never the base.
+    */
+  def indexIngestStream(vecs: Dataset[IndexVec], dir: String,
+      compactEvery: Long = 4L): StreamingQuery =
+    toForeachBatch(vecs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        graft.operators.IvfIndex.addBatch(s, dir,
+          batch.select(col("vec_id"), col("qv")), gen = batchId + 1)
+        if ((batchId + 1) % compactEvery == 0)
+          graft.operators.IvfIndex.compact(s, dir)
+      }
+    }
+
   /** Per-key state of [[asofStream]]: time-sorted recent rate updates
     * (public: Spark encoders need a public case class at codegen time).
     */
