@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -9,33 +10,71 @@ import org.apache.spark.sql.expressions.Window
   * deployment trains ONCE, persists, and serves every query (and every
   * incremental ingest batch) from the stored index. Reference surface:
   * the same coarse-quantized routing the reference's vector path
-  * declares; re-expressed here as two parquet relations plus three
-  * Spark-first operations.
+  * declares; re-expressed here as two parquet relations plus the
+  * lifecycle operations, under a manifest commit protocol.
   *
-  * Layout (under one index directory):
-  *   - `centroids/` — (cid, cq): the k learned int64 centroids
-  *     ([[VectorOps.lloydTrain]] run to convergence, k = 16 here).
-  *   - `postings/`  — (vec_id, qv, gen) PARTITIONED BY cid: the
-  *     inverted lists. Partitioning by cell id is the scale decision:
-  *     a probe touches `nprobe` directories out of `nlists`, so the
-  *     serve-path scan is bounded by nprobe/nlists of the corpus
-  *     (dynamic partition pruning through the broadcast probe join),
-  *     and an incremental batch APPENDS new files into existing cell
-  *     directories without rewriting a byte of the base postings.
-  *     `gen` stamps which ingest batch wrote each row (0 = the build).
+  * == Storage layout (under one index directory) ==
+  *   - `manifest-<epoch>` — the COMMIT MARKER: a small text file naming
+  *     the current centroid version and, per cell, the set of valid
+  *     posting generations. The highest committed epoch IS the index.
+  *   - `centroids_v<K>/` — immutable centroid-table versions (cid, cq);
+  *     the manifest points at exactly one.
+  *   - `postings/cid=<C>/gen=<G>/` — immutable posting generation
+  *     directories: (vec_id, qv) partitioned by cell id then
+  *     generation. Partitioning by cell id is the scale decision: a
+  *     probe touches `nprobe` cell directories out of `nlists`, so the
+  *     serve-path scan is bounded by nprobe/nlists of the corpus, and
+  *     an ingest batch adds new generation directories without
+  *     rewriting a byte of the base postings. Generations > 0 are
+  *     ingest batches; generations <= 0 are internal (the build's gen 0
+  *     and the monotonically decreasing gens compaction/splits mint).
+  *   - `tombstones/` — the append-only delete log ([[delete]]).
+  *
+  * == Commit protocol (why readers never see a half write) ==
+  * Every mutation follows write-new-files -> commit-manifest ->
+  * garbage-collect, in that order:
+  *   1. New data lands ONLY in directories no committed manifest
+  *      references (a fresh generation dir, a fresh centroid version).
+  *   2. The manifest for epoch N+1 is written to a temp file and
+  *      renamed into place — a single small-file publish (atomic on
+  *      HDFS/local; a single PUT on an object store), with the rename
+  *      return value checked.
+  *   3. Only after the commit are superseded directories deleted.
+  * A crash ANYWHERE before step 2 leaves the highest committed manifest
+  * pointing at exactly the old directories — readers keep serving the
+  * old snapshot and never observe partial state (orphaned uncommitted
+  * files are invisible because [[postings]] filters to the manifest's
+  * valid (cid, gen) set, pushed as a partition-pruning predicate). A
+  * crash after step 2 leaves at worst unreferenced garbage for the next
+  * mutation's GC. NO data directory is ever renamed or rewritten in
+  * place — the object-store-safe discipline (rename-as-copy only ever
+  * touches the one-line manifest). All control-plane I/O goes through
+  * the Hadoop [[FileSystem]] bound to the session's configuration, so
+  * the same code runs against local fs, HDFS, or an object store.
+  *
+  * == Replay idempotency ==
+  * Ingest generations are caller-named (the streaming sink uses
+  * batchId + 1). The manifest records every generation ever committed:
+  * a replayed [[addBatch]] for a committed generation is a metadata
+  * no-op — even if compaction has since folded that generation away —
+  * so at-least-once foreachBatch recovery yields exactly-once index
+  * contents. A replay of an UNcommitted attempt re-writes the same
+  * (cid, gen) partitions via dynamic partition overwrite, replacing
+  * any partial leftovers instead of appending to them.
   *
   * Operations:
-  *   - [[build]]: train to convergence, write both relations.
+  *   - [[build]]: train to convergence, write both relations, commit
+  *     epoch 1.
   *   - [[serve]]: 2-probe exact-re-rank top-k from the STORED tables —
   *     byte-identical results to q147's in-memory serve (q152 pins
   *     this through the DuckDB oracle, which replays training and
   *     serving without ever seeing the files).
   *   - [[addBatch]]: q88-style incremental ingest — assign new vectors
   *     to the EXISTING cells (no retrain; one broadcast-argmin pass),
-  *     append their postings, and report per-cell occupancy with a
-  *     `needs_split` flag for cells past 2× the fair share — the
-  *     signal that schedules a cell-local re-train, exactly how
-  *     billion-vector indexes amortize Lloyd cost across ingests.
+  *     commit their postings as a new generation, and report per-cell
+  *     occupancy with a `needs_split` flag for cells past 2× the fair
+  *     share — the signal that schedules a cell-local re-train, exactly
+  *     how billion-vector indexes amortize Lloyd cost across ingests.
   *
   * 100 TB design: centroids are k rows (broadcast everywhere); the only
   * corpus-sized work is the build/ingest argmin (one packed long + one
@@ -43,39 +82,130 @@ import org.apache.spark.sql.expressions.Window
   * the probed-cell candidate join, never an all-pairs relation. Serving
   * reads nprobe cells; ingest appends without rewrite; the split flag
   * keeps cell sizes bounded so neither ever degrades to a full scan.
+  * The manifest is O(nlists × live generations) text — driver-trivial.
   */
 object IvfIndex {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def centDir(dir: String) = s"$dir/centroids"
   private def postDir(dir: String) = s"$dir/postings"
   private def tombDir(dir: String) = s"$dir/tombstones"
+  private def centDir(dir: String, ver: Long) = s"$dir/centroids_v$ver"
 
-  /** Train coarse centroids to convergence on `emb` (vec_id, qv) and
-    * persist centroids + cid-partitioned postings (gen = 0).
+  // ---------- control plane: Hadoop FS + manifest ----------
+
+  private def fs(s: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** One committed index state. `cells` maps cid -> valid physical
+    * generations; `ingested` is every ingest generation ever committed
+    * (kept forever so replays stay no-ops across compactions);
+    * `nextInternal` is the next internal generation id (negative,
+    * decreasing — compaction/split outputs, disjoint from caller gens
+    * by sign so an ingest replay can never clobber folded data).
     */
-  def build(emb: DataFrame, dir: String): Unit = {
-    val s = emb.sparkSession
-    import s.implicits._
-    clearTombstones(dir) // a fresh build owes nothing to prior deletes
-    val seeds = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"qv".as("cq"))
-    val (learned, _) = VectorOps.lloydTrain(
-      emb, seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
-    learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
-      .parquet(centDir(dir))
-    VectorOps.argminPacked(emb, learned, carryQv = true)
-      .select($"vec_id", $"qv", lit(0L).as("gen"), $"cid")
-      .write.mode(SaveMode.Overwrite).partitionBy("cid")
-      .parquet(postDir(dir))
+  private case class Snapshot(epoch: Long, centroidsVer: Long,
+      cells: Map[Long, Seq[Long]], ingested: Set[Long], nextInternal: Long)
+
+  private def manifestName(epoch: Long) = f"manifest-$epoch%09d"
+
+  private def readSnapshot(s: SparkSession, dir: String): Snapshot = {
+    val f = fs(s, dir)
+    val found = f.globStatus(new Path(dir, "manifest-*"))
+    require(found != null && found.nonEmpty,
+      s"no committed manifest under $dir — not an index (or build crashed pre-commit)")
+    val latest = found.map(_.getPath)
+      .maxBy(_.getName.stripPrefix("manifest-").toLong)
+    val in = f.open(latest)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val epoch = latest.getName.stripPrefix("manifest-").toLong
+    var ver = 0L
+    var nextInternal = -1L
+    var ingested = Set.empty[Long]
+    var cells = Map.empty[Long, Seq[Long]]
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { ln =>
+      val Array(k, v) = ln.split("=", 2)
+      k match {
+        case "centroids" => ver = v.toLong
+        case "next_internal" => nextInternal = v.toLong
+        case "ingested" =>
+          ingested = if (v.isEmpty) Set.empty
+            else v.split(",").map(_.toLong).toSet
+        case "cell" =>
+          val Array(cid, gens) = v.split(":", 2)
+          cells += cid.toLong ->
+            (if (gens.isEmpty) Seq.empty[Long]
+             else gens.split(",").map(_.toLong).toSeq)
+        case other => throw new IllegalStateException(
+          s"unknown manifest key '$other' in $latest")
+      }
+    }
+    require(ver > 0, s"manifest $latest names no centroid version")
+    Snapshot(epoch, ver, cells, ingested, nextInternal)
   }
 
-  def centroids(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(centDir(dir))
+  /** Publish a snapshot: temp write + checked rename (step 2 of the
+    * protocol). Superseded manifests beyond the last two are deleted —
+    * they are redundant once a newer epoch exists, but keeping a spare
+    * makes a torn read of the newest file recoverable by hand.
+    */
+  private def commitSnapshot(s: SparkSession, dir: String,
+      snap: Snapshot): Unit = {
+    val f = fs(s, dir)
+    val tmp = new Path(dir, s".manifest-tmp-${snap.epoch}")
+    val out = f.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(s"centroids=${snap.centroidsVer}\n")
+      sb.append(s"next_internal=${snap.nextInternal}\n")
+      sb.append(s"ingested=${snap.ingested.toSeq.sorted.mkString(",")}\n")
+      snap.cells.toSeq.sortBy(_._1).foreach { case (cid, gens) =>
+        sb.append(s"cell=$cid:${gens.sorted.mkString(",")}\n")
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    val dest = new Path(dir, manifestName(snap.epoch))
+    require(f.rename(tmp, dest),
+      s"manifest commit failed: rename $tmp -> $dest returned false")
+    val old = f.globStatus(new Path(dir, "manifest-*"))
+    if (old != null) old.map(_.getPath)
+      .filter(_.getName.stripPrefix("manifest-").toLong < snap.epoch - 1)
+      .foreach(p => f.delete(p, false))
+  }
 
-  def postings(s: SparkSession, dir: String): DataFrame =
+  /** The manifest's valid (cid, gen) set as a partition-pruning
+    * predicate: a disjunction over cells (bounded by nlists), each
+    * restricting `gen` to that cell's committed generations. References
+    * only partition columns, so Catalyst turns it into directory
+    * pruning — uncommitted or superseded generation directories are
+    * never even listed into the scan.
+    */
+  private def validPredicate(snap: Snapshot): Column =
+    snap.cells.toSeq.sortBy(_._1).map { case (cid, gens) =>
+      if (gens.isEmpty) lit(false)
+      else col("cid") === cid && col("gen").isin(gens: _*)
+    }.foldLeft(lit(false))(_ || _)
+
+  def centroids(s: SparkSession, dir: String): DataFrame = {
+    val snap = readSnapshot(s, dir)
+    s.read.parquet(centDir(dir, snap.centroidsVer))
+  }
+
+  /** The committed posting snapshot. `gen` is reported as LOGICAL
+    * lineage: internal (<= 0) generations — the build and anything
+    * compaction or a split has folded — read as 0; ingest generations
+    * keep their batch id. Physical generation ids stay an
+    * implementation detail of the commit protocol.
+    */
+  def postings(s: SparkSession, dir: String): DataFrame = {
+    val snap = readSnapshot(s, dir)
     s.read.parquet(postDir(dir))
+      .filter(validPredicate(snap))
+      .withColumn("gen",
+        when(col("gen") <= 0, 0L).otherwise(col("gen").cast("long")))
+  }
 
   /** Tombstone deletes: record the ids in `tombstones/` without touching
     * a posting byte — the LSM discipline every mutable index uses at
@@ -83,15 +213,20 @@ object IvfIndex {
     * later removes them physically. Deletes therefore cost O(batch)
     * regardless of corpus size, and the tombstone set stays bounded by
     * the delete volume between compactions (which is what makes the
-    * serve-side broadcast anti-join safe).
+    * serve-side broadcast anti-join safe). The log is append-only and
+    * masking is idempotent, so it needs no manifest entry: a replayed
+    * delete batch re-appends ids whose mask is already in effect.
     */
   def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
     ids.select(col("vec_id")).write.mode(SaveMode.Append)
       .parquet(tombDir(dir))
 
   private def tombstones(s: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(tombDir(dir)).exists)
+    if (fs(s, dir).exists(new Path(tombDir(dir))))
       Some(s.read.parquet(tombDir(dir))) else None
+
+  private def clearTombstones(s: SparkSession, dir: String): Unit =
+    fs(s, dir).delete(new Path(tombDir(dir)), true)
 
   /** Postings with the tombstone mask applied — the relation every serve
     * ranks against. Broadcast anti-join: see [[delete]] for the bound.
@@ -101,6 +236,33 @@ object IvfIndex {
     tombstones(s, dir).fold(post)(t =>
       post.join(broadcast(t.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti"))
+  }
+
+  /** Train coarse centroids to convergence on `emb` (vec_id, qv) and
+    * commit centroids + cell/generation-partitioned postings (gen 0)
+    * as manifest epoch 1. A build OWNS its directory: any prior index
+    * state there (including a crashed build's uncommitted files) is
+    * removed first.
+    */
+  def build(emb: DataFrame, dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val f = fs(s, dir)
+    f.delete(new Path(dir), true)
+    f.mkdirs(new Path(dir))
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = VectorOps.lloydTrain(
+      emb, seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
+    learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
+      .parquet(centDir(dir, 1L))
+    VectorOps.argminPacked(emb, learned, carryQv = true)
+      .select($"vec_id", $"qv", $"cid", lit(0L).as("gen"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid", "gen")
+      .parquet(postDir(dir))
+    val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
+    commitSnapshot(s, dir, Snapshot(1L, 1L,
+      cids.map(_ -> Seq(0L)).toMap, Set.empty, -1L))
   }
 
   /** Top-k exact-re-rank serve from the stored index: probe the
@@ -149,7 +311,7 @@ object IvfIndex {
 
   /** Metadata-filtered index build: the same converged coarse quantizer,
     * but every posting carries its vector's `label` attribute and the
-    * posting files are partitioned TWO levels deep — `cid` then `label`.
+    * posting files are partitioned `cid` then `label` (then generation).
     * This is how production vector stores make "top-k WHERE tenant = t"
     * cheap: the filter attribute lives in the physical layout, so a
     * filtered probe prunes to (nprobe × |labels in the filter|)
@@ -162,18 +324,23 @@ object IvfIndex {
   def buildLabeled(emb: DataFrame, dir: String): Unit = {
     val s = emb.sparkSession
     import s.implicits._
-    clearTombstones(dir)
+    val f = fs(s, dir)
+    f.delete(new Path(dir), true)
+    f.mkdirs(new Path(dir))
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
       emb.select($"vec_id", $"qv"), seeds,
       VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
     learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
-      .parquet(centDir(dir))
+      .parquet(centDir(dir, 1L))
     VectorOps.argminPacked(emb, learned, carryQv = true, carry = Seq("label"))
-      .select($"vec_id", $"qv", lit(0L).as("gen"), $"cid", $"label")
-      .write.mode(SaveMode.Overwrite).partitionBy("cid", "label")
+      .select($"vec_id", $"qv", $"cid", $"label", lit(0L).as("gen"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid", "label", "gen")
       .parquet(postDir(dir))
+    val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
+    commitSnapshot(s, dir, Snapshot(1L, 1L,
+      cids.map(_ -> Seq(0L)).toMap, Set.empty, -1L))
   }
 
   /** Filtered top-k serve: each query (vec_id, qv, label) ranks only
@@ -214,22 +381,54 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Step 1 of an ingest: assign the batch against the stored centroids
+    * and write its postings under generation `gen` — dynamic partition
+    * overwrite, so re-running a crashed attempt REPLACES its partial
+    * leftovers rather than appending. Returns the touched cell ids
+    * (computed from the materialized assignment, never from a directory
+    * listing — a listing could pick up a crashed attempt's orphans).
+    * Exposed private[graft] so the crash-recovery spec can stop between
+    * the data write and the manifest commit.
+    */
+  private[graft] def ingestFiles(s: SparkSession, dir: String,
+      newVecs: DataFrame, gen: Long): Seq[Long] = {
+    import s.implicits._
+    val assigned = VectorOps.argminPacked(newVecs, centroids(s, dir),
+        carryQv = true)
+      .select($"vec_id", $"qv", $"cid", lit(gen).as("gen"))
+      .localCheckpoint(true) // batch-bounded; feeds both collect + write
+    val touched = assigned.select($"cid".cast("long")).distinct()
+      .as[Long].collect().toSeq
+    assigned.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid", "gen").parquet(postDir(dir))
+    touched
+  }
+
   /** Incremental ingest: assign `newVecs` (vec_id, qv) to the stored
-    * cells, append their postings under generation `gen`, and return
+    * cells, commit their postings as generation `gen` (> 0;
+    * caller-named so a streaming sink can use its batch id), and return
     * the per-cell occupancy report — (cid, n_base, n_added, n_total,
-    * needs_split) over ALL stored generations, where needs_split flags
-    * cells holding more than 2× the fair 1/16 share (n_total·8 >
+    * needs_split) over ALL committed generations, where needs_split
+    * flags cells holding more than 2× the fair 1/16 share (n_total·8 >
     * corpus total, integer-exact). One broadcast-argmin pass over the
     * batch; the base postings are never read row-wise, only counted.
+    * Exactly-once under replay: a generation the manifest has already
+    * committed (even one compaction has since folded) is a no-op.
     */
   def addBatch(s: SparkSession, dir: String, newVecs: DataFrame,
       gen: Long = 1L): DataFrame = {
-    import s.implicits._
-    val cents = centroids(s, dir)
-    VectorOps.argminPacked(newVecs, cents, carryQv = true)
-      .select($"vec_id", $"qv", lit(gen).as("gen"), $"cid")
-      .write.mode(SaveMode.Append).partitionBy("cid")
-      .parquet(postDir(dir))
+    require(gen > 0L,
+      s"ingest generations are caller-named positives (got $gen); " +
+        "internal generations are negative by construction")
+    val snap = readSnapshot(s, dir)
+    if (!snap.ingested.contains(gen)) {
+      val touched = ingestFiles(s, dir, newVecs, gen)
+      val cells = snap.cells ++ touched.map(c =>
+        c -> (snap.cells.getOrElse(c, Seq.empty) :+ gen).distinct)
+      commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
+        cells = cells, ingested = snap.ingested + gen))
+    }
     splitReport(s, dir)
   }
 
@@ -238,9 +437,11 @@ object IvfIndex {
     * THAT CELL'S stored postings only (seeds = the cell's two smallest
     * vec_ids; the same lloydTrain loop as the build, stop rule
     * included), give the two halves fresh cell ids past the current
-    * max, rewrite ONLY the flagged cells' posting directories, and
-    * replace their centroid rows. Returns the post-split occupancy
-    * report.
+    * max, write the re-homed postings as a fresh internal generation,
+    * commit a manifest that swaps the hot cell for its halves and
+    * points at the new centroid version, then delete the superseded
+    * directories. Readers either see the pre-split or post-split index,
+    * never a mixture. Returns the post-split occupancy report.
     *
     * This is how a billion-vector index amortizes Lloyd cost: the full
     * build never re-runs — maintenance touches exactly the hot cells'
@@ -248,7 +449,8 @@ object IvfIndex {
     * postings are untouched files, and the centroid table changes by
     * flagged-cells×2 rows. The driver loop is bounded by nlists, and
     * each per-cell training pass is corpus-work proportional to that
-    * cell alone.
+    * cell alone. A split folds its cell's generations (like [[compact]]
+    * localized to one cell), so re-homed rows report logical gen 0.
     */
   def splitCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -256,59 +458,66 @@ object IvfIndex {
       .filter($"needs_split" === 1L).select($"cid")
       .as[Long].collect().toSeq
     if (flagged.nonEmpty) {
-      val cents = centroids(s, dir).select($"cid".cast("long").as("cid"), $"cq")
+      val snap = readSnapshot(s, dir)
+      val f = fs(s, dir)
+      val cents = centroids(s, dir)
+        .select($"cid".cast("long").as("cid"), $"cq")
         .localCheckpoint(true)
       var nextCid = cents.agg(max($"cid")).head().getLong(0) + 1
+      var intGen = snap.nextInternal
+      var cells = snap.cells
       val keptCents = cents.filter(!$"cid".isin(flagged: _*))
       val newCents = flagged.map { hot =>
         val cell = postings(s, dir).filter($"cid" === hot)
-          .select($"vec_id", $"qv", $"gen").localCheckpoint(true)
+          .select($"vec_id", $"qv").localCheckpoint(true)
         val seedIds = cell.select($"vec_id").orderBy($"vec_id").limit(2)
           .as[Long].collect()
         val seeds = cell.filter($"vec_id".isin(seedIds: _*))
           .select(($"vec_id" === seedIds.max).cast("int").cast("long")
             .as("cid"), $"qv".as("cq"))
-        val (learned, _) = VectorOps.lloydTrain(cell.select($"vec_id", $"qv"),
-          seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
-        // local cid 0/1 (argminPacked's dist*16+cid packing needs
-        // cid < 16) -> fresh global ids only at the storage boundary
+        val (learned, _) = VectorOps.lloydTrain(cell, seeds,
+          VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
+        // local cid 0/1 from the 2-way train -> fresh global ids only
+        // at the storage boundary
         val lo = nextCid; nextCid += 2
+        val g = intGen; intGen -= 1
         val remapped = learned.select(($"cid" + lo).as("cid"), $"cq")
           .localCheckpoint(true)
-        VectorOps.argminPacked(cell.drop("gen"), learned, carryQv = true)
-          .join(cell.select($"vec_id", $"gen"), "vec_id")
-          .select($"vec_id", $"qv", $"gen", ($"cid" + lo).as("cid"))
-          .write.mode(SaveMode.Append).partitionBy("cid")
-          .parquet(postDir(dir))
-        // the old partition directory is superseded — remove it so the
-        // split is a move, not a duplication (local-fs index layout)
-        val old = new java.io.File(s"${postDir(dir)}/cid=$hot")
-        old.listFiles().foreach(_.delete()); old.delete()
+        VectorOps.argminPacked(cell, learned, carryQv = true)
+          .select($"vec_id", $"qv", ($"cid" + lo).as("cid"),
+            lit(g).as("gen"))
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cid", "gen").parquet(postDir(dir))
+        cells = cells - hot + (lo -> Seq(g)) + ((lo + 1) -> Seq(g))
         remapped
       }.reduce(_ unionByName _)
+      val newVer = snap.centroidsVer + 1
       keptCents.unionByName(newCents)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids_new")
-      // two-phase swap: centroids/ readers must never see a half write
-      val cd = new java.io.File(centDir(dir))
-      cd.listFiles().foreach(_.delete()); cd.delete()
-      new java.io.File(s"$dir/centroids_new").renameTo(cd)
+        .write.mode(SaveMode.Overwrite).parquet(centDir(dir, newVer))
+      commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
+        centroidsVer = newVer, cells = cells, nextInternal = intGen))
+      // GC strictly after the commit: the old hot-cell directories and
+      // the superseded centroid version are no longer referenced
+      flagged.foreach(hot =>
+        f.delete(new Path(s"${postDir(dir)}/cid=$hot"), true))
+      f.delete(new Path(centDir(dir, snap.centroidsVer)), true)
     }
     splitReport(s, dir)
   }
 
-  private def clearTombstones(dir: String): Unit = {
-    val td = new java.io.File(tombDir(dir))
-    if (td.exists) { td.listFiles().foreach(_.delete()); td.delete() }
-  }
-
-  /** Physically apply the accumulated tombstones and fold ingest
-    * generations back to gen 0 — the LSM compaction to [[delete]]'s
+  /** Physically apply the accumulated tombstones and fold each affected
+    * cell's generations into one — the LSM compaction to [[delete]]'s
     * logical mask. Affected cells = those holding a tombstoned vector
-    * or more than one generation; their posting directories are
-    * rewritten in ONE Spark pass (filter + anti-join, partitionBy cid
-    * into a staging dir, per-directory two-phase swap) and every other
-    * cell's files are left byte-untouched. The tombstone log is cleared
-    * at the end, so serve-side mask cost resets to zero.
+    * or more than one generation; their survivors are written as a
+    * fresh internal generation in ONE Spark pass (filter + anti-join,
+    * dynamic partition overwrite into new gen directories), the
+    * manifest swap retires the old generations, and only then are the
+    * old directories deleted — every other cell's files are left
+    * byte-untouched, and a crash at any point leaves the previous
+    * snapshot fully readable. The tombstone log is cleared at the end,
+    * so serve-side mask cost resets to zero (clearing is idempotent: a
+    * crash before it re-masks ids that are already physically gone).
     *
     * Returns the per-cell report (cid, n_before, n_removed,
     * n_gens_before, n_after, compacted). Scale: the decision scan reads
@@ -319,6 +528,7 @@ object IvfIndex {
     */
   def compact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val snap = readSnapshot(s, dir)
     val post = postings(s, dir)
     val tomb = tombstones(s, dir)
       .map(_.select($"vec_id").distinct().localCheckpoint(true))
@@ -342,28 +552,37 @@ object IvfIndex {
     val affected = report.filter($"compacted" === 1L)
       .select($"cid").as[Long].collect().toSeq
     if (affected.nonEmpty) {
-      val tmp = s"$dir/postings_compact_tmp"
+      val f = fs(s, dir)
+      val newGen = snap.nextInternal
       val rewritten = post.filter($"cid".isin(affected: _*))
       tomb.fold(rewritten)(t =>
           rewritten.join(broadcast(t), Seq("vec_id"), "left_anti"))
-        .select($"vec_id", $"qv", lit(0L).as("gen"), $"cid")
-        .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(tmp)
+        .select($"vec_id", $"qv", $"cid", lit(newGen).as("gen"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "gen").parquet(postDir(dir))
+      // a fully-tombstoned cell writes no partition: its gens collapse
+      // to a generation that matches no files (the centroid row stays;
+      // occupancy reads 0)
+      val cells = snap.cells ++ affected.map(_ -> Seq(newGen))
+      commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
+        cells = cells, nextInternal = newGen - 1L))
+      // GC strictly after the commit
       affected.foreach { c =>
-        val old = new java.io.File(s"${postDir(dir)}/cid=$c")
-        if (old.exists) { old.listFiles().foreach(_.delete()); old.delete() }
-        val fresh = new java.io.File(s"$tmp/cid=$c")
-        // a fully-tombstoned cell writes no staging dir: the delete IS
-        // its compaction (the centroid row stays; occupancy reads 0)
-        if (fresh.exists) fresh.renameTo(old)
+        snap.cells.getOrElse(c, Seq.empty).foreach { g =>
+          f.delete(new Path(s"${postDir(dir)}/cid=$c/gen=$g"), true)
+        }
       }
-      val td = new java.io.File(tmp)
-      if (td.exists) { td.listFiles().foreach(_.delete()); td.delete() }
     }
-    clearTombstones(dir)
+    clearTombstones(s, dir)
     report
   }
 
-  /** Per-cell occupancy over every stored generation (see [[addBatch]]). */
+  /** Per-cell occupancy over every committed generation (see
+    * [[addBatch]]). n_base counts logical generation 0 (the build plus
+    * anything compaction/splits folded); n_added counts live ingest
+    * generations.
+    */
   def splitReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val counts = postings(s, dir).groupBy($"cid")
@@ -384,7 +603,7 @@ object IvfIndex {
   }
 
   /** Per-entry scratch index dirs: FIXED paths (re-runs overwrite via
-    * build's SaveMode.Overwrite — Bench reps and repeated Verify runs
+    * build's directory wipe — Bench reps and repeated Verify runs
     * must not accumulate appended postings), distinct per entry.
     */
   private def scratch(name: String): String =
@@ -434,12 +653,12 @@ object IvfIndex {
   /** The full mutable-index lifecycle in one entry: build on the base
     * corpus (vec_id % 5 != 0), ingest the held-out fifth as generation
     * 1, tombstone-delete every 7th vector, COMPACT (deletes applied
-    * physically, generations folded, only affected cell directories
-    * rewritten), then serve from the compacted store. The oracle
-    * replays training, the incremental assignment, and the delete set
-    * relationally — a hash match proves the stored index survived
-    * delete + ingest + compaction with contents exactly equal to "the
-    * corpus minus the deletes", cell sizes included.
+    * physically, generations folded, only affected cells' bytes
+    * rewritten under the manifest swap), then serve from the compacted
+    * store. The oracle replays training, the incremental assignment,
+    * and the delete set relationally — a hash match proves the stored
+    * index survived delete + ingest + compaction with contents exactly
+    * equal to "the corpus minus the deletes", cell sizes included.
     */
   private def q157(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

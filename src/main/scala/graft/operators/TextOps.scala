@@ -598,7 +598,10 @@ object TextOps {
         "filter(toks, (t, p) -> NOT exists(ivs, " +
           "iv -> p + 1 >= iv.s AND p + 1 <= iv.e))")))
       .select($"doc_id", $"source",
-        array_join($"kept", " ").as("cleaned_text"),
+        // NULL text -> NULL toks -> NULL kept: the oracle emits '' for
+        // that doc (coalesce over its string_agg), so match it — the
+        // count columns stay NULL on both engines (len(NULL) = NULL)
+        coalesce(array_join($"kept", " "), lit("")).as("cleaned_text"),
         size($"toks").cast("long").as("n_tokens"),
         (size($"toks") - size($"kept")).cast("long").as("tokens_removed"))
       .orderBy($"doc_id")

@@ -574,15 +574,25 @@ object VectorOps {
       carryQv: Boolean = false, carry: Seq[String] = Nil): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
+    // The dist*radix+cid packing decodes via pmod(packed, radix), which
+    // is injective only while cid < radix: a fixed radix of 16 silently
+    // corrupted assignments once splitCells minted cell ids past 16
+    // (cid 17 decoded as cid 1 with dist+1). Derive the radix from the
+    // centroid table itself — it is k rows and about to be broadcast,
+    // so the driver-side max costs one trivial job — and keep the
+    // single-long packing (min(struct(dist,cid)) would be radix-free
+    // but falls out of HashAggregate into SortAggregate).
+    val radix = cents.agg(max(col("cid").cast("long"))).head().getLong(0) + 1L
+    require(radix >= 1L, s"argminPacked: negative cell id (radix $radix)")
     val scored = in.crossJoin(broadcast(cents))
       .withColumn("dist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
     val carryAggs =
-      (if (carryQv) Seq(expr("min_by(qv, dist * 16 + cid)").as("qv")) else Nil) ++
-        carry.map(c => expr(s"min_by($c, dist * 16 + cid)").as(c))
+      (if (carryQv) Seq(expr(s"min_by(qv, dist * ${radix}L + cid)").as("qv")) else Nil) ++
+        carry.map(c => expr(s"min_by($c, dist * ${radix}L + cid)").as(c))
     val aggd = scored.groupBy($"vec_id")
-      .agg(min($"dist" * 16 + $"cid").as("packed"), carryAggs: _*)
-    aggd.withColumn("cid", pmod($"packed", lit(16)))
-      .withColumn("dist", expr("packed div 16"))
+      .agg(min($"dist" * lit(radix) + $"cid").as("packed"), carryAggs: _*)
+    aggd.withColumn("cid", pmod($"packed", lit(radix)))
+      .withColumn("dist", expr(s"packed div ${radix}L"))
       .drop("packed")
   }
 

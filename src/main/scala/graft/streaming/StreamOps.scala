@@ -1045,13 +1045,15 @@ object StreamOps {
 
   /** Online maintenance of the PERSISTED IVF index ([[graft.operators.IvfIndex]]):
     * each micro-batch of corpus vectors is assigned to the stored cells
-    * in one broadcast-argmin pass and appended as its own posting
-    * GENERATION (gen = batchId + 1 — deterministic, so a replayed batch
-    * overwrite-appends the same content rather than double-counting
-    * under at-least-once foreachBatch semantics the caller must dedup;
-    * the spec pins content equality, not file identity). Every
+    * in one broadcast-argmin pass and committed as its own posting
+    * GENERATION (gen = batchId + 1 — deterministic, and the index
+    * manifest records every committed generation, so a replayed batch
+    * under at-least-once foreachBatch recovery is a no-op if its
+    * generation committed and a dynamic-partition-overwrite re-write of
+    * the same files if it crashed mid-attempt: exactly-once index
+    * contents either way, even when a compaction ran in between). Every
     * `compactEvery` batches the accumulated generations fold back to
-    * gen 0 via [[graft.operators.IvfIndex.compact]], so serve-path read
+    * logical gen 0 via [[graft.operators.IvfIndex.compact]], so serve-path read
     * amplification (files per cell) stays bounded by compactEvery × the
     * batch file count instead of growing with stream length — the LSM
     * write/compact discipline, which is exactly how a streaming vector

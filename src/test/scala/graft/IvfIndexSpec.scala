@@ -325,4 +325,90 @@ class IvfIndexSpec extends SparkSpec {
     assert(report2.map(_._3).sum === 2 * batch.count(),
       "second ingest appends a second generation")
   }
+
+  test("ingest AFTER splitCells assigns against the post-split cells correctly") {
+    import spark.implicits._
+    // same shape as the split fixture: cell 3 crowds and splits, minting
+    // cell ids 16 and 17 — the case where a fixed argmin packing radix
+    // of 16 silently decoded cid 17 as cid 1
+    def vec(a: Long, b: Long, c: Long, d: Long) = Seq(a, b, c, d)
+    val seeds = (0L until 16L).map(i => (i, vec(i * 10000, 0, 0, 0)))
+    val crowd = (100L until 300L).map { i =>
+      val sub = if (i % 2 == 0) 400L else -400L
+      (i, vec(30000 + (i % 7), sub + (i % 5), 0, 0))
+    }
+    val emb = (seeds ++ crowd).toDF("vec_id", "qv")
+    val dir = tmp("splitingest")
+    IvfIndex.build(emb, dir)
+    IvfIndex.splitCells(spark, dir)
+    val cents = IvfIndex.centroids(spark, dir)
+      .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])]
+      .collect().toMap
+    assert(cents.keySet.exists(_ >= 16L), "fixture must mint cids past 16")
+    // ingest a batch that lands in BOTH split halves and in low cells
+    val batch = ((500L until 520L).map { i =>
+      val sub = if (i % 2 == 0) 400L else -400L
+      (i, vec(30000, sub, 0, 0))
+    } ++ (520L until 530L).map(i => (i, vec((i % 4) * 10000, 1, 0, 0))))
+      .toDF("vec_id", "qv")
+    IvfIndex.addBatch(spark, dir, batch, gen = 1L)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val stored = IvfIndex.postings(spark, dir).filter($"gen" === 1L)
+      .select($"vec_id", $"qv", $"cid".cast("long").as("cid"))
+      .as[(Long, Seq[Long], Long)].collect()
+    assert(stored.length === 30)
+    stored.foreach { case (id, qv, cid) =>
+      val best = cents.keys.minBy(c => (d2(qv, cents(c)), c))
+      assert(cid === best,
+        s"vector $id homed to cell $cid, nearest centroid is $best")
+    }
+    assert(stored.exists(_._3 >= 16L),
+      "fixture batch must actually exercise a post-split cell id")
+  }
+
+  test("commit protocol: a crash between data write and manifest commit is invisible, and replay is exactly-once") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val dir = tmp("crash")
+    IvfIndex.build(base, dir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val servedBefore = IvfIndex.serve(spark, dir, queries)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // simulated crash: the ingest's data files land, the manifest never
+    // commits — readers must still see exactly the pre-ingest snapshot
+    IvfIndex.ingestFiles(spark, dir, batch, gen = 1L)
+    assert(IvfIndex.postings(spark, dir).count() === base.count(),
+      "uncommitted generation files leaked into the read snapshot")
+    val servedCrashed = IvfIndex.serve(spark, dir, queries)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(servedCrashed === servedBefore,
+      "serve changed while the ingest was uncommitted")
+    // recovery replays the SAME batch: dynamic partition overwrite
+    // replaces the orphaned attempt's files, so contents come out
+    // exactly-once
+    IvfIndex.addBatch(spark, dir, batch, gen = 1L)
+    assert(IvfIndex.postings(spark, dir).count()
+      === base.count() + batch.count())
+    // a replay AFTER the commit is a metadata no-op (at-least-once
+    // foreachBatch recovery cannot double-count)...
+    IvfIndex.addBatch(spark, dir, batch, gen = 1L)
+    assert(IvfIndex.postings(spark, dir).count()
+      === base.count() + batch.count())
+    // ...and stays a no-op even after compaction folds the generation
+    IvfIndex.compact(spark, dir)
+    IvfIndex.addBatch(spark, dir, batch, gen = 1L)
+    assert(IvfIndex.postings(spark, dir).count()
+      === base.count() + batch.count(),
+      "replay after compaction re-ingested a folded generation")
+    // a half-written centroid retrain is equally invisible: only the
+    // manifest names the live version, so a stray version directory is
+    // never read
+    IvfIndex.centroids(spark, dir).limit(3)
+      .write.parquet(s"$dir/centroids_v99")
+    assert(IvfIndex.centroids(spark, dir).count() > 3,
+      "an uncommitted centroid version leaked into reads")
+  }
 }
