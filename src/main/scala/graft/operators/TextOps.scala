@@ -1308,23 +1308,8 @@ object TextOps {
     */
   private def q35(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val stop = Map(
-      "en" -> Seq("a", "the", "of", "and", "to", "in", "is"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
-      "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "un", "des"))
-    val scored = stop.toSeq.sortBy(_._1).foldLeft(docs(s, d)) { case (df, (lang, words)) =>
-      df.withColumn(s"score_$lang",
-        size(expr(s"filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))")))
-    }
-    scored
-      .withColumn("best", greatest(lit(0), $"score_en", $"score_de", $"score_es", $"score_fr"))
-      .withColumn("predicted",
-        when($"best" === 0, "unknown")
-          .when($"score_de" === $"best", "de")
-          .when($"score_en" === $"best", "en")
-          .when($"score_es" === $"best", "es")
-          .otherwise("fr"))
+    graft.functions.LangId.withScores(docs(s, d))
+      .withColumn("predicted", graft.functions.LangId.vote)
       .select($"doc_id", $"lang", $"predicted")
       .orderBy($"doc_id")
   }
@@ -1505,23 +1490,8 @@ object TextOps {
       .withColumn("toks", split($"text", "\\s+"))
       .withColumn("n_tokens", size($"toks"))
       .filter($"n_tokens".between(20, 1000))
-    val stop = Map(
-      "en" -> Seq("a", "the", "of", "and", "to", "in", "is"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
-      "es" -> Seq("el", "la", "los", "de", "y", "es", "un"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "un", "des"))
-    val scored = stop.toSeq.sortBy(_._1).foldLeft(deduped) { case (df, (lang, words)) =>
-      df.withColumn(s"score_$lang",
-        size(expr(s"filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")}))")))
-    }
-    scored
-      .withColumn("best", greatest(lit(0), $"score_en", $"score_de", $"score_es", $"score_fr"))
-      .withColumn("predicted",
-        when($"best" === 0, "unknown")
-          .when($"score_de" === $"best", "de")
-          .when($"score_en" === $"best", "en")
-          .when($"score_es" === $"best", "es")
-          .otherwise("fr"))
+    graft.functions.LangId.withScores(deduped)
+      .withColumn("predicted", graft.functions.LangId.vote)
       .groupBy($"predicted")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("sum_tokens"),
