@@ -362,8 +362,10 @@ object PipelineOps {
   }
 
   /** Max adjacency-list entries one collect_set task / one array row
-    * should hold before the hub-split degrade engages: 1M longs is an
-    * 8 MB row — fine; a web-scale hub is orders of magnitude past it.
+    * should hold before the hub-split degrade engages: the default is
+    * an ~8 MB array-row budget over 8 B entries (1M longs) — fine; a
+    * web-scale hub is orders of magnitude past it. Deployments override
+    * per-session via [[graft.plans.SkewSketch.GraphBudgetKey]].
     */
   private[graft] val GraphHotTarget = 1000000L
 
@@ -381,7 +383,7 @@ object PipelineOps {
     * is untouched; results are nSeg-invariant (GraphRankSkewSpec).
     */
   private[graft] def graphAutoNSeg(edges: DataFrame,
-      target: Long = GraphHotTarget,
+      target: Long = -1L,
       fraction: Double = graft.plans.SkewSketch.DefaultFraction): Int =
     graphNSegFromSample(
       edges.sample(fraction, graft.plans.SkewSketch.DefaultSeed),
@@ -392,14 +394,16 @@ object PipelineOps {
     * lineitem first) skip re-running that join at full volume.
     */
   private[graft] def graphNSegFromSample(sampledEdges: DataFrame,
-      fraction: Double, target: Long = GraphHotTarget): Int = {
+      fraction: Double, target: Long = -1L): Int = {
     val s = sampledEdges.sparkSession
     import s.implicits._
+    val budget = graft.plans.SkewSketch.budgetFor(s, target,
+      graft.plans.SkewSketch.GraphBudgetKey, GraphHotTarget)
     val sm = sampledEdges.localCheckpoint(true)
     val hot = math.max(
       graft.plans.SkewSketch.estimatedHotCount(sm, $"c", fraction),
       graft.plans.SkewSketch.estimatedHotCount(sm, $"sk", fraction))
-    graft.plans.SkewSketch.pickNSeg(hot, target)
+    graft.plans.SkewSketch.pickNSeg(hot, budget)
   }
 
   /** q110's propagation core over arbitrary bipartite `(c, sk)` edges,

@@ -360,11 +360,14 @@ object TextOps {
     dupSpanCoverage(docs(s, d), spanAutoNSeg(docs(s, d)))
 
   /** How many position rows one window-partition task may absorb before
-    * the salt-split degrade engages (the q136/q143/q154 trigger): a
-    * 2M-row partition of (hash, doc, pos) longs sorts comfortably in
-    * one task; a universal boilerplate hash at web scale exceeds this
-    * by orders of magnitude. The degrade costs 1.6–1.9× on uniform
+    * the salt-split degrade engages (the q136/q143/q154 trigger): the
+    * default is a ~48 MB per-task sort budget over 24 B (hash, doc,
+    * pos) rows — a 2M-row partition sorts comfortably in one task,
+    * while a universal boilerplate hash at web scale exceeds it by
+    * orders of magnitude. The degrade costs 1.6–1.9× on uniform
     * corpora (BENCH_SF10 span_dup_forms), so the budget errs high.
+    * Deployments override per-session via
+    * [[graft.plans.SkewSketch.SpanBudgetKey]].
     */
   private[graft] val SpanHotTarget = 2000000L
 
@@ -375,18 +378,22 @@ object TextOps {
     * returns 1 and the catalog keeps its pinned join-free window plan;
     * results are nSeg-invariant either way (SpanDupSkewSpec), so the
     * trigger can only change the shuffle shape, never the answer.
+    * `target <= 0` (the default) reads the session's conf-backed
+    * budget; a positive target is the spec-injectable override.
     */
   private[graft] def spanAutoNSeg(docsF: DataFrame,
-      target: Long = SpanHotTarget,
+      target: Long = -1L,
       fraction: Double = graft.plans.SkewSketch.DefaultFraction): Int = {
     val s = docsF.sparkSession
     import s.implicits._
+    val budget = graft.plans.SkewSketch.budgetFor(s, target,
+      graft.plans.SkewSketch.SpanBudgetKey, SpanHotTarget)
     val sampled = docsF.filter(size($"toks") >= 8)
       .sample(fraction, graft.plans.SkewSketch.DefaultSeed)
       .select(explode(TextHashes.md5WindowPrefixes($"toks", 8)).as("h"))
     graft.plans.SkewSketch.pickNSeg(
       graft.plans.SkewSketch.estimatedHotCount(sampled, $"h", fraction),
-      target)
+      budget)
   }
 
   /** q136's body over an arbitrary docs frame (doc_id, toks), with the

@@ -96,6 +96,37 @@ class SkewAutoSpec extends SparkSpec {
       "auto-triggered hub split must be byte-identical to the plain form")
   }
 
+  test("budgets are conf-derived: a session override moves the trigger, specs still inject") {
+    // default (no conf, no target): the production literal holds and
+    // the spec corpus stays below it
+    assert(TextOps.spanAutoNSeg(skewedDocs, fraction = 1.0) == 1)
+    // a deployment-tightened budget via runtime conf engages the
+    // degrade on the SAME corpus — no rebuild, no code change
+    spark.conf.set(SkewSketch.SpanBudgetKey, "100")
+    spark.conf.set(SkewSketch.GraphBudgetKey, "50")
+    try {
+      assert(TextOps.spanAutoNSeg(skewedDocs, fraction = 1.0) > 1,
+        "conf-tightened span budget must engage the degrade")
+      import spark.implicits._
+      val hubEdges = (0L until 300L).flatMap { c =>
+        (0L until 3L).map(hub => (c, hub))
+      }.toDF("c", "sk")
+      assert(PipelineOps.graphAutoNSeg(hubEdges, fraction = 1.0) > 1,
+        "conf-tightened graph budget must engage the hub split")
+      // an explicit target still overrides the conf (spec injection)
+      assert(TextOps.spanAutoNSeg(skewedDocs, target = 1000000L,
+        fraction = 1.0) == 1)
+      // a nonsense conf value fails loudly, not silently
+      spark.conf.set(SkewSketch.SpanBudgetKey, "0")
+      intercept[IllegalArgumentException] {
+        TextOps.spanAutoNSeg(skewedDocs, fraction = 1.0)
+      }
+    } finally {
+      spark.conf.unset(SkewSketch.SpanBudgetKey)
+      spark.conf.unset(SkewSketch.GraphBudgetKey)
+    }
+  }
+
   test("the catalog entries pick nSeg = 1 on the driver fixture (plans pinned)") {
     // the production budgets must NOT trigger on driver-scale data —
     // q136/q143/q154/q110 keep their PlanSpec-pinned shapes and hashes
