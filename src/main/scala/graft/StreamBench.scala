@@ -184,6 +184,33 @@ object StreamBench {
     val knn = rate("knn_qps", queries, math.max(1, batchSize / 20))(in =>
       StreamOps.knnStream(in.toDS(), index, k = 10).toDF())
 
+    // Stored-index vector serving (queries/s): the same query stream
+    // served from a PERSISTED IVF store (manifest re-opened per trigger,
+    // probe-pruned posting scan) — the foreachBatch serving tier, so the
+    // rate includes the per-batch plan + store-open cost that the
+    // broadcast-array path above does not pay.
+    val knnStore = {
+      import spark.implicits._
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_knn_store_bench"
+      graft.operators.IvfIndex.build(
+        index.toSeq.toDF("vec_id", "qv"), dir)
+      val in = MemoryStream[StreamOps.VecEvent]
+      val q = StreamOps.knnIndexServeStream(in.toDS(), dir, k = 10) {
+        (df, _) => df.write.format("noop").mode("overwrite").save()
+      }
+      val chunks = queries.grouped(math.max(1, batchSize / 20)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val qps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] knn_store_qps: $qps%.0f/s")
+      "knn_store_qps" -> qps
+    }
+
     // CDC upsert materialization (changes/s): per-key latest-version
     // state (ts, seq) with tombstoned deletes — 64k hot keys so state
     // stays bounded while every change is a state hit.
@@ -226,8 +253,8 @@ object StreamBench {
       finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
 
-    Seq(q5, q11, ingest, neardup, hh, funnel, knn, cdc, attrib, curation,
-      release)
+    Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, cdc, attrib,
+      curation, release)
   }
 
   def main(args: Array[String]): Unit = {

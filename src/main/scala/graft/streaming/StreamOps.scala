@@ -1013,6 +1013,34 @@ object StreamOps {
     }
   }
 
+  /** Streaming top-k vector serving from the PERSISTED index — the tier
+    * [[knnStream]] approximates with a broadcast in-memory array: each
+    * micro-batch of queries runs [[graft.operators.IvfIndex.serve]]
+    * against the STORED centroids and postings and hands the ranked
+    * matches to `emit` with the batch id. The store is re-opened from
+    * its manifest on EVERY trigger, so a generation committed by a
+    * concurrent [[indexIngestStream]] — or a compaction or cell split —
+    * is visible to the very next batch: the reader side of the index's
+    * manifest snapshot protocol, with no restart and no stale-handle
+    * window (a serve never straddles a commit, because each batch binds
+    * to the manifest it opened).
+    *
+    * Scale: per trigger the query batch broadcasts (bounded by the
+    * trigger interval), the manifest re-read is one small-file open,
+    * and the posting scan is pruned to the batch's probed cells — the
+    * serve cost tracks nprobe/nlists of the corpus per batch exactly
+    * like the batch serve, regardless of stream length.
+    */
+  def knnIndexServeStream(qs: Dataset[VecEvent], dir: String,
+      probes: Int = 2, k: Int = 5)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery =
+    toForeachBatch(qs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      if (!batch.isEmpty)
+        emit(graft.operators.IvfIndex.serve(batch.sparkSession, dir,
+          batch.select(col("qid").as("vec_id"), col("qv")), probes, k),
+          batchId)
+    }
+
   /** A rate/reference-data update on the right side of a streaming as-of
     * join (public: encoder requirement).
     */

@@ -85,4 +85,51 @@ class KnnStreamSpec extends SparkSpec {
       StreamOps.knnStream(in.toDS(), bad, 3)
     }
   }
+
+  test("stored-index serve stream == batch serve, and sees a generation committed mid-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{IvfIndex, VectorOps}
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_knn_store").toString + "/idx"
+    IvfIndex.build(emb.filter($"vec_id" % 5 =!= 0), dir)
+    def vecEvents(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"qv").as[(Long, Array[Long])].collect()
+        .map { case (id, v) => StreamOps.VecEvent(id,
+          new java.sql.Timestamp(1_436_918_400_000L + id), v) }.toSeq
+    val batch1 = vecEvents(emb.filter($"vec_id" % 100 === 0))
+    val batch2 = vecEvents(emb.filter($"vec_id" % 100 === 50))
+    def served(qdf: org.apache.spark.sql.DataFrame) =
+      IvfIndex.serve(spark, dir, qdf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    def qdf(es: Seq[StreamOps.VecEvent]) =
+      es.map(e => (e.qid, e.qv.toSeq)).toDF("vec_id", "qv")
+    // expected batch-1 results come from the PRE-ingest store, so
+    // compute them before the mid-stream commit mutates it
+    val expected1 = served(qdf(batch1))
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long, Long, Long, Long)]]()
+    val in = MemoryStream[StreamOps.VecEvent]
+    val q = StreamOps.knnIndexServeStream(in.toDS(), dir) { (df, bid) =>
+      got.synchronized {
+        got(bid) = df.as[(Long, Long, Long, Long, Long)].collect().toSet
+      }
+    }
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      // a generation lands BETWEEN triggers: the next batch must serve
+      // from the new manifest without a restart
+      IvfIndex.addBatch(spark, dir, emb.filter($"vec_id" % 5 === 0))
+      in.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.values.exists(_ == expected1),
+      "first trigger must equal the pre-ingest batch serve")
+    val expected2 = served(qdf(batch2))
+    assert(got.values.exists(_ == expected2),
+      "second trigger must equal the POST-ingest batch serve")
+    assert(expected1 != expected2 ||
+      got.size == 2, "fixture should exercise two distinct triggers")
+  }
 }
