@@ -671,11 +671,61 @@ object IvfIndex {
     serve(s, dir, emb.filter($"vec_id" % 100 === 0 && $"vec_id" % 7 =!= 0))
   }
 
+  /** Recall@5 of the MUTATED index — the q125 index-quality gate re-run
+    * after the full q157 lifecycle (incremental ingest + tombstone
+    * delete + compaction), which is exactly where an index quietly
+    * rots: a correct build says nothing about the store after
+    * maintenance has rewritten cells. Per query: how many of the exact
+    * int64-L2 top-5 over the LIVE corpus (post-delete, self excluded)
+    * the 2-probe serve from the compacted store returns, plus the
+    * overall row (query_id = -1) — integer-exact set intersection, no
+    * similarity tolerance (q125's discipline). The oracle replays the
+    * training, the ingest assignment, the delete set, the probed serve,
+    * AND the exact top-5 relationally.
+    *
+    * Scale: the serve side is the probe-pruned store scan; the exact
+    * side is the evaluation harness's brute force, bounded by
+    * |sampled queries| × corpus (the sample rate — every 100th vector —
+    * is the knob), and the recall join ends at |queries|·k rows.
+    */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q158")
+    build(emb.filter($"vec_id" % 5 =!= 0), dir)
+    addBatch(s, dir, emb.filter($"vec_id" % 5 === 0))
+    delete(s, dir, emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    compact(s, dir)
+    val live = emb.filter($"vec_id" % 7 =!= 0)
+    val queries = live.filter($"vec_id" % 100 === 0)
+    val iv = serve(s, dir, queries).select($"query_id", $"neighbor")
+    val w = Window.partitionBy($"query_id").orderBy($"dist", $"neighbor")
+    val ex = live.crossJoin(broadcast(queries
+        .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
+    val matches = ex.join(iv, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("nm"))
+    val per = ex.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(matches, Seq("query_id"), "left")
+      .select($"query_id", $"k", coalesce($"nm", lit(0L)).as("n_match"))
+    val overall = per.agg(sum($"k").as("k"), sum($"n_match").as("n_match"))
+      .select(lit(-1L).as("query_id"), $"k", $"n_match")
+    per.unionByName(overall)
+      .withColumn("recall_permille", expr("n_match * 1000 div k"))
+      .orderBy($"query_id")
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
     "q156_filtered_ann" -> ((s, d) => q156(s, d)),
-    "q157_ivf_delete_compact" -> ((s, d) => q157(s, d))
+    "q157_ivf_delete_compact" -> ((s, d) => q157(s, d)),
+    "q158_mutated_recall" -> ((s, d) => q158(s, d))
   )
 
   private def q152OracleSql: String =
@@ -809,10 +859,80 @@ object IvfIndex {
          FROM ranked JOIN cellsz USING (cid)
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  private def q158OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+           VectorOps.LloydMinImprove, "WHERE vec_id % 5 <> 0")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         nd AS (
+           SELECT a.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, cstar c WHERE a.vec_id % 5 = 0),
+         anew AS (
+           SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM nd) WHERE rn = 1),
+         comb AS MATERIALIZED (
+           SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
+           UNION ALL
+           SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c
+             WHERE a.vec_id % 100 = 0 AND a.vec_id % 7 <> 0) WHERE rn <= 2),
+         ivcand AS (
+           SELECT qs.query_id, cb.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM comb cb JOIN allq aq USING (vec_id)
+             JOIN qs ON cb.cid = qs.cid
+           WHERE cb.vec_id <> qs.query_id),
+         iv AS (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM ivcand) WHERE rank <= 5),
+         exq AS (SELECT vec_id AS query_id, qv FROM allq
+                 WHERE vec_id % 100 = 0 AND vec_id % 7 <> 0),
+         excand AS (
+           SELECT exq.query_id, a.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, exq.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, exq
+           WHERE a.vec_id % 7 <> 0 AND a.vec_id <> exq.query_id),
+         ex AS MATERIALIZED (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM excand) WHERE rank <= 5),
+         matches AS (
+           SELECT ex.query_id, CAST(count(*) AS BIGINT) AS nm
+           FROM ex JOIN iv USING (query_id, neighbor) GROUP BY 1),
+         per AS MATERIALIZED (
+           SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+             coalesce(any_value(m.nm), 0) AS n_match
+           FROM ex e LEFT JOIN matches m ON e.query_id = m.query_id
+           GROUP BY 1),
+         perall AS (
+           SELECT query_id, k, n_match FROM per
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), CAST(sum(k) AS BIGINT),
+             CAST(sum(n_match) AS BIGINT) FROM per)
+         SELECT query_id, k, n_match,
+           n_match * 1000 // k AS recall_permille
+         FROM perall ORDER BY query_id"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
     "q156_filtered_ann" -> q156OracleSql,
-    "q157_ivf_delete_compact" -> q157OracleSql
+    "q157_ivf_delete_compact" -> q157OracleSql,
+    "q158_mutated_recall" -> q158OracleSql
   )
 }

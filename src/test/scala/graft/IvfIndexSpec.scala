@@ -367,6 +367,58 @@ class IvfIndexSpec extends SparkSpec {
       "fixture batch must actually exercise a post-split cell id")
   }
 
+  test("recall@k of the SPLIT-mutated store is integer-exact against a driver replay") {
+    import spark.implicits._
+    // the split fixture: cell 3 crowds, splits into two fresh cells
+    def vec(a: Long, b: Long, c: Long, d: Long) = Seq(a, b, c, d)
+    val seeds = (0L until 16L).map(i => (i, vec(i * 10000, 0, 0, 0)))
+    val crowd = (100L until 300L).map { i =>
+      val sub = if (i % 2 == 0) 400L else -400L
+      (i, vec(30000 + (i % 7), sub + (i % 5), 0, 0))
+    }
+    val emb = (seeds ++ crowd).toDF("vec_id", "qv")
+    val dir = tmp("splitrecall")
+    IvfIndex.build(emb, dir)
+    IvfIndex.splitCells(spark, dir)
+    val queryIds = Seq(200L, 201L, 5L, 110L)
+    val queries = emb.filter($"vec_id".isin(queryIds: _*))
+    val served = IvfIndex.serve(spark, dir, queries, probes = 2, k = 3)
+      .select($"query_id", $"rank", $"neighbor")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // pure driver replay of the routed serve against the mutated store
+    val cents = IvfIndex.centroids(spark, dir)
+      .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])]
+      .collect().toMap
+    val post = IvfIndex.postings(spark, dir)
+      .select($"vec_id", $"qv", $"cid".cast("long").as("cid"))
+      .as[(Long, Seq[Long], Long)].collect()
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val all = (seeds ++ crowd).toMap
+    val expected = queryIds.map { qid =>
+      val qv = all(qid)
+      val probed = cents.keys.toSeq
+        .sortBy(c => (d2(qv, cents(c)), c)).take(2).toSet
+      qid -> post.filter(p => probed.contains(p._3) && p._1 != qid)
+        .sortBy(p => (d2(p._2, qv), p._1)).take(3).map(_._1).toSeq
+    }.toMap
+    assert(served == expected,
+      "post-split serve must equal the driver replay of the routed serve")
+    // integer-exact recall@3 vs exact brute force over the full fixture:
+    // the routed store must recall every crowd query's true neighbors
+    // (they live in its own split cell) — no tolerance, exact counts
+    val recall = queryIds.map { qid =>
+      val qv = all(qid)
+      val exact = all.toSeq.filter(_._1 != qid)
+        .sortBy(p => (d2(p._2, qv), p._1)).take(3).map(_._1).toSet
+      qid -> exact.intersect(served(qid).toSet).size
+    }.toMap
+    assert(recall(200L) == 3 && recall(201L) == 3,
+      s"crowd queries must fully recall within their split cell: $recall")
+    assert(recall.values.sum >= 10, s"overall recall collapsed: $recall")
+  }
+
   test("commit protocol: a crash between data write and manifest commit is invisible, and replay is exactly-once") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
