@@ -506,6 +506,73 @@ object IvfIndex {
     splitReport(s, dir)
   }
 
+  /** Garbage-collect everything the committed manifest does not
+    * reference: posting generation directories orphaned by a crashed
+    * ingest attempt or left behind by a pre-crash mutation's skipped GC,
+    * whole cell directories a split retired, superseded centroid
+    * versions, and stray manifest temp files. The commit protocol makes
+    * such orphans INVISIBLE to readers (the validity predicate never
+    * matches them), so vacuum is pure space reclamation and safe to run
+    * any time — it reads the manifest once and deletes only paths the
+    * manifest provably does not own. Returns one row per reclaimed
+    * path kind: (kind, n_removed).
+    *
+    * Scale: one directory listing of the index root + one per cell
+    * directory — metadata-only, no data bytes read; a deployment runs
+    * it on the maintenance cadence (after compactions) or from a crash
+    * janitor.
+    */
+  def vacuum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = readSnapshot(s, dir)
+    val f = fs(s, dir)
+    var orphanGens = 0L
+    var orphanCells = 0L
+    var staleCentroids = 0L
+    var tmpManifests = 0L
+    val postRoot = new Path(postDir(dir))
+    if (f.exists(postRoot)) {
+      f.listStatus(postRoot).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("cid=")).foreach { cd =>
+          val cid = cd.getName.stripPrefix("cid=").toLong
+          snap.cells.get(cid) match {
+            case None =>
+              require(f.delete(cd, true), s"vacuum failed to delete $cd")
+              orphanCells += 1
+            case Some(gens) =>
+              // plain layout: cid=/gen=; labeled layout: cid=/label=/gen=
+              val genParents = f.listStatus(cd).filter(_.isDirectory)
+                .map(_.getPath)
+                .flatMap(p => if (p.getName.startsWith("label="))
+                  f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+                else Array(p))
+              genParents.filter(_.getName.startsWith("gen=")).foreach { gd =>
+                if (!gens.contains(gd.getName.stripPrefix("gen=").toLong)) {
+                  require(f.delete(gd, true), s"vacuum failed to delete $gd")
+                  orphanGens += 1
+                }
+              }
+          }
+        }
+    }
+    f.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("centroids_v") &&
+          n.stripPrefix("centroids_v").toLong != snap.centroidsVer) {
+        require(f.delete(p, true), s"vacuum failed to delete $p")
+        staleCentroids += 1
+      }
+      if (n.startsWith(".manifest-tmp-")) {
+        require(f.delete(p, false), s"vacuum failed to delete $p")
+        tmpManifests += 1
+      }
+    }
+    Seq(("orphan_gen_dirs", orphanGens), ("orphan_cell_dirs", orphanCells),
+      ("stale_centroid_versions", staleCentroids),
+      ("tmp_manifests", tmpManifests))
+      .toDF("kind", "n_removed").orderBy($"kind")
+  }
+
   /** Physically apply the accumulated tombstones and fold each affected
     * cell's generations into one — the LSM compaction to [[delete]]'s
     * logical mask. Affected cells = those holding a tombstoned vector

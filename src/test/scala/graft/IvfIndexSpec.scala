@@ -419,6 +419,39 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall.values.sum >= 10, s"overall recall collapsed: $recall")
   }
 
+  test("vacuum reclaims exactly the unreferenced directories, contents untouched") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val dir = tmp("vac")
+    IvfIndex.build(base, dir)
+    val before = IvfIndex.postings(spark, dir)
+      .select($"vec_id", $"qv").as[(Long, Seq[Long])].collect().toMap
+    // a crashed ingest attempt: gen files on disk, no manifest commit
+    IvfIndex.ingestFiles(spark, dir, emb.filter($"vec_id" % 5 === 0), 9L)
+    // a half-written centroid retrain
+    IvfIndex.centroids(spark, dir).limit(2)
+      .write.parquet(s"$dir/centroids_v77")
+    val report = IvfIndex.vacuum(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(report("orphan_gen_dirs") > 0L,
+      s"crashed ingest's generation dirs must be reclaimed: $report")
+    assert(report("stale_centroid_versions") === 1L, report.toString)
+    // the committed snapshot is untouched, and the orphans are gone
+    // from DISK, not just masked
+    val after = IvfIndex.postings(spark, dir)
+      .select($"vec_id", $"qv").as[(Long, Seq[Long])].collect().toMap
+    assert(after === before)
+    assert(!new java.io.File(s"$dir/centroids_v77").exists)
+    val rawGens = spark.read.parquet(s"$dir/postings")
+      .select($"gen".cast("long")).distinct().as[Long].collect().toSet
+    assert(!rawGens.contains(9L),
+      "orphaned generation files survived the vacuum")
+    // a second vacuum is a no-op
+    val again = IvfIndex.vacuum(spark, dir).as[(String, Long)].collect().toMap
+    assert(again.values.forall(_ == 0L), again.toString)
+  }
+
   test("commit protocol: a crash between data write and manifest commit is invisible, and replay is exactly-once") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
