@@ -506,6 +506,147 @@ object IvfIndex {
     splitReport(s, dir)
   }
 
+  // ---------- PQ-compressed store (q159) ----------
+
+  private def pqCbDir(dir: String) = s"$dir/pqcodebook"
+
+  /** Exact int64 squared distance between two array<long> columns via
+    * higher-order functions — used inside the PQ encode/decode
+    * expressions where the native [[graft.functions.VectorMath]]
+    * expression cannot reach (its inputs there are themselves
+    * expression-built arrays inside a lambda).
+    */
+  private def sqHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** The 8×16×8 PQ codebook as a nested array LITERAL column (1024
+    * longs, bounded by construction): with the codebook inlined into
+    * the expression tree, encoding and ADC reconstruction are pure
+    * per-row projections — no codebook join, no extra exchange, on
+    * either the build or the serve path.
+    */
+  private def cbLiteral(cb: Array[Array[Array[Long]]]): Column =
+    array(cb.map(ms => array(ms.map(cs =>
+      array(cs.map(lit): _*)): _*)): _*)
+
+  /** Per-row PQ encode of `qv` against the literal codebook: for each of
+    * the 8 subspaces, the index of the nearest of its 16 code vectors
+    * (ties to the LOWEST code — `array_position` returns the first
+    * minimum, matching the oracle's (distance, code) order), packed
+    * 4 bits per subspace into ONE long. 8 codes = 8 bytes logical — the
+    * q90 compression argument, now in the stored layout.
+    */
+  private def codeCol(cbc: Column): Column =
+    (0 until 8).map { m =>
+      val dists = transform(element_at(cbc, m + 1),
+        cv => sqHof(slice(col("qv"), m * 8 + 1, 8), cv))
+      (array_position(dists, array_min(dists)) - 1) * lit(1L << (4 * m))
+    }.reduce(_ + _)
+
+  /** ADC reconstruction: unpack the 8 codes and concatenate their
+    * codebook subvectors — the reconstructed vector exact asymmetric
+    * distance ranks against.
+    */
+  private def reconCol(cbc: Column): Column =
+    flatten(array((0 until 8).map { m =>
+      element_at(element_at(cbc, m + 1),
+        shiftright(col("code"), m * 4).bitwiseAND(lit(15L)).cast("int") + 1)
+    }: _*))
+
+  private def readCb(s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+    import s.implicits._
+    val rows = s.read.parquet(pqCbDir(dir))
+      .select($"m".cast("int"), $"c".cast("int"), $"cvec")
+      .as[(Int, Int, Seq[Long])].collect()
+    val cb = Array.ofDim[Array[Long]](8, 16)
+    rows.foreach { case (m, c, v) => cb(m)(c) = v.toArray }
+    cb.map(_.map(x => x))
+  }
+
+  /** Build the PQ-COMPRESSED store: the same converged coarse quantizer
+    * as [[build]], but postings carry ONE packed int64 of PQ codes per
+    * vector instead of the 64-long vector — 8 logical bytes against
+    * 512, which is the difference between a billion-vector index that
+    * fits the cluster's memory/cache tier and one that doesn't (q90's
+    * argument, persisted). The codebook (per-subspace code vectors from
+    * the q90 scheme: the quantized subvectors of vec_id < 16) is
+    * written once beside the centroids and is immutable for the store's
+    * lifetime — codes are codebook-relative and cell-independent, so
+    * cell maintenance never re-encodes; changing the codebook means a
+    * rebuild, as in every deployed PQ system. Both the coarse
+    * assignment and the PQ encode ride the SAME single corpus pass
+    * (the argmin aggregate carries qv; encode is a per-row literal-
+    * codebook projection — no codebook join, no second shuffle).
+    */
+  def buildPq(emb: DataFrame, dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val f = fs(s, dir)
+    f.delete(new Path(dir), true)
+    f.mkdirs(new Path(dir))
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = VectorOps.lloydTrain(
+      emb, seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
+    learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
+      .parquet(centDir(dir, 1L))
+    emb.filter($"vec_id" < 16)
+      .select($"vec_id", posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(qv, m*8 + 1, 8))")))
+      .select($"pos".as("m"), $"vec_id".cast("int").as("c"),
+        $"col".as("cvec"))
+      .write.mode(SaveMode.Overwrite).parquet(pqCbDir(dir))
+    val cbc = cbLiteral(readCb(s, dir))
+    VectorOps.argminPacked(emb, learned, carryQv = true)
+      .select($"vec_id", codeCol(cbc).as("code"), $"cid",
+        lit(0L).as("gen"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid", "gen")
+      .parquet(postDir(dir))
+    val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
+    commitSnapshot(s, dir, Snapshot(1L, 1L,
+      cids.map(_ -> Seq(0L)).toMap, Set.empty, -1L))
+  }
+
+  /** Top-k ADC serve from the compressed store: probe as [[serve]],
+    * then rank the probed cells' candidates by exact asymmetric
+    * distance — query at full precision against each candidate's
+    * codebook reconstruction, unpacked per row from the stored long via
+    * the literal codebook (no codebook relation in the plan). The
+    * posting scan reads (vec_id, code): 8 logical bytes per candidate
+    * where [[serve]] reads 512 — the serve path the compression exists
+    * for. Approximate by construction (PQ error), which is why
+    * [[q158]]-style recall gating exists; results are still fully
+    * deterministic (integer ADC, (adc, neighbor) ties).
+    */
+  def servePq(s: SparkSession, dir: String, queries: DataFrame,
+      probes: Int = 2, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val cents = centroids(s, dir)
+    val cbc = cbLiteral(readCb(s, dir))
+    val post = masked(s, dir)
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")))
+      .filter($"crank" <= probes)
+      .select($"vec_id".as("query_id"), $"qv".as("probe_qv"), $"cid")
+      .localCheckpoint(true)
+    val probedCells = probed.select($"cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor")
+    post.filter($"cid".isin(probedCells: _*))
+      .join(broadcast(probed), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong(
+          reconCol(cbc), $"probe_qv").as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor", $"adc")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Garbage-collect everything the committed manifest does not
     * reference: posting generation directories orphaned by a crashed
     * ingest attempt or left behind by a pre-crash mutation's skipped GC,
@@ -787,12 +928,28 @@ object IvfIndex {
       .orderBy($"query_id")
   }
 
+  /** The COMPRESSED index end-to-end: PQ build → (cid, gen)-partitioned
+    * single-long postings → 2-probe ADC top-5 for every 100th vector.
+    * The oracle replays the coarse training, the per-subspace encoding
+    * (q90's scheme), the probed routing, and the asymmetric ranking —
+    * all integer-exact, so the hash match proves the packed-code
+    * roundtrip and the literal-codebook reconstruction are lossless.
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q159")
+    buildPq(emb, dir)
+    servePq(s, dir, emb.filter($"vec_id" % 100 === 0))
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
     "q156_filtered_ann" -> ((s, d) => q156(s, d)),
     "q157_ivf_delete_compact" -> ((s, d) => q157(s, d)),
-    "q158_mutated_recall" -> ((s, d) => q158(s, d))
+    "q158_mutated_recall" -> ((s, d) => q158(s, d)),
+    "q159_ivfpq_store" -> ((s, d) => q159(s, d))
   )
 
   private def q152OracleSql: String =
@@ -995,11 +1152,58 @@ object IvfIndex {
            n_match * 1000 // k AS recall_permille
          FROM perall ORDER BY query_id"""
 
+  private def q159OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(
+           VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         sub AS (
+           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
+           FROM allq, generate_series(0, 7) AS t(m)),
+         cb AS MATERIALIZED (SELECT m, vec_id AS c, sv AS cvec
+           FROM sub WHERE vec_id < 16),
+         pqd AS (
+           SELECT s.vec_id, s.m, cb.c,
+             list_sum(list_transform(list_zip(s.sv, cb.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+           FROM sub s JOIN cb ON s.m = cb.m),
+         code AS MATERIALIZED (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
+                 AS rn
+             FROM pqd) WHERE rn = 1),
+         recon AS MATERIALIZED (
+           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
+           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
+           GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
+           FROM astar JOIN recon r USING (vec_id)
+             JOIN qs ON astar.cid = qs.cid
+           WHERE astar.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, neighbor, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc, neighbor) AS BIGINT) AS rank
+           FROM cand)
+         SELECT query_id, rank, neighbor, adc FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
     "q156_filtered_ann" -> q156OracleSql,
     "q157_ivf_delete_compact" -> q157OracleSql,
-    "q158_mutated_recall" -> q158OracleSql
+    "q158_mutated_recall" -> q158OracleSql,
+    "q159_ivfpq_store" -> q159OracleSql
   )
 }

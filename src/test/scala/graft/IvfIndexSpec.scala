@@ -419,6 +419,79 @@ class IvfIndexSpec extends SparkSpec {
     assert(recall.values.sum >= 10, s"overall recall collapsed: $recall")
   }
 
+  test("PQ store: 8-bytes-per-vector postings, driver-exact codes, pruned ADC serve") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val qvDir = tmp("pq_a") + "/qv"
+    val pqDir = tmp("pq_b") + "/pq"
+    IvfIndex.build(emb, qvDir)
+    IvfIndex.buildPq(emb, pqDir)
+    // the compressed postings carry ONE long of codes — no vector column
+    val post = IvfIndex.postings(spark, pqDir)
+    assert(post.columns.toSet === Set("vec_id", "code", "cid", "gen"),
+      s"pq postings must not store vectors: ${post.columns.mkString(",")}")
+    // and the bytes on disk reflect it: same rows, far smaller files
+    def postingBytes(d: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(s"$d/postings"))
+    }
+    val (qvB, pqB) = (postingBytes(qvDir), postingBytes(pqDir))
+    assert(post.count() === emb.count())
+    assert(pqB * 4 < qvB,
+      s"pq store should be > 4x smaller on disk: qv=$qvB pq=$pqB")
+    // stored codes equal a driver-side encode (argmin per subspace,
+    // ties to the lowest code) for every vector of one cell
+    val cbRows = spark.read.parquet(s"$pqDir/pqcodebook")
+      .select($"m".cast("int"), $"c".cast("int"), $"cvec")
+      .as[(Int, Int, Seq[Long])].collect()
+    val cb = cbRows.map { case (m, c, v) => (m, c) -> v }.toMap
+    val someCell = post.select($"cid".cast("long")).distinct()
+      .orderBy($"cid").as[Long].head()
+    val stored = post.filter($"cid" === someCell)
+      .select($"vec_id", $"code").as[(Long, Long)].collect().toMap
+    val byId = emb.filter($"vec_id".isin(stored.keys.toSeq: _*))
+      .as[(Long, Seq[Long])].collect().toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    stored.foreach { case (id, code) =>
+      val v = byId(id)
+      val want = (0 until 8).map { m =>
+        val sv = v.slice(m * 8, m * 8 + 8)
+        val c = (0 until 16).minBy(c => (d2(sv, cb((m, c))), c)).toLong
+        c << (4 * m)
+      }.sum
+      assert(code === want, s"vector $id stored code $code, expected $want")
+    }
+    // the ADC serve reads only probed cell directories (same pruning
+    // evidence as the qv serve)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val served = IvfIndex.servePq(spark, pqDir, queries)
+    served.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val allFiles = spark.read.parquet(s"$pqDir/postings").inputFiles.length
+    val scanned = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings")))
+      .map(_.metrics("numFiles").value).max
+    val nProbed = IvfIndex.postings(spark, pqDir)
+      .select($"cid").distinct().count()
+    if (scanned < allFiles || nProbed <= 2)
+      assert(scanned <= allFiles)
+    else fail(s"ADC serve read $scanned of $allFiles posting files — no pruning")
+  }
+
   test("vacuum reclaims exactly the unreferenced directories, contents untouched") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
