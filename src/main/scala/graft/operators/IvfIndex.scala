@@ -559,8 +559,10 @@ object IvfIndex {
     val rows = s.read.parquet(pqCbDir(dir))
       .select($"m".cast("int"), $"c".cast("int"), $"cvec")
       .as[(Int, Int, Seq[Long])].collect()
-    val cb = Array.ofDim[Array[Long]](8, 16)
+    val nCodes = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Long]](8, nCodes)
     rows.foreach { case (m, c, v) => cb(m)(c) = v.toArray }
+    cb.foreach(ms => require(ms.forall(_ != null), "codebook has gaps"))
     cb.map(_.map(x => x))
   }
 
@@ -591,11 +593,16 @@ object IvfIndex {
       emb, seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
     learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
       .parquet(centDir(dir, 1L))
+    // code ids are DENSE ranks of the seed vectors, not raw vec_ids —
+    // a filtered build (q160: base corpus) has gaps below 16, and the
+    // packed 4-bit code addresses a position in the codebook array
     emb.filter($"vec_id" < 16)
       .select($"vec_id", posexplode(expr(
         "transform(sequence(0, 7), m -> slice(qv, m*8 + 1, 8))")))
-      .select($"pos".as("m"), $"vec_id".cast("int").as("c"),
-        $"col".as("cvec"))
+      .select($"pos".as("m"), $"vec_id", $"col".as("cvec"))
+      .withColumn("c",
+        (dense_rank().over(Window.orderBy($"vec_id")) - 1).cast("int"))
+      .select($"m", $"c", $"cvec")
       .write.mode(SaveMode.Overwrite).parquet(pqCbDir(dir))
     val cbc = cbLiteral(readCb(s, dir))
     VectorOps.argminPacked(emb, learned, carryQv = true)
@@ -645,6 +652,42 @@ object IvfIndex {
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"neighbor", $"adc")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Incremental ingest into the COMPRESSED store: one broadcast-argmin
+    * pass assigns the batch to the stored cells, the literal-codebook
+    * projection encodes it in the same pass, and the packed-code
+    * postings commit as generation `gen` under the identical manifest
+    * discipline as [[addBatch]] — exactly-once under replay, including
+    * across compactions ([[compact]] is layout-agnostic, so the full
+    * mutable lifecycle holds for the 8-byte postings too). The codebook
+    * is immutable, so ingested codes are directly comparable with the
+    * build's.
+    */
+  def addBatchPq(s: SparkSession, dir: String, newVecs: DataFrame,
+      gen: Long = 1L): DataFrame = {
+    import s.implicits._
+    require(gen > 0L,
+      s"ingest generations are caller-named positives (got $gen)")
+    val snap = readSnapshot(s, dir)
+    if (!snap.ingested.contains(gen)) {
+      val cbc = cbLiteral(readCb(s, dir))
+      val assigned = VectorOps.argminPacked(newVecs, centroids(s, dir),
+          carryQv = true)
+        .select($"vec_id", codeCol(cbc).as("code"), $"cid",
+          lit(gen).as("gen"))
+        .localCheckpoint(true)
+      val touched = assigned.select($"cid".cast("long")).distinct()
+        .as[Long].collect().toSeq
+      assigned.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "gen").parquet(postDir(dir))
+      val cells = snap.cells ++ touched.map(c =>
+        c -> (snap.cells.getOrElse(c, Seq.empty) :+ gen).distinct)
+      commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
+        cells = cells, ingested = snap.ingested + gen))
+    }
+    splitReport(s, dir)
   }
 
   /** Garbage-collect everything the committed manifest does not
@@ -729,10 +772,15 @@ object IvfIndex {
     *
     * Returns the per-cell report (cid, n_before, n_removed,
     * n_gens_before, n_after, compacted). Scale: the decision scan reads
-    * only (vec_id, gen) + the cid partition column (postings' qv bytes
-    * untouched); the rewrite reads and writes exactly the affected
-    * cells' bytes — compaction cost tracks delete/ingest volume, not
-    * corpus size.
+    * only (vec_id, gen) + the cid partition column (postings' payload
+    * bytes untouched); the rewrite reads and writes exactly the
+    * affected cells' bytes — compaction cost tracks delete/ingest
+    * volume, not corpus size.
+    *
+    * Layout-agnostic: the rewrite carries whatever payload columns the
+    * store holds (full vectors, packed PQ codes, a label level) and
+    * re-partitions by the store's own partition scheme, so the same
+    * compaction serves the plain, labeled, and PQ-compressed stores.
     */
   def compact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -762,23 +810,30 @@ object IvfIndex {
     if (affected.nonEmpty) {
       val f = fs(s, dir)
       val newGen = snap.nextInternal
+      val partCols =
+        if (post.columns.contains("label")) Seq("cid", "label", "gen")
+        else Seq("cid", "gen")
       val rewritten = post.filter($"cid".isin(affected: _*))
       tomb.fold(rewritten)(t =>
           rewritten.join(broadcast(t), Seq("vec_id"), "left_anti"))
-        .select($"vec_id", $"qv", $"cid", lit(newGen).as("gen"))
+        .drop("gen").withColumn("gen", lit(newGen))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("cid", "gen").parquet(postDir(dir))
+        .partitionBy(partCols: _*).parquet(postDir(dir))
       // a fully-tombstoned cell writes no partition: its gens collapse
       // to a generation that matches no files (the centroid row stays;
       // occupancy reads 0)
       val cells = snap.cells ++ affected.map(_ -> Seq(newGen))
       commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
         cells = cells, nextInternal = newGen - 1L))
-      // GC strictly after the commit
+      // GC strictly after the commit — both the plain cid=/gen= layout
+      // and the labeled cid=/label=/gen= layout
       affected.foreach { c =>
         snap.cells.getOrElse(c, Seq.empty).foreach { g =>
           f.delete(new Path(s"${postDir(dir)}/cid=$c/gen=$g"), true)
+          val lab = f.globStatus(
+            new Path(s"${postDir(dir)}/cid=$c/label=*/gen=$g"))
+          if (lab != null) lab.foreach(st => f.delete(st.getPath, true))
         }
       }
     }
@@ -943,13 +998,34 @@ object IvfIndex {
     servePq(s, dir, emb.filter($"vec_id" % 100 === 0))
   }
 
+  /** The compressed store through its FULL mutable lifecycle — q157's
+    * sequence (build on the base corpus, ingest the held-out fifth,
+    * tombstone every 7th vector, compact, serve) over the 8-byte PQ
+    * postings. The oracle replays coarse training on the base, the
+    * incremental assignment, the per-subspace encoding of BOTH
+    * populations against the base-trained codebook, the delete set, and
+    * the probed ADC ranking — a hash match proves the packed codes
+    * survive ingest + delete + layout-agnostic compaction bit-exactly.
+    */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q160")
+    buildPq(emb.filter($"vec_id" % 5 =!= 0), dir)
+    addBatchPq(s, dir, emb.filter($"vec_id" % 5 === 0))
+    delete(s, dir, emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    compact(s, dir)
+    servePq(s, dir, emb.filter($"vec_id" % 100 === 0 && $"vec_id" % 7 =!= 0))
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
     "q156_filtered_ann" -> ((s, d) => q156(s, d)),
     "q157_ivf_delete_compact" -> ((s, d) => q157(s, d)),
     "q158_mutated_recall" -> ((s, d) => q158(s, d)),
-    "q159_ivfpq_store" -> ((s, d) => q159(s, d))
+    "q159_ivfpq_store" -> ((s, d) => q159(s, d)),
+    "q160_ivfpq_lifecycle" -> ((s, d) => q160(s, d))
   )
 
   private def q152OracleSql: String =
@@ -1198,12 +1274,75 @@ object IvfIndex {
          SELECT query_id, rank, neighbor, adc FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  private def q160OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+           VectorOps.LloydMinImprove, "WHERE vec_id % 5 <> 0")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         nd AS (
+           SELECT a.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, cstar c WHERE a.vec_id % 5 = 0),
+         anew AS (
+           SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM nd) WHERE rn = 1),
+         comb AS MATERIALIZED (
+           SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
+           UNION ALL
+           SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
+         sub AS (
+           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
+           FROM allq, generate_series(0, 7) AS t(m)),
+         cb AS MATERIALIZED (
+           SELECT m, CAST(row_number() OVER (PARTITION BY m
+             ORDER BY vec_id) - 1 AS INT) AS c, sv AS cvec
+           FROM sub WHERE vec_id < 16 AND vec_id % 5 <> 0),
+         pqd AS (
+           SELECT s.vec_id, s.m, cb.c,
+             list_sum(list_transform(list_zip(s.sv, cb.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+           FROM sub s JOIN cb ON s.m = cb.m),
+         code AS MATERIALIZED (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
+                 AS rn
+             FROM pqd) WHERE rn = 1),
+         recon AS MATERIALIZED (
+           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
+           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
+           GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c
+             WHERE a.vec_id % 100 = 0 AND a.vec_id % 7 <> 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, cmb.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
+           FROM comb cmb JOIN recon r USING (vec_id)
+             JOIN qs ON cmb.cid = qs.cid
+           WHERE cmb.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, neighbor, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc, neighbor) AS BIGINT) AS rank
+           FROM cand)
+         SELECT query_id, rank, neighbor, adc FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
     "q156_filtered_ann" -> q156OracleSql,
     "q157_ivf_delete_compact" -> q157OracleSql,
     "q158_mutated_recall" -> q158OracleSql,
-    "q159_ivfpq_store" -> q159OracleSql
+    "q159_ivfpq_store" -> q159OracleSql,
+    "q160_ivfpq_lifecycle" -> q160OracleSql
   )
 }

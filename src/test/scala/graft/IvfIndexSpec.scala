@@ -492,6 +492,41 @@ class IvfIndexSpec extends SparkSpec {
     else fail(s"ADC serve read $scanned of $allFiles posting files — no pruning")
   }
 
+  test("PQ lifecycle: ingest appends codes, compact folds them, serving is oblivious") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val dir = tmp("pqlife") + "/idx"
+    IvfIndex.buildPq(base, dir)
+    IvfIndex.addBatchPq(spark, dir, batch)
+    // ingested codes equal the build-time encoding of the same vectors
+    // (the codebook is immutable, so both paths must agree bit-exactly)
+    val post = IvfIndex.postings(spark, dir)
+    assert(post.count() === emb.count())
+    val gen1Ids = post.filter($"gen" === 1L).select($"vec_id")
+      .as[Long].collect().toSet
+    assert(gen1Ids === batch.select($"vec_id").as[Long].collect().toSet)
+    val deleted = emb.filter($"vec_id" % 7 === 0).select($"vec_id")
+    IvfIndex.delete(spark, dir, deleted)
+    val queries = emb.filter($"vec_id" % 100 === 0 && $"vec_id" % 7 =!= 0)
+    val pre = IvfIndex.servePq(spark, dir, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pre.nonEmpty && !pre.exists { case (_, _, n, _) => n % 7 == 0 })
+    IvfIndex.compact(spark, dir)
+    val folded = IvfIndex.postings(spark, dir)
+    assert(folded.filter($"gen" =!= 0L).count() === 0L,
+      "compact must fold the PQ store's generations")
+    assert(folded.count() === emb.count() - deleted.count())
+    val postC = IvfIndex.servePq(spark, dir, queries)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(postC === pre, "ADC serve must not care when compaction ran")
+    // replay after compaction stays a no-op for the compressed store too
+    IvfIndex.addBatchPq(spark, dir, batch)
+    assert(IvfIndex.postings(spark, dir).count()
+      === emb.count() - deleted.count())
+  }
+
   test("vacuum reclaims exactly the unreferenced directories, contents untouched") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
