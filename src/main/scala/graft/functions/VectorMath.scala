@@ -38,6 +38,22 @@ object VectorMath {
   def dotLong(a: Column, b: Column): Column =
     column(DotLongExpr(expression(a), expression(b)))
 
+  /** PQ encode: 64-long vector × 8-subspace codebook
+    * (array<array<array<long>>>) → the packed 4-bit-per-subspace code
+    * long. Argmin ties break to the LOWEST code index (strict `<`),
+    * matching the oracle's (distance, code) order.
+    */
+  def pqEncode(qv: Column, codebook: Column): Column =
+    column(PqEncodeExpr(expression(qv), expression(codebook)))
+
+  /** PQ asymmetric distance: per-query lookup table
+    * (array<array<long>>, 8×nCodes) × packed code long → Σ of the 8
+    * addressed entries — exact int64, equal to the reconstruction
+    * distance because squared L2 decomposes over disjoint subspaces.
+    */
+  def pqAdc(lut: Column, code: Column): Column =
+    column(PqAdcExpr(expression(lut), expression(code)))
+
   def sqDistLongFromArrayData(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0
@@ -68,6 +84,43 @@ object VectorMath {
     while (i < n) {
       s += a.getDouble(i) * b.getDouble(i)
       i += 1
+    }
+    s
+  }
+
+  def pqEncodeFromArrayData(qv: ArrayData, cb: ArrayData): Long = {
+    var packed = 0L
+    var m = 0
+    while (m < 8) {
+      val codes = cb.getArray(m)
+      val n = codes.numElements()
+      var best = Long.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < n) {
+        val cv = codes.getArray(c)
+        var s = 0L
+        var i = 0
+        while (i < 8) {
+          val d = qv.getLong(m * 8 + i) - cv.getLong(i)
+          s += d * d
+          i += 1
+        }
+        if (s < best) { best = s; bestC = c }
+        c += 1
+      }
+      packed += bestC.toLong << (4 * m)
+      m += 1
+    }
+    packed
+  }
+
+  def pqAdcFromArrayData(lut: ArrayData, code: Long): Long = {
+    var m = 0
+    var s = 0L
+    while (m < 8) {
+      s += lut.getArray(m).getLong(((code >>> (4 * m)) & 15L).toInt)
+      m += 1
     }
     s
   }
@@ -116,4 +169,34 @@ case class DotDoubleExpr(left: Expression, right: Expression)
   override def prettyName: String = "dot_double"
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotDoubleExpr = copy(left = l, right = r)
+}
+
+/** array<long>(64) × array<array<array<long>>>(8×n×8) → packed code long. */
+case class PqEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.pqEncodeFromArrayData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.pqEncodeFromArrayData($a, $b)")
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqEncodeExpr = copy(left = l, right = r)
+}
+
+/** array<array<long>>(8×n) × long → long: Σ of the 8 addressed entries. */
+case class PqAdcExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.pqAdcFromArrayData(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[java.lang.Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.pqAdcFromArrayData($a, $b)")
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAdcExpr = copy(left = l, right = r)
 }

@@ -531,28 +531,41 @@ object IvfIndex {
       array(cs.map(lit): _*)): _*)): _*)
 
   /** Per-row PQ encode of `qv` against the literal codebook: for each of
-    * the 8 subspaces, the index of the nearest of its 16 code vectors
-    * (ties to the LOWEST code — `array_position` returns the first
-    * minimum, matching the oracle's (distance, code) order), packed
-    * 4 bits per subspace into ONE long. 8 codes = 8 bytes logical — the
-    * q90 compression argument, now in the stored layout.
+    * the 8 subspaces, the index of the nearest of its code vectors
+    * (ties to the LOWEST code, matching the oracle's (distance, code)
+    * order), packed 4 bits per subspace into ONE long. 8 codes = 8
+    * bytes logical — the q90 compression argument, now in the stored
+    * layout. A native codegen'd expression
+    * ([[graft.functions.VectorMath.pqEncode]]): the corpus-sized encode
+    * pass is one tight JIT'd loop, not 128 interpreted HOF lambdas per
+    * row.
     */
   private def codeCol(cbc: Column): Column =
-    (0 until 8).map { m =>
-      val dists = transform(element_at(cbc, m + 1),
-        cv => sqHof(slice(col("qv"), m * 8 + 1, 8), cv))
-      (array_position(dists, array_min(dists)) - 1) * lit(1L << (4 * m))
-    }.reduce(_ + _)
+    graft.functions.VectorMath.pqEncode(col("qv"), cbc)
 
-  /** ADC reconstruction: unpack the 8 codes and concatenate their
-    * codebook subvectors — the reconstructed vector exact asymmetric
-    * distance ranks against.
+  /** Per-query ADC lookup table: for each subspace, the exact int64
+    * distance from the query's subvector to EVERY codebook entry —
+    * 8×16 longs computed once per query. With the table carried on the
+    * broadcast probe side, a candidate's asymmetric distance is eight
+    * table lookups summed ([[adcCol]]) instead of a per-candidate
+    * vector reconstruction — the classic ADC serving shape (q90's
+    * scaladoc names it), and identical integers: the squared distance
+    * decomposes exactly over the 8 disjoint subspaces.
     */
-  private def reconCol(cbc: Column): Column =
-    flatten(array((0 until 8).map { m =>
-      element_at(element_at(cbc, m + 1),
-        shiftright(col("code"), m * 4).bitwiseAND(lit(15L)).cast("int") + 1)
-    }: _*))
+  private def lutCol(cbc: Column): Column =
+    array((0 until 8).map { m =>
+      transform(element_at(cbc, m + 1),
+        cv => sqHof(slice(col("qv"), m * 8 + 1, 8), cv))
+    }: _*)
+
+  /** Sum of the 8 per-subspace table lookups addressed by the packed
+    * `code` — the candidate-side half of the ADC split, as a native
+    * codegen'd expression ([[graft.functions.VectorMath.pqAdc]]): the
+    * per-candidate cost in the probed-cell scan is 8 array reads in a
+    * JIT'd loop.
+    */
+  private def adcCol: Column =
+    graft.functions.VectorMath.pqAdc(col("lut"), col("code"))
 
   private def readCb(s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
     import s.implicits._
@@ -617,14 +630,17 @@ object IvfIndex {
 
   /** Top-k ADC serve from the compressed store: probe as [[serve]],
     * then rank the probed cells' candidates by exact asymmetric
-    * distance — query at full precision against each candidate's
-    * codebook reconstruction, unpacked per row from the stored long via
-    * the literal codebook (no codebook relation in the plan). The
-    * posting scan reads (vec_id, code): 8 logical bytes per candidate
-    * where [[serve]] reads 512 — the serve path the compression exists
-    * for. Approximate by construction (PQ error), which is why
-    * [[q158]]-style recall gating exists; results are still fully
-    * deterministic (integer ADC, (adc, neighbor) ties).
+    * distance via the per-query lookup table ([[lutCol]]): the table is
+    * computed once per query (8×16 distances) and rides the broadcast
+    * probe side, so the corpus-side cost per candidate is eight table
+    * lookups on the stored long — no reconstruction, no codebook
+    * relation in the plan. The posting scan reads (vec_id, code): 8
+    * logical bytes per candidate where [[serve]] reads 512 — the serve
+    * path the compression exists for. Approximate by construction (PQ
+    * error), which is why [[q158]]-style recall gating exists; results
+    * are still fully deterministic (integer ADC, (adc, neighbor) ties,
+    * and the LUT sum equals the reconstruction distance exactly — the
+    * squared distance decomposes over the 8 disjoint subspaces).
     */
   def servePq(s: SparkSession, dir: String, queries: DataFrame,
       probes: Int = 2, k: Int = 5): DataFrame = {
@@ -637,7 +653,7 @@ object IvfIndex {
       .withColumn("crank", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")))
       .filter($"crank" <= probes)
-      .select($"vec_id".as("query_id"), $"qv".as("probe_qv"), $"cid")
+      .select($"vec_id".as("query_id"), lutCol(cbc).as("lut"), $"cid")
       .localCheckpoint(true)
     val probedCells = probed.select($"cid").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -645,9 +661,7 @@ object IvfIndex {
     post.filter($"cid".isin(probedCells: _*))
       .join(broadcast(probed), Seq("cid"))
       .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor"),
-        graft.functions.VectorMath.sqDistLong(
-          reconCol(cbc), $"probe_qv").as("adc"))
+      .select($"query_id", $"vec_id".as("neighbor"), adcCol.as("adc"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"neighbor", $"adc")

@@ -81,6 +81,26 @@ class CodegenSpec extends SparkSpec {
       val self = e.select(VectorMath.sqDistLong($"qv", $"qv"),
         VectorMath.dotDouble($"v", $"v")).collect()
       assert(self.forall(r => r.getLong(0) == 0L && r.getDouble(1) >= 0.0))
+      // PQ encode + ADC: codes address a literal codebook built from
+      // the first vectors; encoding then summing the 8 LUT entries of
+      // a vector's OWN code must reproduce its per-subspace distances
+      val cbRows = e.filter($"vec_id" < 16)
+        .orderBy($"vec_id").select($"qv").as[Seq[Long]].collect()
+      val cbc = array((0 until 8).map(m => array(cbRows.map(v =>
+        array(v.slice(m * 8, m * 8 + 8).map(lit): _*)): _*)): _*)
+      val pq = e.select($"vec_id", $"qv",
+        VectorMath.pqEncode($"qv", cbc).as("code"))
+        .withColumn("lut", array((0 until 8).map(m =>
+          transform(element_at(cbc, m + 1), cv =>
+            VectorMath.sqDistLong(slice($"qv", m * 8 + 1, 8), cv))): _*))
+        .select($"vec_id", $"code", VectorMath.pqAdc($"lut", $"code").as("adc"))
+        .collect()
+      assert(pq.nonEmpty)
+      // a codebook seed's own code addresses itself in every subspace
+      // (distance 0), so its ADC self-distance is exactly zero
+      pq.filter(_.getLong(0) < 16).foreach(r =>
+        assert(r.getLong(2) == 0L, s"seed ${r.getLong(0)} adc ${r.getLong(2)}"))
+      assert(pq.forall(_.getLong(2) >= 0L))
     }
   }
 
