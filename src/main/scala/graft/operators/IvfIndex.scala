@@ -104,12 +104,12 @@ object IvfIndex {
     * decreasing — compaction/split outputs, disjoint from caller gens
     * by sign so an ingest replay can never clobber folded data).
     */
-  private case class Snapshot(epoch: Long, centroidsVer: Long,
+  private[graft] case class Snapshot(epoch: Long, centroidsVer: Long,
       cells: Map[Long, Seq[Long]], ingested: Set[Long], nextInternal: Long)
 
   private def manifestName(epoch: Long) = f"manifest-$epoch%09d"
 
-  private def readSnapshot(s: SparkSession, dir: String): Snapshot = {
+  private[graft] def readSnapshot(s: SparkSession, dir: String): Snapshot = {
     val f = fs(s, dir)
     val found = f.globStatus(new Path(dir, "manifest-*"))
     require(found != null && found.nonEmpty,
@@ -147,11 +147,27 @@ object IvfIndex {
   }
 
   /** Publish a snapshot: temp write + checked rename (step 2 of the
-    * protocol). Superseded manifests beyond the last two are deleted —
-    * they are redundant once a newer epoch exists, but keeping a spare
-    * makes a torn read of the newest file recoverable by hand.
+    * protocol), guarded by an OPTIMISTIC CONCURRENCY check — the
+    * snapshot being committed must still succeed the latest committed
+    * epoch, and the destination must not already exist. Without the
+    * guard, two mutations racing from the same base epoch (say a
+    * manual [[splitCells]] against a live ingest stream) would both
+    * rename to the same manifest name, and POSIX rename REPLACES the
+    * destination silently: the loser's commit — and with it, e.g., an
+    * ingested generation's validity — would vanish while its data
+    * files remain, a lost update the reader could never detect. With
+    * the guard, every non-overlapping race fails LOUDLY on the late
+    * committer (retry = re-read + re-apply); truly simultaneous
+    * commits additionally need a conditional-put / lock primitive,
+    * exactly as for every manifest-pointer table format — the index
+    * assumes one logical writer and turns violations into errors
+    * instead of corruption.
+    *
+    * Superseded manifests beyond the last two are deleted — redundant
+    * once a newer epoch exists, but keeping a spare makes a torn read
+    * of the newest file recoverable by hand.
     */
-  private def commitSnapshot(s: SparkSession, dir: String,
+  private[graft] def commitSnapshot(s: SparkSession, dir: String,
       snap: Snapshot): Unit = {
     val f = fs(s, dir)
     val tmp = new Path(dir, s".manifest-tmp-${snap.epoch}")
@@ -166,7 +182,18 @@ object IvfIndex {
       }
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
+    val committed = f.globStatus(new Path(dir, "manifest-*"))
+    val latest =
+      if (committed == null || committed.isEmpty) 0L
+      else committed.map(_.getPath.getName.stripPrefix("manifest-").toLong).max
     val dest = new Path(dir, manifestName(snap.epoch))
+    if (latest >= snap.epoch || f.exists(dest)) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"index $dir: epoch ${snap.epoch} is stale (latest committed " +
+          s"$latest) — a concurrent mutation won the race; re-read and " +
+          "re-apply")
+    }
     require(f.rename(tmp, dest),
       s"manifest commit failed: rename $tmp -> $dest returned false")
     val old = f.globStatus(new Path(dir, "manifest-*"))

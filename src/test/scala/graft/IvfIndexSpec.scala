@@ -527,6 +527,28 @@ class IvfIndexSpec extends SparkSpec {
       === emb.count() - deleted.count())
   }
 
+  test("a racing commit from a stale epoch fails loudly instead of clobbering") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("race") + "/idx"
+    IvfIndex.build(emb.filter($"vec_id" % 5 =!= 0), dir)
+    // two mutations race from the same base snapshot: the first commits
+    val base = IvfIndex.readSnapshot(spark, dir)
+    IvfIndex.addBatch(spark, dir, emb.filter($"vec_id" % 5 === 0))
+    val afterWinner = IvfIndex.postings(spark, dir).count()
+    // ...the second (still holding the stale base) must NOT silently
+    // replace the winner's manifest — that would orphan the ingested
+    // generation while its files remain
+    intercept[java.util.ConcurrentModificationException] {
+      IvfIndex.commitSnapshot(spark, dir,
+        base.copy(epoch = base.epoch + 1))
+    }
+    assert(IvfIndex.postings(spark, dir).count() === afterWinner,
+      "the winning commit must survive the stale committer")
+    assert(IvfIndex.readSnapshot(spark, dir).ingested === Set(1L),
+      "the ingested generation must still be committed")
+  }
+
   test("vacuum reclaims exactly the unreferenced directories, contents untouched") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
