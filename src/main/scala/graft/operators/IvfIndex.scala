@@ -695,6 +695,43 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  /** ADC-shortlist + exact re-rank — the two-stage serve every deployed
+    * PQ system runs: [[servePq]] ranks the probed cells by asymmetric
+    * distance on the 8-byte codes and keeps a SHORTLIST of
+    * `shortlistK` (not k) candidates, then only those ids are looked up
+    * in the full-precision corpus (`corpus`: vec_id, qv — in a
+    * deployment the uncompressed store or the source table; the index
+    * itself keeps no full vectors, that being the point of PQ) and
+    * re-ranked by exact int64 distance. Compression error can demote a
+    * true neighbor a few ADC ranks but rarely past a 5× shortlist, so
+    * the refine stage recovers most of the recall the codes lose —
+    * [[q161]] measures exactly that (ADC-only vs refined recall against
+    * the exact top-k, same integer-set discipline as [[q158]]).
+    *
+    * Scale: the corpus-sized work is ONE scan filtered by a broadcast
+    * join on |queries|·shortlistK ids (never a gather of full vectors
+    * through the ranking shuffle); the re-rank itself is
+    * |queries|·shortlistK rows — serving-batch-bounded.
+    */
+  def servePqRefine(s: SparkSession, dir: String, queries: DataFrame,
+      corpus: DataFrame, probes: Int = 2, shortlistK: Int = 25,
+      k: Int = 5): DataFrame = {
+    import s.implicits._
+    val short = servePq(s, dir, queries, probes, shortlistK)
+      .select($"query_id", $"neighbor")
+    val qside = queries.select($"vec_id".as("query_id"), $"qv".as("q_qv"))
+    val w = Window.partitionBy($"query_id").orderBy($"dist", $"neighbor")
+    corpus.select($"vec_id".as("neighbor"), $"qv".as("n_qv"))
+      .join(broadcast(short), Seq("neighbor"))
+      .join(broadcast(qside), Seq("query_id"))
+      .select($"query_id", $"neighbor",
+        graft.functions.VectorMath.sqDistLong($"n_qv", $"q_qv").as("dist"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"neighbor", $"dist")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Incremental ingest into the COMPRESSED store: one broadcast-argmin
     * pass assigns the batch to the stored cells, the literal-codebook
     * projection encodes it in the same pass, and the packed-code
@@ -1003,15 +1040,22 @@ object IvfIndex {
     val live = emb.filter($"vec_id" % 7 =!= 0)
     val queries = live.filter($"vec_id" % 100 === 0)
     val iv = serve(s, dir, queries).select($"query_id", $"neighbor")
-    val w = Window.partitionBy($"query_id").orderBy($"dist", $"neighbor")
+    // exact side: the |queries| × corpus scored pairs fold MAP-SIDE to
+    // 5 rows per query via the bounded top-k aggregator (negated
+    // distance: score desc == dist asc, id ties asc — identical set to
+    // the window-rank form, which would shuffle and sort every pair).
+    // int64 distances here stay far below 2^53, so the double carry is
+    // exact.
     val ex = live.crossJoin(broadcast(queries
         .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id", $"vec_id".as("neighbor"),
         graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"neighbor")
+      .groupBy($"query_id")
+      .agg(graft.functions.BoundedAggs.topScored(
+        -$"dist".cast("double"), $"neighbor", lit(true), 5).as("top"))
+      .select($"query_id",
+        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
     val matches = ex.join(iv, Seq("query_id", "neighbor"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("nm"))
     val per = ex.groupBy($"query_id").agg(count(lit(1)).as("k"))
@@ -1059,6 +1103,60 @@ object IvfIndex {
     servePq(s, dir, emb.filter($"vec_id" % 100 === 0 && $"vec_id" % 7 =!= 0))
   }
 
+  /** What does the 64× compression COST in answer quality, and how much
+    * does the refine stage buy back? Per query (every 100th vector):
+    * recall@5 against the exact int64-L2 top-5 (self excluded) of (a)
+    * the pure ADC serve and (b) the ADC-shortlist-25 + exact re-rank
+    * serve ([[servePqRefine]]), plus the overall row (query_id = -1) —
+    * integer-exact set intersections, no similarity tolerance. The
+    * oracle replays the coarse training, the PQ encoding, the ADC
+    * ranking AND shortlist, the full-precision re-rank, and the exact
+    * top-5, so a hash match pins the entire two-stage serving path, not
+    * just its first stage. Refined recall is >= ADC recall by
+    * construction only per-hit-count — the spec asserts the >= holds
+    * on real data; the gate records the actual numbers.
+    *
+    * Scale: both serve stages are bounded as their operators document;
+    * the exact side is the evaluation harness's brute force, folded
+    * map-side by the bounded top-k aggregator (q158's discipline).
+    */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q161")
+    buildPq(emb, dir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val adc5 = servePq(s, dir, queries).select($"query_id", $"neighbor")
+    val ref5 = servePqRefine(s, dir, queries, emb)
+      .select($"query_id", $"neighbor")
+    val ex = emb.crossJoin(broadcast(queries
+        .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+      .groupBy($"query_id")
+      .agg(graft.functions.BoundedAggs.topScored(
+        -$"dist".cast("double"), $"neighbor", lit(true), 5).as("top"))
+      .select($"query_id",
+        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
+    val mAdc = ex.join(adc5, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("na"))
+    val mRef = ex.join(ref5, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("nr"))
+    val per = ex.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(mAdc, Seq("query_id"), "left")
+      .join(mRef, Seq("query_id"), "left")
+      .select($"query_id", $"k", coalesce($"na", lit(0L)).as("n_adc"),
+        coalesce($"nr", lit(0L)).as("n_refine"))
+    val overall = per.agg(sum($"k").as("k"), sum($"n_adc").as("n_adc"),
+        sum($"n_refine").as("n_refine"))
+      .select(lit(-1L).as("query_id"), $"k", $"n_adc", $"n_refine")
+    per.unionByName(overall)
+      .withColumn("adc_permille", expr("n_adc * 1000 div k"))
+      .withColumn("refine_permille", expr("n_refine * 1000 div k"))
+      .orderBy($"query_id")
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
@@ -1066,7 +1164,8 @@ object IvfIndex {
     "q157_ivf_delete_compact" -> ((s, d) => q157(s, d)),
     "q158_mutated_recall" -> ((s, d) => q158(s, d)),
     "q159_ivfpq_store" -> ((s, d) => q159(s, d)),
-    "q160_ivfpq_lifecycle" -> ((s, d) => q160(s, d))
+    "q160_ivfpq_lifecycle" -> ((s, d) => q160(s, d)),
+    "q161_pq_refine_recall" -> ((s, d) => q161(s, d))
   )
 
   private def q152OracleSql: String =
@@ -1377,6 +1476,98 @@ object IvfIndex {
          SELECT query_id, rank, neighbor, adc FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  private def q161OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(
+           VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         sub AS (
+           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
+           FROM allq, generate_series(0, 7) AS t(m)),
+         cb AS MATERIALIZED (SELECT m, vec_id AS c, sv AS cvec
+           FROM sub WHERE vec_id < 16),
+         pqd AS (
+           SELECT s.vec_id, s.m, cb.c,
+             list_sum(list_transform(list_zip(s.sv, cb.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+           FROM sub s JOIN cb ON s.m = cb.m),
+         code AS MATERIALIZED (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
+                 AS rn
+             FROM pqd) WHERE rn = 1),
+         recon AS MATERIALIZED (
+           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
+           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
+           GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
+           FROM astar JOIN recon r USING (vec_id)
+             JOIN qs ON astar.cid = qs.cid
+           WHERE astar.vec_id <> qs.query_id),
+         adcr AS MATERIALIZED (
+           SELECT query_id, neighbor,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc, neighbor) AS rank
+           FROM cand),
+         adc5 AS (SELECT query_id, neighbor FROM adcr WHERE rank <= 5),
+         shl AS (SELECT query_id, neighbor FROM adcr WHERE rank <= 25),
+         exq AS (SELECT vec_id AS query_id, qv FROM allq
+                 WHERE vec_id % 100 = 0),
+         ref AS (
+           SELECT sh.query_id, sh.neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM shl sh JOIN allq a ON sh.neighbor = a.vec_id
+             JOIN exq e ON sh.query_id = e.query_id),
+         ref5 AS MATERIALIZED (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM ref) WHERE rank <= 5),
+         excand AS (
+           SELECT e.query_id, a.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, exq e WHERE a.vec_id <> e.query_id),
+         ex AS MATERIALIZED (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM excand) WHERE rank <= 5),
+         ma AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS na
+                FROM ex JOIN adc5 USING (query_id, neighbor) GROUP BY 1),
+         mr AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS nr
+                FROM ex JOIN ref5 USING (query_id, neighbor) GROUP BY 1),
+         per AS MATERIALIZED (
+           SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+             coalesce(any_value(ma.na), 0) AS n_adc,
+             coalesce(any_value(mr.nr), 0) AS n_refine
+           FROM ex e LEFT JOIN ma ON e.query_id = ma.query_id
+             LEFT JOIN mr ON e.query_id = mr.query_id
+           GROUP BY 1),
+         perall AS (
+           SELECT query_id, k, n_adc, n_refine FROM per
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), CAST(sum(k) AS BIGINT),
+             CAST(sum(n_adc) AS BIGINT), CAST(sum(n_refine) AS BIGINT)
+           FROM per)
+         SELECT query_id, k, n_adc, n_refine,
+           n_adc * 1000 // k AS adc_permille,
+           n_refine * 1000 // k AS refine_permille
+         FROM perall ORDER BY query_id"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
@@ -1384,6 +1575,7 @@ object IvfIndex {
     "q157_ivf_delete_compact" -> q157OracleSql,
     "q158_mutated_recall" -> q158OracleSql,
     "q159_ivfpq_store" -> q159OracleSql,
-    "q160_ivfpq_lifecycle" -> q160OracleSql
+    "q160_ivfpq_lifecycle" -> q160OracleSql,
+    "q161_pq_refine_recall" -> q161OracleSql
   )
 }

@@ -626,4 +626,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(IvfIndex.centroids(spark, dir).count() > 3,
       "an uncommitted centroid version leaked into reads")
   }
+
+  test("PQ refine re-rank equals a shortlist brute force and never loses recall to ADC") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("refine")
+    IvfIndex.buildPq(emb, dir)
+    val queries = emb.filter($"vec_id" % 10 === 0)
+    val vecs = emb.as[(Long, Seq[Long])].collect().toMap
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // the refine stage IS "exact top-5 of the ADC shortlist": replay it
+    // on the driver from the same shortlist the store serves
+    val shortlist = IvfIndex.servePq(spark, dir, queries, probes = 2, k = 25)
+      .select($"query_id", $"neighbor").as[(Long, Long)].collect()
+    val refined = IvfIndex.servePqRefine(spark, dir, queries, emb)
+      .as[(Long, Long, Long, Long)].collect()
+    val expected = shortlist.groupBy(_._1).toSeq.flatMap { case (q, ns) =>
+      ns.map { case (_, n) => (q, n, sq(vecs(q), vecs(n))) }
+        .sortBy { case (_, n, d) => (d, n) }.take(5).zipWithIndex
+        .map { case ((qq, n, d), i) => (qq, i + 1L, n, d) }
+    }.toSet
+    assert(refined.toSet === expected)
+    // vs the exact top-5: per query, refined hits >= ADC hits — a
+    // DETERMINISTIC consequence of adc-top5 being a shortlist prefix
+    // and the re-rank using the true distance order (scaladoc claim)
+    val adc5 = IvfIndex.servePq(spark, dir, queries)
+      .select($"query_id", $"neighbor").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ref5 = refined.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    var refTot = 0
+    var adcTot = 0
+    queries.select($"vec_id").as[Long].collect().foreach { q =>
+      val exact = vecs.keysIterator.filter(_ != q)
+        .map(n => (sq(vecs(q), vecs(n)), n)).toSeq.sorted.take(5)
+        .map(_._2).toSet
+      val nr = (ref5.getOrElse(q, Set.empty[Long]) & exact).size
+      val na = (adc5.getOrElse(q, Set.empty[Long]) & exact).size
+      assert(nr >= na, s"refine lost recall at query $q: $nr < $na")
+      refTot += nr; adcTot += na
+    }
+    assert(refTot >= adcTot)
+  }
 }
