@@ -27,11 +27,12 @@ import org.apache.spark.sql.SparkSession
   * each
   * query's single final Sort is the
   * small result-set ordering the driver compare requires.
-  * Usage: runMain graft.PlanSweep [sfDir]
+  * Usage: runMain graft.PlanSweep [sfDir] [namePrefix,namePrefix,...]
   */
 object PlanSweep {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val prefixes = if (args.length > 1) args(1).split(",").toSeq else Seq("")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
@@ -42,7 +43,8 @@ object PlanSweep {
       "SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "Sort ",
       "TakeOrderedAndProject", "Exchange", "WindowGroupLimit")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      if (!name.startsWith("nx_") && !name.startsWith("mm_")) {
+      if (!name.startsWith("nx_") && !name.startsWith("mm_") &&
+          prefixes.exists(name.startsWith)) {
         try {
           val p = fn(spark, sfDir).queryExecution.executedPlan.toString
           val census = interesting.map(op =>

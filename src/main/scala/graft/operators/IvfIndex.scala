@@ -1157,6 +1157,63 @@ object IvfIndex {
       .orderBy($"query_id")
   }
 
+  /** The recall matrix's last cell: [[q158]] scores the UNCOMPRESSED
+    * store after mutation, [[q161]] the PQ store when freshly built —
+    * this entry scores the PQ store after its FULL q160 lifecycle
+    * (ingest the held-out fifth, tombstone every 7th vector, compact),
+    * where BOTH error sources compound: ingested vectors were encoded
+    * against the base-trained codebook, and compaction has rewritten
+    * the affected cells' 8-byte postings. Per live query: recall@5 of
+    * the ADC serve and of the shortlist-25 + exact re-rank
+    * ([[servePqRefine]] against the post-delete corpus — the refine
+    * lookup store in a deployment also has deletes applied) vs the
+    * exact int64-L2 top-5 over the live corpus; overall row at
+    * query_id = -1. The oracle replays coarse training on the base
+    * population, the incremental assignment, the gap-aware dense-ranked
+    * codebook, the encoding of BOTH populations, the delete set, the
+    * ADC shortlist, the re-rank, and the exact ranking.
+    */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q162")
+    buildPq(emb.filter($"vec_id" % 5 =!= 0), dir)
+    addBatchPq(s, dir, emb.filter($"vec_id" % 5 === 0))
+    delete(s, dir, emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+    compact(s, dir)
+    val live = emb.filter($"vec_id" % 7 =!= 0)
+    val queries = live.filter($"vec_id" % 100 === 0)
+    val adc5 = servePq(s, dir, queries).select($"query_id", $"neighbor")
+    val ref5 = servePqRefine(s, dir, queries, live)
+      .select($"query_id", $"neighbor")
+    val ex = live.crossJoin(broadcast(queries
+        .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+      .groupBy($"query_id")
+      .agg(graft.functions.BoundedAggs.topScored(
+        -$"dist".cast("double"), $"neighbor", lit(true), 5).as("top"))
+      .select($"query_id",
+        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
+    val mAdc = ex.join(adc5, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("na"))
+    val mRef = ex.join(ref5, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("nr"))
+    val per = ex.groupBy($"query_id").agg(count(lit(1)).as("k"))
+      .join(mAdc, Seq("query_id"), "left")
+      .join(mRef, Seq("query_id"), "left")
+      .select($"query_id", $"k", coalesce($"na", lit(0L)).as("n_adc"),
+        coalesce($"nr", lit(0L)).as("n_refine"))
+    val overall = per.agg(sum($"k").as("k"), sum($"n_adc").as("n_adc"),
+        sum($"n_refine").as("n_refine"))
+      .select(lit(-1L).as("query_id"), $"k", $"n_adc", $"n_refine")
+    per.unionByName(overall)
+      .withColumn("adc_permille", expr("n_adc * 1000 div k"))
+      .withColumn("refine_permille", expr("n_refine * 1000 div k"))
+      .orderBy($"query_id")
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
@@ -1165,7 +1222,8 @@ object IvfIndex {
     "q158_mutated_recall" -> ((s, d) => q158(s, d)),
     "q159_ivfpq_store" -> ((s, d) => q159(s, d)),
     "q160_ivfpq_lifecycle" -> ((s, d) => q160(s, d)),
-    "q161_pq_refine_recall" -> ((s, d) => q161(s, d))
+    "q161_pq_refine_recall" -> ((s, d) => q161(s, d)),
+    "q162_pq_mutated_recall" -> ((s, d) => q162(s, d))
   )
 
   private def q152OracleSql: String =
@@ -1568,6 +1626,115 @@ object IvfIndex {
            n_refine * 1000 // k AS refine_permille
          FROM perall ORDER BY query_id"""
 
+  private def q162OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+           VectorOps.LloydMinImprove, "WHERE vec_id % 5 <> 0")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         nd AS (
+           SELECT a.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, cstar c WHERE a.vec_id % 5 = 0),
+         anew AS (
+           SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM nd) WHERE rn = 1),
+         comb AS MATERIALIZED (
+           SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
+           UNION ALL
+           SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
+         sub AS (
+           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
+           FROM allq, generate_series(0, 7) AS t(m)),
+         cb AS MATERIALIZED (
+           SELECT m, CAST(row_number() OVER (PARTITION BY m
+             ORDER BY vec_id) - 1 AS INT) AS c, sv AS cvec
+           FROM sub WHERE vec_id < 16 AND vec_id % 5 <> 0),
+         pqd AS (
+           SELECT s.vec_id, s.m, cb.c,
+             list_sum(list_transform(list_zip(s.sv, cb.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+           FROM sub s JOIN cb ON s.m = cb.m),
+         code AS MATERIALIZED (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
+                 AS rn
+             FROM pqd) WHERE rn = 1),
+         recon AS MATERIALIZED (
+           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
+           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
+           GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c
+             WHERE a.vec_id % 100 = 0 AND a.vec_id % 7 <> 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, cmb.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
+           FROM comb cmb JOIN recon r USING (vec_id)
+             JOIN qs ON cmb.cid = qs.cid
+           WHERE cmb.vec_id <> qs.query_id),
+         adcr AS MATERIALIZED (
+           SELECT query_id, neighbor,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc, neighbor) AS rank
+           FROM cand),
+         adc5 AS (SELECT query_id, neighbor FROM adcr WHERE rank <= 5),
+         shl AS (SELECT query_id, neighbor FROM adcr WHERE rank <= 25),
+         exq AS (SELECT vec_id AS query_id, qv FROM allq
+                 WHERE vec_id % 100 = 0 AND vec_id % 7 <> 0),
+         ref AS (
+           SELECT sh.query_id, sh.neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM shl sh JOIN allq a ON sh.neighbor = a.vec_id
+             JOIN exq e ON sh.query_id = e.query_id),
+         ref5 AS MATERIALIZED (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM ref) WHERE rank <= 5),
+         excand AS (
+           SELECT e.query_id, a.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, exq e
+           WHERE a.vec_id % 7 <> 0 AND a.vec_id <> e.query_id),
+         ex AS MATERIALIZED (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM excand) WHERE rank <= 5),
+         ma AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS na
+                FROM ex JOIN adc5 USING (query_id, neighbor) GROUP BY 1),
+         mr AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS nr
+                FROM ex JOIN ref5 USING (query_id, neighbor) GROUP BY 1),
+         per AS MATERIALIZED (
+           SELECT e.query_id, CAST(count(*) AS BIGINT) AS k,
+             coalesce(any_value(ma.na), 0) AS n_adc,
+             coalesce(any_value(mr.nr), 0) AS n_refine
+           FROM ex e LEFT JOIN ma ON e.query_id = ma.query_id
+             LEFT JOIN mr ON e.query_id = mr.query_id
+           GROUP BY 1),
+         perall AS (
+           SELECT query_id, k, n_adc, n_refine FROM per
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), CAST(sum(k) AS BIGINT),
+             CAST(sum(n_adc) AS BIGINT), CAST(sum(n_refine) AS BIGINT)
+           FROM per)
+         SELECT query_id, k, n_adc, n_refine,
+           n_adc * 1000 // k AS adc_permille,
+           n_refine * 1000 // k AS refine_permille
+         FROM perall ORDER BY query_id"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
@@ -1576,6 +1743,7 @@ object IvfIndex {
     "q158_mutated_recall" -> q158OracleSql,
     "q159_ivfpq_store" -> q159OracleSql,
     "q160_ivfpq_lifecycle" -> q160OracleSql,
-    "q161_pq_refine_recall" -> q161OracleSql
+    "q161_pq_refine_recall" -> q161OracleSql,
+    "q162_pq_mutated_recall" -> q162OracleSql
   )
 }
