@@ -140,7 +140,8 @@ object TextOps {
     "q138_bigram_surprisal" -> ((s, d) => q138(s, d)),
     "q144_bpe_merges" -> ((s, d) => q144(s, d)),
     "q145_bpe_segment" -> ((s, d) => q145(s, d)),
-    "q146_source_divergence" -> ((s, d) => q146(s, d))
+    "q146_source_divergence" -> ((s, d) => q146(s, d)),
+    "q163_hybrid_retrieval" -> ((s, d) => q163(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -1811,6 +1812,101 @@ object TextOps {
       .orderBy($"probe_id")
   }
 
+  /** Hybrid sparse+dense retrieval with Reciprocal Rank Fusion — the
+    * candidate-generation shape behind modern RAG / retrieval pipelines:
+    * a lexical (BM25) ranker and an embedding (exact int64-L2) ranker
+    * each produce a top-20 for the same query, and the lists fuse by
+    * RRF — `Σ 1000000 div (60 + rank)` per system, the standard K=60
+    * constant in exact integer space so both engines rank identically.
+    * Queries are "more-like-this": every embedded document on the %100
+    * grid retrieves its neighbors; the sparse query is the doc's 5
+    * RAREST shared terms (df ≥ 2, ties by token — the classic
+    * more-like-this term selection, and the choice that keeps posting
+    * lists small), scored with q112's exact-rational BM25 with one
+    * addition: `idf_k` saturates at 1e6 (the Lucene-style idf cap),
+    * which also bounds every score below 2^53 so ranks are exact in
+    * either arithmetic. The dense ranker is the exact brute force here
+    * (the oracle needs a replayable reference); in deployment it is the
+    * pluggable slot the IVF/PQ store's `serve`/`servePq` fills — both
+    * produce the same (query, neighbor, rank) relation probe-pruned.
+    * Output: fused top-10 per query with each system's rank (0 = not
+    * retrieved by that system), all int64.
+    *
+    * Scale: sparse candidates are the union of 5 rare-term posting
+    * lists per query — rare terms ⇒ short lists, and the per-query
+    * window sorts only those candidates; tf/df/len derive from one
+    * map-side-combined (tok, doc) aggregation; the dense side folds its
+    * |queries|×corpus scored pairs map-side through the bounded top-k
+    * aggregator (O(k) state, no window over the cross). The fusion join
+    * touches ≤ 40 rows per query. The corpus-constant relations
+    * (df, dl, nAvg) amortize across query batches in a serving tier.
+    */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(s, d, "documents")
+      .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val nAvg = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(len) * 1000 div count(1)").as("avg_mil"))
+    val pairs = toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
+    val dfRel = pairs.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val emb = VectorOps.quantized(s, d)
+    val qids = Tables(s, d, "documents").filter($"doc_id" % 100 === 0)
+      .join(emb.select($"vec_id".as("doc_id")), "doc_id")
+      .select($"doc_id".as("query_id"))
+    val qterms = pairs.select($"doc_id".as("query_id"), $"tok")
+      .join(qids, "query_id")
+      .join(dfRel, "tok").filter($"df" >= 2)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"df", $"tok")))
+      .filter($"rn" <= 5)
+      .crossJoin(broadcast(nAvg))
+      .withColumn("idf_k", expr("least((1000 * n_docs) div df, 1000000L)"))
+      .select($"query_id", $"tok", $"idf_k", $"avg_mil")
+    val sparseRank = pairs.join(broadcast(qterms), "tok")
+      .filter($"doc_id" =!= $"query_id")
+      .join(dl, "doc_id")
+      .withColumn("term_score", expr(
+        """(idf_k * 44 * avg_mil * tf)
+           div (20 * avg_mil * tf + 6 * avg_mil + 18 * len * 1000)"""))
+      .groupBy($"query_id", $"doc_id")
+      .agg(sum($"term_score").as("score"))
+      .withColumn("sparse_rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score".desc, $"doc_id")))
+      .filter($"sparse_rank" <= 20)
+      .select($"query_id", $"doc_id",
+        $"sparse_rank".cast("long").as("sparse_rank"))
+    val qv = emb.join(qids.select($"query_id".as("vec_id")), "vec_id")
+      .select($"vec_id".as("query_id"), $"qv".as("q_qv"))
+    // -dist as double is exact: dist ≤ dim·(2·max|component|·1000)² ≪ 2^53
+    val denseRank = emb.crossJoin(broadcast(qv))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+      .groupBy($"query_id")
+      .agg(graft.functions.BoundedAggs.topScored(
+        -$"dist".cast("double"), $"neighbor", lit(true), 20).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("doc_id"),
+        ($"pos" + 1).cast("long").as("dense_rank"))
+    sparseRank.join(denseRank, Seq("query_id", "doc_id"), "full_outer")
+      .select($"query_id", $"doc_id",
+        coalesce($"sparse_rank", lit(0L)).as("sparse_rank"),
+        coalesce($"dense_rank", lit(0L)).as("dense_rank"))
+      .withColumn("rrf", expr(
+        """CASE WHEN sparse_rank > 0 THEN 1000000L div (60 + sparse_rank)
+                ELSE 0L END
+           + CASE WHEN dense_rank > 0 THEN 1000000L div (60 + dense_rank)
+                  ELSE 0L END"""))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"doc_id",
+        $"rrf", $"sparse_rank", $"dense_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   def oracles: Map[String, String] = Map(
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
     // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
@@ -2511,7 +2607,85 @@ object TextOps {
            CAST(min(dist * 1000000000 + doc_id) % 1000000000 AS BIGINT)
              AS best_doc
          FROM d WHERE dist <= 4
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q163_hybrid_retrieval" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                FROM toks GROUP BY 1),
+         na AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(len) * 1000 // count(*) AS BIGINT) AS avg_mil
+                FROM dl),
+         pairs AS MATERIALIZED (
+           SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+         dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                 FROM pairs GROUP BY 1),
+         allq AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+           FROM embeddings),
+         qids AS (
+           SELECT d.doc_id AS query_id FROM documents d
+           JOIN allq a ON d.doc_id = a.vec_id WHERE d.doc_id % 100 = 0),
+         qterms AS (
+           SELECT query_id, tok,
+             least((1000 * n_docs) // df, 1000000) AS idf_k, avg_mil
+           FROM (
+             SELECT p.doc_id AS query_id, p.tok, dfr.df,
+               row_number() OVER (PARTITION BY p.doc_id
+                 ORDER BY dfr.df, p.tok) AS rn
+             FROM pairs p JOIN qids ON p.doc_id = qids.query_id
+               JOIN dfr ON p.tok = dfr.tok
+             WHERE dfr.df >= 2) CROSS JOIN na
+           WHERE rn <= 5),
+         sparse AS (
+           SELECT q.query_id, p.doc_id,
+             CAST(sum((q.idf_k * 44 * q.avg_mil * p.tf)
+               // (20 * q.avg_mil * p.tf + 6 * q.avg_mil
+                   + 18 * dl.len * 1000)) AS BIGINT) AS score
+           FROM pairs p JOIN qterms q ON p.tok = q.tok
+             JOIN dl ON p.doc_id = dl.doc_id
+           WHERE p.doc_id <> q.query_id
+           GROUP BY 1, 2),
+         srank AS (
+           SELECT query_id, doc_id, CAST(rn AS BIGINT) AS sparse_rank
+           FROM (SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+                 FROM sparse) WHERE rn <= 20),
+         qv AS (SELECT query_id, a.qv AS q_qv
+                FROM qids JOIN allq a ON qids.query_id = a.vec_id),
+         dense AS (
+           SELECT qv.query_id, a.vec_id AS doc_id,
+             CAST(list_sum(list_transform(list_zip(a.qv, qv.q_qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, qv WHERE a.vec_id <> qv.query_id),
+         drank AS (
+           SELECT query_id, doc_id, CAST(rn AS BIGINT) AS dense_rank
+           FROM (SELECT query_id, doc_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY dist, doc_id) AS rn
+                 FROM dense) WHERE rn <= 20),
+         fused AS (
+           SELECT coalesce(s.query_id, d.query_id) AS query_id,
+             coalesce(s.doc_id, d.doc_id) AS doc_id,
+             CAST(coalesce(s.sparse_rank, 0) AS BIGINT) AS sparse_rank,
+             CAST(coalesce(d.dense_rank, 0) AS BIGINT) AS dense_rank
+           FROM srank s FULL OUTER JOIN drank d
+             ON s.query_id = d.query_id AND s.doc_id = d.doc_id),
+         scored AS (
+           SELECT query_id, doc_id, sparse_rank, dense_rank,
+             CAST(CASE WHEN sparse_rank > 0
+                    THEN 1000000 // (60 + sparse_rank) ELSE 0 END
+               + CASE WHEN dense_rank > 0
+                    THEN 1000000 // (60 + dense_rank) ELSE 0 END
+               AS BIGINT) AS rrf
+           FROM fused)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf,
+           sparse_rank, dense_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS rank FROM scored)
+         WHERE rank <= 10 ORDER BY query_id, rank"""
   )
 
   /** The q61 oracle's CTE chain (without the WITH keyword), ending at `j`
