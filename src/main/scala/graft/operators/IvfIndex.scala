@@ -102,29 +102,43 @@ object IvfIndex {
     * (kept forever so replays stay no-ops across compactions);
     * `nextInternal` is the next internal generation id (negative,
     * decreasing — compaction/split outputs, disjoint from caller gens
-    * by sign so an ingest replay can never clobber folded data).
+    * by sign so an ingest replay can never clobber folded data);
+    * `tombs` is the committed tombstone SET ids (delete batches) in
+    * effect at this epoch — snapshot-scoped, so a time-travel read
+    * never sees a delete committed after its epoch.
     */
   private[graft] case class Snapshot(epoch: Long, centroidsVer: Long,
-      cells: Map[Long, Seq[Long]], ingested: Set[Long], nextInternal: Long)
+      cells: Map[Long, Seq[Long]], ingested: Set[Long], nextInternal: Long,
+      tombs: Seq[Long] = Nil)
 
   private def manifestName(epoch: Long) = f"manifest-$epoch%09d"
 
-  private[graft] def readSnapshot(s: SparkSession, dir: String): Snapshot = {
+  /** How many trailing epochs' DATA the index guarantees readable —
+    * the time-travel window. 1 (the default) = latest snapshot only:
+    * every mutation's GC may immediately reclaim what the new manifest
+    * no longer references, which is the minimal-footprint posture. A
+    * deployment that serves [[serveAt]] reads raises it; GC (inline
+    * after mutations, and [[vacuum]]) then protects everything any
+    * retained manifest references. One spare manifest FILE beyond the
+    * window survives for torn-read recovery, but its data is not
+    * protected — it is recovery metadata, not a snapshot guarantee.
+    */
+  private def retainEpochs(s: SparkSession): Int =
+    math.max(1, s.conf.get("spark.graft.index.retainEpochs", "1").toInt)
+
+  private def parseManifest(s: SparkSession, dir: String,
+      p: Path): Snapshot = {
     val f = fs(s, dir)
-    val found = f.globStatus(new Path(dir, "manifest-*"))
-    require(found != null && found.nonEmpty,
-      s"no committed manifest under $dir — not an index (or build crashed pre-commit)")
-    val latest = found.map(_.getPath)
-      .maxBy(_.getName.stripPrefix("manifest-").toLong)
-    val in = f.open(latest)
+    val in = f.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val epoch = latest.getName.stripPrefix("manifest-").toLong
+    val epoch = p.getName.stripPrefix("manifest-").toLong
     var ver = 0L
     var nextInternal = -1L
     var ingested = Set.empty[Long]
     var cells = Map.empty[Long, Seq[Long]]
+    var tombs = Seq.empty[Long]
     text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { ln =>
       val Array(k, v) = ln.split("=", 2)
       k match {
@@ -133,17 +147,67 @@ object IvfIndex {
         case "ingested" =>
           ingested = if (v.isEmpty) Set.empty
             else v.split(",").map(_.toLong).toSet
+        case "tombs" =>
+          tombs = if (v.isEmpty) Seq.empty
+            else v.split(",").map(_.toLong).toSeq
         case "cell" =>
           val Array(cid, gens) = v.split(":", 2)
           cells += cid.toLong ->
             (if (gens.isEmpty) Seq.empty[Long]
              else gens.split(",").map(_.toLong).toSeq)
         case other => throw new IllegalStateException(
-          s"unknown manifest key '$other' in $latest")
+          s"unknown manifest key '$other' in $p")
       }
     }
-    require(ver > 0, s"manifest $latest names no centroid version")
-    Snapshot(epoch, ver, cells, ingested, nextInternal)
+    require(ver > 0, s"manifest $p names no centroid version")
+    Snapshot(epoch, ver, cells, ingested, nextInternal, tombs)
+  }
+
+  private def manifestPaths(s: SparkSession, dir: String): Seq[Path] = {
+    val found = fs(s, dir).globStatus(new Path(dir, "manifest-*"))
+    if (found == null) Seq.empty else found.map(_.getPath).toSeq
+  }
+
+  private[graft] def readSnapshot(s: SparkSession, dir: String): Snapshot = {
+    val paths = manifestPaths(s, dir)
+    require(paths.nonEmpty,
+      s"no committed manifest under $dir — not an index (or build crashed pre-commit)")
+    parseManifest(s, dir,
+      paths.maxBy(_.getName.stripPrefix("manifest-").toLong))
+  }
+
+  /** The snapshot committed AS OF `epoch` — the time-travel read. Fails
+    * loudly if that epoch's manifest has been retired by the retention
+    * window (raise `spark.graft.index.retainEpochs` BEFORE the
+    * mutations whose pre-state you want to serve).
+    */
+  private[graft] def readSnapshotAt(s: SparkSession, dir: String,
+      epoch: Long): Snapshot = {
+    val p = new Path(dir, manifestName(epoch))
+    require(fs(s, dir).exists(p),
+      s"index $dir has no readable epoch $epoch — outside the " +
+        "retention window (spark.graft.index.retainEpochs) or never " +
+        "committed")
+    val snap = parseManifest(s, dir, p)
+    val latest = readSnapshot(s, dir)
+    require(latest.epoch - epoch < retainEpochs(s),
+      s"epoch $epoch of $dir is outside the retained data window " +
+        s"(latest ${latest.epoch}, retainEpochs ${retainEpochs(s)}) — " +
+        "its manifest file survives for recovery but its data may be " +
+        "GC'd; raise spark.graft.index.retainEpochs before mutating")
+    snap
+  }
+
+  /** The retained snapshots — every epoch whose DATA the current
+    * retention window guarantees. GC protects exactly their union.
+    */
+  private def retainedSnapshots(s: SparkSession, dir: String): Seq[Snapshot] = {
+    val paths = manifestPaths(s, dir)
+    require(paths.nonEmpty, s"no committed manifest under $dir")
+    val latest = paths.map(_.getName.stripPrefix("manifest-").toLong).max
+    paths.filter(_.getName.stripPrefix("manifest-").toLong >
+        latest - retainEpochs(s))
+      .map(p => parseManifest(s, dir, p))
   }
 
   /** Publish a snapshot: temp write + checked rename (step 2 of the
@@ -163,9 +227,9 @@ object IvfIndex {
     * assumes one logical writer and turns violations into errors
     * instead of corruption.
     *
-    * Superseded manifests beyond the last two are deleted — redundant
-    * once a newer epoch exists, but keeping a spare makes a torn read
-    * of the newest file recoverable by hand.
+    * Superseded manifests beyond the retention window (plus one spare)
+    * are deleted — redundant once a newer epoch exists, but keeping a
+    * spare makes a torn read of the newest file recoverable by hand.
     */
   private[graft] def commitSnapshot(s: SparkSession, dir: String,
       snap: Snapshot): Unit = {
@@ -177,6 +241,7 @@ object IvfIndex {
       sb.append(s"centroids=${snap.centroidsVer}\n")
       sb.append(s"next_internal=${snap.nextInternal}\n")
       sb.append(s"ingested=${snap.ingested.toSeq.sorted.mkString(",")}\n")
+      sb.append(s"tombs=${snap.tombs.sorted.mkString(",")}\n")
       snap.cells.toSeq.sortBy(_._1).foreach { case (cid, gens) =>
         sb.append(s"cell=$cid:${gens.sorted.mkString(",")}\n")
       }
@@ -198,7 +263,8 @@ object IvfIndex {
       s"manifest commit failed: rename $tmp -> $dest returned false")
     val old = f.globStatus(new Path(dir, "manifest-*"))
     if (old != null) old.map(_.getPath)
-      .filter(_.getName.stripPrefix("manifest-").toLong < snap.epoch - 1)
+      .filter(_.getName.stripPrefix("manifest-").toLong <
+        snap.epoch - retainEpochs(s))
       .foreach(p => f.delete(p, false))
   }
 
@@ -215,10 +281,19 @@ object IvfIndex {
       else col("cid") === cid && col("gen").isin(gens: _*)
     }.foldLeft(lit(false))(_ || _)
 
-  def centroids(s: SparkSession, dir: String): DataFrame = {
-    val snap = readSnapshot(s, dir)
+  private def centroidsOf(s: SparkSession, dir: String,
+      snap: Snapshot): DataFrame =
     s.read.parquet(centDir(dir, snap.centroidsVer))
-  }
+
+  def centroids(s: SparkSession, dir: String): DataFrame =
+    centroidsOf(s, dir, readSnapshot(s, dir))
+
+  private def postingsOf(s: SparkSession, dir: String,
+      snap: Snapshot): DataFrame =
+    s.read.parquet(postDir(dir))
+      .filter(validPredicate(snap))
+      .withColumn("gen",
+        when(col("gen") <= 0, 0L).otherwise(col("gen").cast("long")))
 
   /** The committed posting snapshot. `gen` is reported as LOGICAL
     * lineage: internal (<= 0) generations — the build and anything
@@ -226,41 +301,48 @@ object IvfIndex {
     * keep their batch id. Physical generation ids stay an
     * implementation detail of the commit protocol.
     */
-  def postings(s: SparkSession, dir: String): DataFrame = {
+  def postings(s: SparkSession, dir: String): DataFrame =
+    postingsOf(s, dir, readSnapshot(s, dir))
+
+  /** Tombstone deletes: record the ids under `tombstones/del=<epoch>/`
+    * without touching a posting byte — the LSM discipline every mutable
+    * index uses at scale — and COMMIT the set in the manifest, so the
+    * mask is snapshot-scoped: a [[serveAt]] read of an earlier epoch
+    * never sees a later delete. Serving masks tombstones logically
+    * ([[masked]]); [[compact]] later removes them physically. Deletes
+    * cost O(batch) regardless of corpus size, and the tombstone set
+    * stays bounded by the delete volume between compactions (which is
+    * what makes the serve-side broadcast anti-join safe). A crashed
+    * delete attempt's files are invisible (not in any manifest) and a
+    * re-run replaces them via dynamic partition overwrite before
+    * committing its own epoch; masking is idempotent, so a replayed
+    * delete of the same ids only costs a redundant set.
+    */
+  def delete(s: SparkSession, dir: String, ids: DataFrame): Unit = {
     val snap = readSnapshot(s, dir)
-    s.read.parquet(postDir(dir))
-      .filter(validPredicate(snap))
-      .withColumn("gen",
-        when(col("gen") <= 0, 0L).otherwise(col("gen").cast("long")))
+    val delId = snap.epoch + 1
+    ids.select(col("vec_id")).withColumn("del", lit(delId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("del").parquet(tombDir(dir))
+    commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
+      tombs = snap.tombs :+ delId))
   }
 
-  /** Tombstone deletes: record the ids in `tombstones/` without touching
-    * a posting byte — the LSM discipline every mutable index uses at
-    * scale. Serving masks tombstones logically ([[masked]]); [[compact]]
-    * later removes them physically. Deletes therefore cost O(batch)
-    * regardless of corpus size, and the tombstone set stays bounded by
-    * the delete volume between compactions (which is what makes the
-    * serve-side broadcast anti-join safe). The log is append-only and
-    * masking is idempotent, so it needs no manifest entry: a replayed
-    * delete batch re-appends ids whose mask is already in effect.
+  private def tombstonesOf(s: SparkSession, dir: String,
+      snap: Snapshot): Option[DataFrame] =
+    if (snap.tombs.isEmpty) None
+    else Some(s.read.parquet(tombDir(dir))
+      .filter(col("del").isin(snap.tombs: _*)).select(col("vec_id")))
+
+  /** Postings with the snapshot's tombstone mask applied — the relation
+    * every serve ranks against. Broadcast anti-join: see [[delete]] for
+    * the bound.
     */
-  def delete(s: SparkSession, dir: String, ids: DataFrame): Unit =
-    ids.select(col("vec_id")).write.mode(SaveMode.Append)
-      .parquet(tombDir(dir))
-
-  private def tombstones(s: SparkSession, dir: String): Option[DataFrame] =
-    if (fs(s, dir).exists(new Path(tombDir(dir))))
-      Some(s.read.parquet(tombDir(dir))) else None
-
-  private def clearTombstones(s: SparkSession, dir: String): Unit =
-    fs(s, dir).delete(new Path(tombDir(dir)), true)
-
-  /** Postings with the tombstone mask applied — the relation every serve
-    * ranks against. Broadcast anti-join: see [[delete]] for the bound.
-    */
-  private def masked(s: SparkSession, dir: String): DataFrame = {
-    val post = postings(s, dir)
-    tombstones(s, dir).fold(post)(t =>
+  private def masked(s: SparkSession, dir: String,
+      snap: Snapshot): DataFrame = {
+    val post = postingsOf(s, dir, snap)
+    tombstonesOf(s, dir, snap).fold(post)(t =>
       post.join(broadcast(t.select(col("vec_id")).distinct()),
         Seq("vec_id"), "left_anti"))
   }
@@ -300,10 +382,29 @@ object IvfIndex {
     * only corpus-sized relation and only probed cells are read.
     */
   def serve(s: SparkSession, dir: String, queries: DataFrame,
-      probes: Int = 2, k: Int = 5): DataFrame = {
+      probes: Int = 2, k: Int = 5): DataFrame =
+    serveSnap(s, dir, readSnapshot(s, dir), queries, probes, k)
+
+  /** [[serve]] against the snapshot committed AS OF `epoch` — the
+    * time-travel read the manifest protocol makes free: an epoch is
+    * just a manifest file naming immutable directories, so serving a
+    * historical state costs nothing beyond keeping its files
+    * (`spark.graft.index.retainEpochs`, raised BEFORE the mutations
+    * whose pre-state must stay servable). Deletes are snapshot-scoped
+    * (the manifest carries its tombstone-set list), so an earlier
+    * epoch's read does not see later deletes — full snapshot
+    * isolation, the "reproduce last week's retrieval run" /
+    * "A/B the index before and after reindexing" capability.
+    */
+  def serveAt(s: SparkSession, dir: String, epoch: Long,
+      queries: DataFrame, probes: Int = 2, k: Int = 5): DataFrame =
+    serveSnap(s, dir, readSnapshotAt(s, dir, epoch), queries, probes, k)
+
+  private def serveSnap(s: SparkSession, dir: String, snap: Snapshot,
+      queries: DataFrame, probes: Int, k: Int): DataFrame = {
     import s.implicits._
-    val cents = centroids(s, dir)
-    val post = masked(s, dir)
+    val cents = centroidsOf(s, dir, snap)
+    val post = masked(s, dir, snap)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .withColumn("crank", row_number().over(
@@ -382,8 +483,9 @@ object IvfIndex {
   def serveLabeled(s: SparkSession, dir: String, queries: DataFrame,
       probes: Int = 2, k: Int = 5): DataFrame = {
     import s.implicits._
-    val cents = centroids(s, dir)
-    val post = masked(s, dir)
+    val snap = readSnapshot(s, dir)
+    val cents = centroidsOf(s, dir, snap)
+    val post = masked(s, dir, snap)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .withColumn("crank", row_number().over(
@@ -486,7 +588,6 @@ object IvfIndex {
       .as[Long].collect().toSeq
     if (flagged.nonEmpty) {
       val snap = readSnapshot(s, dir)
-      val f = fs(s, dir)
       val cents = centroids(s, dir)
         .select($"cid".cast("long").as("cid"), $"cq")
         .localCheckpoint(true)
@@ -525,10 +626,9 @@ object IvfIndex {
       commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
         centroidsVer = newVer, cells = cells, nextInternal = intGen))
       // GC strictly after the commit: the old hot-cell directories and
-      // the superseded centroid version are no longer referenced
-      flagged.foreach(hot =>
-        f.delete(new Path(s"${postDir(dir)}/cid=$hot"), true))
-      f.delete(new Path(centDir(dir, snap.centroidsVer)), true)
+      // the superseded centroid version fall out of the retained set
+      // (unless a wider retention window keeps them for time travel)
+      gcSweep(s, dir)
     }
     splitReport(s, dir)
   }
@@ -670,11 +770,23 @@ object IvfIndex {
     * squared distance decomposes over the 8 disjoint subspaces).
     */
   def servePq(s: SparkSession, dir: String, queries: DataFrame,
-      probes: Int = 2, k: Int = 5): DataFrame = {
+      probes: Int = 2, k: Int = 5): DataFrame =
+    servePqSnap(s, dir, readSnapshot(s, dir), queries, probes, k)
+
+  /** [[servePq]] at a pinned epoch — see [[serveAt]] for the snapshot
+    * semantics (the codebook is immutable for the store's lifetime, so
+    * historical ADC reads need no codebook versioning).
+    */
+  def servePqAt(s: SparkSession, dir: String, epoch: Long,
+      queries: DataFrame, probes: Int = 2, k: Int = 5): DataFrame =
+    servePqSnap(s, dir, readSnapshotAt(s, dir, epoch), queries, probes, k)
+
+  private def servePqSnap(s: SparkSession, dir: String, snap: Snapshot,
+      queries: DataFrame, probes: Int, k: Int): DataFrame = {
     import s.implicits._
-    val cents = centroids(s, dir)
+    val cents = centroidsOf(s, dir, snap)
     val cbc = cbLiteral(readCb(s, dir))
-    val post = masked(s, dir)
+    val post = masked(s, dir, snap)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .withColumn("crank", row_number().over(
@@ -786,18 +898,35 @@ object IvfIndex {
     */
   def vacuum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val snap = readSnapshot(s, dir)
+    gcSweep(s, dir).toSeq.sortBy(_._1).toDF("kind", "n_removed")
+  }
+
+  /** The one GC: reclaim every path no RETAINED manifest references
+    * (see [[retainEpochs]] — with the default window of 1 this is
+    * "everything the latest manifest does not reference", the original
+    * minimal-footprint behavior; with a wider window, time-travel
+    * epochs' data is protected). Runs inline after [[compact]] and
+    * [[splitCells]] and standalone as [[vacuum]]. Metadata-only: one
+    * listing of the index root + one per cell directory.
+    */
+  private def gcSweep(s: SparkSession, dir: String): Map[String, Long] = {
+    val snaps = retainedSnapshots(s, dir)
     val f = fs(s, dir)
+    val liveCells: Map[Long, Set[Long]] = snaps.flatMap(_.cells.toSeq)
+      .groupBy(_._1).map { case (c, gs) => c -> gs.flatMap(_._2).toSet }
+    val liveCentVers = snaps.map(_.centroidsVer).toSet
+    val liveTombs = snaps.flatMap(_.tombs).toSet
     var orphanGens = 0L
     var orphanCells = 0L
     var staleCentroids = 0L
     var tmpManifests = 0L
+    var orphanTombs = 0L
     val postRoot = new Path(postDir(dir))
     if (f.exists(postRoot)) {
       f.listStatus(postRoot).filter(_.isDirectory)
         .map(_.getPath).filter(_.getName.startsWith("cid=")).foreach { cd =>
           val cid = cd.getName.stripPrefix("cid=").toLong
-          snap.cells.get(cid) match {
+          liveCells.get(cid) match {
             case None =>
               require(f.delete(cd, true), s"vacuum failed to delete $cd")
               orphanCells += 1
@@ -817,10 +946,27 @@ object IvfIndex {
           }
         }
     }
+    val tombRoot = new Path(tombDir(dir))
+    if (f.exists(tombRoot)) {
+      if (liveTombs.isEmpty) {
+        orphanTombs += f.listStatus(tombRoot)
+          .count(st => st.isDirectory && st.getPath.getName.startsWith("del="))
+        require(f.delete(tombRoot, true),
+          s"vacuum failed to delete $tombRoot")
+      } else {
+        f.listStatus(tombRoot).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("del=")).foreach { dd =>
+            if (!liveTombs.contains(dd.getName.stripPrefix("del=").toLong)) {
+              require(f.delete(dd, true), s"vacuum failed to delete $dd")
+              orphanTombs += 1
+            }
+          }
+      }
+    }
     f.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
       val n = p.getName
       if (n.startsWith("centroids_v") &&
-          n.stripPrefix("centroids_v").toLong != snap.centroidsVer) {
+          !liveCentVers.contains(n.stripPrefix("centroids_v").toLong)) {
         require(f.delete(p, true), s"vacuum failed to delete $p")
         staleCentroids += 1
       }
@@ -829,10 +975,10 @@ object IvfIndex {
         tmpManifests += 1
       }
     }
-    Seq(("orphan_gen_dirs", orphanGens), ("orphan_cell_dirs", orphanCells),
-      ("stale_centroid_versions", staleCentroids),
-      ("tmp_manifests", tmpManifests))
-      .toDF("kind", "n_removed").orderBy($"kind")
+    Map("orphan_gen_dirs" -> orphanGens, "orphan_cell_dirs" -> orphanCells,
+      "orphan_tombstone_sets" -> orphanTombs,
+      "stale_centroid_versions" -> staleCentroids,
+      "tmp_manifests" -> tmpManifests)
   }
 
   /** Physically apply the accumulated tombstones and fold each affected
@@ -863,8 +1009,8 @@ object IvfIndex {
   def compact(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val snap = readSnapshot(s, dir)
-    val post = postings(s, dir)
-    val tomb = tombstones(s, dir)
+    val post = postingsOf(s, dir, snap)
+    val tomb = tombstonesOf(s, dir, snap)
       .map(_.select($"vec_id").distinct().localCheckpoint(true))
     val tombCells = tomb.fold(
       post.select($"cid").distinct().withColumn("n_tomb", lit(0L)).limit(0))(
@@ -886,7 +1032,6 @@ object IvfIndex {
     val affected = report.filter($"compacted" === 1L)
       .select($"cid").as[Long].collect().toSeq
     if (affected.nonEmpty) {
-      val f = fs(s, dir)
       val newGen = snap.nextInternal
       val partCols =
         if (post.columns.contains("label")) Seq("cid", "label", "gen")
@@ -900,22 +1045,21 @@ object IvfIndex {
         .partitionBy(partCols: _*).parquet(postDir(dir))
       // a fully-tombstoned cell writes no partition: its gens collapse
       // to a generation that matches no files (the centroid row stays;
-      // occupancy reads 0)
+      // occupancy reads 0). The new manifest clears the tombstone-set
+      // list: the deletes are now physical.
       val cells = snap.cells ++ affected.map(_ -> Seq(newGen))
       commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
-        cells = cells, nextInternal = newGen - 1L))
-      // GC strictly after the commit — both the plain cid=/gen= layout
-      // and the labeled cid=/label=/gen= layout
-      affected.foreach { c =>
-        snap.cells.getOrElse(c, Seq.empty).foreach { g =>
-          f.delete(new Path(s"${postDir(dir)}/cid=$c/gen=$g"), true)
-          val lab = f.globStatus(
-            new Path(s"${postDir(dir)}/cid=$c/label=*/gen=$g"))
-          if (lab != null) lab.foreach(st => f.delete(st.getPath, true))
-        }
-      }
+        cells = cells, nextInternal = newGen - 1L, tombs = Nil))
+    } else if (snap.tombs.nonEmpty) {
+      // tombstoned ids that hit no stored posting: nothing to rewrite,
+      // but the mask still costs the serve path — retire it.
+      commitSnapshot(s, dir,
+        snap.copy(epoch = snap.epoch + 1, tombs = Nil))
     }
-    clearTombstones(s, dir)
+    // GC strictly after the commit — the retention-aware sweep removes
+    // the superseded generation dirs and tombstone sets unless an older
+    // retained epoch (time travel) still references them.
+    gcSweep(s, dir)
     report
   }
 
@@ -1214,6 +1358,46 @@ object IvfIndex {
       .orderBy($"query_id")
   }
 
+  /** Snapshot TIME TRAVEL through the manifest protocol: build the base
+    * index (epoch 1), then run the full mutation lifecycle against it —
+    * incremental ingest (epoch 2), tombstone delete (epoch 3, now a
+    * committed manifest so the mask is snapshot-scoped), compaction
+    * (epoch 4) — under a widened retention window, and serve the SAME
+    * query batch from BOTH states: `asof_build` via [[serveAt]] epoch 1
+    * (must be bit-identical to what the base-only index served before
+    * any mutation existed — including cell sizes, and NOT seeing the
+    * later deletes) and `live` via the latest snapshot. This is the
+    * reproduce-last-week's-retrieval / A/B-across-reindex capability;
+    * an epoch is one manifest file over immutable directories, so the
+    * historical read costs only the retained files. The oracle replays
+    * both states relationally — base-only training+serve for the asof
+    * stage, the full ingest∪base minus deletes for the live stage.
+    */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q164")
+    val prev = s.conf.getOption("spark.graft.index.retainEpochs")
+    s.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      build(emb.filter($"vec_id" % 5 =!= 0), dir)
+      addBatch(s, dir, emb.filter($"vec_id" % 5 === 0))
+      delete(s, dir, emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+      compact(s, dir)
+      val queries = emb.filter($"vec_id" % 100 === 0)
+      val asOf = serveAt(s, dir, 1L, queries)
+        .withColumn("stage", lit("asof_build"))
+      val live = serve(s, dir, queries).withColumn("stage", lit("live"))
+      asOf.unionByName(live)
+        .select($"stage", $"query_id", $"rank", $"neighbor", $"dist",
+          $"cell_size")
+        .orderBy($"stage", $"query_id", $"rank")
+    } finally {
+      prev.fold(s.conf.unset("spark.graft.index.retainEpochs"))(v =>
+        s.conf.set("spark.graft.index.retainEpochs", v))
+    }
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
@@ -1223,7 +1407,8 @@ object IvfIndex {
     "q159_ivfpq_store" -> ((s, d) => q159(s, d)),
     "q160_ivfpq_lifecycle" -> ((s, d) => q160(s, d)),
     "q161_pq_refine_recall" -> ((s, d) => q161(s, d)),
-    "q162_pq_mutated_recall" -> ((s, d) => q162(s, d))
+    "q162_pq_mutated_recall" -> ((s, d) => q162(s, d)),
+    "q164_index_time_travel" -> ((s, d) => q164(s, d))
   )
 
   private def q152OracleSql: String =
@@ -1735,6 +1920,67 @@ object IvfIndex {
            n_refine * 1000 // k AS refine_permille
          FROM perall ORDER BY query_id"""
 
+  private def q164OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+           VectorOps.LloydMinImprove, "WHERE vec_id % 5 <> 0")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         qs AS MATERIALIZED (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+         cellsz0 AS (
+           SELECT cid, CAST(count(*) AS BIGINT) AS cell_size
+           FROM astar GROUP BY 1),
+         cand0 AS (
+           SELECT qs.query_id, astar.vec_id AS neighbor, astar.cid,
+             CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM astar JOIN q aq USING (vec_id) JOIN qs ON astar.cid = qs.cid
+           WHERE astar.vec_id <> qs.query_id),
+         ranked0 AS (
+           SELECT query_id, neighbor, cid, dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS BIGINT) AS rank
+           FROM cand0),
+         nd AS (
+           SELECT a.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, cstar c WHERE a.vec_id % 5 = 0),
+         anew AS (
+           SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM nd) WHERE rn = 1),
+         comb AS MATERIALIZED (
+           SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
+           UNION ALL
+           SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
+         cellsz1 AS (
+           SELECT cid, CAST(count(*) AS BIGINT) AS cell_size
+           FROM comb GROUP BY 1),
+         cand1 AS (
+           SELECT qs.query_id, cb.vec_id AS neighbor, cb.cid,
+             CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM comb cb JOIN allq aq USING (vec_id)
+             JOIN qs ON cb.cid = qs.cid
+           WHERE cb.vec_id <> qs.query_id),
+         ranked1 AS (
+           SELECT query_id, neighbor, cid, dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS BIGINT) AS rank
+           FROM cand1)
+         SELECT 'asof_build' AS stage, query_id, rank, neighbor, dist,
+           cell_size
+         FROM ranked0 JOIN cellsz0 USING (cid) WHERE rank <= 5
+         UNION ALL
+         SELECT 'live' AS stage, query_id, rank, neighbor, dist, cell_size
+         FROM ranked1 JOIN cellsz1 USING (cid) WHERE rank <= 5
+         ORDER BY stage, query_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
@@ -1744,6 +1990,7 @@ object IvfIndex {
     "q159_ivfpq_store" -> q159OracleSql,
     "q160_ivfpq_lifecycle" -> q160OracleSql,
     "q161_pq_refine_recall" -> q161OracleSql,
-    "q162_pq_mutated_recall" -> q162OracleSql
+    "q162_pq_mutated_recall" -> q162OracleSql,
+    "q164_index_time_travel" -> q164OracleSql
   )
 }

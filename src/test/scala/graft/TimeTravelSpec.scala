@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, VectorOps}
+
+/** Snapshot time travel over the IVF store's manifest protocol: with a
+  * widened retention window, every epoch's serve must replay
+  * bit-identically from [[IvfIndex.serveAt]] AFTER later mutations have
+  * run — including the pin that a historical read does NOT see later
+  * deletes (tombstone sets are manifest-scoped). Also pins the
+  * retention contract: the default window GCs historical data and
+  * serveAt fails loudly, and narrowing the window lets vacuum reclaim
+  * while the latest snapshot keeps serving.
+  */
+class TimeTravelSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_tt_spec/$name"
+
+  private type Served = Set[(Long, Long, Long, Long, Long)]
+  private def rows(df: org.apache.spark.sql.DataFrame): Served = {
+    import spark.implicits._
+    df.select("query_id", "rank", "neighbor", "dist", "cell_size")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("every retained epoch replays bit-identically, deletes stay epoch-scoped") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      val emb = VectorOps.quantized(spark, sfDir)
+      val dir = tmp("replay")
+      val queries = emb.filter($"vec_id" % 100 === 0)
+      IvfIndex.build(emb.filter($"vec_id" % 5 =!= 0), dir) // epoch 1
+      val at1 = rows(IvfIndex.serve(spark, dir, queries))
+      IvfIndex.addBatch(spark, dir, emb.filter($"vec_id" % 5 === 0)) // 2
+      val at2 = rows(IvfIndex.serve(spark, dir, queries))
+      IvfIndex.delete(spark, dir,
+        emb.filter($"vec_id" % 7 === 0).select($"vec_id")) // epoch 3
+      val at3 = rows(IvfIndex.serve(spark, dir, queries))
+      IvfIndex.compact(spark, dir) // epoch 4
+      val at4 = rows(IvfIndex.serve(spark, dir, queries))
+      // the mutations were real: each epoch observed a different state
+      assert(at1 != at2 && at2 != at3, "mutations changed nothing")
+      assert(at3 === at4, "compaction must not change serve results")
+      // time travel: each epoch replays exactly what it served live
+      assert(rows(IvfIndex.serveAt(spark, dir, 1L, queries)) === at1)
+      assert(rows(IvfIndex.serveAt(spark, dir, 2L, queries)) === at2)
+      assert(rows(IvfIndex.serveAt(spark, dir, 3L, queries)) === at3)
+      assert(rows(IvfIndex.serveAt(spark, dir, 4L, queries)) === at4)
+      // the sharp edge: epoch 2 pre-dates the delete, so its read MUST
+      // surface vectors the live snapshot has physically removed
+      val deletedSeen = rows(IvfIndex.serveAt(spark, dir, 2L, queries))
+        .count { case (_, _, n, _, _) => n % 7 == 0 }
+      assert(deletedSeen > 0,
+        "epoch-2 replay hid tombstones committed at epoch 3 — the mask leaked backwards")
+      assert(!at4.exists { case (_, _, n, _, _) => n % 7 == 0 })
+    } finally spark.conf.unset("spark.graft.index.retainEpochs")
+  }
+
+  test("the default retention window GCs history and serveAt fails loudly") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("gc")
+    IvfIndex.build(emb.filter($"vec_id" % 5 =!= 0), dir) // epoch 1
+    IvfIndex.addBatch(spark, dir, emb.filter($"vec_id" % 5 === 0)) // 2
+    IvfIndex.delete(spark, dir,
+      emb.filter($"vec_id" % 7 === 0).select($"vec_id")) // epoch 3
+    IvfIndex.compact(spark, dir) // epoch 4 — GC keeps only the latest
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.serveAt(spark, dir, 1L,
+        emb.filter($"vec_id" % 100 === 0)).collect()
+    }
+    assert(e.getMessage.contains("retainEpochs"))
+  }
+
+  test("narrowing retention lets vacuum reclaim history while the latest keeps serving") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      val emb = VectorOps.quantized(spark, sfDir)
+      val dir = tmp("narrow")
+      val queries = emb.filter($"vec_id" % 100 === 0)
+      IvfIndex.build(emb.filter($"vec_id" % 5 =!= 0), dir)
+      IvfIndex.addBatch(spark, dir, emb.filter($"vec_id" % 5 === 0))
+      IvfIndex.delete(spark, dir,
+        emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+      IvfIndex.compact(spark, dir)
+      // under the wide window nothing is reclaimable...
+      val wide = IvfIndex.vacuum(spark, dir)
+        .as[(String, Long)].collect().toMap
+      assert(wide.values.forall(_ == 0L), wide.toString)
+      val live = rows(IvfIndex.serve(spark, dir, queries))
+      // ...then the window narrows (policy change): vacuum reclaims the
+      // pre-compaction generations and the applied tombstone sets
+      spark.conf.set("spark.graft.index.retainEpochs", "1")
+      val narrow = IvfIndex.vacuum(spark, dir)
+        .as[(String, Long)].collect().toMap
+      assert(narrow("orphan_gen_dirs") > 0L, narrow.toString)
+      assert(narrow("orphan_tombstone_sets") > 0L, narrow.toString)
+      assert(rows(IvfIndex.serve(spark, dir, queries)) === live,
+        "reclaiming history changed the live serve")
+    } finally spark.conf.unset("spark.graft.index.retainEpochs")
+  }
+}
