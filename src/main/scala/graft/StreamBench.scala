@@ -211,6 +211,32 @@ object StreamBench {
       "knn_store_qps" -> qps
     }
 
+    // PQ-store vector serving (queries/s): the same query stream ADC-
+    // served from the COMPRESSED store — per-batch cost adds the 8×16
+    // per-query lookup tables on the probe side, but the probed posting
+    // scan reads one long per candidate instead of the 64-long vector.
+    val pqStore = {
+      import spark.implicits._
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pq_store_bench"
+      graft.operators.IvfIndex.buildPq(
+        index.toSeq.toDF("vec_id", "qv"), dir)
+      val in = MemoryStream[StreamOps.VecEvent]
+      val q = StreamOps.knnPqIndexServeStream(in.toDS(), dir, k = 10) {
+        (df, _) => df.write.format("noop").mode("overwrite").save()
+      }
+      val chunks = queries.grouped(math.max(1, batchSize / 20)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val qps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] pq_store_qps: $qps%.0f/s")
+      "pq_store_qps" -> qps
+    }
+
     // CDC upsert materialization (changes/s): per-key latest-version
     // state (ts, seq) with tombstoned deletes — 64k hot keys so state
     // stays bounded while every change is a state hit.
@@ -253,8 +279,8 @@ object StreamBench {
       finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
 
-    Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, cdc, attrib,
-      curation, release)
+    Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
+      attrib, curation, release)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1089,6 +1089,44 @@ object StreamOps {
       }
     }
 
+  /** [[indexIngestStream]] for the PQ-COMPRESSED store: each batch is
+    * assigned AND encoded in one pass ([[graft.operators.IvfIndex.addBatchPq]] —
+    * the immutable codebook rides the expression tree, so streaming
+    * ingest ships 8 logical bytes per vector into the posting layout),
+    * same generation-per-batch exactly-once discipline, same compaction
+    * cadence (compact is layout-agnostic). This is the write half of a
+    * streaming vector store whose serving tier runs on packed codes.
+    */
+  def pqIndexIngestStream(vecs: Dataset[IndexVec], dir: String,
+      compactEvery: Long = 4L): StreamingQuery =
+    toForeachBatch(vecs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        graft.operators.IvfIndex.addBatchPq(s, dir,
+          batch.select(col("vec_id"), col("qv")), gen = batchId + 1)
+        if ((batchId + 1) % compactEvery == 0)
+          graft.operators.IvfIndex.compact(s, dir)
+      }
+    }
+
+  /** [[knnIndexServeStream]] for the PQ-COMPRESSED store: per trigger
+    * the batch's queries run the exact-integer ADC serve
+    * ([[graft.operators.IvfIndex.servePq]]) against whatever manifest is
+    * committed at that moment — the per-query lookup tables are computed
+    * on the broadcast probe side each batch, and the probed posting scan
+    * reads 8 logical bytes per candidate. Emits (query_id, rank,
+    * neighbor, adc) per batch.
+    */
+  def knnPqIndexServeStream(qs: Dataset[VecEvent], dir: String,
+      probes: Int = 2, k: Int = 5)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery =
+    toForeachBatch(qs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      if (!batch.isEmpty)
+        emit(graft.operators.IvfIndex.servePq(batch.sparkSession, dir,
+          batch.select(col("qid").as("vec_id"), col("qv")), probes, k),
+          batchId)
+    }
+
   /** Per-key state of [[asofStream]]: time-sorted recent rate updates
     * (public: Spark encoders need a public case class at codegen time).
     */

@@ -109,4 +109,54 @@ class IndexStreamSpec extends SparkSpec {
         "ingest should change some top-k on this fixture")
     } finally { ingest.stop(); serve.stop() }
   }
+
+  test("the PQ tier streams too: packed-code ingest + live ADC serve, batch-equal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = VectorOps.quantized(spark, sfDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val d = dir("pq")
+    IvfIndex.buildPq(base, d)
+    val fifth = emb.filter($"vec_id" % 5 === 0)
+    val b1 = toIndexVecs(fifth.filter($"vec_id" % 10 === 0))
+    val b2 = toIndexVecs(fifth.filter($"vec_id" % 10 =!= 0))
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val queryEvents = queries.select($"vec_id", $"qv")
+      .as[(Long, Seq[Long])].collect()
+      .map { case (id, v) => StreamOps.VecEvent(id,
+        new java.sql.Timestamp(1_436_918_400_000L + id), v.toArray) }.toSeq
+    def batchServe(): Set[(Long, Long, Long, Long)] =
+      IvfIndex.servePq(spark, d, queries)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val served = scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long, Long)]]()
+    val ingestIn = MemoryStream[StreamOps.IndexVec]
+    val serveIn = MemoryStream[StreamOps.VecEvent]
+    val ingest = StreamOps.pqIndexIngestStream(ingestIn.toDS(), d,
+      compactEvery = 2L)
+    val serve = StreamOps.knnPqIndexServeStream(serveIn.toDS(), d) { (df, _) =>
+      served.synchronized {
+        served += df.as[(Long, Long, Long, Long)].collect().toSet
+      }
+    }
+    try {
+      val expect0 = batchServe()
+      serveIn.addData(queryEvents); serve.processAllAvailable()
+      ingestIn.addData(b1); ingest.processAllAvailable()
+      val expect1 = batchServe()
+      serveIn.addData(queryEvents); serve.processAllAvailable()
+      ingestIn.addData(b2); ingest.processAllAvailable()
+      // cadence compaction ran; postings are packed codes throughout
+      val gens = IvfIndex.postings(spark, d)
+        .select($"gen").distinct().as[Long].collect().toSet
+      assert(gens === Set(0L), s"after cadence compact: $gens")
+      val expect2 = batchServe()
+      serveIn.addData(queryEvents); serve.processAllAvailable()
+      assert(served.size === 3)
+      assert(served(0) === expect0, "PQ serve 1 != pre-ingest batch serve")
+      assert(served(1) === expect1, "PQ serve 2 != post-gen-1 batch serve")
+      assert(served(2) === expect2, "PQ serve 3 != post-compaction batch serve")
+      assert(expect0 !== expect1,
+        "PQ ingest should change some top-k on this fixture")
+    } finally { ingest.stop(); serve.stop() }
+  }
 }
