@@ -829,8 +829,21 @@ object IvfIndex {
       corpus: DataFrame, probes: Int = 2, shortlistK: Int = 25,
       k: Int = 5): DataFrame = {
     import s.implicits._
-    val short = servePq(s, dir, queries, probes, shortlistK)
-      .select($"query_id", $"neighbor")
+    refineShortlist(s, queries, corpus,
+      servePq(s, dir, queries, probes, shortlistK)
+        .select($"query_id", $"neighbor"), k)
+  }
+
+  /** The refine stage alone: exact re-rank of an already-served ADC
+    * shortlist. Split out so an evaluation that needs BOTH serve stages
+    * (q161/q162) runs the ADC ranking ONCE — the stage-1 top-k is a
+    * prefix of the same (adc, neighbor) ranking that feeds the
+    * shortlist, so serving k and shortlistK separately would compute
+    * the identical probed-cell scan twice.
+    */
+  private[graft] def refineShortlist(s: SparkSession, queries: DataFrame,
+      corpus: DataFrame, short: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
     val qside = queries.select($"vec_id".as("query_id"), $"qv".as("q_qv"))
     val w = Window.partitionBy($"query_id").orderBy($"dist", $"neighbor")
     corpus.select($"vec_id".as("neighbor"), $"qv".as("n_qv"))
@@ -1270,8 +1283,16 @@ object IvfIndex {
     val dir = scratch("q161")
     buildPq(emb, dir)
     val queries = emb.filter($"vec_id" % 100 === 0)
-    val adc5 = servePq(s, dir, queries).select($"query_id", $"neighbor")
-    val ref5 = servePqRefine(s, dir, queries, emb)
+    // ONE ADC serve feeds both stages: the stage-1 top-5 is the
+    // shortlist's rank<=5 prefix (identical window), so serving twice
+    // would repeat the probed-cell scan for nothing. |queries|×25 rows —
+    // checkpoint, don't recompute.
+    val short25 = servePq(s, dir, queries, probes = 2, k = 25)
+      .select($"query_id", $"rank", $"neighbor").localCheckpoint(true)
+    val adc5 = short25.filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
+    val ref5 = refineShortlist(s, queries, emb,
+        short25.select($"query_id", $"neighbor"), 5)
       .select($"query_id", $"neighbor")
     val ex = emb.crossJoin(broadcast(queries
         .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
@@ -1327,8 +1348,13 @@ object IvfIndex {
     compact(s, dir)
     val live = emb.filter($"vec_id" % 7 =!= 0)
     val queries = live.filter($"vec_id" % 100 === 0)
-    val adc5 = servePq(s, dir, queries).select($"query_id", $"neighbor")
-    val ref5 = servePqRefine(s, dir, queries, live)
+    // one ADC serve for both stages — see q161
+    val short25 = servePq(s, dir, queries, probes = 2, k = 25)
+      .select($"query_id", $"rank", $"neighbor").localCheckpoint(true)
+    val adc5 = short25.filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
+    val ref5 = refineShortlist(s, queries, live,
+        short25.select($"query_id", $"neighbor"), 5)
       .select($"query_id", $"neighbor")
     val ex = live.crossJoin(broadcast(queries
         .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
