@@ -893,6 +893,88 @@ object IvfIndex {
     splitReport(s, dir)
   }
 
+  /** The matrix's fourth cell — {uncompressed, PQ} × {unfiltered,
+    * filtered}: the metadata-filtered build ([[buildLabeled]]) on the
+    * COMPRESSED layout. Postings carry ONE packed int64 of PQ codes and
+    * are partitioned `cid`, then `label`, then generation, so a
+    * filtered ADC probe prunes to (nprobe × |batch labels|) directories
+    * of 8-logical-byte rows — the tenant-scoped serving path at the
+    * compressed footprint. Label rides the argmin aggregate as a
+    * min_by carry; the encode is the same single-pass literal-codebook
+    * projection as [[buildPq]].
+    */
+  def buildPqLabeled(emb: DataFrame, dir: String): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val f = fs(s, dir)
+    f.delete(new Path(dir), true)
+    f.mkdirs(new Path(dir))
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = VectorOps.lloydTrain(
+      emb.select($"vec_id", $"qv"), seeds,
+      VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
+    learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
+      .parquet(centDir(dir, 1L))
+    emb.filter($"vec_id" < 16)
+      .select($"vec_id", posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(qv, m*8 + 1, 8))")))
+      .select($"pos".as("m"), $"vec_id", $"col".as("cvec"))
+      .withColumn("c",
+        (dense_rank().over(Window.orderBy($"vec_id")) - 1).cast("int"))
+      .select($"m", $"c", $"cvec")
+      .write.mode(SaveMode.Overwrite).parquet(pqCbDir(dir))
+    val cbc = cbLiteral(readCb(s, dir))
+    VectorOps.argminPacked(emb, learned, carryQv = true, carry = Seq("label"))
+      .select($"vec_id", codeCol(cbc).as("code"), $"cid", $"label",
+        lit(0L).as("gen"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid", "label", "gen")
+      .parquet(postDir(dir))
+    val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
+    commitSnapshot(s, dir, Snapshot(1L, 1L,
+      cids.map(_ -> Seq(0L)).toMap, Set.empty, -1L))
+  }
+
+  /** Filtered ADC top-k: each query (vec_id, qv, label) ranks only
+    * same-label packed codes in its `probes` nearest cells by exact
+    * integer asymmetric distance. Both partition levels get static
+    * pruning predicates (the probe list + the batch's label set, as in
+    * [[serveLabeled]]); the per-query LUT rides the broadcast probe
+    * side as in [[servePq]]. Pre-filter semantics: candidates are
+    * label-filtered BEFORE ranking, so top-k is exact over the matching
+    * subset.
+    */
+  def servePqLabeled(s: SparkSession, dir: String, queries: DataFrame,
+      probes: Int = 2, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val snap = readSnapshot(s, dir)
+    val cents = centroidsOf(s, dir, snap)
+    val cbc = cbLiteral(readCb(s, dir))
+    val post = masked(s, dir, snap)
+    val probed = queries.crossJoin(broadcast(cents))
+      .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")))
+      .filter($"crank" <= probes)
+      .select($"vec_id".as("query_id"), lutCol(cbc).as("lut"),
+        $"label", $"cid")
+      .localCheckpoint(true)
+    val probedCells = probed.select($"cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val probedLabels = probed.select($"label").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val w = Window.partitionBy($"query_id").orderBy($"adc", $"neighbor")
+    post.filter($"cid".isin(probedCells: _*) &&
+        $"label".isin(probedLabels: _*))
+      .join(broadcast(probed), Seq("cid", "label"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"label", $"vec_id".as("neighbor"),
+        adcCol.as("adc"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Garbage-collect everything the committed manifest does not
     * reference: posting generation directories orphaned by a crashed
     * ingest attempt or left behind by a pre-crash mutation's skipped GC,
@@ -1424,6 +1506,22 @@ object IvfIndex {
     }
   }
 
+  /** Filtered ANN on the COMPRESSED store end-to-end: labeled PQ build
+    * → (cid, label, gen)-partitioned single-long postings → same-label
+    * 2-probe ADC top-5 for every 100th vector. Completes the serving
+    * matrix: q152/q156 are the uncompressed cells, q159 the unfiltered
+    * PQ cell, this the filtered PQ cell. The oracle replays training,
+    * labeled assignment, PQ encoding, and the label-filtered ADC
+    * ranking — integer-exact throughout.
+    */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantizedLabeled(s, d)
+    val dir = scratch("q165")
+    buildPqLabeled(emb, dir)
+    servePqLabeled(s, dir, emb.filter($"vec_id" % 100 === 0))
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
@@ -1434,7 +1532,8 @@ object IvfIndex {
     "q160_ivfpq_lifecycle" -> ((s, d) => q160(s, d)),
     "q161_pq_refine_recall" -> ((s, d) => q161(s, d)),
     "q162_pq_mutated_recall" -> ((s, d) => q162(s, d)),
-    "q164_index_time_travel" -> ((s, d) => q164(s, d))
+    "q164_index_time_travel" -> ((s, d) => q164(s, d)),
+    "q165_filtered_pq_ann" -> ((s, d) => q165(s, d))
   )
 
   private def q152OracleSql: String =
@@ -2007,6 +2106,56 @@ object IvfIndex {
          FROM ranked1 JOIN cellsz1 USING (cid) WHERE rank <= 5
          ORDER BY stage, query_id, rank"""
 
+  private def q165OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(
+           VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         sub AS (
+           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
+           FROM allq, generate_series(0, 7) AS t(m)),
+         cb AS MATERIALIZED (SELECT m, vec_id AS c, sv AS cvec
+           FROM sub WHERE vec_id < 16),
+         pqd AS (
+           SELECT s.vec_id, s.m, cb.c,
+             list_sum(list_transform(list_zip(s.sv, cb.cvec),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
+           FROM sub s JOIN cb ON s.m = cb.m),
+         code AS MATERIALIZED (
+           SELECT vec_id, m, c FROM (
+             SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
+                 AS rn
+             FROM pqd) WHERE rn = 1),
+         recon AS MATERIALIZED (
+           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
+           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
+           GROUP BY 1),
+         lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+         qs AS (
+           SELECT vec_id AS query_id, qv, label, cid FROM (
+             SELECT a.vec_id, a.qv, l.label, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a JOIN lab l USING (vec_id), cstar c
+             WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, qs.label, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
+               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
+           FROM astar JOIN recon r USING (vec_id)
+             JOIN lab nl USING (vec_id)
+             JOIN qs ON astar.cid = qs.cid AND nl.label = qs.label
+           WHERE astar.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, label, neighbor, adc,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc, neighbor) AS BIGINT) AS rank
+           FROM cand)
+         SELECT query_id, label, neighbor, adc, rank FROM ranked
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
@@ -2017,6 +2166,7 @@ object IvfIndex {
     "q160_ivfpq_lifecycle" -> q160OracleSql,
     "q161_pq_refine_recall" -> q161OracleSql,
     "q162_pq_mutated_recall" -> q162OracleSql,
-    "q164_index_time_travel" -> q164OracleSql
+    "q164_index_time_travel" -> q164OracleSql,
+    "q165_filtered_pq_ann" -> q165OracleSql
   )
 }

@@ -153,6 +153,78 @@ class IvfIndexSpec extends SparkSpec {
     assert(served.nonEmpty && served.head._4 >= 0L)
   }
 
+  test("labeled PQ serve matches a driver ADC reference and prunes both levels") {
+    import spark.implicits._
+    val emb = VectorOps.quantizedLabeled(spark, sfDir)
+    val dir = tmp("pqlab")
+    IvfIndex.buildPqLabeled(emb, dir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val served = IvfIndex.servePqLabeled(spark, dir, queries)
+    // driver reference: reconstruct every vector from codebook codes
+    // (subvector-nearest of the 16 seeds, ties to the lowest code),
+    // route queries to their 2 nearest converged centroids, rank probed
+    // same-label candidates by exact reconstructed distance
+    val vecs = emb.select($"vec_id", $"qv", $"label")
+      .as[(Long, Seq[Long], Long)].collect()
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = vecs.filter(_._1 < 16).sortBy(_._1).map(_._2)
+    def recon(qv: Seq[Long]): Seq[Long] =
+      (0 until 8).flatMap { m =>
+        val sv = qv.slice(m * 8, m * 8 + 8)
+        seeds.zipWithIndex
+          .minBy { case (s, c) => (d2(sv, s.slice(m * 8, m * 8 + 8)), c) }
+          ._1.slice(m * 8, m * 8 + 8)
+      }
+    val cents = IvfIndex.centroids(spark, dir)
+      .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    def assign(qv: Seq[Long]): Long =
+      cents.minBy { case (c, cq) => (d2(qv, cq), c) }._1
+    val assigned = vecs.map { case (id, qv, lab) => (id, assign(qv), lab) }
+    val expected = queries.as[(Long, Seq[Long], Long)].collect()
+      .flatMap { case (qid, qv, qlab) =>
+        val probes = cents.sortBy { case (c, cq) => (d2(qv, cq), c) }
+          .take(2).map(_._1).toSet
+        assigned
+          .filter { case (id, c, lab) =>
+            id != qid && lab == qlab && probes.contains(c) }
+          .map { case (id, _, _) => (id, d2(recon(byId(id)), qv)) }
+          .sortBy { case (id, adc) => (adc, id) }.take(5)
+          .zipWithIndex
+          .map { case ((id, adc), r) =>
+            (qid, qlab, id, adc, (r + 1).toLong) }
+      }.toSet
+    assert(served.as[(Long, Long, Long, Long, Long)].collect().toSet
+      === expected)
+    // scale evidence: only probed (cid, label) leaves are opened
+    served.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+        scans(r.child)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val allLeaves = spark.read.parquet(s"$dir/postings").inputFiles.length
+    val scanned = scans(served.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("postings")))
+      .map(_.metrics("numFiles").value).max
+    val nProbedPairs = queries.as[(Long, Seq[Long], Long)].collect()
+      .flatMap { case (_, qv, lab) =>
+        cents.sortBy { case (c, cq) => (d2(qv, cq), c) }
+          .take(2).map(c => (c._1, lab)) }.toSet.size
+    if (nProbedPairs < allLeaves)
+      assert(scanned < allLeaves,
+        s"labeled PQ serve read $scanned of $allLeaves leaves — no pruning")
+  }
+
   test("labeled serve pre-filters exactly and prunes BOTH partition levels") {
     import spark.implicits._
     val emb = VectorOps.quantizedLabeled(spark, sfDir)
