@@ -141,7 +141,8 @@ object TextOps {
     "q144_bpe_merges" -> ((s, d) => q144(s, d)),
     "q145_bpe_segment" -> ((s, d) => q145(s, d)),
     "q146_source_divergence" -> ((s, d) => q146(s, d)),
-    "q163_hybrid_retrieval" -> ((s, d) => q163(s, d))
+    "q163_hybrid_retrieval" -> ((s, d) => q163(s, d)),
+    "q166_reservoir_sample" -> ((s, d) => q166(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -1907,6 +1908,35 @@ object TextOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Fixed-SIZE deterministic reservoir per stratum — the eval-set /
+    * held-out carving move: exactly 20 documents per language, chosen
+    * as the k smallest md5(doc_id) values (ties impossible below the
+    * 60-bit prefix, doc_id tiebreak anyway). Hash order makes the
+    * sample uniform-at-random in distribution yet REPRODUCIBLE and
+    * resharding-stable, and — unlike q74's rate sampling — the size is
+    * exact, which is what an eval set needs. [[graft.streaming.StreamOps.reservoirStream]]
+    * is the online form: the same sample maintained incrementally with
+    * O(k) state per stratum, emitting its own admit/evict CDC.
+    *
+    * Scale: the rank window compiles to WindowGroupLimit (partial top-k
+    * per task before the exchange — the q133 posture), so the shuffle
+    * carries at most k rows per (task, stratum) regardless of corpus
+    * size; the hash is one codegen'd projection.
+    */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    Tables(s, d, "documents")
+      .withColumn("h", h)
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"lang").orderBy($"h", $"doc_id")).cast("long"))
+      .filter($"pick" <= 20)
+      .select($"lang", $"pick", $"doc_id", $"h")
+      .orderBy($"lang", $"pick")
+  }
+
   def oracles: Map[String, String] = Map(
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
     // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
@@ -2685,7 +2715,19 @@ object TextOps {
            sparse_rank, dense_rank
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                  ORDER BY rrf DESC, doc_id) AS rank FROM scored)
-         WHERE rank <= 10 ORDER BY query_id, rank"""
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q166_reservoir_sample" ->
+      """SELECT lang, CAST(rn AS BIGINT) AS pick, doc_id,
+           CAST(h AS BIGINT) AS h
+         FROM (
+           SELECT lang, doc_id, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+           FROM (
+             SELECT lang, doc_id,
+               CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS UBIGINT) AS h
+             FROM documents))
+         WHERE rn <= 20 ORDER BY lang, pick"""
   )
 
   /** The q61 oracle's CTE chain (without the WITH keyword), ending at `j`

@@ -782,6 +782,64 @@ object StreamOps {
       }
   }
 
+  /** One document for the streaming reservoir (public: encoder). */
+  case class ResDoc(doc_id: Long, lang: String)
+  /** Per-stratum reservoir state: the k smallest (h, doc_id) pairs,
+    * parallel arrays kept sorted (public: encoder).
+    */
+  case class ResState(hs: Array[Long], ids: Array[Long])
+  /** One admit/evict delta of the reservoir's own CDC (public: encoder). */
+  case class ResDelta(lang: String, doc_id: Long, h: Long, op: String)
+
+  /** Streaming fixed-size deterministic reservoir — the online form of
+    * the q166 batch sample: per stratum (language), maintain exactly
+    * the k smallest md5(doc_id) documents seen so far and emit the
+    * sample's own CDC — an `admit` when a document enters the
+    * reservoir, an `evict` when a newcomer pushes a prior member out.
+    * Because min-k under a total order is a semilattice, the reservoir
+    * CONTENTS after any prefix of the corpus are delivery-order- and
+    * batching-invariant (the delta SEQUENCE is batch-granular: a doc
+    * admitted and evicted within one micro-batch never surfaces);
+    * replays are idempotent (a pair already in the sample is a no-op).
+    * Downstream applies the deltas to keep a live eval-set table — the
+    * same shape cdcApplyStream consumes.
+    *
+    * Scale: state is O(k) longs per stratum, the per-batch merge is
+    * one sorted walk, and the md5 is computed in the codegen'd
+    * projection BEFORE the stateful exchange, so the shuffle carries
+    * (lang, id, hash) triples only.
+    */
+  def reservoirStream(docs: Dataset[ResDoc], k: Int): Dataset[ResDelta] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.toDF()
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .select(col("lang"), col("doc_id"), col("h"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ResState, ResDelta](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang, it, state) =>
+          val old = state.getOption
+            .map(st => st.hs.zip(st.ids).toVector).getOrElse(Vector.empty)
+          val seen = old.toSet
+          val incoming = it.map { case (_, id, h) => (h, id) }.toVector
+            .distinct.filterNot(seen)
+          val merged = (old ++ incoming).sorted
+          val next = merged.take(k)
+          val nextSet = next.toSet
+          state.update(ResState(next.map(_._1).toArray,
+            next.map(_._2).toArray))
+          val admits = next.filterNot(seen)
+            .map { case (h, id) => ResDelta(lang, id, h, "admit") }
+          val evicts = old.filterNot(nextSet)
+            .map { case (h, id) => ResDelta(lang, id, h, "evict") }
+          (admits ++ evicts).iterator
+      }
+  }
+
   def heavyHittersStream(docs: Dataset[DocEvent], windowSecs: Int, k: Int,
       watermark: String): Dataset[HeavyHitter] = {
     import docs.sparkSession.implicits._
