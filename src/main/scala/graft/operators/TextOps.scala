@@ -142,7 +142,8 @@ object TextOps {
     "q145_bpe_segment" -> ((s, d) => q145(s, d)),
     "q146_source_divergence" -> ((s, d) => q146(s, d)),
     "q163_hybrid_retrieval" -> ((s, d) => q163(s, d)),
-    "q166_reservoir_sample" -> ((s, d) => q166(s, d))
+    "q166_reservoir_sample" -> ((s, d) => q166(s, d)),
+    "q167_kneser_ney" -> ((s, d) => q167(s, d))
   )
 
   /** Feature hashing (the "hashing trick"): 64-dim term-frequency vector
@@ -1908,6 +1909,70 @@ object TextOps {
       .orderBy($"query_id", $"rank")
   }
 
+  /** SMOOTHED-LM quality scoring — interpolated Kneser–Ney over the
+    * bigram model, the estimator class the CCNet-style perplexity
+    * filter actually runs (q138's raw conditional surprisal is the MLE:
+    * it over-trusts rare bigrams, which is exactly what smoothing
+    * exists to fix). Per position, with absolute discount D = 3/4:
+    * P(cur|prev) = (c₂ − D)/c₁ + D·N1(prev)/c₁ · Ncont(cur)/Nc, where
+    * N1(prev) = distinct continuations of prev, Ncont(cur) = distinct
+    * left contexts of cur (the continuation probability — KN's insight
+    * that "Francisco" follows few contexts however frequent it is),
+    * and Nc = distinct bigram types. Cross-multiplied into ONE integer
+    * rational — num = (4·c₂−3)·Nc + 3·N1·Ncont, den = 4·c₁·Nc (c₂ ≥ 1
+    * keeps the discounted term positive) — then the whole-bit coding
+    * cost ⌊log₂ den⌋ − ⌊log₂ num⌋ via the `length(bin(x))−1` device,
+    * so Spark and DuckDB agree bit-for-bit. Reported per (lang,
+    * source) beside the MLE bits on the SAME positions plus the share
+    * of positions the smoothing moved by a whole bit. Operand bound:
+    * num ≤ 4·c₂·Nc — ANSI arithmetic (session-pinned) errors loudly
+    * past int64, same remedy class as q112/q137's lift caps.
+    *
+    * Scale: q138's two-scan posture — the model folds map-side to
+    * bigram-type cardinality (N1/Ncont/Nc derive from the SAME folded
+    * relation, checkpointed once for its four consumers); the scoring
+    * join broadcasts at this vocab and degrades to one co-partitioned
+    * position shuffle past broadcast range; per-doc rollups
+    * partial-aggregate to doc cardinality.
+    */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = docs(s, d)
+    val pairs = rawPairs(t, Seq($"doc_id", $"lang", $"source"))
+    val bigram = pairs.groupBy($"prev", $"cur")
+      .agg(count(lit(1)).as("c2")).localCheckpoint(true)
+    val byPrev = bigram.groupBy($"prev")
+      .agg(sum($"c2").as("c1"), count(lit(1)).as("n1"))
+    val byCur = bigram.groupBy($"cur").agg(count(lit(1)).as("ncont"))
+    val nc = bigram.agg(count(lit(1)).as("nc"))
+    val model = bigram
+      .join(byPrev, Seq("prev"), "left")
+      .join(byCur, Seq("cur"), "left")
+      .crossJoin(broadcast(nc))
+      .withColumn("num", expr("(4 * c2 - 3) * nc + 3 * n1 * ncont"))
+      .withColumn("den", expr("4 * c1 * nc"))
+      .select($"prev", $"cur",
+        ((length(bin($"den")) - 1) - (length(bin($"num")) - 1))
+          .cast("long").as("knb"),
+        ((length(bin($"c1")) - 1) - (length(bin($"c2")) - 1))
+          .cast("long").as("mleb"))
+    val pd = pairs
+      .join(model, Seq("prev", "cur"), "left")
+      .groupBy($"doc_id", $"lang", $"source")
+      .agg(sum($"knb").as("kn_bits"), sum($"mleb").as("mle_bits"),
+        sum(when($"knb" =!= $"mleb", 1L).otherwise(0L)).as("nsm"),
+        count(lit(1)).as("nt"))
+    pd.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(kn_bits * 1000 div nt) div count(1)")
+          .as("kn_bits_permille"),
+        expr("sum(mle_bits * 1000 div nt) div count(1)")
+          .as("mle_bits_permille"),
+        expr("sum(nsm * 1000 div nt) div count(1)")
+          .as("smoothed_permille"))
+      .orderBy($"lang", $"source")
+  }
+
   /** Fixed-SIZE deterministic reservoir per stratum — the eval-set /
     * held-out carving move: exactly 20 documents per language, chosen
     * as the k smallest md5(doc_id) values (ties impossible below the
@@ -2727,7 +2792,54 @@ object TextOps {
                CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                  AS UBIGINT) AS h
              FROM documents))
-         WHERE rn <= 20 ORDER BY lang, pick"""
+         WHERE rn <= 20 ORDER BY lang, pick""",
+    "q167_kneser_ney" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source,
+             string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, lang, source,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i])) AS prev,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i+1])) AS cur
+           FROM t WHERE len(toks) >= 2),
+         bc AS MATERIALIZED (
+           SELECT prev, cur, CAST(count(*) AS BIGINT) AS c2
+           FROM bg GROUP BY 1, 2),
+         bp AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS c1,
+                  CAST(count(*) AS BIGINT) AS n1
+                FROM bc GROUP BY 1),
+         bq AS (SELECT cur, CAST(count(*) AS BIGINT) AS ncont
+                FROM bc GROUP BY 1),
+         ncc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM bc),
+         model AS MATERIALIZED (
+           SELECT bc.prev, bc.cur,
+             CAST((len(bin(4 * bp.c1 * ncc.nc)) - 1)
+               - (len(bin((4 * bc.c2 - 3) * ncc.nc
+                          + 3 * bp.n1 * bq.ncont)) - 1) AS BIGINT) AS knb,
+             CAST((len(bin(bp.c1)) - 1) - (len(bin(bc.c2)) - 1)
+               AS BIGINT) AS mleb
+           FROM bc JOIN bp USING (prev) JOIN bq USING (cur)
+           CROSS JOIN ncc),
+         pd AS (
+           SELECT b.doc_id, b.lang, b.source,
+             CAST(sum(m.knb) AS BIGINT) AS kn_bits,
+             CAST(sum(m.mleb) AS BIGINT) AS mle_bits,
+             CAST(sum(CASE WHEN m.knb <> m.mleb THEN 1 ELSE 0 END)
+               AS BIGINT) AS nsm,
+             CAST(count(*) AS BIGINT) AS nt
+           FROM bg b JOIN model m ON m.prev = b.prev AND m.cur = b.cur
+           GROUP BY 1, 2, 3)
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kn_bits * 1000 // nt) // count(*) AS BIGINT)
+             AS kn_bits_permille,
+           CAST(sum(mle_bits * 1000 // nt) // count(*) AS BIGINT)
+             AS mle_bits_permille,
+           CAST(sum(nsm * 1000 // nt) // count(*) AS BIGINT)
+             AS smoothed_permille
+         FROM pd GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 
   /** The q61 oracle's CTE chain (without the WITH keyword), ending at `j`
