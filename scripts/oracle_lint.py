@@ -78,11 +78,25 @@ def split_statements(sql):
     return [s for s in stmts if s.strip()]
 
 
+_TEMP_TABLE_RE = __import__("re").compile(
+    r"^(\s*CREATE\s+(?:OR\s+REPLACE\s+)?TEMP(?:ORARY)?\s+)TABLE\b",
+    __import__("re").IGNORECASE)
+
+
 def result_schema(con, sql):
-    """(name, type) pairs of the final statement, without executing it."""
+    """(name, type) pairs of the final statement, without executing it.
+
+    Setup statements run so the final DESCRIBE can bind (macro
+    definitions are metadata-only), EXCEPT `CREATE TEMP TABLE ... AS`
+    stages, which are rewritten to TEMP VIEWs: a view binds with the
+    identical result types but never executes its query — a temp-TABLE
+    setup (q86's LSH pair join + recursive CC) otherwise runs the full
+    corpus replay inside the lint, which at sf1 is an hour of silent
+    background load per check.py invocation.
+    """
     stmts = split_statements(sql)
     for s in stmts[:-1]:
-        con.execute(s)
+        con.execute(_TEMP_TABLE_RE.sub(r"\1VIEW", s))
     return [(r[0], r[1]) for r in
             con.execute("DESCRIBE " + stmts[-1]).fetchall()]
 
