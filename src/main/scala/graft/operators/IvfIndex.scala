@@ -975,6 +975,53 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  /** What did the index CHANGE between two epochs — the reindex audit
+    * every deployment wants before flipping traffic: per cell, how many
+    * vectors were added, removed, moved in, moved out, or stable
+    * between the LOGICAL contents (tombstone masks applied, so this
+    * diffs what serving would actually see) of epoch A and epoch B,
+    * plus the overall row at cid = -1. Built entirely on the snapshot
+    * reads, so it needs both epochs inside the retention window.
+    *
+    * Scale: one vec_id-keyed full-outer join of the two posting
+    * snapshots (each side reads only its manifest's valid directories)
+    * — two corpus exchanges, then the per-row classification folds to
+    * (cell, kind) contributions that partial-aggregate map-side to
+    * cell cardinality. No window, no driver-side content.
+    */
+  def snapshotDiff(s: SparkSession, dir: String, epochA: Long,
+      epochB: Long): DataFrame = {
+    import s.implicits._
+    val a = masked(s, dir, readSnapshotAt(s, dir, epochA))
+      .select($"vec_id", $"cid".cast("long").as("cid_a"))
+    val b = masked(s, dir, readSnapshotAt(s, dir, epochB))
+      .select($"vec_id", $"cid".cast("long").as("cid_b"))
+    val contrib = a.join(b, Seq("vec_id"), "full_outer")
+      .select(explode(expr(
+        """CASE
+             WHEN cid_a IS NULL THEN array(struct(cid_b AS cell, 'added' AS kind))
+             WHEN cid_b IS NULL THEN array(struct(cid_a AS cell, 'removed' AS kind))
+             WHEN cid_a = cid_b THEN array(struct(cid_a AS cell, 'stable' AS kind))
+             ELSE array(struct(cid_a AS cell, 'moved_out' AS kind),
+                        struct(cid_b AS cell, 'moved_in' AS kind))
+           END""")).as("c"))
+      .select($"c.cell".as("cid"), $"c.kind".as("kind"))
+    val per = contrib.groupBy($"cid")
+      .agg(sum(when($"kind" === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when($"kind" === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when($"kind" === "moved_in", 1L).otherwise(0L)).as("n_moved_in"),
+        sum(when($"kind" === "moved_out", 1L).otherwise(0L)).as("n_moved_out"),
+        sum(when($"kind" === "stable", 1L).otherwise(0L)).as("n_stable"))
+    val overall = per.agg(sum($"n_added").as("n_added"),
+        sum($"n_removed").as("n_removed"),
+        sum($"n_moved_in").as("n_moved_in"),
+        sum($"n_moved_out").as("n_moved_out"),
+        sum($"n_stable").as("n_stable"))
+      .select(lit(-1L).as("cid"), $"n_added", $"n_removed",
+        $"n_moved_in", $"n_moved_out", $"n_stable")
+    per.unionByName(overall).orderBy($"cid")
+  }
+
   /** Garbage-collect everything the committed manifest does not
     * reference: posting generation directories orphaned by a crashed
     * ingest attempt or left behind by a pre-crash mutation's skipped GC,
@@ -1522,6 +1569,33 @@ object IvfIndex {
     servePqLabeled(s, dir, emb.filter($"vec_id" % 100 === 0))
   }
 
+  /** The reindex audit over the q164 lifecycle: build (epoch 1) →
+    * ingest → delete → compact (epoch 4), then [[snapshotDiff]] between
+    * the build and the live state. On this fixture: added = the
+    * ingested fifth minus its deleted sevenths, removed = base ∩
+    * deletes, stable = the rest, moved = 0 (no split ran — the spec
+    * exercises the moved classification via splitCells). The oracle
+    * replays both states' assignments and classifies the full-outer
+    * match relationally.
+    */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q168")
+    val prev = s.conf.getOption("spark.graft.index.retainEpochs")
+    s.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      build(emb.filter($"vec_id" % 5 =!= 0), dir)
+      addBatch(s, dir, emb.filter($"vec_id" % 5 === 0))
+      delete(s, dir, emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+      compact(s, dir)
+      snapshotDiff(s, dir, 1L, readSnapshot(s, dir).epoch)
+    } finally {
+      prev.fold(s.conf.unset("spark.graft.index.retainEpochs"))(v =>
+        s.conf.set("spark.graft.index.retainEpochs", v))
+    }
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
@@ -1533,7 +1607,8 @@ object IvfIndex {
     "q161_pq_refine_recall" -> ((s, d) => q161(s, d)),
     "q162_pq_mutated_recall" -> ((s, d) => q162(s, d)),
     "q164_index_time_travel" -> ((s, d) => q164(s, d)),
-    "q165_filtered_pq_ann" -> ((s, d) => q165(s, d))
+    "q165_filtered_pq_ann" -> ((s, d) => q165(s, d)),
+    "q168_snapshot_diff" -> ((s, d) => q168(s, d))
   )
 
   private def q152OracleSql: String =
@@ -2156,6 +2231,62 @@ object IvfIndex {
          SELECT query_id, label, neighbor, adc, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  private def q168OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+           VectorOps.LloydMinImprove, "WHERE vec_id % 5 <> 0")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         nd AS (
+           SELECT a.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, cstar c WHERE a.vec_id % 5 = 0),
+         anew AS (
+           SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM nd) WHERE rn = 1),
+         sa AS (SELECT vec_id, CAST(cid AS BIGINT) AS cid_a FROM astar),
+         sb AS (
+           SELECT vec_id, CAST(cid AS BIGINT) AS cid_b FROM (
+             SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
+             UNION ALL
+             SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0)),
+         j AS MATERIALIZED (
+           SELECT sa.cid_a, sb.cid_b
+           FROM sa FULL OUTER JOIN sb ON sa.vec_id = sb.vec_id),
+         c AS (
+           SELECT cid_b AS cid, 'added' AS kind FROM j WHERE cid_a IS NULL
+           UNION ALL
+           SELECT cid_a, 'removed' FROM j WHERE cid_b IS NULL
+           UNION ALL
+           SELECT cid_a, 'stable' FROM j WHERE cid_a = cid_b
+           UNION ALL
+           SELECT cid_a, 'moved_out' FROM j
+           WHERE cid_a IS NOT NULL AND cid_b IS NOT NULL AND cid_a <> cid_b
+           UNION ALL
+           SELECT cid_b, 'moved_in' FROM j
+           WHERE cid_a IS NOT NULL AND cid_b IS NOT NULL AND cid_a <> cid_b),
+         per AS MATERIALIZED (
+           SELECT cid,
+             CAST(sum(CASE WHEN kind = 'added' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN kind = 'removed' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN kind = 'moved_in' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved_in,
+             CAST(sum(CASE WHEN kind = 'moved_out' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved_out,
+             CAST(sum(CASE WHEN kind = 'stable' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stable
+           FROM c GROUP BY 1)
+         SELECT cid, n_added, n_removed, n_moved_in, n_moved_out, n_stable
+         FROM per
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), CAST(sum(n_added) AS BIGINT),
+           CAST(sum(n_removed) AS BIGINT), CAST(sum(n_moved_in) AS BIGINT),
+           CAST(sum(n_moved_out) AS BIGINT), CAST(sum(n_stable) AS BIGINT)
+         FROM per
+         ORDER BY cid"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
@@ -2167,6 +2298,7 @@ object IvfIndex {
     "q161_pq_refine_recall" -> q161OracleSql,
     "q162_pq_mutated_recall" -> q162OracleSql,
     "q164_index_time_travel" -> q164OracleSql,
-    "q165_filtered_pq_ann" -> q165OracleSql
+    "q165_filtered_pq_ann" -> q165OracleSql,
+    "q168_snapshot_diff" -> q168OracleSql
   )
 }

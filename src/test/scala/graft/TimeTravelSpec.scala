@@ -74,6 +74,45 @@ class TimeTravelSpec extends SparkSpec {
     assert(e.getMessage.contains("retainEpochs"))
   }
 
+  test("snapshotDiff classifies a split as moves and a lifecycle as adds/removes") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      // the split fixture from IvfIndexSpec: exactly cell 3 flags hot
+      def vec(a: Long, b: Long, c: Long, d: Long) = Seq(a, b, c, d)
+      val seeds = (0L until 16L).map(i => (i, vec(i * 10000, 0, 0, 0)))
+      val crowd = (100L until 300L).map { i =>
+        val sub = if (i % 2 == 0) 400L else -400L
+        (i, vec(30000 + (i % 7), sub + (i % 5), 0, 0))
+      }
+      val fringe = (300L until 320L).map(i =>
+        (i, vec((i % 16) * 10000, 3, 0, 0)))
+      val emb = (seeds ++ crowd ++ fringe).toDF("vec_id", "qv")
+      val dir = tmp("diffsplit")
+      IvfIndex.build(emb, dir) // epoch 1
+      val hotMass = IvfIndex.splitReport(spark, dir)
+        .filter($"needs_split" === 1L).select($"n_total")
+        .as[Long].head()
+      IvfIndex.splitCells(spark, dir) // epoch 2
+      val d12 = IvfIndex.snapshotDiff(spark, dir, 1L, 2L)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      val overall = d12(-1L)
+      // a pure split: nothing added or removed, every hot vector moved
+      assert(overall._2 === 0L && overall._3 === 0L)
+      assert(overall._4 === hotMass && overall._5 === hotMass)
+      assert(d12(3L)._5 === hotMass, "all moves must leave the hot cell")
+      // and a delete shows up as removals, nothing moved
+      IvfIndex.delete(spark, dir,
+        emb.filter($"vec_id" % 2 === 0).select($"vec_id")) // epoch 3
+      val d23 = IvfIndex.snapshotDiff(spark, dir, 2L, 3L)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(d23(-1L)._3 === emb.filter($"vec_id" % 2 === 0).count())
+      assert(d23(-1L)._2 === 0L && d23(-1L)._4 === 0L)
+    } finally spark.conf.unset("spark.graft.index.retainEpochs")
+  }
+
   test("narrowing retention lets vacuum reclaim history while the latest keeps serving") {
     import spark.implicits._
     spark.conf.set("spark.graft.index.retainEpochs", "8")
