@@ -46,6 +46,7 @@ object PipelineOps {
     "q107_cdc_chunks" -> ((s, d) => q107(s, d)),
     "q151_dup_spectrum" -> ((s, d) => q151(s, d)),
     "q110_graph_rank" -> ((s, d) => q110(s, d)),
+    "q169_pagerank" -> ((s, d) => q169(s, d)),
     "q117_source_novelty" -> ((s, d) => q117(s, d)),
     "q119_weighted_sample" -> ((s, d) => q119(s, d)),
     "q126_novelty_curve" -> ((s, d) => q126(s, d)),
@@ -359,6 +360,132 @@ object PipelineOps {
     graphRank(edgesFrom(Tables(s, d, "lineitem")), nSeg)
       .orderBy($"mass_r2".desc, $"s_suppkey")
       .limit(20)
+  }
+
+  private[graft] val PrMaxIters = 8
+  private[graft] val PrTotalMass = 1000000000000L
+
+  /** Damped PageRank to CONVERGENCE — the full random-surfer model next
+    * to q110's two fixed undamped rounds: nodes are customers (2·key)
+    * and suppliers (2·key+1) of the bidirected distinct customer–
+    * supplier graph, total mass 10^12, and each round computes
+    * r'(v) = ⌊0.15·(S div N)⌋ + Σ_{u→v} ⌊0.85·r(u) / deg(u)⌋ in EXACT
+    * int64 (one floor division per source, shared by its neighbors, so
+    * Spark and the oracle agree bit-for-bit; floored leakage is
+    * deterministic). The stop rule is the RELATIVE residual — halt when
+    * the round's L1 mass movement falls below half of round 1's
+    * (`delta·2 < delta₁`), or at [[PrMaxIters]]: damped power iteration
+    * contracts the residual geometrically at the damping rate (measured
+    * ×0.85 per round exactly, any scale), so an absolute threshold
+    * either never fires or fires immediately — the relative rule is the
+    * q147/q149 convergence-stop discipline in the form that suits the
+    * iteration's known contraction. Output:
+    * top-20 nodes by converged mass with side, degree, and the
+    * iteration count the stop rule chose; the oracle replays every
+    * round AND the stop decision.
+    *
+    * Scale: the adjacency builds once (collect_set — the q110
+    * representation; a web-scale hub takes the shared salt-split
+    * degrade, see [[adjacency]]) and is checkpointed; each round is one
+    * mass join + explode + partial-summed groupBy (edge-volume shuffle,
+    * no joins against the edge list), with per-round state
+    * localCheckpoint'ed so lineage stays flat (q81's discipline). The
+    * round count is bounded and data work per round is edge volume.
+    */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+      .join(Tables(s, d, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sk")).distinct()
+    val e2 = edges.select(($"c" * 2).as("src"), ($"sk" * 2 + 1).as("dst"))
+      .unionByName(edges.select(($"sk" * 2 + 1).as("src"), ($"c" * 2).as("dst")))
+    val adj = adjacency(e2, "src", "dst", 1)
+      .localCheckpoint(true)
+    val nn = adj.count()
+    val r0 = PrTotalMass / nn
+    val teleport = (15L * r0) / 100L
+    var cur = adj.select($"src".as("node"), lit(r0).as("mass"))
+      .localCheckpoint(true)
+    var iters = 0
+    var done = false
+    var firstDelta = 0L
+    while (!done && iters < PrMaxIters) {
+      val contrib = adj.join(cur, adj("src") === cur("node"))
+        .select(explode($"nbrs").as("node"),
+          expr("85 * mass div (100 * deg)").as("w"))
+        .groupBy($"node").agg(sum($"w").as("w"))
+      val next = adj.select($"src".as("node"))
+        .join(contrib, Seq("node"), "left")
+        .select($"node", (lit(teleport) + coalesce($"w", lit(0L))).as("mass"))
+        .localCheckpoint(true)
+      val delta = next.join(cur.withColumnRenamed("mass", "prev"), "node")
+        .agg(sum(abs($"mass" - $"prev"))).head().getLong(0)
+      iters += 1
+      cur = next
+      if (iters == 1) firstDelta = delta
+      done = delta * 2L < firstDelta
+    }
+    cur.join(adj.select($"src".as("node"), $"deg"), "node")
+      .select($"node", ($"node" % 2).as("is_supplier"), $"deg", $"mass",
+        lit(iters.toLong).as("n_iters"))
+      .orderBy($"mass".desc, $"node")
+      .limit(20)
+  }
+
+  /** The q169 oracle: every propagation round unrolled as MATERIALIZED
+    * CTEs plus the replayed stop decision (first round whose L1 delta
+    * passes the 2% rule, else the cap) — the lloydOracleCtes pattern on
+    * a graph.
+    */
+  private def q169OracleSql: String = {
+    val rounds = (1 to PrMaxIters).map { k =>
+      s"""c$k AS (
+           SELECT e2.dst AS node,
+             CAST(sum(85 * r${k - 1}.mass // (100 * degs.deg)) AS BIGINT) AS w
+           FROM e2 JOIN r${k - 1} ON e2.src = r${k - 1}.node
+             JOIN degs ON degs.src = e2.src
+           GROUP BY 1),
+         r$k AS MATERIALIZED (
+           SELECT degs.src AS node,
+             CAST(tele.t + coalesce(c$k.w, 0) AS BIGINT) AS mass
+           FROM degs CROSS JOIN tele LEFT JOIN c$k ON c$k.node = degs.src),
+         d$k AS MATERIALIZED (
+           SELECT CAST(sum(abs(r$k.mass - r${k - 1}.mass)) AS BIGINT) AS delta
+           FROM r$k JOIN r${k - 1} USING (node))"""
+    }.mkString(",\n         ")
+    val deltaRows = (1 to PrMaxIters)
+      .map(k => s"SELECT $k AS k, delta FROM d$k").mkString(" UNION ALL ")
+    val allRows = (1 to PrMaxIters)
+      .map(k => s"SELECT $k AS k, node, mass FROM r$k").mkString(" UNION ALL ")
+    s"""WITH edges AS (
+           SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         e2 AS MATERIALIZED (
+           SELECT c * 2 AS src, sk * 2 + 1 AS dst FROM edges
+           UNION ALL
+           SELECT sk * 2 + 1, c * 2 FROM edges),
+         degs AS MATERIALIZED (
+           SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e2 GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM degs),
+         tele AS MATERIALIZED (
+           SELECT (15 * ($PrTotalMass // nn)) // 100 AS t FROM n),
+         r0 AS MATERIALIZED (
+           SELECT src AS node, $PrTotalMass // nn AS mass FROM degs, n),
+         $rounds,
+         deltas AS ($deltaRows),
+         chosen AS MATERIALIZED (
+           SELECT CAST(coalesce(
+             min(CASE WHEN t.delta * 2 < f.delta THEN t.k END),
+             $PrMaxIters) AS BIGINT) AS k
+           FROM deltas t CROSS JOIN d1 f),
+         allr AS ($allRows)
+         SELECT fin.node, CAST(fin.node % 2 AS BIGINT) AS is_supplier,
+           degs.deg, fin.mass, chosen.k AS n_iters
+         FROM (SELECT allr.node, allr.mass FROM allr, chosen
+               WHERE allr.k = chosen.k) fin
+           JOIN degs ON degs.src = fin.node CROSS JOIN chosen
+         ORDER BY fin.mass DESC, fin.node LIMIT 20"""
   }
 
   /** Max adjacency-list entries one collect_set task / one array row
@@ -1411,6 +1538,7 @@ object PipelineOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q169_pagerank" -> q169OracleSql,
     "q107_cdc_chunks" ->
       """WITH t AS (
            SELECT doc_id, source, string_split_regex(text, '\s+') AS toks
