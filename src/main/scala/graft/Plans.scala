@@ -57,7 +57,15 @@ object Plans {
     "q151_dup_spectrum" -> "duplicate-mass spectrum: in-row CDC chunking, md5 map-side so only (digest, ch_tok) shuffles once with map-side combine; 6-row rollup — text never moves",
     "q152_ivf_index_serve" -> "persisted-IVF serve: STORED centroids broadcast, probe list collected (<= nlists ids) and pushed as a STATIC partition filter on the cid-partitioned postings — the scan plans to nprobe directories; exact re-rank + broadcast cell-size join",
     "q153_ivf_incremental" -> "incremental IVF ingest: one broadcast-argmin cross of the batch vs the stored 16-row centroid table, generation append without touching base postings, occupancy = 16-row rollup left-joined to the centroid ids",
-    "q154_span_dedup_apply" -> "span-dedup APPLY: q143's hash scan + dup flags fold duplicated starts into MERGED interval structs (one doc-keyed sort shared by lag+running-break windows); the interval join to documents is AQE-broadcastable (dup docs only) and the strip is one codegen'd filter lambda — text never rides a hash shuffle")
+    "q154_span_dedup_apply" -> "span-dedup APPLY: q143's hash scan + dup flags fold duplicated starts into MERGED interval structs (one doc-keyed sort shared by lag+running-break windows); the interval join to documents is AQE-broadcastable (dup docs only) and the strip is one codegen'd filter lambda — text never rides a hash shuffle",
+    "q159_ivfpq_store" -> "PQ store build+serve: coarse assignment and the literal-codebook pq_encode ride ONE corpus pass; serve carries the 8x16 per-query LUT on the broadcast probe side, the probed scan reads (vec_id, code) — one long per candidate — and pq_adc sums 8 JIT'd lookups",
+    "q163_hybrid_retrieval" -> "hybrid RRF: tf/df/len fold from one (tok,doc) aggregation, 5 rare terms/query bound the sparse candidates (per-query window over posting lists only), the dense exact side folds map-side through the bounded top-k aggregator, fusion joins <= 40 rows/query",
+    "q164_index_time_travel" -> "time-travel serve: two serves against two MANIFESTS over the same immutable directories — each probe list pushed as its epoch's static partition filter; the asof read costs the same plan as the live one",
+    "q165_filtered_pq_ann" -> "filtered PQ ANN: (cid,label,gen) layout gives BOTH partition levels static pruning predicates; probed same-label candidates ranked by pq_adc on one long per row",
+    "q166_reservoir_sample" -> "deterministic reservoir: rank-by-md5 window compiles to WindowGroupLimit — partial top-k per task, the exchange carries <= k rows per task x stratum",
+    "q167_kneser_ney" -> "Kneser-Ney scoring: bigram model folds map-side to type cardinality (N1/Ncont/Nc derive from the SAME checkpointed relation); scoring join broadcasts at this vocab, degrades to one co-partitioned position shuffle at scale",
+    "q168_snapshot_diff" -> "reindex audit: full-outer join of two partition-pruned posting snapshots on vec_id, per-row classes fold map-side to cell cardinality",
+    "q169_pagerank" -> "damped PageRank: adjacency checkpointed once; each round = mass join + explode + partial-summed groupBy (edge-volume shuffle, no per-round edge joins); driver stops on the relative L1 residual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
