@@ -47,6 +47,7 @@ object PipelineOps {
     "q151_dup_spectrum" -> ((s, d) => q151(s, d)),
     "q110_graph_rank" -> ((s, d) => q110(s, d)),
     "q169_pagerank" -> ((s, d) => q169(s, d)),
+    "q170_canonical_docs" -> ((s, d) => q170(s, d)),
     "q117_source_novelty" -> ((s, d) => q117(s, d)),
     "q119_weighted_sample" -> ((s, d) => q119(s, d)),
     "q126_novelty_curve" -> ((s, d) => q126(s, d)),
@@ -862,6 +863,38 @@ object PipelineOps {
       .select($"rep".as("rep_id"), $"n_docs",
         ($"n_docs" - 1).as("n_removed"))
       .orderBy($"rep_id")
+  }
+
+  /** Canonical-document ELECTION — the APPLY side q81's clusters only
+    * count: within every near-dup cluster (connected components over
+    * the banded MinHash pair relation, q81's labels), elect ONE keeper —
+    * the longest member, ties to the smallest doc_id (the "keep the
+    * most complete copy" rule fuzzy dedup pipelines actually ship) —
+    * and emit a verdict row per member. The purge list is the
+    * is_keeper = 0 rows; q154 did this for span dedup, this does it at
+    * document granularity. Same relationship as q143→q154: measurement
+    * ops become actions.
+    *
+    * Scale: the pair relation is banded (never all-pairs), CC is the
+    * pointer-jumping loop over edge volume, and the election is one
+    * row_number window over CLUSTER MEMBERS only (labels exist only for
+    * edge endpoints — the deduplicated minority, not the corpus); text
+    * itself never moves, only (id, rep, n_tok).
+    */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = TextOps.md5LshScoredPairs(s, d).select($"id1", $"id2")
+    val labels = ccLabels(s,
+      pairs.union(pairs.select($"id2", $"id1")).toDF("src", "dst"))
+    val nt = docs(s, d)
+      .select($"doc_id", size($"toks").cast("long").as("n_tok"))
+    labels.join(nt, labels("id") === nt("doc_id"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy($"rep").orderBy($"n_tok".desc, $"id")))
+      .select($"rep".cast("long").as("rep_id"), $"id".as("doc_id"),
+        $"n_tok", when($"pick" === 1, 1L).otherwise(0L).as("is_keeper"))
+      .orderBy($"rep_id", $"doc_id")
   }
 
   /** Benchmark DECONTAMINATION: flag training documents sharing any
@@ -2011,6 +2044,33 @@ object PipelineOps {
          SELECT rep AS rep_id, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(*) - 1 AS BIGINT) AS n_removed
          FROM lab GROUP BY 1 ORDER BY 1"""),
+    "q170_canonical_docs" ->
+      (DuckMacros.Sm64 +
+      "CREATE OR REPLACE TEMP TABLE q170_pairs AS WITH " + TextOps.Md5LshChainSql +
+      """
+         SELECT id1, id2 FROM j WHERE jaccard > 0.8;
+         WITH RECURSIVE
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM q170_pairs
+           UNION ALL SELECT id2, id1 FROM q170_pairs),
+         reach(src, dst) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         lab AS (SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src),
+         nt AS (SELECT doc_id,
+                  CAST(len(string_split_regex(text, '\s+')) AS BIGINT)
+                    AS n_tok
+                FROM documents),
+         v AS (
+           SELECT CAST(lab.rep AS BIGINT) AS rep_id, lab.id AS doc_id,
+             nt.n_tok,
+             row_number() OVER (PARTITION BY lab.rep
+               ORDER BY nt.n_tok DESC, lab.id) AS pick
+           FROM lab JOIN nt ON lab.id = nt.doc_id)
+         SELECT rep_id, doc_id, n_tok,
+           CAST(CASE WHEN pick = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+         FROM v ORDER BY rep_id, doc_id"""),
     "q82_decontaminate" ->
       """WITH t AS (
            SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks
