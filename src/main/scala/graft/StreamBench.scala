@@ -191,6 +191,9 @@ object StreamBench {
     // broadcast-array path above does not pay.
     val knnStore = {
       import spark.implicits._
+      // serve-stream retention contract (static store here, so the
+      // wider window is free — no mutation, no GC)
+      spark.conf.set("spark.graft.index.retainEpochs", "2")
       val dir =
         s"${System.getProperty("java.io.tmpdir")}/graft_knn_store_bench"
       graft.operators.IvfIndex.build(

@@ -54,6 +54,17 @@ object VectorMath {
   def pqAdc(lut: Column, code: Column): Column =
     column(PqAdcExpr(expression(lut), expression(code)))
 
+  /** Per-(query, probed cell) residual ADC lookup table: query vector ×
+    * cell centroid (both array<long>(64)) × codebook
+    * (array<array<array<long>>>, 8×nCodes×8) → array<array<long>>
+    * (8×nCodes) of exact int64 residual-space distances
+    * lut[m][c] = Σᵢ ((qvᵢ − cqᵢ) − cbᵢ)². One fused JIT'd loop — the
+    * HOF formulation re-evaluates the interpreted residual zip_with
+    * under every one of the 8×nCodes table cells.
+    */
+  def pqLut(qv: Column, cq: Column, codebook: Column): Column =
+    column(PqLutExpr(expression(qv), expression(cq), expression(codebook)))
+
   def sqDistLongFromArrayData(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0
@@ -113,6 +124,35 @@ object VectorMath {
       m += 1
     }
     packed
+  }
+
+  def pqLutFromArrayData(qv: ArrayData, cq: ArrayData,
+      cb: ArrayData): ArrayData = {
+    val out = new Array[Any](8)
+    var m = 0
+    while (m < 8) {
+      val codes = cb.getArray(m)
+      val n = codes.numElements()
+      val row = new Array[Long](n)
+      var c = 0
+      while (c < n) {
+        val cv = codes.getArray(c)
+        var s = 0L
+        var i = 0
+        while (i < 8) {
+          val d = qv.getLong(m * 8 + i) - cq.getLong(m * 8 + i) -
+            cv.getLong(i)
+          s += d * d
+          i += 1
+        }
+        row(c) = s
+        c += 1
+      }
+      out(m) =
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(row)
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def pqAdcFromArrayData(lut: ArrayData, code: Long): Long = {
@@ -184,6 +224,23 @@ case class PqEncodeExpr(left: Expression, right: Expression)
   override def prettyName: String = "pq_encode"
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): PqEncodeExpr = copy(left = l, right = r)
+}
+
+/** qv(64) × cq(64) × codebook(8×n×8) → array<array<long>> residual LUT. */
+case class PqLutExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(ArrayType(LongType))
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    VectorMath.pqLutFromArrayData(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.VectorMath.pqLutFromArrayData($a, $b, $c)")
+  override def prettyName: String = "pq_lut"
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): PqLutExpr =
+    copy(first = f, second = s, third = t)
 }
 
 /** array<array<long>>(8×n) × long → long: Σ of the 8 addressed entries. */

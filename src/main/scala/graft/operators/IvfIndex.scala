@@ -54,13 +54,16 @@ import org.apache.spark.sql.expressions.Window
   *
   * == Replay idempotency ==
   * Ingest generations are caller-named (the streaming sink uses
-  * batchId + 1). The manifest records every generation ever committed:
-  * a replayed [[addBatch]] for a committed generation is a metadata
-  * no-op — even if compaction has since folded that generation away —
-  * so at-least-once foreachBatch recovery yields exactly-once index
-  * contents. A replay of an UNcommitted attempt re-writes the same
-  * (cid, gen) partitions via dynamic partition overwrite, replacing
-  * any partial leftovers instead of appending to them.
+  * batchId + 1). The manifest records which generations have committed
+  * as a BOUNDED structure — a contiguous high-water mark plus the
+  * out-of-order set above it ([[Snapshot]]) — so a replayed
+  * [[addBatch]] for a committed generation is a metadata no-op even if
+  * compaction has since folded that generation away, and at-least-once
+  * foreachBatch recovery yields exactly-once index contents with O(1)
+  * manifest state for a sequential writer. A replay of an UNcommitted
+  * attempt re-writes the same (cid, gen) partitions via dynamic
+  * partition overwrite, replacing any partial leftovers instead of
+  * appending to them.
   *
   * Operations:
   *   - [[build]]: train to convergence, write both relations, commit
@@ -98,18 +101,49 @@ object IvfIndex {
     new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** One committed index state. `cells` maps cid -> valid physical
-    * generations; `ingested` is every ingest generation ever committed
-    * (kept forever so replays stay no-ops across compactions);
-    * `nextInternal` is the next internal generation id (negative,
-    * decreasing — compaction/split outputs, disjoint from caller gens
-    * by sign so an ingest replay can never clobber folded data);
-    * `tombs` is the committed tombstone SET ids (delete batches) in
-    * effect at this epoch — snapshot-scoped, so a time-travel read
-    * never sees a delete committed after its epoch.
+    * generations; `nextInternal` is the next internal generation id
+    * (negative, decreasing — compaction/split outputs, disjoint from
+    * caller gens by sign so an ingest replay can never clobber folded
+    * data); `tombs` is the committed tombstone SET ids (delete batches)
+    * in effect at this epoch — snapshot-scoped, so a time-travel read
+    * never sees a delete committed after its epoch; `pqVer` is the
+    * committed PQ codebook VERSION (0 = uncompressed store) — versioned
+    * like the centroids, so a [[retrainPq]] bumps it and a time-travel
+    * read decodes with the codebook in force at its epoch, never the
+    * latest.
+    *
+    * Ingest replay-dedup state is BOUNDED: `ingestLow` is the
+    * high-water mark below which EVERY generation is committed (the
+    * contiguous prefix), and `ingested` holds only the out-of-order
+    * generations ABOVE it. A sequential writer (the streaming sink:
+    * gen = batchId + 1) keeps `ingested` permanently empty and the
+    * manifest O(1) in stream length — the unbounded
+    * one-long-per-batch-forever growth this replaces was rewritten
+    * into every manifest and re-parsed per serve trigger. Commits
+    * above the mark park in the set until the gap fills, then the
+    * mark advances and absorbs them ([[Snapshot.withIngested]]).
+    * Documented at-least-once window: a generation at or below the
+    * mark is treated as already ingested even if the caller never
+    * actually committed it — callers must name generations
+    * monotonically (the sink does) or accept that skipped ids below
+    * the mark cannot be back-filled.
     */
   private[graft] case class Snapshot(epoch: Long, centroidsVer: Long,
       cells: Map[Long, Seq[Long]], ingested: Set[Long], nextInternal: Long,
-      tombs: Seq[Long] = Nil)
+      tombs: Seq[Long] = Nil, pqVer: Long = 0L, ingestLow: Long = 0L) {
+    /** Is `gen` an already-committed ingest generation (replay = no-op)? */
+    def committedIngest(gen: Long): Boolean =
+      gen <= ingestLow || ingested.contains(gen)
+    /** Record `gen` as committed, advancing the contiguous mark through
+      * any previously-parked out-of-order generations it unblocks.
+      */
+    def withIngested(gen: Long): Snapshot = {
+      var set = ingested + gen
+      var low = ingestLow
+      while (set.contains(low + 1)) { low += 1; set -= low }
+      copy(ingested = set, ingestLow = low)
+    }
+  }
 
   private def manifestName(epoch: Long) = f"manifest-$epoch%09d"
 
@@ -135,6 +169,8 @@ object IvfIndex {
       finally in.close()
     val epoch = p.getName.stripPrefix("manifest-").toLong
     var ver = 0L
+    var pqVer = 0L
+    var ingestLow = 0L
     var nextInternal = -1L
     var ingested = Set.empty[Long]
     var cells = Map.empty[Long, Seq[Long]]
@@ -143,10 +179,12 @@ object IvfIndex {
       val Array(k, v) = ln.split("=", 2)
       k match {
         case "centroids" => ver = v.toLong
+        case "pqcodebook" => pqVer = v.toLong
         case "next_internal" => nextInternal = v.toLong
         case "ingested" =>
           ingested = if (v.isEmpty) Set.empty
             else v.split(",").map(_.toLong).toSet
+        case "ingest_low" => ingestLow = v.toLong
         case "tombs" =>
           tombs = if (v.isEmpty) Seq.empty
             else v.split(",").map(_.toLong).toSeq
@@ -160,7 +198,8 @@ object IvfIndex {
       }
     }
     require(ver > 0, s"manifest $p names no centroid version")
-    Snapshot(epoch, ver, cells, ingested, nextInternal, tombs)
+    Snapshot(epoch, ver, cells, ingested, nextInternal, tombs, pqVer,
+      ingestLow)
   }
 
   private def manifestPaths(s: SparkSession, dir: String): Seq[Path] = {
@@ -179,7 +218,13 @@ object IvfIndex {
   /** The snapshot committed AS OF `epoch` — the time-travel read. Fails
     * loudly if that epoch's manifest has been retired by the retention
     * window (raise `spark.graft.index.retainEpochs` BEFORE the
-    * mutations whose pre-state you want to serve).
+    * mutations whose pre-state you want to serve), and ALSO if the
+    * snapshot's referenced data no longer physically exists: the window
+    * check runs against the CURRENT conf, which can be raised after a
+    * narrower window's GC already reclaimed the epoch's directories — a
+    * pruned scan over missing directories would silently return partial
+    * results, so [[verifySnapshotData]] existence-checks every referenced
+    * path before any serve plans against the snapshot.
     */
   private[graft] def readSnapshotAt(s: SparkSession, dir: String,
       epoch: Long): Snapshot = {
@@ -195,7 +240,49 @@ object IvfIndex {
         s"(latest ${latest.epoch}, retainEpochs ${retainEpochs(s)}) — " +
         "its manifest file survives for recovery but its data may be " +
         "GC'd; raise spark.graft.index.retainEpochs before mutating")
+    verifySnapshotData(s, dir, snap)
     snap
+  }
+
+  /** Existence check for everything a snapshot references: the centroid
+    * version directory, every committed tombstone set, and every
+    * (cid, gen) posting directory (both the plain cid=/gen= and the
+    * labeled cid=/label=/gen= layouts — one listing per cell, metadata
+    * only, bounded by nlists). Writers never commit a (cid, gen) pair
+    * without files (emptied cells commit an empty generation LIST), so a
+    * missing directory always means reclaimed data, never a legitimately
+    * empty partition — the check can be strict.
+    */
+  private def verifySnapshotData(s: SparkSession, dir: String,
+      snap: Snapshot): Unit = {
+    val f = fs(s, dir)
+    def gone(what: String): Nothing = throw new IllegalStateException(
+      s"index $dir epoch ${snap.epoch}: $what no longer exists — its " +
+        "data was reclaimed by GC under an earlier (narrower) " +
+        "spark.graft.index.retainEpochs window; the historical epoch " +
+        "is unserveable")
+    if (!f.exists(new Path(centDir(dir, snap.centroidsVer))))
+      gone(s"centroid version ${snap.centroidsVer}")
+    if (snap.pqVer > 0 && !f.exists(new Path(pqCbDir(dir, snap.pqVer))))
+      gone(s"PQ codebook version ${snap.pqVer}")
+    snap.tombs.foreach { t =>
+      if (!f.exists(new Path(tombDir(dir), s"del=$t")))
+        gone(s"tombstone set $t")
+    }
+    snap.cells.foreach { case (cid, gens) =>
+      if (gens.nonEmpty) {
+        val cd = new Path(postDir(dir), s"cid=$cid")
+        if (!f.exists(cd)) gone(s"cell directory cid=$cid")
+        val found = f.listStatus(cd).filter(_.isDirectory).map(_.getPath)
+          .flatMap(p => if (p.getName.startsWith("label="))
+            f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+          else Array(p))
+          .map(_.getName).filter(_.startsWith("gen="))
+          .map(_.stripPrefix("gen=").toLong).toSet
+        gens.filterNot(found.contains)
+          .foreach(g => gone(s"posting generation cid=$cid/gen=$g"))
+      }
+    }
   }
 
   /** The retained snapshots — every epoch whose DATA the current
@@ -239,7 +326,9 @@ object IvfIndex {
     try {
       val sb = new StringBuilder
       sb.append(s"centroids=${snap.centroidsVer}\n")
+      if (snap.pqVer > 0) sb.append(s"pqcodebook=${snap.pqVer}\n")
       sb.append(s"next_internal=${snap.nextInternal}\n")
+      sb.append(s"ingest_low=${snap.ingestLow}\n")
       sb.append(s"ingested=${snap.ingested.toSeq.sorted.mkString(",")}\n")
       sb.append(s"tombs=${snap.tombs.sorted.mkString(",")}\n")
       snap.cells.toSeq.sortBy(_._1).foreach { case (cid, gens) =>
@@ -281,6 +370,45 @@ object IvfIndex {
       else col("cid") === cid && col("gen").isin(gens: _*)
     }.foldLeft(lit(false))(_ || _)
 
+  /** The cid= directories physically present under the posting root —
+    * builders consult this before committing so a cell the assignment
+    * left empty commits an EMPTY generation list instead of a
+    * (cid, gen) pair with no files (the invariant
+    * [[verifySnapshotData]]'s strict existence check relies on).
+    */
+  private def presentCids(s: SparkSession, dir: String): Set[Long] = {
+    val f = fs(s, dir)
+    val root = new Path(postDir(dir))
+    if (!f.exists(root)) Set.empty
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("cid=")).map(_.stripPrefix("cid=").toLong).toSet
+  }
+
+  /** Prepare a build's target directory. A build OWNS its directory,
+    * but "owns" must not mean "silently destroys whatever path the
+    * caller mistyped": the wipe only proceeds when the directory is
+    * absent, empty, or recognizably an index (every child is a known
+    * index artifact) — anything else fails loudly before a byte is
+    * deleted.
+    */
+  private def prepareBuildDir(s: SparkSession, dir: String): Unit = {
+    val f = fs(s, dir)
+    val p = new Path(dir)
+    if (f.exists(p)) {
+      val foreign = f.listStatus(p).map(_.getPath.getName).filterNot { n =>
+        n.startsWith("manifest-") || n.startsWith(".manifest-tmp-") ||
+          n.startsWith("centroids_v") || n.startsWith("pqcodebook") ||
+          n == "postings" || n == "tombstones" || n == "_SUCCESS"
+      }
+      require(foreign.isEmpty,
+        s"refusing to build into $dir: it contains non-index content " +
+          s"(${foreign.take(5).mkString(", ")}) — builds wipe their " +
+          "target, so the target must be empty or an existing index")
+      f.delete(p, true)
+    }
+    f.mkdirs(p)
+  }
+
   private def centroidsOf(s: SparkSession, dir: String,
       snap: Snapshot): DataFrame =
     s.read.parquet(centDir(dir, snap.centroidsVer))
@@ -319,9 +447,15 @@ object IvfIndex {
     * delete of the same ids only costs a redundant set.
     */
   def delete(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    // An empty batch must be a full no-op: writing it would create a
+    // del= directory holding only _SUCCESS, and committing its set id
+    // would make every later tombstone read fail parquet schema
+    // inference on the file-less directory.
+    val batch = ids.select(col("vec_id")).localCheckpoint(true)
+    if (batch.isEmpty) return
     val snap = readSnapshot(s, dir)
     val delId = snap.epoch + 1
-    ids.select(col("vec_id")).withColumn("del", lit(delId))
+    batch.withColumn("del", lit(delId))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("del").parquet(tombDir(dir))
@@ -356,9 +490,7 @@ object IvfIndex {
   def build(emb: DataFrame, dir: String): Unit = {
     val s = emb.sparkSession
     import s.implicits._
-    val f = fs(s, dir)
-    f.delete(new Path(dir), true)
-    f.mkdirs(new Path(dir))
+    prepareBuildDir(s, dir)
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
@@ -370,8 +502,10 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cid", "gen")
       .parquet(postDir(dir))
     val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
+    val present = presentCids(s, dir)
     commitSnapshot(s, dir, Snapshot(1L, 1L,
-      cids.map(_ -> Seq(0L)).toMap, Set.empty, -1L))
+      cids.map(c => c -> (if (present.contains(c)) Seq(0L)
+        else Seq.empty[Long])).toMap, Set.empty, -1L))
   }
 
   /** Top-k exact-re-rank serve from the stored index: probe the
@@ -401,10 +535,14 @@ object IvfIndex {
     serveSnap(s, dir, readSnapshotAt(s, dir, epoch), queries, probes, k)
 
   private def serveSnap(s: SparkSession, dir: String, snap: Snapshot,
-      queries: DataFrame, probes: Int, k: Int): DataFrame = {
+      queries: DataFrame, probes: Int, k: Int): DataFrame =
+    serveParts(s, centroidsOf(s, dir, snap), masked(s, dir, snap),
+      queries, probes, k)
+
+  private def serveParts(s: SparkSession, cents: DataFrame,
+      post: DataFrame, queries: DataFrame, probes: Int,
+      k: Int): DataFrame = {
     import s.implicits._
-    val cents = centroidsOf(s, dir, snap)
-    val post = masked(s, dir, snap)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .withColumn("crank", row_number().over(
@@ -437,6 +575,72 @@ object IvfIndex {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---------- serve-stream store-metadata cache ----------
+
+  /** Driver-side cache of per-epoch store metadata for the STREAMING
+    * serve tier: centroid rows (k of them) and, for PQ stores, the
+    * codebook, keyed by the committed epoch. A serve trigger always
+    * re-reads the MANIFEST — one small file, which is the freshness
+    * contract: a commit landing between triggers is picked up on the
+    * very next batch — but skips the centroid/codebook parquet reads
+    * (two Spark jobs plus their plans) when the epoch is unchanged,
+    * which is every trigger on a serving-dominated stream. One entry
+    * per index directory (the latest epoch seen wins), so the cache is
+    * bounded by the number of directories a process serves.
+    */
+  private case class CachedMeta(epoch: Long,
+      cents: Array[(Long, Array[Long])],
+      cb: Option[Array[Array[Array[Long]]]])
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedMeta]()
+
+  private def cachedMeta(s: SparkSession, dir: String, snap: Snapshot,
+      needCb: Boolean): CachedMeta = {
+    val cur = metaCache.get(dir)
+    if (cur != null && cur.epoch == snap.epoch &&
+        (!needCb || cur.cb.isDefined)) cur
+    else {
+      import s.implicits._
+      val cents = centroidsOf(s, dir, snap)
+        .select($"cid".cast("long"), $"cq")
+        .as[(Long, Array[Long])].collect()
+      val fresh = CachedMeta(snap.epoch, cents,
+        if (needCb) Some(readCb(s, dir, snap.pqVer)) else None)
+      metaCache.put(dir, fresh)
+      fresh
+    }
+  }
+
+  private def centsDf(s: SparkSession,
+      meta: CachedMeta): DataFrame = {
+    import s.implicits._
+    meta.cents.toSeq.toDF("cid", "cq")
+  }
+
+  /** [[serve]] with the per-epoch metadata cache — the streaming serve
+    * tier's entry point ([[graft.streaming.StreamOps.knnIndexServeStream]]).
+    * Identical results to [[serve]]: the manifest is still read per
+    * call, only the unchanged-epoch centroid re-read is skipped.
+    */
+  def serveCached(s: SparkSession, dir: String, queries: DataFrame,
+      probes: Int = 2, k: Int = 5): DataFrame = {
+    val snap = readSnapshot(s, dir)
+    val meta = cachedMeta(s, dir, snap, needCb = false)
+    serveParts(s, centsDf(s, meta), masked(s, dir, snap),
+      queries, probes, k)
+  }
+
+  /** [[servePq]] with the per-epoch metadata cache (centroids AND
+    * codebook — the LUT builds from the cached codebook literal).
+    */
+  def servePqCached(s: SparkSession, dir: String, queries: DataFrame,
+      probes: Int = 2, k: Int = 5): DataFrame = {
+    val snap = readSnapshot(s, dir)
+    val meta = cachedMeta(s, dir, snap, needCb = true)
+    servePqParts(s, centsDf(s, meta), meta.cb.get,
+      masked(s, dir, snap), queries, probes, k)
+  }
+
   /** Metadata-filtered index build: the same converged coarse quantizer,
     * but every posting carries its vector's `label` attribute and the
     * posting files are partitioned `cid` then `label` (then generation).
@@ -452,9 +656,7 @@ object IvfIndex {
   def buildLabeled(emb: DataFrame, dir: String): Unit = {
     val s = emb.sparkSession
     import s.implicits._
-    val f = fs(s, dir)
-    f.delete(new Path(dir), true)
-    f.mkdirs(new Path(dir))
+    prepareBuildDir(s, dir)
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
@@ -467,8 +669,10 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cid", "label", "gen")
       .parquet(postDir(dir))
     val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
+    val present = presentCids(s, dir)
     commitSnapshot(s, dir, Snapshot(1L, 1L,
-      cids.map(_ -> Seq(0L)).toMap, Set.empty, -1L))
+      cids.map(c => c -> (if (present.contains(c)) Seq(0L)
+        else Seq.empty[Long])).toMap, Set.empty, -1L))
   }
 
   /** Filtered top-k serve: each query (vec_id, qv, label) ranks only
@@ -551,12 +755,12 @@ object IvfIndex {
       s"ingest generations are caller-named positives (got $gen); " +
         "internal generations are negative by construction")
     val snap = readSnapshot(s, dir)
-    if (!snap.ingested.contains(gen)) {
+    if (!snap.committedIngest(gen)) {
       val touched = ingestFiles(s, dir, newVecs, gen)
       val cells = snap.cells ++ touched.map(c =>
         c -> (snap.cells.getOrElse(c, Seq.empty) :+ gen).distinct)
-      commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
-        cells = cells, ingested = snap.ingested + gen))
+      commitSnapshot(s, dir, snap.withIngested(gen)
+        .copy(epoch = snap.epoch + 1, cells = cells))
     }
     splitReport(s, dir)
   }
@@ -617,7 +821,14 @@ object IvfIndex {
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("cid", "gen").parquet(postDir(dir))
-        cells = cells - hot + (lo -> Seq(g)) + ((lo + 1) -> Seq(g))
+        // a degenerate 2-way train can leave one half memberless: that
+        // half commits an EMPTY generation list, never a file-less gen
+        val f = fs(s, dir)
+        def gensOf(c: Long): Seq[Long] =
+          if (f.exists(new Path(postDir(dir), s"cid=$c/gen=$g"))) Seq(g)
+          else Seq.empty[Long]
+        cells = cells - hot + (lo -> gensOf(lo)) +
+          ((lo + 1) -> gensOf(lo + 1))
         remapped
       }.reduce(_ unionByName _)
       val newVer = snap.centroidsVer + 1
@@ -635,7 +846,14 @@ object IvfIndex {
 
   // ---------- PQ-compressed store (q159) ----------
 
-  private def pqCbDir(dir: String) = s"$dir/pqcodebook"
+  private def pqCbDir(dir: String, ver: Long) = s"$dir/pqcodebook_v$ver"
+
+  /** Fixed number of per-subspace k-means rounds the PQ codebook
+    * trainer runs ([[trainPqCodebook]]). Fixed — not convergence-
+    * stopped — so the DuckDB oracle unrolls exactly this many stages
+    * with no stop decision to replay.
+    */
+  private[graft] val PqTrainIters = 2
 
   /** Exact int64 squared distance between two array<long> columns via
     * higher-order functions — used inside the PQ encode/decode
@@ -657,33 +875,40 @@ object IvfIndex {
     array(cb.map(ms => array(ms.map(cs =>
       array(cs.map(lit): _*)): _*)): _*)
 
-  /** Per-row PQ encode of `qv` against the literal codebook: for each of
-    * the 8 subspaces, the index of the nearest of its code vectors
-    * (ties to the LOWEST code, matching the oracle's (distance, code)
-    * order), packed 4 bits per subspace into ONE long. 8 codes = 8
-    * bytes logical — the q90 compression argument, now in the stored
-    * layout. A native codegen'd expression
+  /** Per-row PQ encode of the RESIDUAL `rv` against the literal
+    * codebook: for each of the 8 subspaces, the index of the nearest of
+    * its code vectors (ties to the LOWEST code, matching the oracle's
+    * (distance, code) order), packed 4 bits per subspace into ONE long.
+    * 8 codes = 8 bytes logical — the q90 compression argument, now in
+    * the stored layout. A native codegen'd expression
     * ([[graft.functions.VectorMath.pqEncode]]): the corpus-sized encode
     * pass is one tight JIT'd loop, not 128 interpreted HOF lambdas per
     * row.
     */
-  private def codeCol(cbc: Column): Column =
-    graft.functions.VectorMath.pqEncode(col("qv"), cbc)
+  private def codeCol(cbc: Column, rv: Column): Column =
+    graft.functions.VectorMath.pqEncode(rv, cbc)
 
-  /** Per-query ADC lookup table: for each subspace, the exact int64
-    * distance from the query's subvector to EVERY codebook entry —
-    * 8×16 longs computed once per query. With the table carried on the
-    * broadcast probe side, a candidate's asymmetric distance is eight
-    * table lookups summed ([[adcCol]]) instead of a per-candidate
-    * vector reconstruction — the classic ADC serving shape (q90's
-    * scaladoc names it), and identical integers: the squared distance
-    * decomposes exactly over the 8 disjoint subspaces.
+  /** Per-(query, probed cell) ADC lookup table: for each subspace, the
+    * exact int64 distance from the query RESIDUAL's subvector (query −
+    * the probed cell's centroid — codes encode residuals, so the query
+    * side must live in the same residual space) to EVERY codebook
+    * entry — 8×16 longs computed once per (query, probe). With the
+    * table carried on the broadcast probe side, a candidate's
+    * asymmetric distance is eight table lookups summed ([[adcCol]])
+    * instead of a per-candidate vector reconstruction — the classic ADC
+    * serving shape (q90's scaladoc names it), and identical integers:
+    * ||(q − cq) − recon||² = ||q − (cq + recon)||² decomposes exactly
+    * over the 8 disjoint subspaces. A fused native expression
+    * ([[graft.functions.VectorMath.pqLut]]): the HOF form re-evaluated
+    * the interpreted residual zip_with under each of the 128 table
+    * cells, which halved the streaming PQ serve rate.
     */
-  private def lutCol(cbc: Column): Column =
-    array((0 until 8).map { m =>
-      transform(element_at(cbc, m + 1),
-        cv => sqHof(slice(col("qv"), m * 8 + 1, 8), cv))
-    }: _*)
+  private def lutCol(cbc: Column, v: Column, cq: Column): Column =
+    graft.functions.VectorMath.pqLut(v, cq, cbc)
+
+  /** query − probed-cell centroid, the residual the LUT is built from. */
+  private def residCol(v: Column, cq: Column): Column =
+    zip_with(v, cq, (a, b) => a - b)
 
   /** Sum of the 8 per-subspace table lookups addressed by the packed
     * `code` — the candidate-side half of the ADC split, as a native
@@ -694,9 +919,12 @@ object IvfIndex {
   private def adcCol: Column =
     graft.functions.VectorMath.pqAdc(col("lut"), col("code"))
 
-  private def readCb(s: SparkSession, dir: String): Array[Array[Array[Long]]] = {
+  private def readCb(s: SparkSession, dir: String,
+      ver: Long): Array[Array[Array[Long]]] = {
     import s.implicits._
-    val rows = s.read.parquet(pqCbDir(dir))
+    require(ver > 0, s"index $dir has no PQ codebook (pqVer $ver) — " +
+      "not a PQ store")
+    val rows = s.read.parquet(pqCbDir(dir, ver))
       .select($"m".cast("int"), $"c".cast("int"), $"cvec")
       .as[(Int, Int, Seq[Long])].collect()
     val nCodes = rows.map(_._2).max + 1
@@ -706,53 +934,138 @@ object IvfIndex {
     cb.map(_.map(x => x))
   }
 
+  /** TRAIN the PQ codebook: per-subspace k-means (16 codes × 8
+    * subspaces) over the training population's RESIDUALS — vector minus
+    * its cell's coarse centroid — which is where IVF-PQ recall comes
+    * from: residual magnitudes are a fraction of raw coordinates, so 4
+    * bits per subspace spend their resolution on the part of the vector
+    * the coarse quantizer has not already explained. Seeds are the
+    * residual slices of the 16 smallest vec_ids (dense-ranked, the same
+    * gap-tolerant discipline as before); [[PqTrainIters]] fixed Lloyd
+    * rounds follow, each ONE exchange over the exploded (vec_id, m,
+    * slice) relation: packed argmin per (vec_id, m) — radix 16 is exact
+    * here because code ids are 0..15 by construction — then a floor-
+    * mean update per (m, code), codes that lose every member keeping
+    * their previous vector so the codebook never shrinks. All
+    * integer-exact (floor(sum/n) in IEEE double, |sum| far below 2^53),
+    * so the DuckDB oracle unrolls the rounds relationally.
+    *
+    * Scale: training cost is PqTrainIters passes over 8 slice rows per
+    * vector (the same byte volume as one full-vector pass each), all
+    * map-side-combinable; driver state is the 8×16×8 codebook.
+    */
+  private[graft] def trainPqCodebook(
+      resid: DataFrame): Array[Array[Array[Long]]] = {
+    val s = resid.sparkSession
+    import s.implicits._
+    val sub = resid.select($"vec_id", posexplode(expr(
+        "transform(sequence(0, 7), m -> slice(rv, m*8 + 1, 8))")))
+      .select($"pos".as("m"), $"vec_id", $"col".as("sv"))
+    var cb = sub.filter($"vec_id" < 16)
+      .withColumn("c", (dense_rank().over(
+        Window.partitionBy($"m").orderBy($"vec_id")) - 1).cast("int"))
+      .select($"m", $"c", $"sv".as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 0 until PqTrainIters) {
+      val assigned = sub.join(broadcast(cb), Seq("m"))
+        .withColumn("dd",
+          graft.functions.VectorMath.sqDistLong($"sv", $"cvec"))
+        .groupBy($"vec_id", $"m")
+        .agg(min($"dd" * 16L + $"c").as("packed"),
+          expr("min_by(sv, dd * 16 + c)").as("sv"))
+        .withColumn("c", pmod($"packed", lit(16L)).cast("int"))
+      val upd = assigned.groupBy($"m", $"c")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.BoundedAggs.vecSum($"sv").as("sums"))
+        .select($"m", $"c", expr(
+          "transform(sums, sv -> CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT))"
+        ).as("ncvec"))
+      cb = cb.join(upd, Seq("m", "c"), "left")
+        .select($"m", $"c", coalesce($"ncvec", $"cvec").as("cvec"))
+        .localCheckpoint(true)
+    }
+    val rows = cb.select($"m", $"c", $"cvec")
+      .as[(Int, Int, Seq[Long])].collect()
+    // a filtered build may have fewer than 16 seed ids below 16 — the
+    // codebook is then smaller (codes stay dense 0..n-1, still 4-bit)
+    val nCodes = rows.map(_._2).max + 1
+    val out = Array.ofDim[Array[Long]](8, nCodes)
+    rows.foreach { case (m, c, v) => out(m)(c) = v.toArray }
+    out.foreach(ms => require(ms.forall(_ != null),
+      "trained codebook has gaps"))
+    out.map(_.map(x => x))
+  }
+
+  private def writeCb(s: SparkSession, dir: String, ver: Long,
+      cb: Array[Array[Array[Long]]]): Unit = {
+    import s.implicits._
+    cb.zipWithIndex.flatMap { case (ms, m) =>
+      ms.zipWithIndex.map { case (cv, c) => (m, c, cv.toSeq) }
+    }.toSeq.toDF("m", "c", "cvec")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(pqCbDir(dir, ver))
+  }
+
+  /** The (vec_id, cid, rv) residual relation for an assigned population
+    * — the training and encode input. One broadcast join against the
+    * k-row centroid table; eagerly checkpointed because builders consume
+    * it PqTrainIters + 1 times.
+    */
+  private def residualsOf(assigned: DataFrame, cents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    assigned.join(broadcast(cents.select($"cid", $"cq")), Seq("cid"))
+      .select((Seq($"vec_id", $"cid",
+        zip_with($"qv", $"cq", (a, b) => a - b).as("rv")) ++
+        carry.map(col)): _*)
+      .localCheckpoint(true)
+  }
+
   /** Build the PQ-COMPRESSED store: the same converged coarse quantizer
     * as [[build]], but postings carry ONE packed int64 of PQ codes per
     * vector instead of the 64-long vector — 8 logical bytes against
     * 512, which is the difference between a billion-vector index that
     * fits the cluster's memory/cache tier and one that doesn't (q90's
-    * argument, persisted). The codebook (per-subspace code vectors from
-    * the q90 scheme: the quantized subvectors of vec_id < 16) is
-    * written once beside the centroids and is immutable for the store's
-    * lifetime — codes are codebook-relative and cell-independent, so
-    * cell maintenance never re-encodes; changing the codebook means a
-    * rebuild, as in every deployed PQ system. Both the coarse
-    * assignment and the PQ encode ride the SAME single corpus pass
-    * (the argmin aggregate carries qv; encode is a per-row literal-
-    * codebook projection — no codebook join, no second shuffle).
+    * argument, persisted). The codebook is TRAINED — per-subspace
+    * k-means over the build corpus's RESIDUALS ([[trainPqCodebook]]),
+    * the standard IVF-PQ recipe, which is where PQ recall comes from —
+    * written as an immutable VERSION beside the centroids and named by
+    * the manifest (`pqVer`): codes are codebook-relative and
+    * cell-independent, so cell maintenance never re-encodes; changing
+    * the codebook is [[retrainPq]], which re-encodes under a new
+    * version and bumps the manifest, keeping historical epochs
+    * decodable with the codebook in force when they were served. The
+    * coarse assignment, residual, and encode ride ONE corpus pass plus
+    * the bounded training rounds (encode is a per-row literal-codebook
+    * projection — no codebook join on the write path).
     */
   def buildPq(emb: DataFrame, dir: String): Unit = {
     val s = emb.sparkSession
     import s.implicits._
-    val f = fs(s, dir)
-    f.delete(new Path(dir), true)
-    f.mkdirs(new Path(dir))
+    prepareBuildDir(s, dir)
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
       emb, seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
     learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
       .parquet(centDir(dir, 1L))
-    // code ids are DENSE ranks of the seed vectors, not raw vec_ids —
-    // a filtered build (q160: base corpus) has gaps below 16, and the
-    // packed 4-bit code addresses a position in the codebook array
-    emb.filter($"vec_id" < 16)
-      .select($"vec_id", posexplode(expr(
-        "transform(sequence(0, 7), m -> slice(qv, m*8 + 1, 8))")))
-      .select($"pos".as("m"), $"vec_id", $"col".as("cvec"))
-      .withColumn("c",
-        (dense_rank().over(Window.orderBy($"vec_id")) - 1).cast("int"))
-      .select($"m", $"c", $"cvec")
-      .write.mode(SaveMode.Overwrite).parquet(pqCbDir(dir))
-    val cbc = cbLiteral(readCb(s, dir))
-    VectorOps.argminPacked(emb, learned, carryQv = true)
-      .select($"vec_id", codeCol(cbc).as("code"), $"cid",
+    // residuals of the build corpus feed BOTH the codebook training and
+    // the encode — one assignment pass, one checkpoint
+    val assigned = VectorOps.argminPacked(emb, learned, carryQv = true)
+      .select($"vec_id", $"qv", $"cid")
+    val resid = residualsOf(assigned, learned)
+    val cb = trainPqCodebook(resid.select($"vec_id", $"rv"))
+    writeCb(s, dir, 1L, cb)
+    val cbc = cbLiteral(cb)
+    resid.select($"vec_id", codeCol(cbc, $"rv").as("code"), $"cid",
         lit(0L).as("gen"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid", "gen")
       .parquet(postDir(dir))
     val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
+    val present = presentCids(s, dir)
     commitSnapshot(s, dir, Snapshot(1L, 1L,
-      cids.map(_ -> Seq(0L)).toMap, Set.empty, -1L))
+      cids.map(c => c -> (if (present.contains(c)) Seq(0L)
+        else Seq.empty[Long])).toMap, Set.empty, -1L, pqVer = 1L))
   }
 
   /** Top-k ADC serve from the compressed store: probe as [[serve]],
@@ -774,25 +1087,32 @@ object IvfIndex {
     servePqSnap(s, dir, readSnapshot(s, dir), queries, probes, k)
 
   /** [[servePq]] at a pinned epoch — see [[serveAt]] for the snapshot
-    * semantics (the codebook is immutable for the store's lifetime, so
-    * historical ADC reads need no codebook versioning).
+    * semantics. The codebook is VERSIONED like the centroids: the
+    * snapshot's `pqVer` names the codebook its codes were encoded
+    * against, so a historical read after a [[retrainPq]] decodes with
+    * that epoch's codebook, never the latest.
     */
   def servePqAt(s: SparkSession, dir: String, epoch: Long,
       queries: DataFrame, probes: Int = 2, k: Int = 5): DataFrame =
     servePqSnap(s, dir, readSnapshotAt(s, dir, epoch), queries, probes, k)
 
   private def servePqSnap(s: SparkSession, dir: String, snap: Snapshot,
+      queries: DataFrame, probes: Int, k: Int): DataFrame =
+    servePqParts(s, centroidsOf(s, dir, snap),
+      readCb(s, dir, snap.pqVer), masked(s, dir, snap), queries, probes, k)
+
+  private def servePqParts(s: SparkSession, cents: DataFrame,
+      cb: Array[Array[Array[Long]]], post: DataFrame,
       queries: DataFrame, probes: Int, k: Int): DataFrame = {
     import s.implicits._
-    val cents = centroidsOf(s, dir, snap)
-    val cbc = cbLiteral(readCb(s, dir))
-    val post = masked(s, dir, snap)
+    val cbc = cbLiteral(cb)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .withColumn("crank", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")))
       .filter($"crank" <= probes)
-      .select($"vec_id".as("query_id"), lutCol(cbc).as("lut"), $"cid")
+      .select($"vec_id".as("query_id"),
+        lutCol(cbc, $"qv", $"cq").as("lut"), $"cid")
       .localCheckpoint(true)
     val probedCells = probed.select($"cid").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -873,11 +1193,15 @@ object IvfIndex {
     require(gen > 0L,
       s"ingest generations are caller-named positives (got $gen)")
     val snap = readSnapshot(s, dir)
-    if (!snap.ingested.contains(gen)) {
-      val cbc = cbLiteral(readCb(s, dir))
-      val assigned = VectorOps.argminPacked(newVecs, centroids(s, dir),
-          carryQv = true)
-        .select($"vec_id", codeCol(cbc).as("code"), $"cid",
+    if (!snap.committedIngest(gen)) {
+      val cents = centroidsOf(s, dir, snap)
+      val cbc = cbLiteral(readCb(s, dir, snap.pqVer))
+      // residual encode against the batch's own assigned cells — same
+      // single argmin pass, the cq join-back rides the k-row broadcast
+      val assigned = VectorOps.argminPacked(newVecs, cents, carryQv = true)
+        .join(broadcast(cents.select($"cid", $"cq")), Seq("cid"))
+        .select($"vec_id",
+          codeCol(cbc, residCol($"qv", $"cq")).as("code"), $"cid",
           lit(gen).as("gen"))
         .localCheckpoint(true)
       val touched = assigned.select($"cid".cast("long")).distinct()
@@ -887,10 +1211,74 @@ object IvfIndex {
         .partitionBy("cid", "gen").parquet(postDir(dir))
       val cells = snap.cells ++ touched.map(c =>
         c -> (snap.cells.getOrElse(c, Seq.empty) :+ gen).distinct)
-      commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
-        cells = cells, ingested = snap.ingested + gen))
+      commitSnapshot(s, dir, snap.withIngested(gen)
+        .copy(epoch = snap.epoch + 1, cells = cells))
     }
     splitReport(s, dir)
+  }
+
+  /** RETRAIN the PQ codebook on the LIVE corpus's residuals and
+    * re-encode every live posting under a NEW codebook version — the
+    * "reindex the compressed tier" maintenance a deployed PQ store runs
+    * when drift (ingest distribution shift, heavy deletes) erodes code
+    * quality. PQ codes are lossy, so re-encoding needs the FULL vectors
+    * back: `corpus` (vec_id, qv) is the source of truth (the refine
+    * tier's lookup store in a deployment); live ids missing from it
+    * fail loudly rather than silently shrinking the index.
+    *
+    * The old codebook version's files stay until retention lets GC take
+    * them, and the manifest pins `pqVer` per epoch — so [[servePqAt]]
+    * before the retrain epoch decodes with the OLD codebook against the
+    * OLD generations, bit-identical to what it served then
+    * (TimeTravelSpec pins this). Tombstones are folded physically (the
+    * re-encode writes only live rows), making retrain also a full
+    * compaction.
+    *
+    * Scale: one corpus-sized join (live ids × corpus vectors), the
+    * bounded training rounds, one encode pass, one write of every live
+    * cell — by construction a full-index rewrite, the most expensive
+    * maintenance op, run on reindex cadence, never per ingest.
+    */
+  def retrainPq(s: SparkSession, dir: String, corpus: DataFrame): Unit = {
+    import s.implicits._
+    val snap = readSnapshot(s, dir)
+    require(snap.pqVer > 0, s"index $dir is not a PQ store")
+    val cents = centroidsOf(s, dir, snap)
+      .select($"cid".cast("long").as("cid"), $"cq")
+    val live = masked(s, dir, snap)
+    val hasLabel = live.columns.contains("label")
+    val keyCols = Seq($"vec_id", $"cid".cast("long").as("cid")) ++
+      (if (hasLabel) Seq($"label".cast("long").as("label")) else Nil)
+    val withV = live.select(keyCols: _*)
+      .join(corpus.select($"vec_id", $"qv"), Seq("vec_id"))
+    val carried = if (hasLabel) Seq("label") else Nil
+    val resid = residualsOf(
+      withV.select((Seq($"vec_id", $"qv", $"cid") ++ carried.map(col)): _*),
+      cents, carry = carried)
+    val nLive = live.count()
+    require(resid.count() == nLive,
+      s"retrainPq: corpus covers only ${resid.count()} of $nLive live " +
+        "vectors — refusing a lossy re-encode")
+    val newCb = trainPqCodebook(resid.select($"vec_id", $"rv"))
+    val newPqVer = snap.pqVer + 1
+    writeCb(s, dir, newPqVer, newCb)
+    val cbc = cbLiteral(newCb)
+    val newGen = snap.nextInternal
+    val partCols =
+      if (hasLabel) Seq("cid", "label", "gen") else Seq("cid", "gen")
+    resid.select((Seq($"vec_id", codeCol(cbc, $"rv").as("code"), $"cid") ++
+        carried.map(col) :+ lit(newGen).as("gen")): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*).parquet(postDir(dir))
+    val touched = resid.select($"cid".cast("long")).distinct()
+      .as[Long].collect().toSet
+    val cells = snap.cells.map { case (c, _) =>
+      c -> (if (touched(c)) Seq(newGen) else Seq.empty[Long]) }
+    commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
+      cells = cells, nextInternal = newGen - 1L, tombs = Nil,
+      pqVer = newPqVer))
+    gcSweep(s, dir)
   }
 
   /** The matrix's fourth cell — {uncompressed, PQ} × {unfiltered,
@@ -906,9 +1294,7 @@ object IvfIndex {
   def buildPqLabeled(emb: DataFrame, dir: String): Unit = {
     val s = emb.sparkSession
     import s.implicits._
-    val f = fs(s, dir)
-    f.delete(new Path(dir), true)
-    f.mkdirs(new Path(dir))
+    prepareBuildDir(s, dir)
     val seeds = emb.filter($"vec_id" < 16)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
@@ -916,23 +1302,22 @@ object IvfIndex {
       VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
     learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
       .parquet(centDir(dir, 1L))
-    emb.filter($"vec_id" < 16)
-      .select($"vec_id", posexplode(expr(
-        "transform(sequence(0, 7), m -> slice(qv, m*8 + 1, 8))")))
-      .select($"pos".as("m"), $"vec_id", $"col".as("cvec"))
-      .withColumn("c",
-        (dense_rank().over(Window.orderBy($"vec_id")) - 1).cast("int"))
-      .select($"m", $"c", $"cvec")
-      .write.mode(SaveMode.Overwrite).parquet(pqCbDir(dir))
-    val cbc = cbLiteral(readCb(s, dir))
-    VectorOps.argminPacked(emb, learned, carryQv = true, carry = Seq("label"))
-      .select($"vec_id", codeCol(cbc).as("code"), $"cid", $"label",
-        lit(0L).as("gen"))
+    val assigned = VectorOps.argminPacked(emb, learned, carryQv = true,
+        carry = Seq("label"))
+      .select($"vec_id", $"qv", $"cid", $"label")
+    val resid = residualsOf(assigned, learned, carry = Seq("label"))
+    val cb = trainPqCodebook(resid.select($"vec_id", $"rv"))
+    writeCb(s, dir, 1L, cb)
+    val cbc = cbLiteral(cb)
+    resid.select($"vec_id", codeCol(cbc, $"rv").as("code"), $"cid",
+        $"label", lit(0L).as("gen"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid", "label", "gen")
       .parquet(postDir(dir))
     val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
+    val present = presentCids(s, dir)
     commitSnapshot(s, dir, Snapshot(1L, 1L,
-      cids.map(_ -> Seq(0L)).toMap, Set.empty, -1L))
+      cids.map(c => c -> (if (present.contains(c)) Seq(0L)
+        else Seq.empty[Long])).toMap, Set.empty, -1L, pqVer = 1L))
   }
 
   /** Filtered ADC top-k: each query (vec_id, qv, label) ranks only
@@ -949,14 +1334,15 @@ object IvfIndex {
     import s.implicits._
     val snap = readSnapshot(s, dir)
     val cents = centroidsOf(s, dir, snap)
-    val cbc = cbLiteral(readCb(s, dir))
+    val cbc = cbLiteral(readCb(s, dir, snap.pqVer))
     val post = masked(s, dir, snap)
     val probed = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
       .withColumn("crank", row_number().over(
         Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")))
       .filter($"crank" <= probes)
-      .select($"vec_id".as("query_id"), lutCol(cbc).as("lut"),
+      .select($"vec_id".as("query_id"),
+        lutCol(cbc, $"qv", $"cq").as("lut"),
         $"label", $"cid")
       .localCheckpoint(true)
     val probedCells = probed.select($"cid").distinct()
@@ -1028,10 +1414,14 @@ object IvfIndex {
     * whole cell directories a split retired, superseded centroid
     * versions, and stray manifest temp files. The commit protocol makes
     * such orphans INVISIBLE to readers (the validity predicate never
-    * matches them), so vacuum is pure space reclamation and safe to run
-    * any time — it reads the manifest once and deletes only paths the
-    * manifest provably does not own. Returns one row per reclaimed
-    * path kind: (kind, n_removed).
+    * matches them), so vacuum is pure space reclamation with respect to
+    * READERS — it reads the manifest once and deletes only paths the
+    * manifest provably does not own. It is a WRITER-SIDE maintenance
+    * operation, though: like every mutation it assumes the single
+    * logical writer, and runs under that writer's schedule (temp
+    * manifests for epochs past the committed head are left alone so an
+    * in-flight commit is never yanked mid-rename). Returns one row per
+    * reclaimed path kind: (kind, n_removed).
     *
     * Scale: one directory listing of the index root + one per cell
     * directory — metadata-only, no data bytes read; a deployment runs
@@ -1057,10 +1447,12 @@ object IvfIndex {
     val liveCells: Map[Long, Set[Long]] = snaps.flatMap(_.cells.toSeq)
       .groupBy(_._1).map { case (c, gs) => c -> gs.flatMap(_._2).toSet }
     val liveCentVers = snaps.map(_.centroidsVer).toSet
+    val livePqVers = snaps.map(_.pqVer).filter(_ > 0).toSet
     val liveTombs = snaps.flatMap(_.tombs).toSet
     var orphanGens = 0L
     var orphanCells = 0L
     var staleCentroids = 0L
+    var stalePqCodebooks = 0L
     var tmpManifests = 0L
     var orphanTombs = 0L
     val postRoot = new Path(postDir(dir))
@@ -1112,14 +1504,28 @@ object IvfIndex {
         require(f.delete(p, true), s"vacuum failed to delete $p")
         staleCentroids += 1
       }
+      if (n.startsWith("pqcodebook_v") &&
+          !livePqVers.contains(n.stripPrefix("pqcodebook_v").toLong)) {
+        require(f.delete(p, true), s"vacuum failed to delete $p")
+        stalePqCodebooks += 1
+      }
+      // only reclaim temp manifests that can never commit: an epoch at
+      // or below the latest committed one would lose the optimistic-
+      // concurrency check anyway. A temp for a FUTURE epoch may belong
+      // to a mutation in flight between create and rename — deleting it
+      // would fail that writer's commit, so leave it for the next sweep.
       if (n.startsWith(".manifest-tmp-")) {
-        require(f.delete(p, false), s"vacuum failed to delete $p")
-        tmpManifests += 1
+        val latestCommitted = snaps.map(_.epoch).max
+        if (n.stripPrefix(".manifest-tmp-").toLong <= latestCommitted) {
+          require(f.delete(p, false), s"vacuum failed to delete $p")
+          tmpManifests += 1
+        }
       }
     }
     Map("orphan_gen_dirs" -> orphanGens, "orphan_cell_dirs" -> orphanCells,
       "orphan_tombstone_sets" -> orphanTombs,
       "stale_centroid_versions" -> staleCentroids,
+      "stale_pq_codebooks" -> stalePqCodebooks,
       "tmp_manifests" -> tmpManifests)
   }
 
@@ -1171,8 +1577,9 @@ object IvfIndex {
         $"n_after", $"compacted")
       .orderBy($"cid")
       .localCheckpoint(true)
-    val affected = report.filter($"compacted" === 1L)
-      .select($"cid").as[Long].collect().toSeq
+    val affectedRows = report.filter($"compacted" === 1L)
+      .select($"cid", $"n_after").as[(Long, Long)].collect().toSeq
+    val affected = affectedRows.map(_._1)
     if (affected.nonEmpty) {
       val newGen = snap.nextInternal
       val partCols =
@@ -1185,11 +1592,13 @@ object IvfIndex {
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCols: _*).parquet(postDir(dir))
-      // a fully-tombstoned cell writes no partition: its gens collapse
-      // to a generation that matches no files (the centroid row stays;
-      // occupancy reads 0). The new manifest clears the tombstone-set
-      // list: the deletes are now physical.
-      val cells = snap.cells ++ affected.map(_ -> Seq(newGen))
+      // a fully-tombstoned cell writes no partition: it commits an
+      // EMPTY generation list (the centroid row stays; occupancy reads
+      // 0) — never a generation id with no files, so snapshot
+      // existence checks stay strict. The new manifest clears the
+      // tombstone-set list: the deletes are now physical.
+      val cells = snap.cells ++ affectedRows.map { case (c, nAfter) =>
+        c -> (if (nAfter > 0) Seq(newGen) else Seq.empty[Long]) }
       commitSnapshot(s, dir, snap.copy(epoch = snap.epoch + 1,
         cells = cells, nextInternal = newGen - 1L, tombs = Nil))
     } else if (snap.tombs.nonEmpty) {
@@ -1326,22 +1735,11 @@ object IvfIndex {
     val live = emb.filter($"vec_id" % 7 =!= 0)
     val queries = live.filter($"vec_id" % 100 === 0)
     val iv = serve(s, dir, queries).select($"query_id", $"neighbor")
-    // exact side: the |queries| × corpus scored pairs fold MAP-SIDE to
-    // 5 rows per query via the bounded top-k aggregator (negated
-    // distance: score desc == dist asc, id ties asc — identical set to
-    // the window-rank form, which would shuffle and sort every pair).
-    // int64 distances here stay far below 2^53, so the double carry is
-    // exact.
-    val ex = live.crossJoin(broadcast(queries
-        .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor"),
-        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
-      .groupBy($"query_id")
-      .agg(graft.functions.BoundedAggs.topScored(
-        -$"dist".cast("double"), $"neighbor", lit(true), 5).as("top"))
-      .select($"query_id",
-        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
+    // exact side: the SHARED session ground truth ([[VectorOps.exactTop]]
+    // "live" — same population as q162's), top-5 prefix of the cached
+    // top-20; the |queries| × corpus brute force runs once per session
+    val ex = VectorOps.exactTop(s, d, "live").filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
     val matches = ex.join(iv, Seq("query_id", "neighbor"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("nm"))
     val per = ex.groupBy($"query_id").agg(count(lit(1)).as("k"))
@@ -1423,16 +1821,9 @@ object IvfIndex {
     val ref5 = refineShortlist(s, queries, emb,
         short25.select($"query_id", $"neighbor"), 5)
       .select($"query_id", $"neighbor")
-    val ex = emb.crossJoin(broadcast(queries
-        .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor"),
-        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
-      .groupBy($"query_id")
-      .agg(graft.functions.BoundedAggs.topScored(
-        -$"dist".cast("double"), $"neighbor", lit(true), 5).as("top"))
-      .select($"query_id",
-        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
+    // exact side: shared session ground truth (top-5 prefix of "full")
+    val ex = VectorOps.exactTop(s, d, "full").filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
     val mAdc = ex.join(adc5, Seq("query_id", "neighbor"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("na"))
     val mRef = ex.join(ref5, Seq("query_id", "neighbor"), "left_semi")
@@ -1485,16 +1876,10 @@ object IvfIndex {
     val ref5 = refineShortlist(s, queries, live,
         short25.select($"query_id", $"neighbor"), 5)
       .select($"query_id", $"neighbor")
-    val ex = live.crossJoin(broadcast(queries
-        .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor"),
-        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
-      .groupBy($"query_id")
-      .agg(graft.functions.BoundedAggs.topScored(
-        -$"dist".cast("double"), $"neighbor", lit(true), 5).as("top"))
-      .select($"query_id",
-        explode(expr("transform(top, t -> t.id)")).as("neighbor"))
+    // exact side: shared session ground truth (top-5 prefix of "live",
+    // the SAME brute force q158 gates against — computed once)
+    val ex = VectorOps.exactTop(s, d, "live").filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
     val mAdc = ex.join(adc5, Seq("query_id", "neighbor"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("na"))
     val mRef = ex.join(ref5, Seq("query_id", "neighbor"), "left_semi")
@@ -1811,30 +2196,97 @@ object IvfIndex {
            n_match * 1000 // k AS recall_permille
          FROM perall ORDER BY query_id"""
 
+  /** DuckDB replay of [[trainPqCodebook]]: residuals of the TRAINING
+    * population (astar ⋈ q ⋈ cstar — `q` is the build corpus the
+    * surrounding lloydCtes defined), exploded to subspace slices,
+    * seeded from the dense-ranked vec_id < 16 slices, then
+    * [[PqTrainIters]] unrolled argmin + floor-mean rounds, memberless
+    * codes keeping their previous vector. Produces `pcb<PqTrainIters>`,
+    * the trained codebook. Requires lloydCtes + lloydStarCtes in scope.
+    */
+  private def pqTrainCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""pres AS MATERIALIZED (
+           SELECT a.vec_id,
+             list_transform(list_zip(v.qv, c.cq), z -> z[1] - z[2]) AS rv
+           FROM astar a JOIN q v USING (vec_id) JOIN cstar c USING (cid)),
+         psub AS MATERIALIZED (
+           SELECT vec_id, m, rv[(m*8+1):(m*8+8)] AS sv
+           FROM pres, generate_series(0, 7) AS t(m)),
+         pcb0 AS MATERIALIZED (
+           SELECT m, CAST(row_number() OVER (PARTITION BY m
+             ORDER BY vec_id) - 1 AS INT) AS c, sv AS cvec
+           FROM psub WHERE vec_id < 16)"""
+    for (r <- 0 until PqTrainIters) {
+      sb ++= s""",
+         pa$r AS MATERIALIZED (
+           SELECT vec_id, m, c, sv FROM (
+             SELECT s.vec_id, s.m, cb.c, s.sv,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 list_sum(list_transform(list_zip(s.sv, cb.cvec),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), cb.c) AS rn
+             FROM psub s JOIN pcb$r cb ON s.m = cb.m) WHERE rn = 1),
+         pup$r AS (
+           SELECT m, c,
+             list(CAST(floor(CAST(sdim AS DOUBLE) / nv) AS BIGINT)
+               ORDER BY i) AS cvec
+           FROM (SELECT a.m, a.c, t.i, sum(a.sv[t.i]) AS sdim,
+                   count(*) AS nv
+                 FROM pa$r a, generate_series(1, 8) AS t(i)
+                 GROUP BY 1, 2, 3)
+           GROUP BY m, c),
+         pcb${r + 1} AS MATERIALIZED (
+           SELECT cb.m, cb.c, coalesce(u.cvec, cb.cvec) AS cvec
+           FROM pcb$r cb LEFT JOIN pup$r u
+             ON cb.m = u.m AND cb.c = u.c)"""
+    }
+    sb.result()
+  }
+
+  /** DuckDB replay of the residual ENCODE + reconstruction for a
+    * population CTE `pop` (vec_id, cid): codes against the trained
+    * codebook, reconstructed residual per vector. Produces `precon`
+    * (vec_id, rv). Requires pqTrainCtes + allq + cstar in scope.
+    */
+  private def pqEncodeCtes(pop: String): String =
+    s"""eres AS MATERIALIZED (
+           SELECT pp.vec_id, pp.cid,
+             list_transform(list_zip(v.qv, c.cq), z -> z[1] - z[2]) AS rv
+           FROM $pop pp JOIN allq v USING (vec_id) JOIN cstar c USING (cid)),
+         esub AS (
+           SELECT vec_id, m, rv[(m*8+1):(m*8+8)] AS sv
+           FROM eres, generate_series(0, 7) AS t(m)),
+         pcode AS MATERIALIZED (
+           SELECT vec_id, m, c FROM (
+             SELECT s.vec_id, s.m, cb.c,
+               row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+                 list_sum(list_transform(list_zip(s.sv, cb.cvec),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), cb.c) AS rn
+             FROM esub s JOIN pcb$PqTrainIters cb ON s.m = cb.m)
+           WHERE rn = 1),
+         precon AS MATERIALIZED (
+           SELECT pc.vec_id, flatten(list(cb.cvec ORDER BY pc.m)) AS rv
+           FROM pcode pc JOIN pcb$PqTrainIters cb
+             ON pc.m = cb.m AND pc.c = cb.c
+           GROUP BY 1)"""
+
+  /** The query-residual relation: each probed (query, cell) pair's
+    * query residual vs THAT cell's centroid — the LUT side of the ADC
+    * split. Requires a `qs` CTE (query_id, qv, cid[, ...]) + cstar.
+    */
+  private def pqQueryResCtes(extraCols: String = ""): String =
+    s"""qsr AS (
+           SELECT qs.query_id, qs.cid$extraCols,
+             list_transform(list_zip(qs.qv, c.cq),
+               z -> z[1] - z[2]) AS qrv
+           FROM qs JOIN cstar c USING (cid))"""
+
   private def q159OracleSql: String =
     s"""WITH ${VectorOps.lloydCtes(
            VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
          ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
-         sub AS (
-           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
-           FROM allq, generate_series(0, 7) AS t(m)),
-         cb AS MATERIALIZED (SELECT m, vec_id AS c, sv AS cvec
-           FROM sub WHERE vec_id < 16),
-         pqd AS (
-           SELECT s.vec_id, s.m, cb.c,
-             list_sum(list_transform(list_zip(s.sv, cb.cvec),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
-           FROM sub s JOIN cb ON s.m = cb.m),
-         code AS MATERIALIZED (
-           SELECT vec_id, m, c FROM (
-             SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
-                 AS rn
-             FROM pqd) WHERE rn = 1),
-         recon AS MATERIALIZED (
-           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
-           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
-           GROUP BY 1),
+         $pqTrainCtes,
+         ${pqEncodeCtes("astar")},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
              SELECT a.vec_id, a.qv, c.cid,
@@ -1842,13 +2294,14 @@ object IvfIndex {
                  list_sum(list_transform(list_zip(a.qv, c.cq),
                    z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
              FROM allq a, cstar c WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+         ${pqQueryResCtes()},
          cand AS (
-           SELECT qs.query_id, astar.vec_id AS neighbor,
-             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
-           FROM astar JOIN recon r USING (vec_id)
-             JOIN qs ON astar.cid = qs.cid
-           WHERE astar.vec_id <> qs.query_id),
+           SELECT qsr.query_id, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qsr.qrv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc
+           FROM astar JOIN precon r USING (vec_id)
+             JOIN qsr ON astar.cid = qsr.cid
+           WHERE astar.vec_id <> qsr.query_id),
          ranked AS (
            SELECT query_id, neighbor, adc,
              CAST(row_number() OVER (PARTITION BY query_id
@@ -1874,28 +2327,8 @@ object IvfIndex {
            SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
            UNION ALL
            SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
-         sub AS (
-           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
-           FROM allq, generate_series(0, 7) AS t(m)),
-         cb AS MATERIALIZED (
-           SELECT m, CAST(row_number() OVER (PARTITION BY m
-             ORDER BY vec_id) - 1 AS INT) AS c, sv AS cvec
-           FROM sub WHERE vec_id < 16 AND vec_id % 5 <> 0),
-         pqd AS (
-           SELECT s.vec_id, s.m, cb.c,
-             list_sum(list_transform(list_zip(s.sv, cb.cvec),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
-           FROM sub s JOIN cb ON s.m = cb.m),
-         code AS MATERIALIZED (
-           SELECT vec_id, m, c FROM (
-             SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
-                 AS rn
-             FROM pqd) WHERE rn = 1),
-         recon AS MATERIALIZED (
-           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
-           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
-           GROUP BY 1),
+         $pqTrainCtes,
+         ${pqEncodeCtes("comb")},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
              SELECT a.vec_id, a.qv, c.cid,
@@ -1904,13 +2337,14 @@ object IvfIndex {
                    z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
              FROM allq a, cstar c
              WHERE a.vec_id % 100 = 0 AND a.vec_id % 7 <> 0) WHERE rn <= 2),
+         ${pqQueryResCtes()},
          cand AS (
-           SELECT qs.query_id, cmb.vec_id AS neighbor,
-             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
-           FROM comb cmb JOIN recon r USING (vec_id)
-             JOIN qs ON cmb.cid = qs.cid
-           WHERE cmb.vec_id <> qs.query_id),
+           SELECT qsr.query_id, cmb.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qsr.qrv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc
+           FROM comb cmb JOIN precon r USING (vec_id)
+             JOIN qsr ON cmb.cid = qsr.cid
+           WHERE cmb.vec_id <> qsr.query_id),
          ranked AS (
            SELECT query_id, neighbor, adc,
              CAST(row_number() OVER (PARTITION BY query_id
@@ -1923,26 +2357,8 @@ object IvfIndex {
     s"""WITH ${VectorOps.lloydCtes(
            VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
          ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
-         sub AS (
-           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
-           FROM allq, generate_series(0, 7) AS t(m)),
-         cb AS MATERIALIZED (SELECT m, vec_id AS c, sv AS cvec
-           FROM sub WHERE vec_id < 16),
-         pqd AS (
-           SELECT s.vec_id, s.m, cb.c,
-             list_sum(list_transform(list_zip(s.sv, cb.cvec),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
-           FROM sub s JOIN cb ON s.m = cb.m),
-         code AS MATERIALIZED (
-           SELECT vec_id, m, c FROM (
-             SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
-                 AS rn
-             FROM pqd) WHERE rn = 1),
-         recon AS MATERIALIZED (
-           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
-           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
-           GROUP BY 1),
+         $pqTrainCtes,
+         ${pqEncodeCtes("astar")},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
              SELECT a.vec_id, a.qv, c.cid,
@@ -1950,13 +2366,14 @@ object IvfIndex {
                  list_sum(list_transform(list_zip(a.qv, c.cq),
                    z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
              FROM allq a, cstar c WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+         ${pqQueryResCtes()},
          cand AS (
-           SELECT qs.query_id, astar.vec_id AS neighbor,
-             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
-           FROM astar JOIN recon r USING (vec_id)
-             JOIN qs ON astar.cid = qs.cid
-           WHERE astar.vec_id <> qs.query_id),
+           SELECT qsr.query_id, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qsr.qrv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc
+           FROM astar JOIN precon r USING (vec_id)
+             JOIN qsr ON astar.cid = qsr.cid
+           WHERE astar.vec_id <> qsr.query_id),
          adcr AS MATERIALIZED (
            SELECT query_id, neighbor,
              row_number() OVER (PARTITION BY query_id
@@ -2028,28 +2445,8 @@ object IvfIndex {
            SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
            UNION ALL
            SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
-         sub AS (
-           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
-           FROM allq, generate_series(0, 7) AS t(m)),
-         cb AS MATERIALIZED (
-           SELECT m, CAST(row_number() OVER (PARTITION BY m
-             ORDER BY vec_id) - 1 AS INT) AS c, sv AS cvec
-           FROM sub WHERE vec_id < 16 AND vec_id % 5 <> 0),
-         pqd AS (
-           SELECT s.vec_id, s.m, cb.c,
-             list_sum(list_transform(list_zip(s.sv, cb.cvec),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
-           FROM sub s JOIN cb ON s.m = cb.m),
-         code AS MATERIALIZED (
-           SELECT vec_id, m, c FROM (
-             SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
-                 AS rn
-             FROM pqd) WHERE rn = 1),
-         recon AS MATERIALIZED (
-           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
-           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
-           GROUP BY 1),
+         $pqTrainCtes,
+         ${pqEncodeCtes("comb")},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
              SELECT a.vec_id, a.qv, c.cid,
@@ -2058,13 +2455,14 @@ object IvfIndex {
                    z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
              FROM allq a, cstar c
              WHERE a.vec_id % 100 = 0 AND a.vec_id % 7 <> 0) WHERE rn <= 2),
+         ${pqQueryResCtes()},
          cand AS (
-           SELECT qs.query_id, cmb.vec_id AS neighbor,
-             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
-           FROM comb cmb JOIN recon r USING (vec_id)
-             JOIN qs ON cmb.cid = qs.cid
-           WHERE cmb.vec_id <> qs.query_id),
+           SELECT qsr.query_id, cmb.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qsr.qrv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc
+           FROM comb cmb JOIN precon r USING (vec_id)
+             JOIN qsr ON cmb.cid = qsr.cid
+           WHERE cmb.vec_id <> qsr.query_id),
          adcr AS MATERIALIZED (
            SELECT query_id, neighbor,
              row_number() OVER (PARTITION BY query_id
@@ -2185,26 +2583,8 @@ object IvfIndex {
     s"""WITH ${VectorOps.lloydCtes(
            VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
          ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
-         sub AS (
-           SELECT vec_id, m, qv[(m*8+1):(m*8+8)] AS sv
-           FROM allq, generate_series(0, 7) AS t(m)),
-         cb AS MATERIALIZED (SELECT m, vec_id AS c, sv AS cvec
-           FROM sub WHERE vec_id < 16),
-         pqd AS (
-           SELECT s.vec_id, s.m, cb.c,
-             list_sum(list_transform(list_zip(s.sv, cb.cvec),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dd
-           FROM sub s JOIN cb ON s.m = cb.m),
-         code AS MATERIALIZED (
-           SELECT vec_id, m, c FROM (
-             SELECT vec_id, m, c,
-               row_number() OVER (PARTITION BY vec_id, m ORDER BY dd, c)
-                 AS rn
-             FROM pqd) WHERE rn = 1),
-         recon AS MATERIALIZED (
-           SELECT code.vec_id, flatten(list(cb.cvec ORDER BY code.m)) AS rv
-           FROM code JOIN cb ON code.m = cb.m AND code.c = cb.c
-           GROUP BY 1),
+         $pqTrainCtes,
+         ${pqEncodeCtes("astar")},
          lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
                  FROM embeddings),
          qs AS (
@@ -2215,14 +2595,15 @@ object IvfIndex {
                    z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
              FROM allq a JOIN lab l USING (vec_id), cstar c
              WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+         ${pqQueryResCtes(", qs.label")},
          cand AS (
-           SELECT qs.query_id, qs.label, astar.vec_id AS neighbor,
-             CAST(list_sum(list_transform(list_zip(r.rv, qs.qv),
-               p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS adc
-           FROM astar JOIN recon r USING (vec_id)
+           SELECT qsr.query_id, qsr.label, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qsr.qrv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc
+           FROM astar JOIN precon r USING (vec_id)
              JOIN lab nl USING (vec_id)
-             JOIN qs ON astar.cid = qs.cid AND nl.label = qs.label
-           WHERE astar.vec_id <> qs.query_id),
+             JOIN qsr ON astar.cid = qsr.cid AND nl.label = qsr.label
+           WHERE astar.vec_id <> qsr.query_id),
          ranked AS (
            SELECT query_id, label, neighbor, adc,
              CAST(row_number() OVER (PARTITION BY query_id

@@ -876,24 +876,42 @@ object PipelineOps {
     * ops become actions.
     *
     * Scale: the pair relation is banded (never all-pairs), CC is the
-    * pointer-jumping loop over edge volume, and the election is one
-    * row_number window over CLUSTER MEMBERS only (labels exist only for
-    * edge endpoints — the deduplicated minority, not the corpus); text
-    * itself never moves, only (id, rep, n_tok).
+    * pointer-jumping loop over edge volume, and the election is an
+    * ARGMAX AGGREGATE over cluster members (labels exist only for edge
+    * endpoints — the deduplicated minority, not the corpus): `max_by`
+    * partial-aggregates map-side, so a boilerplate mega-cluster never
+    * lands in one task the way a `row_number` window partition would
+    * (every member is retained as a verdict row, so WindowGroupLimit
+    * could not prune that shape), and the keeper join-back is a
+    * streaming probe AQE can skew-split; text itself never moves, only
+    * (id, rep, n_tok). CanonicalSkewSpec pins the aggregated plan on a
+    * constructed mega-cluster.
     */
   private def q170(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val pairs = TextOps.md5LshScoredPairs(s, d).select($"id1", $"id2")
     val labels = ccLabels(s,
       pairs.union(pairs.select($"id2", $"id1")).toDF("src", "dst"))
     val nt = docs(s, d)
       .select($"doc_id", size($"toks").cast("long").as("n_tok"))
-    labels.join(nt, labels("id") === nt("doc_id"))
-      .withColumn("pick", row_number().over(
-        Window.partitionBy($"rep").orderBy($"n_tok".desc, $"id")))
+    electCanonical(labels.join(nt, labels("id") === nt("doc_id"))
+      .select($"rep", $"id", $"n_tok"))
+  }
+
+  /** The election itself, on (rep, id, n_tok) member rows: keeper =
+    * max_by(id, (n_tok, -id)) per cluster — largest n_tok, ties to the
+    * smallest id (ids are unique, so the struct order is total and the
+    * argmax deterministic) — joined back for the per-member verdicts.
+    */
+  private[graft] def electCanonical(member: DataFrame): DataFrame = {
+    val s = member.sparkSession
+    import s.implicits._
+    val keepers = member.groupBy($"rep")
+      .agg(expr("max_by(id, struct(n_tok, -id))").as("keeper_id"))
+    member.join(keepers, Seq("rep"))
       .select($"rep".cast("long").as("rep_id"), $"id".as("doc_id"),
-        $"n_tok", when($"pick" === 1, 1L).otherwise(0L).as("is_keeper"))
+        $"n_tok", when($"id" === $"keeper_id", 1L).otherwise(0L)
+          .as("is_keeper"))
       .orderBy($"rep_id", $"doc_id")
   }
 

@@ -1879,19 +1879,15 @@ object TextOps {
       .filter($"sparse_rank" <= 20)
       .select($"query_id", $"doc_id",
         $"sparse_rank".cast("long").as("sparse_rank"))
-    val qv = emb.join(qids.select($"query_id".as("vec_id")), "vec_id")
-      .select($"vec_id".as("query_id"), $"qv".as("q_qv"))
-    // -dist as double is exact: dist ≤ dim·(2·max|component|·1000)² ≪ 2^53
-    val denseRank = emb.crossJoin(broadcast(qv))
-      .filter($"vec_id" =!= $"query_id")
-      .select($"query_id", $"vec_id".as("neighbor"),
-        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
-      .groupBy($"query_id")
-      .agg(graft.functions.BoundedAggs.topScored(
-        -$"dist".cast("double"), $"neighbor", lit(true), 20).as("top"))
-      .select($"query_id", posexplode($"top"))
-      .select($"query_id", $"col.id".as("doc_id"),
-        ($"pos" + 1).cast("long").as("dense_rank"))
+    // dense side: the SHARED session ground truth — the exact top-20
+    // over the full corpus ([[VectorOps.exactTop]] "full", the same
+    // brute force q161 gates against), restricted to this entry's
+    // query set (per-query rankings are independent, so the restriction
+    // is a plain semi-filter)
+    val denseRank = VectorOps.exactTop(s, d, "full")
+      .join(qids, "query_id")
+      .select($"query_id", $"neighbor".as("doc_id"),
+        $"rank".as("dense_rank"))
     sparseRank.join(denseRank, Seq("query_id", "doc_id"), "full_outer")
       .select($"query_id", $"doc_id",
         coalesce($"sparse_rank", lit(0L)).as("sparse_rank"),

@@ -38,7 +38,8 @@ object VectorOps {
     "q132_int8_quant" -> ((s, d) => q132(s, d)),
     "q142_hard_negatives" -> ((s, d) => q142(s, d)),
     "q147_ivf_learned" -> ((s, d) => q147(s, d)),
-    "q149_kmeans_convergence" -> ((s, d) => q149(s, d))
+    "q149_kmeans_convergence" -> ((s, d) => q149(s, d)),
+    "q171_semdedup_lloyd" -> ((s, d) => q171(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -671,6 +672,124 @@ object VectorOps {
   private[graft] val LloydMaxIters = 4
   private[graft] val LloydMinImprove = 1L
 
+  /** Session-scoped cache of the EXACT kNN ground truth the recall
+    * entries gate against. The |queries| × corpus int64-L2 brute force
+    * is the dominant cost of every recall evaluation (q158/q161/q162
+    * and q163's dense side — 33-38 s each at sf10), and several
+    * entries evaluate against the SAME population: compute each
+    * population's exact top-20 ONCE per session via the bounded top-k
+    * aggregator, checkpoint the |queries|·20-row result, and let every
+    * consumer take the rank prefix it needs (the total (dist, neighbor)
+    * order makes a top-k a strict prefix of a larger top-k). The
+    * in-process cache is the session analog of persisting the eval
+    * ground truth beside the index, which is what a deployment does —
+    * rebuilt per session, so it can never serve a stale corpus.
+    *
+    * Populations: "full" = the whole embedding corpus, queries every
+    * 100th id (q161, q163-dense); "live" = the q157/q160 lifecycle's
+    * post-delete corpus (id % 7 != 0), same query rule (q158, q162).
+    */
+  private val exactTopCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def exactTop(s: SparkSession, d: String,
+      tag: String): DataFrame =
+    exactTopCache.computeIfAbsent((d, tag), _ => {
+      import s.implicits._
+      val emb = quantized(s, d)
+      val (corpus, queries) = tag match {
+        case "full" => (emb, emb.filter($"vec_id" % 100 === 0))
+        case "live" =>
+          val live = emb.filter($"vec_id" % 7 =!= 0)
+          (live, live.filter($"vec_id" % 100 === 0))
+        case other => throw new IllegalArgumentException(
+          s"unknown exact-top population '$other'")
+      }
+      // negated distance: score desc == dist asc, id ties asc — the
+      // |queries|×corpus pairs fold MAP-SIDE to 20 rows per query;
+      // int64 distances stay far below 2^53, so the double carry is
+      // exact (q158's discipline)
+      corpus.crossJoin(broadcast(queries
+          .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor"),
+          graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+        .groupBy($"query_id")
+        .agg(graft.functions.BoundedAggs.topScored(
+          -$"dist".cast("double"), $"neighbor", lit(true), 20).as("top"))
+        .select($"query_id", posexplode($"top"))
+        .select($"query_id", $"col.id".as("neighbor"),
+          ($"pos" + 1).cast("long").as("rank"))
+        .localCheckpoint(true)
+    })
+
+  /** SemDeDup over the CONVERGED coarse quantizer — the semantic member
+    * of the dedup family (exact/MinHash/SimHash/span/chunk are all
+    * lexical; q93 is this shape's round-4 sketch on a single
+    * assignment step). Cluster the embeddings with the converged Lloyd
+    * (the q147/q152 quantizer), consider only WITHIN-CLUSTER pairs —
+    * the O(N²) → O(Σ|cell|²) cut; the q40 routing argument, and cell
+    * count scales with the corpus through the split machinery
+    * ([[graft.operators.IvfIndex.splitCells]] keeps cells at ≤2× fair
+    * share), so per-cell pair mass stays bounded at any corpus size —
+    * flag pairs whose EXACT integer cosine crosses 2/5
+    * (cross-multiplied: 25·dot² ≥ 4·|a|²·|b|², dot > 0 — operands
+    * bounded far below int64 at this quantization), and DROP the
+    * less-central member (larger distance to its own centroid, ties to
+    * the larger id): SemDeDup's "keep the prototypical copy" rule,
+    * which is exactly what makes it semantic — the survivor is chosen
+    * by geometry, not by text length. One verdict row per document
+    * (cid, vec_id, n_dup_pairs, is_dropped) — the APPLY artifact, like
+    * q170's election at document granularity.
+    *
+    * Scale: centroids broadcast; ONE corpus argmin exchange; the pair
+    * join shuffles on cid and streams its probe side, so AQE can
+    * skew-split a hot cell; verdict rollups partial-aggregate. Nothing
+    * driver-sized but the 16-row centroid table.
+    */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = lloydTrain(emb, seeds, LloydMaxIters, LloydMinImprove)
+    val v = argminPacked(emb, learned, carryQv = true)
+      .withColumn("n2", graft.functions.VectorMath.dotLong($"qv", $"qv"))
+      .localCheckpoint(true)
+    semDedupVerdicts(v)
+  }
+
+  /** The verdict core on assigned members (vec_id, cid, dist, n2, qv) —
+    * split out so the spec can feed a constructed corpus.
+    */
+  private[graft] def semDedupVerdicts(v: DataFrame): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val pairs = v.as("a").join(v.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("dot",
+        graft.functions.VectorMath.dotLong(col("a.qv"), col("b.qv")))
+      .filter($"dot" > 0 &&
+        $"dot" * $"dot" * lit(25L) >= col("a.n2") * col("b.n2") * lit(4L))
+      .select(col("a.vec_id").as("ia"), col("b.vec_id").as("ib"),
+        when(col("a.dist") > col("b.dist") ||
+          (col("a.dist") === col("b.dist") &&
+            col("a.vec_id") > col("b.vec_id")),
+          col("a.vec_id")).otherwise(col("b.vec_id")).as("drop_id"))
+      .localCheckpoint(true)
+    val perDoc = pairs.select(explode(array($"ia", $"ib")).as("vec_id"))
+      .groupBy($"vec_id").agg(count(lit(1)).as("n_dup_pairs"))
+    val dropped = pairs.select($"drop_id".as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    v.select($"vec_id", $"cid".cast("long").as("cid"))
+      .join(perDoc, Seq("vec_id"), "left")
+      .join(dropped, Seq("vec_id"), "left")
+      .select($"cid", $"vec_id",
+        coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
+        coalesce($"is_dropped", lit(0L)).as("is_dropped"))
+      .orderBy($"cid", $"vec_id")
+  }
+
   private def q147(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = quantized(s, d)
@@ -939,9 +1058,46 @@ object VectorOps {
          WHERE rank <= 5 ORDER BY query_id, rank"""
   }
 
+  private def q171OracleSql: String =
+    s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove)},
+         ${lloydStarCtes(LloydMaxIters)},
+         v AS MATERIALIZED (
+           SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, q.qv,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist,
+             CAST(list_sum(list_transform(q.qv, x -> x * x))
+               AS BIGINT) AS n2
+           FROM astar a JOIN q USING (vec_id) JOIN cstar c USING (cid)),
+         pr0 AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib, a.dist AS da,
+             b.dist AS db,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               z -> z[1] * z[2])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+           FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         pr AS MATERIALIZED (
+           SELECT ia, ib,
+             CASE WHEN da > db OR (da = db AND ia > ib)
+                  THEN ia ELSE ib END AS drop_id
+           FROM pr0 WHERE dot > 0 AND dot * dot * 25 >= na * nb * 4),
+         perdoc AS (
+           SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_pairs
+           FROM (SELECT ia AS vec_id FROM pr
+                 UNION ALL SELECT ib FROM pr)
+           GROUP BY 1),
+         dropped AS (SELECT DISTINCT drop_id AS vec_id FROM pr)
+         SELECT v.cid, v.vec_id,
+           coalesce(perdoc.n_dup_pairs, 0) AS n_dup_pairs,
+           CAST(CASE WHEN dropped.vec_id IS NOT NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS is_dropped
+         FROM v LEFT JOIN perdoc USING (vec_id)
+           LEFT JOIN dropped USING (vec_id)
+         ORDER BY cid, vec_id"""
+
   def oracles: Map[String, String] = Map(
     "q149_kmeans_convergence" -> q149OracleSql,
     "q147_ivf_learned" -> q147OracleSql,
+    "q171_semdedup_lloyd" -> q171OracleSql,
     "q105_ivfpq_ann" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,

@@ -1079,25 +1079,53 @@ object StreamOps {
     * its manifest on EVERY trigger, so a generation committed by a
     * concurrent [[indexIngestStream]] — or a compaction or cell split —
     * is visible to the very next batch: the reader side of the index's
-    * manifest snapshot protocol, with no restart and no stale-handle
-    * window (a serve never straddles a commit, because each batch binds
-    * to the manifest it opened).
+    * manifest snapshot protocol, with no restart.
+    *
+    * Retention contract: binding a batch to the manifest it opened does
+    * NOT protect that manifest's FILES — under
+    * `spark.graft.index.retainEpochs = 1` a concurrent mutation's
+    * inline GC may reclaim the superseded generation directories the
+    * moment its commit lands, failing a serve batch mid-scan. A serve
+    * stream that shares its directory with a mutating stream therefore
+    * needs one epoch of slack, so construction REQUIRES the conf at 2
+    * or higher (enforced here because the wrapper cannot know whether a
+    * mutator shares the directory; on a static index the wider window
+    * costs nothing — no mutation, no GC). The conf is read per-sweep by
+    * the WRITER's GC, so in a multi-session deployment the writer's
+    * session must carry it too.
     *
     * Scale: per trigger the query batch broadcasts (bounded by the
     * trigger interval), the manifest re-read is one small-file open,
     * and the posting scan is pruned to the batch's probed cells — the
     * serve cost tracks nprobe/nlists of the corpus per batch exactly
-    * like the batch serve, regardless of stream length.
+    * like the batch serve, regardless of stream length. Store metadata
+    * (centroids; the PQ codebook on the compressed tier) is CACHED per
+    * committed epoch ([[graft.operators.IvfIndex.serveCached]]), so an
+    * unchanged-epoch trigger pays one manifest read and zero metadata
+    * jobs; a commit between triggers changes the epoch and refreshes
+    * the cache on the next batch.
     */
   def knnIndexServeStream(qs: Dataset[VecEvent], dir: String,
       probes: Int = 2, k: Int = 5)(
-      emit: (DataFrame, Long) => Unit): StreamingQuery =
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    requireServeRetention(qs.sparkSession)
     toForeachBatch(qs.toDF(), OutputMode.Append) { (batch, batchId) =>
       if (!batch.isEmpty)
-        emit(graft.operators.IvfIndex.serve(batch.sparkSession, dir,
+        emit(graft.operators.IvfIndex.serveCached(batch.sparkSession, dir,
           batch.select(col("qid").as("vec_id"), col("qv")), probes, k),
           batchId)
     }
+  }
+
+  /** See the retention contract on [[knnIndexServeStream]]. */
+  private def requireServeRetention(s: SparkSession): Unit = {
+    val n = s.conf.get("spark.graft.index.retainEpochs", "1").toInt
+    require(n >= 2,
+      s"index serve streams need spark.graft.index.retainEpochs >= 2 " +
+        s"(got $n): with a 1-epoch window, a concurrent mutating " +
+        "stream's GC can reclaim the generation directories a serve " +
+        "batch is scanning the moment a newer epoch commits")
+  }
 
   /** A rate/reference-data update on the right side of a streaming as-of
     * join (public: encoder requirement).
@@ -1173,17 +1201,20 @@ object StreamOps {
     * committed at that moment — the per-query lookup tables are computed
     * on the broadcast probe side each batch, and the probed posting scan
     * reads 8 logical bytes per candidate. Emits (query_id, rank,
-    * neighbor, adc) per batch.
+    * neighbor, adc) per batch. Same retention contract as
+    * [[knnIndexServeStream]] (retainEpochs >= 2, enforced).
     */
   def knnPqIndexServeStream(qs: Dataset[VecEvent], dir: String,
       probes: Int = 2, k: Int = 5)(
-      emit: (DataFrame, Long) => Unit): StreamingQuery =
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    requireServeRetention(qs.sparkSession)
     toForeachBatch(qs.toDF(), OutputMode.Append) { (batch, batchId) =>
       if (!batch.isEmpty)
-        emit(graft.operators.IvfIndex.servePq(batch.sparkSession, dir,
+        emit(graft.operators.IvfIndex.servePqCached(batch.sparkSession, dir,
           batch.select(col("qid").as("vec_id"), col("qv")), probes, k),
           batchId)
     }
+  }
 
   /** Per-key state of [[asofStream]]: time-sorted recent rate updates
     * (public: Spark encoders need a public case class at codegen time).

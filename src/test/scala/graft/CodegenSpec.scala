@@ -101,6 +101,19 @@ class CodegenSpec extends SparkSpec {
       pq.filter(_.getLong(0) < 16).foreach(r =>
         assert(r.getLong(2) == 0L, s"seed ${r.getLong(0)} adc ${r.getLong(2)}"))
       assert(pq.forall(_.getLong(2) >= 0L))
+      // the fused residual LUT equals the HOF formulation cell-by-cell
+      // (lut[m][c] = || (qv - cq) - cb[m][c] ||², cq = first vector)
+      val cq0 = array(cbRows.head.map(lit): _*)
+      val lutPair = e.limit(50).select(
+        VectorMath.pqLut($"qv", cq0, cbc).as("fused"),
+        array((0 until 8).map(m =>
+          transform(element_at(cbc, m + 1), cv =>
+            VectorMath.sqDistLong(
+              slice(zip_with($"qv", cq0, (a, b) => a - b),
+                m * 8 + 1, 8), cv))): _*).as("hof"))
+        .as[(Seq[Seq[Long]], Seq[Seq[Long]])].collect()
+      assert(lutPair.nonEmpty)
+      lutPair.foreach { case (f, h) => assert(f === h) }
     }
   }
 

@@ -63,6 +63,9 @@ class IndexStreamSpec extends SparkSpec {
   test("a live serve stream tracks a live ingest stream's commits, batch-equal at every point") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    // the serve streams' retention contract: a mutator sharing the dir
+    // needs one epoch of GC slack (construction enforces >= 2)
+    spark.conf.set("spark.graft.index.retainEpochs", "2")
     val emb = VectorOps.quantized(spark, sfDir)
     val base = emb.filter($"vec_id" % 5 =!= 0)
     val d = dir("concurrent")
@@ -107,12 +110,16 @@ class IndexStreamSpec extends SparkSpec {
       // the fixture must actually change what is served as data lands
       assert(expect0 !== expect1,
         "ingest should change some top-k on this fixture")
-    } finally { ingest.stop(); serve.stop() }
+    } finally {
+      ingest.stop(); serve.stop()
+      spark.conf.unset("spark.graft.index.retainEpochs")
+    }
   }
 
   test("the PQ tier streams too: packed-code ingest + live ADC serve, batch-equal") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.graft.index.retainEpochs", "2")
     val emb = VectorOps.quantized(spark, sfDir)
     val base = emb.filter($"vec_id" % 5 =!= 0)
     val d = dir("pq")
@@ -157,6 +164,9 @@ class IndexStreamSpec extends SparkSpec {
       assert(served(2) === expect2, "PQ serve 3 != post-compaction batch serve")
       assert(expect0 !== expect1,
         "PQ ingest should change some top-k on this fixture")
-    } finally { ingest.stop(); serve.stop() }
+    } finally {
+      ingest.stop(); serve.stop()
+      spark.conf.unset("spark.graft.index.retainEpochs")
+    }
   }
 }

@@ -169,19 +169,27 @@ class IvfIndexSpec extends SparkSpec {
     val byId = vecs.map(v => v._1 -> v._2).toMap
     def d2(a: Seq[Long], b: Seq[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
-    val seeds = vecs.filter(_._1 < 16).sortBy(_._1).map(_._2)
-    def recon(qv: Seq[Long]): Seq[Long] =
-      (0 until 8).flatMap { m =>
-        val sv = qv.slice(m * 8, m * 8 + 8)
-        seeds.zipWithIndex
-          .minBy { case (s, c) => (d2(sv, s.slice(m * 8, m * 8 + 8)), c) }
-          ._1.slice(m * 8, m * 8 + 8)
-      }
+    // the stored TRAINED codebook (training itself is pinned by the
+    // unlabeled spec + the q165 oracle); codes/ADC live in RESIDUAL
+    // space — vector minus its cell's centroid
+    val cbRows = spark.read.parquet(s"$dir/pqcodebook_v1")
+      .select($"m".cast("int"), $"c".cast("int"), $"cvec")
+      .as[(Int, Int, Seq[Long])].collect()
+    val cbm = cbRows.map { case (m, c, v) => (m, c) -> v }.toMap
+    val nCodes = cbRows.map(_._2).max + 1
     val cents = IvfIndex.centroids(spark, dir)
       .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])]
       .collect().sortBy(_._1)
+    val centMap = cents.toMap
     def assign(qv: Seq[Long]): Long =
       cents.minBy { case (c, cq) => (d2(qv, cq), c) }._1
+    def residOf(qv: Seq[Long], cell: Long): Seq[Long] =
+      qv.zip(centMap(cell)).map { case (x, c) => x - c }
+    def reconResid(rv: Seq[Long]): Seq[Long] =
+      (0 until 8).flatMap { m =>
+        val sv = rv.slice(m * 8, m * 8 + 8)
+        cbm((m, (0 until nCodes).minBy(c => (d2(sv, cbm((m, c))), c))))
+      }
     val assigned = vecs.map { case (id, qv, lab) => (id, assign(qv), lab) }
     val expected = queries.as[(Long, Seq[Long], Long)].collect()
       .flatMap { case (qid, qv, qlab) =>
@@ -190,7 +198,8 @@ class IvfIndexSpec extends SparkSpec {
         assigned
           .filter { case (id, c, lab) =>
             id != qid && lab == qlab && probes.contains(c) }
-          .map { case (id, _, _) => (id, d2(recon(byId(id)), qv)) }
+          .map { case (id, c, _) =>
+            (id, d2(reconResid(residOf(byId(id), c)), residOf(qv, c))) }
           .sortBy { case (id, adc) => (adc, id) }.take(5)
           .zipWithIndex
           .map { case ((id, adc), r) =>
@@ -513,25 +522,64 @@ class IvfIndexSpec extends SparkSpec {
     assert(post.count() === emb.count())
     assert(pqB * 4 < qvB,
       s"pq store should be > 4x smaller on disk: qv=$qvB pq=$pqB")
-    // stored codes equal a driver-side encode (argmin per subspace,
-    // ties to the lowest code) for every vector of one cell
-    val cbRows = spark.read.parquet(s"$pqDir/pqcodebook")
+    // the stored codebook equals a driver replication of the trainer:
+    // per-subspace k-means (PqTrainIters rounds, floor-mean updates,
+    // memberless codes keep their vector) on RESIDUALS — vector minus
+    // its assigned cell's centroid. The uncompressed store built on the
+    // same corpus supplies the assignment (identical lloydTrain run).
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val cellOf = IvfIndex.postings(spark, qvDir)
+      .select($"vec_id", $"cid".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    val centMap = IvfIndex.centroids(spark, pqDir)
+      .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])]
+      .collect().toMap
+    val allVecs = emb.as[(Long, Seq[Long])].collect()
+    val resid = allVecs.map { case (id, qv) =>
+      id -> qv.zip(centMap(cellOf(id))).map { case (x, c) => x - c } }
+    val sub = resid.flatMap { case (id, rv) =>
+      (0 until 8).map(m => (id, m, rv.slice(m * 8, m * 8 + 8))) }
+    var wantCb: Array[Array[Seq[Long]]] = Array.tabulate(8) { m =>
+      sub.filter(r => r._1 < 16 && r._2 == m).sortBy(_._1).map(_._3)
+    }
+    for (_ <- 0 until 2) {
+      val next = wantCb.map(_.clone())
+      for (m <- 0 until 8) {
+        sub.filter(_._2 == m)
+          .map { case (_, _, sv) =>
+            (wantCb(m).zipWithIndex
+              .minBy { case (cv, ci) => (d2(sv, cv), ci) }._2, sv) }
+          .groupBy(_._1).foreach { case (c, svs) =>
+            next(m)(c) = (0 until 8).map(i =>
+              math.floor(svs.map(_._2(i)).sum.toDouble / svs.size).toLong)
+          }
+      }
+      wantCb = next
+    }
+    val cbRows = spark.read.parquet(s"$pqDir/pqcodebook_v1")
       .select($"m".cast("int"), $"c".cast("int"), $"cvec")
       .as[(Int, Int, Seq[Long])].collect()
     val cb = cbRows.map { case (m, c, v) => (m, c) -> v }.toMap
+    val nCodes = cbRows.map(_._2).max + 1
+    (0 until 8).foreach { m =>
+      assert(wantCb(m).length === nCodes)
+      (0 until nCodes).foreach(c =>
+        assert(cb((m, c)) === wantCb(m)(c),
+          s"trained codebook differs at subspace $m code $c"))
+    }
+    // stored codes equal a driver-side RESIDUAL encode (argmin per
+    // subspace, ties to the lowest code) for every vector of one cell
     val someCell = post.select($"cid".cast("long")).distinct()
       .orderBy($"cid").as[Long].head()
     val stored = post.filter($"cid" === someCell)
       .select($"vec_id", $"code").as[(Long, Long)].collect().toMap
-    val byId = emb.filter($"vec_id".isin(stored.keys.toSeq: _*))
-      .as[(Long, Seq[Long])].collect().toMap
-    def d2(a: Seq[Long], b: Seq[Long]): Long =
-      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val residMap = resid.toMap
     stored.foreach { case (id, code) =>
-      val v = byId(id)
+      val rv = residMap(id)
       val want = (0 until 8).map { m =>
-        val sv = v.slice(m * 8, m * 8 + 8)
-        val c = (0 until 16).minBy(c => (d2(sv, cb((m, c))), c)).toLong
+        val sv = rv.slice(m * 8, m * 8 + 8)
+        val c = (0 until nCodes).minBy(c => (d2(sv, cb((m, c))), c)).toLong
         c << (4 * m)
       }.sum
       assert(code === want, s"vector $id stored code $code, expected $want")
@@ -617,7 +665,7 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(IvfIndex.postings(spark, dir).count() === afterWinner,
       "the winning commit must survive the stale committer")
-    assert(IvfIndex.readSnapshot(spark, dir).ingested === Set(1L),
+    assert(IvfIndex.readSnapshot(spark, dir).committedIngest(1L),
       "the ingested generation must still be committed")
   }
 
@@ -740,5 +788,118 @@ class IvfIndexSpec extends SparkSpec {
       refTot += nr; adcTot += na
     }
     assert(refTot >= adcTot)
+  }
+
+  test("an empty delete batch is a full no-op: no file-less tombstone set, no epoch") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("emptydel") + "/idx"
+    IvfIndex.build(emb, dir)
+    val before = IvfIndex.readSnapshot(spark, dir).epoch
+    // first-ever delete, empty: committing its set id would leave a
+    // del= directory holding only _SUCCESS and break every later
+    // tombstone read on parquet schema inference
+    IvfIndex.delete(spark, dir, emb.filter($"vec_id" < 0).select($"vec_id"))
+    assert(IvfIndex.readSnapshot(spark, dir).epoch === before,
+      "an empty delete must not commit an epoch")
+    assert(!new java.io.File(s"$dir/tombstones").exists,
+      "an empty delete must not create the tombstone dir")
+    // the store still serves, and a real delete afterwards still works
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    assert(IvfIndex.serve(spark, dir, queries).count() > 0)
+    IvfIndex.delete(spark, dir, emb.filter($"vec_id" % 7 === 0)
+      .select($"vec_id"))
+    // empty again, now WITH committed tombstones: still a no-op
+    val afterReal = IvfIndex.readSnapshot(spark, dir)
+    IvfIndex.delete(spark, dir, emb.filter($"vec_id" < 0).select($"vec_id"))
+    assert(IvfIndex.readSnapshot(spark, dir).epoch === afterReal.epoch)
+    assert(IvfIndex.postings(spark, dir).count() > 0)
+    assert(IvfIndex.serve(spark, dir, queries)
+      .filter($"neighbor" % 7 === 0).count() === 0,
+      "the real delete must still mask")
+  }
+
+  test("build refuses to wipe a directory holding non-index content") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("wipeguard")
+    val stray = new java.io.File(dir, "payroll.csv")
+    assert(stray.createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.build(emb, dir)
+    }
+    assert(e.getMessage.contains("non-index content"))
+    assert(stray.exists, "the guard must fire BEFORE any deletion")
+    // an existing INDEX directory is fair game: rebuild over it
+    val idxDir = tmp("wipeok") + "/idx"
+    IvfIndex.build(emb.filter($"vec_id" % 2 === 0), idxDir)
+    IvfIndex.build(emb, idxDir)
+    assert(IvfIndex.postings(spark, idxDir).count() === emb.count())
+  }
+
+  test("vacuum leaves an in-flight temp manifest (future epoch), reclaims stale ones") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("tmpman") + "/idx"
+    IvfIndex.build(emb, dir) // epoch 1
+    // a stale temp (epoch <= committed head: its commit would lose the
+    // optimistic check anyway) and an in-flight temp for the NEXT epoch
+    // (a concurrent mutation between create and rename)
+    val stale = new java.io.File(dir, ".manifest-tmp-1")
+    val inflight = new java.io.File(dir, ".manifest-tmp-2")
+    assert(stale.createNewFile() && inflight.createNewFile())
+    val report = IvfIndex.vacuum(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(report("tmp_manifests") === 1L, report.toString)
+    assert(!stale.exists, "the stale temp must be reclaimed")
+    assert(inflight.exists,
+      "an in-flight temp manifest must never be yanked mid-commit")
+  }
+
+  test("ingest replay-dedup state stays O(1) for a sequential writer, bounded under disorder") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("hwm") + "/idx"
+    IvfIndex.build(emb.filter($"vec_id" % 5 =!= 0), dir)
+    val fifth = emb.filter($"vec_id" % 5 === 0)
+      .select($"vec_id", $"qv").as[(Long, Seq[Long])].collect()
+    def oneVec(i: Int) = Seq(fifth(i)).toDF("vec_id", "qv")
+    // 30 sequential one-vector ingest batches, compaction every 10 —
+    // the streaming sink's shape (gen = batchId + 1, monotone)
+    (0 until 30).foreach { i =>
+      IvfIndex.addBatch(spark, dir, oneVec(i), gen = i + 1L)
+      if ((i + 1) % 10 == 0) IvfIndex.compact(spark, dir)
+    }
+    val snap = IvfIndex.readSnapshot(spark, dir)
+    assert(snap.ingestLow === 30L)
+    assert(snap.ingested.isEmpty,
+      "a sequential writer must leave the out-of-order set empty")
+    // the manifest FILE carries no per-batch entries: O(live gens),
+    // not O(stream length) — the growth this scheme exists to kill
+    val manifest = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("manifest-")).maxBy(_.getName)
+    val text = {
+      val src = scala.io.Source.fromFile(manifest)
+      try src.mkString finally src.close()
+    }
+    assert(text.linesIterator.contains("ingest_low=30"), text)
+    assert(text.linesIterator.contains("ingested="), text)
+    // replays anywhere at or below the mark are no-ops, even across
+    // the compactions that folded those generations away
+    val before = IvfIndex.postings(spark, dir).count()
+    IvfIndex.addBatch(spark, dir, oneVec(6), gen = 7L)
+    IvfIndex.addBatch(spark, dir, oneVec(29), gen = 30L)
+    assert(IvfIndex.postings(spark, dir).count() === before)
+    // out-of-order commits park in the bounded set, then the mark
+    // absorbs them when the gap fills
+    IvfIndex.addBatch(spark, dir, oneVec(34), gen = 35L)
+    val parked = IvfIndex.readSnapshot(spark, dir)
+    assert(parked.ingestLow === 30L && parked.ingested === Set(35L))
+    (30 to 33).foreach(i =>
+      IvfIndex.addBatch(spark, dir, oneVec(i), gen = i + 1L))
+    val drained = IvfIndex.readSnapshot(spark, dir)
+    assert(drained.ingestLow === 35L && drained.ingested.isEmpty)
+    // contents: base + 35 distinct ingested vectors, each stored once
+    assert(IvfIndex.postings(spark, dir).count() === before + 5)
   }
 }

@@ -90,6 +90,7 @@ class KnnStreamSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.{IvfIndex, VectorOps}
+    spark.conf.set("spark.graft.index.retainEpochs", "2")
     val emb = VectorOps.quantized(spark, sfDir)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_knn_store").toString + "/idx"
@@ -123,7 +124,10 @@ class KnnStreamSpec extends SparkSpec {
       IvfIndex.addBatch(spark, dir, emb.filter($"vec_id" % 5 === 0))
       in.addData(batch2)
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.graft.index.retainEpochs")
+    }
     assert(got.values.exists(_ == expected1),
       "first trigger must equal the pre-ingest batch serve")
     val expected2 = served(qdf(batch2))

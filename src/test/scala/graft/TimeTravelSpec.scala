@@ -141,4 +141,71 @@ class TimeTravelSpec extends SparkSpec {
         "reclaiming history changed the live serve")
     } finally spark.conf.unset("spark.graft.index.retainEpochs")
   }
+
+  test("raising retainEpochs after a narrow window's GC cannot resurrect reclaimed epochs") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val dir = tmp("resurrect")
+    // the whole lifecycle under the DEFAULT 1-epoch window: compaction's
+    // GC reclaims the folded generations and the tombstone set
+    IvfIndex.build(emb.filter($"vec_id" % 5 =!= 0), dir) // epoch 1
+    IvfIndex.addBatch(spark, dir, emb.filter($"vec_id" % 5 === 0)) // 2
+    IvfIndex.delete(spark, dir,
+      emb.filter($"vec_id" % 7 === 0).select($"vec_id")) // epoch 3
+    IvfIndex.compact(spark, dir) // epoch 4; epoch 3's gens + tombs GC'd
+    // policy change AFTER the fact: the conf-window check alone would
+    // now pass for epoch 3 (manifest file survives as the spare) and a
+    // pruned scan over the missing directories would silently serve
+    // partial results — the existence check must fail loudly instead
+    spark.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      val e = intercept[IllegalStateException] {
+        IvfIndex.serveAt(spark, dir, 3L,
+          emb.filter($"vec_id" % 100 === 0)).collect()
+      }
+      assert(e.getMessage.contains("reclaimed"), e.getMessage)
+      // the live head is untouched by the failed historical read
+      assert(IvfIndex.serve(spark, dir,
+        emb.filter($"vec_id" % 100 === 0 && $"vec_id" % 7 =!= 0))
+        .count() > 0)
+    } finally spark.conf.unset("spark.graft.index.retainEpochs")
+  }
+
+  test("a codebook retrain bumps pqVer; asof serves decode with the codebook of their epoch") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      val emb = VectorOps.quantized(spark, sfDir)
+      val dir = tmp("pqretrain")
+      IvfIndex.buildPq(emb.filter($"vec_id" % 5 =!= 0), dir) // epoch 1
+      val queries = emb.filter($"vec_id" % 100 === 0)
+      val pre = IvfIndex.servePq(spark, dir, queries)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // ingest the held-out fifth (epoch 2), then RETRAIN the codebook
+      // on the live corpus residuals — full re-encode, pqVer 1 -> 2
+      IvfIndex.addBatchPq(spark, dir, emb.filter($"vec_id" % 5 === 0))
+      IvfIndex.retrainPq(spark, dir, emb)
+      assert(IvfIndex.readSnapshot(spark, dir).pqVer === 2L)
+      assert(IvfIndex.postings(spark, dir).count() === emb.count(),
+        "retrain must re-encode every live vector")
+      // the historical epoch decodes with ITS codebook version against
+      // ITS generations — bit-equal to what it served before anything
+      // mutated, even though the live store now runs codebook v2
+      val asof = IvfIndex.servePqAt(spark, dir, 1L, queries)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(asof === pre,
+        "asof serve after a retrain must use the old codebook")
+      assert(new java.io.File(s"$dir/pqcodebook_v1").exists)
+      assert(new java.io.File(s"$dir/pqcodebook_v2").exists)
+      // narrowing retention reclaims the superseded codebook version
+      spark.conf.set("spark.graft.index.retainEpochs", "1")
+      val rep = IvfIndex.vacuum(spark, dir)
+        .as[(String, Long)].collect().toMap
+      assert(rep("stale_pq_codebooks") === 1L, rep.toString)
+      assert(!new java.io.File(s"$dir/pqcodebook_v1").exists)
+      assert(new java.io.File(s"$dir/pqcodebook_v2").exists)
+      // the live store is untouched by the reclamation
+      assert(IvfIndex.servePq(spark, dir, queries).count() > 0)
+    } finally spark.conf.unset("spark.graft.index.retainEpochs")
+  }
 }
