@@ -432,6 +432,14 @@ object IvfIndex {
   def postings(s: SparkSession, dir: String): DataFrame =
     postingsOf(s, dir, readSnapshot(s, dir))
 
+  /** The LIVE logical contents (vec_id, cid) of the committed snapshot —
+    * [[postings]] with the tombstone mask applied: the relation a serve
+    * ranks and a [[mergeFrom]] moves.
+    */
+  def liveContents(s: SparkSession, dir: String): DataFrame =
+    masked(s, dir, readSnapshot(s, dir))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+
   /** Tombstone deletes: record the ids under `tombstones/del=<epoch>/`
     * without touching a posting byte — the LSM discipline every mutable
     * index uses at scale — and COMMIT the set in the manifest, so the
@@ -765,6 +773,41 @@ object IvfIndex {
     splitReport(s, dir)
   }
 
+  /** MERGE another raw IVF store's LIVE contents into this one — the
+    * shard-consolidation operation a 100 TB deployment runs when index
+    * builds are sharded (per-partition / per-day builds merged into the
+    * serving store): the source's masked postings (its tombstones
+    * applied — a merge must not resurrect the source's deletes) are
+    * re-assigned to THIS store's centroids in one broadcast-argmin pass
+    * and committed as ingest generation `gen` under the standard
+    * manifest discipline, so a merge is exactly-once under replay,
+    * visible to concurrent serve streams at its commit, time-travelable,
+    * and compactable like any other ingest. The source store is read
+    * through its own committed snapshot and never modified.
+    *
+    * Raw stores only (both sides): PQ codes are codebook-relative, so
+    * merging a compressed store means decode→re-encode — a LOSSY step a
+    * deployment must opt into explicitly (re-encode from the original
+    * vectors instead); refusing here keeps the merged store bit-exact.
+    *
+    * Scale: the moved bytes are the SOURCE's live postings exactly once
+    * (one scan, one argmin exchange, one partitioned write); the
+    * destination's existing postings are untouched files — merge cost
+    * tracks the smaller shard, never the serving store.
+    */
+  def mergeFrom(s: SparkSession, dstDir: String, srcDir: String,
+      gen: Long): DataFrame = {
+    val srcSnap = readSnapshot(s, srcDir)
+    require(srcSnap.pqVer == 0L,
+      s"mergeFrom: source $srcDir is a PQ store (codebook v${srcSnap.pqVer}); " +
+        "PQ codes are codebook-relative — re-encode from the original " +
+        "vectors instead of merging stores")
+    require(readSnapshot(s, dstDir).pqVer == 0L,
+      s"mergeFrom: destination $dstDir is a PQ store; raw stores only")
+    addBatch(s, dstDir,
+      masked(s, srcDir, srcSnap).select(col("vec_id"), col("qv")), gen)
+  }
+
   /** Execute the re-splits [[addBatch]]'s `needs_split` flag schedules:
     * for every flagged cell, train a 2-centroid Lloyd to convergence on
     * THAT CELL'S stored postings only (seeds = the cell's two smallest
@@ -954,14 +997,14 @@ object IvfIndex {
     * vector (the same byte volume as one full-vector pass each), all
     * map-side-combinable; driver state is the 8×16×8 codebook.
     */
-  private[graft] def trainPqCodebook(
-      resid: DataFrame): Array[Array[Array[Long]]] = {
+  private[graft] def trainPqCodebook(resid: DataFrame,
+      seedF: Column = col("vec_id") < 16): Array[Array[Array[Long]]] = {
     val s = resid.sparkSession
     import s.implicits._
     val sub = resid.select($"vec_id", posexplode(expr(
         "transform(sequence(0, 7), m -> slice(rv, m*8 + 1, 8))")))
       .select($"pos".as("m"), $"vec_id", $"col".as("sv"))
-    var cb = sub.filter($"vec_id" < 16)
+    var cb = sub.filter(seedF)
       .withColumn("c", (dense_rank().over(
         Window.partitionBy($"m").orderBy($"vec_id")) - 1).cast("int"))
       .select($"m", $"c", $"sv".as("cvec"))
@@ -1039,11 +1082,25 @@ object IvfIndex {
     * the bounded training rounds (encode is a per-row literal-codebook
     * projection — no codebook join on the write path).
     */
-  def buildPq(emb: DataFrame, dir: String): Unit = {
+  def buildPq(emb: DataFrame, dir: String,
+      seedSmallest: Boolean = false): Unit = {
     val s = emb.sparkSession
     import s.implicits._
     prepareBuildDir(s, dir)
-    val seeds = emb.filter($"vec_id" < 16)
+    // Seed rule: the fixture-contiguous id space seeds on `vec_id < 16`
+    // (every existing entry's replayed rule). A FILTERED build corpus
+    // (q172's budget-admitted release) may hold few or no ids below 16,
+    // so `seedSmallest` seeds on the 16 smallest ids actually present —
+    // a 16-long driver list, same cost class as the cid collect below —
+    // and reuses those ids for the PQ codebook seeds so both quantizers
+    // share one rule.
+    val seedF: Column =
+      if (seedSmallest) {
+        val sids = emb.select($"vec_id").orderBy($"vec_id").limit(16)
+          .as[Long].collect()
+        $"vec_id".isInCollection(sids)
+      } else $"vec_id" < 16
+    val seeds = emb.filter(seedF)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
       emb, seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
@@ -1054,7 +1111,7 @@ object IvfIndex {
     val assigned = VectorOps.argminPacked(emb, learned, carryQv = true)
       .select($"vec_id", $"qv", $"cid")
     val resid = residualsOf(assigned, learned)
-    val cb = trainPqCodebook(resid.select($"vec_id", $"rv"))
+    val cb = trainPqCodebook(resid.select($"vec_id", $"rv"), seedF)
     writeCb(s, dir, 1L, cb)
     val cbc = cbLiteral(cb)
     resid.select($"vec_id", codeCol(cbc, $"rv").as("code"), $"cid",
@@ -1981,6 +2038,184 @@ object IvfIndex {
     }
   }
 
+  /** RELEASE-TO-SERVING — the composition a training-data deployment
+    * actually ships: q155's release admission (exact dedup → quality
+    * window → span cleanup → per-language token budget) feeds the
+    * ADMITTED documents' embeddings into a [[buildPq]] compressed
+    * store, and the serving side is gated by recall (ADC and
+    * shortlist-25 + exact re-rank, vs the exact int64-L2 top-5 over
+    * the admitted corpus — q161's two-stage discipline on q155's
+    * output). One long-format report: per-language stage accounting
+    * (docs in → admitted → tokens admitted → vectors indexed) plus the
+    * corpus-wide recall block (`lang = '*'`) — the per-stage ledger
+    * next to the quality gate, which is what a release sign-off reads.
+    *
+    * The build corpus is budget-admitted, so its id space is sparse:
+    * the index seeds on the 16 smallest ADMITTED ids
+    * ([[buildPq]]'s `seedSmallest`), the oracle replays the same rule
+    * (`ORDER BY vec_id LIMIT 16`).
+    *
+    * Scale: the release chain is q155's posture (nothing new moves);
+    * the admitted relation is budget-bounded (|langs| × budget tokens
+    * — constant in corpus size), so index build, serve, and the exact
+    * recall side are all bounded by the RELEASE budget, not the
+    * corpus: the one place a brute-force ground truth is the right
+    * deployment call. Query batch = every 5th admitted id (bounded by
+    * the admitted set); centroids/codebook/LUT ride broadcasts.
+    */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 3000L
+    val st = PipelineOps.releaseStages(s, d, budget)
+    val adm = st.kept.select($"lang", $"doc_id")
+    val admEmb = VectorOps.quantized(s, d)
+      .join(adm.select($"doc_id".as("vec_id")), "vec_id")
+      .localCheckpoint(true)
+    val dir = scratch("q172")
+    buildPq(admEmb, dir, seedSmallest = true)
+    val queries = admEmb.filter($"vec_id" % 5 === 0)
+    // one ADC serve feeds both stages — q161's shared-shortlist rule
+    val short25 = servePq(s, dir, queries, probes = 2, k = 25)
+      .select($"query_id", $"rank", $"neighbor").localCheckpoint(true)
+    val adc5 = short25.filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
+    val ref5 = refineShortlist(s, queries, admEmb,
+        short25.select($"query_id", $"neighbor"), 5)
+      .select($"query_id", $"neighbor")
+    // exact ground truth over the ADMITTED corpus (budget-bounded, so
+    // the brute force is release-budget-sized, not corpus-sized)
+    val ex = admEmb.crossJoin(broadcast(queries
+        .select($"vec_id".as("query_id"), $"qv".as("q_qv"))))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor"),
+        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+      .groupBy($"query_id")
+      .agg(graft.functions.BoundedAggs.topScored(
+        -$"dist".cast("double"), $"neighbor", lit(true), 5).as("top"))
+      .select($"query_id", explode($"top").as("t"))
+      .select($"query_id", $"t.id".as("neighbor"))
+      .localCheckpoint(true)
+    val hits = ex.groupBy().agg(count(lit(1)).as("k_total"))
+      .crossJoin(ex.join(adc5, Seq("query_id", "neighbor"), "left_semi")
+        .groupBy().agg(count(lit(1)).as("adc_hits")))
+      .crossJoin(ex.join(ref5, Seq("query_id", "neighbor"), "left_semi")
+        .groupBy().agg(count(lit(1)).as("refine_hits")))
+      .crossJoin(queries.groupBy().agg(count(lit(1)).as("n_queries")))
+    def metricRow(name: String, v: Column): DataFrame =
+      hits.select(lit(name).as("metric"), lit("*").as("lang"),
+        v.cast("long").as("value"))
+    val perLang =
+      st.docs.groupBy($"lang").agg(count(lit(1)).as("value"))
+        .select(lit("docs_in").as("metric"), $"lang", $"value")
+      .unionByName(st.kept.groupBy($"lang")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("docs_admitted").as("metric"), $"lang", $"value"))
+      .unionByName(st.kept.groupBy($"lang")
+        .agg(sum($"n_clean").as("value"))
+        .select(lit("toks_admitted").as("metric"), $"lang", $"value"))
+      .unionByName(adm.join(admEmb.select($"vec_id".as("doc_id")), "doc_id")
+        .groupBy($"lang").agg(count(lit(1)).as("value"))
+        .select(lit("vecs_indexed").as("metric"), $"lang", $"value"))
+    perLang
+      .unionByName(metricRow("n_queries", $"n_queries"))
+      .unionByName(metricRow("k_total", $"k_total"))
+      .unionByName(metricRow("adc_hits", $"adc_hits"))
+      .unionByName(metricRow("refine_hits", $"refine_hits"))
+      .unionByName(metricRow("adc_permille",
+        expr("adc_hits * 1000 div k_total")))
+      .unionByName(metricRow("refine_permille",
+        expr("refine_hits * 1000 div k_total")))
+      .orderBy($"metric", $"lang")
+  }
+
+  /** ANN OPERATING-POINT TABLE — recall vs probe cost across nprobe ∈
+    * {1, 2, 4} on the stored PQ index: the tuning table a deployment
+    * reads to pick its serving configuration (every ANN system exposes
+    * this curve; the repo's serve entries pin nprobe = 2 — this entry
+    * measures what that choice buys and costs). Per level: the probed
+    * posting MASS (Σ over queries of the probed cells' posting counts —
+    * the scan cost the router actually pays, from the index's own live
+    * postings), recall@5 of the pure ADC serve and of the
+    * shortlist-25 + exact re-rank, against the exact int64-L2 top-5
+    * ([[VectorOps.exactTop]] "full" — the shared session ground truth).
+    * Monotonicity (more probes ⇒ ≥ recall, ≥ mass) is NOT assumed by
+    * the query — the spec asserts it holds; the gate records the
+    * actual numbers.
+    *
+    * Scale: three serves of the SAME store, each partition-pruned to
+    * its probe level (1-probe reads 1/16th of the postings); the
+    * routing/mass relation is |queries| × nlists rows against a
+    * 16-row broadcast size table; the exact side is the session-shared
+    * eval harness, computed once.
+    */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q173")
+    buildPq(emb, dir)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val ex = VectorOps.exactTop(s, d, "full").filter($"rank" <= 5)
+      .select($"query_id", $"neighbor").localCheckpoint(true)
+    val exK = ex.groupBy().agg(count(lit(1)).as("k_total"))
+    val snap = readSnapshot(s, dir)
+    val cents = centroidsOf(s, dir, snap)
+    val sizes = masked(s, dir, snap).groupBy($"cid")
+      .agg(count(lit(1)).as("csz"))
+    val ranked = queries.crossJoin(broadcast(cents))
+      .withColumn("cdist",
+        graft.functions.VectorMath.sqDistLong($"qv", $"cq"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy($"vec_id").orderBy($"cdist", $"cid")))
+      .filter($"crank" <= 4)
+      .join(broadcast(sizes), Seq("cid"))
+      .select($"vec_id", $"crank", $"csz").localCheckpoint(true)
+    val levels = Seq(1, 2, 4).map { p =>
+      val mass = ranked.filter($"crank" <= p)
+        .groupBy().agg(sum($"csz").as("probed_mass"))
+      val short25 = servePq(s, dir, queries, probes = p, k = 25)
+        .select($"query_id", $"rank", $"neighbor").localCheckpoint(true)
+      val adc5 = short25.filter($"rank" <= 5)
+        .select($"query_id", $"neighbor")
+      val ref5 = refineShortlist(s, queries, emb,
+          short25.select($"query_id", $"neighbor"), 5)
+        .select($"query_id", $"neighbor")
+      mass.crossJoin(exK)
+        .crossJoin(ex.join(adc5, Seq("query_id", "neighbor"), "left_semi")
+          .groupBy().agg(count(lit(1)).as("adc_hits")))
+        .crossJoin(ex.join(ref5, Seq("query_id", "neighbor"), "left_semi")
+          .groupBy().agg(count(lit(1)).as("refine_hits")))
+        .select(lit(p.toLong).as("nprobe"), $"probed_mass", $"k_total",
+          $"adc_hits", $"refine_hits",
+          expr("adc_hits * 1000 div k_total").as("adc_permille"),
+          expr("refine_hits * 1000 div k_total").as("refine_permille"))
+    }
+    levels.reduce(_ unionByName _).orderBy($"nprobe")
+  }
+
+  /** SHARD MERGE end-to-end: two independent raw stores (A on the even
+    * ids, B on the odd ids — the per-shard builds of a partitioned
+    * index job), B takes a delete (every 7th odd id tombstoned), then
+    * [[mergeFrom]] folds B's LIVE postings into A and the merged store
+    * serves a mixed-parity query batch. The oracle replays A's
+    * training, the re-assignment of B's post-delete population to A's
+    * centroids, and the serve over the union — a hash match proves the
+    * merge moved exactly the live rows, re-homed them correctly, and
+    * left them servable next to A's natives (including the merged
+    * cell-occupancy column, so the ingest accounting is pinned too).
+    */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dirA = scratch("q175a")
+    val dirB = scratch("q175b")
+    build(emb.filter($"vec_id" % 2 === 0), dirA)
+    build(emb.filter($"vec_id" % 2 === 1), dirB)
+    delete(s, dirB, emb.filter($"vec_id" % 2 === 1 && $"vec_id" % 7 === 0)
+      .select($"vec_id"))
+    mergeFrom(s, dirA, dirB, gen = 1L)
+    serve(s, dirA, emb.filter($"vec_id" % 75 === 0))
+  }
+
   def defs: Map[String, Q] = Map(
     "q152_ivf_index_serve" -> ((s, d) => q152(s, d)),
     "q153_ivf_incremental" -> ((s, d) => q153(s, d)),
@@ -1993,7 +2228,10 @@ object IvfIndex {
     "q162_pq_mutated_recall" -> ((s, d) => q162(s, d)),
     "q164_index_time_travel" -> ((s, d) => q164(s, d)),
     "q165_filtered_pq_ann" -> ((s, d) => q165(s, d)),
-    "q168_snapshot_diff" -> ((s, d) => q168(s, d))
+    "q168_snapshot_diff" -> ((s, d) => q168(s, d)),
+    "q172_release_to_serving" -> ((s, d) => q172(s, d)),
+    "q173_ann_tuning_curve" -> ((s, d) => q173(s, d)),
+    "q175_index_merge" -> ((s, d) => q175(s, d))
   )
 
   private def q152OracleSql: String =
@@ -2204,7 +2442,7 @@ object IvfIndex {
     * codes keeping their previous vector. Produces `pcb<PqTrainIters>`,
     * the trained codebook. Requires lloydCtes + lloydStarCtes in scope.
     */
-  private def pqTrainCtes: String = {
+  private def pqTrainCtes(seedWhere: String = "vec_id < 16"): String = {
     val sb = new StringBuilder
     sb ++= s"""pres AS MATERIALIZED (
            SELECT a.vec_id,
@@ -2216,7 +2454,7 @@ object IvfIndex {
          pcb0 AS MATERIALIZED (
            SELECT m, CAST(row_number() OVER (PARTITION BY m
              ORDER BY vec_id) - 1 AS INT) AS c, sv AS cvec
-           FROM psub WHERE vec_id < 16)"""
+           FROM psub WHERE $seedWhere)"""
     for (r <- 0 until PqTrainIters) {
       sb ++= s""",
          pa$r AS MATERIALIZED (
@@ -2285,7 +2523,7 @@ object IvfIndex {
     s"""WITH ${VectorOps.lloydCtes(
            VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
          ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
-         $pqTrainCtes,
+         ${pqTrainCtes()},
          ${pqEncodeCtes("astar")},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
@@ -2327,7 +2565,7 @@ object IvfIndex {
            SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
            UNION ALL
            SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
-         $pqTrainCtes,
+         ${pqTrainCtes()},
          ${pqEncodeCtes("comb")},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
@@ -2357,7 +2595,7 @@ object IvfIndex {
     s"""WITH ${VectorOps.lloydCtes(
            VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
          ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
-         $pqTrainCtes,
+         ${pqTrainCtes()},
          ${pqEncodeCtes("astar")},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
@@ -2445,7 +2683,7 @@ object IvfIndex {
            SELECT vec_id, cid FROM astar WHERE vec_id % 7 <> 0
            UNION ALL
            SELECT vec_id, cid FROM anew WHERE vec_id % 7 <> 0),
-         $pqTrainCtes,
+         ${pqTrainCtes()},
          ${pqEncodeCtes("comb")},
          qs AS (
            SELECT vec_id AS query_id, qv, cid FROM (
@@ -2583,7 +2821,7 @@ object IvfIndex {
     s"""WITH ${VectorOps.lloydCtes(
            VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
          ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
-         $pqTrainCtes,
+         ${pqTrainCtes()},
          ${pqEncodeCtes("astar")},
          lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
                  FROM embeddings),
@@ -2668,6 +2906,280 @@ object IvfIndex {
          FROM per
          ORDER BY cid"""
 
+  /** DuckDB replay of the q155 release-admission chain, producing the
+    * `adm` (lang, doc_id, n_clean) relation plus the per-language
+    * `inc`/`admc` rollups — the exact CTE text of q155's oracle up to
+    * its audit joins (the admitted SET is the artifact here).
+    */
+  private def releaseAdmCtes: String =
+    raw"""raw AS MATERIALIZED (
+           SELECT doc_id, lang, source, text,
+             string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         keep AS (SELECT min(doc_id) AS doc_id FROM raw GROUP BY text),
+         dd AS MATERIALIZED (SELECT raw.* FROM raw JOIN keep USING (doc_id)),
+         t AS MATERIALIZED (
+           SELECT doc_id, source, toks FROM dd
+           WHERE len(toks) BETWEEN 20 AND 1000),
+         w AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16))) AS h
+           FROM t WHERE len(toks) >= 8),
+         nd AS (SELECT h FROM w GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (SELECT w.doc_id, w.i FROM w JOIN nd ON w.h = nd.h),
+         cov AS (
+           SELECT DISTINCT doc_id, i + g AS p
+           FROM dw, generate_series(0, 7) AS gs(g)),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS p
+           FROM t),
+         keptagg AS (
+           SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+           FROM pos LEFT JOIN cov
+             ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+           WHERE cov.p IS NULL
+           GROUP BY 1),
+         cleaned AS MATERIALIZED (
+           SELECT t.doc_id, dd.lang,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_clean
+           FROM t LEFT JOIN keptagg k USING (doc_id)
+             JOIN dd USING (doc_id)),
+         rankedr AS (
+           SELECT lang, doc_id, n_clean,
+             sum(n_clean) OVER (PARTITION BY lang
+               ORDER BY n_clean DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM cleaned WHERE n_clean >= 1),
+         adm AS MATERIALIZED (
+           SELECT lang, doc_id, CAST(n_clean AS BIGINT) AS n_clean
+           FROM rankedr WHERE cum <= 3000),
+         inc AS (SELECT lang, CAST(count(*) AS BIGINT) AS v
+                 FROM raw GROUP BY 1),
+         admc AS (SELECT lang, CAST(count(*) AS BIGINT) AS dv,
+                    CAST(sum(n_clean) AS BIGINT) AS tv
+                  FROM adm GROUP BY 1)"""
+
+  private def q172OracleSql: String =
+    s"""WITH $releaseAdmCtes,
+         ${VectorOps.lloydCtes(
+           VectorOps.LloydMaxIters, VectorOps.LloydMinImprove,
+           srcWhere = "WHERE vec_id IN (SELECT doc_id FROM adm)",
+           seedWhere =
+             "vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 16)")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         ${pqTrainCtes(seedWhere =
+           "vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 16)")},
+         ${pqEncodeCtes("astar")},
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM q a, cstar c WHERE a.vec_id % 5 = 0) WHERE rn <= 2),
+         ${pqQueryResCtes()},
+         cand AS (
+           SELECT qsr.query_id, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qsr.qrv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc
+           FROM astar JOIN precon r USING (vec_id)
+             JOIN qsr ON astar.cid = qsr.cid
+           WHERE astar.vec_id <> qsr.query_id),
+         adcr AS MATERIALIZED (
+           SELECT query_id, neighbor,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY adc, neighbor) AS rank
+           FROM cand),
+         adc5 AS (SELECT query_id, neighbor FROM adcr WHERE rank <= 5),
+         shl AS (SELECT query_id, neighbor FROM adcr WHERE rank <= 25),
+         exq AS (SELECT vec_id AS query_id, qv FROM q
+                 WHERE vec_id % 5 = 0),
+         ref AS (
+           SELECT sh.query_id, sh.neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM shl sh JOIN q a ON sh.neighbor = a.vec_id
+             JOIN exq e ON sh.query_id = e.query_id),
+         ref5 AS MATERIALIZED (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM ref) WHERE rank <= 5),
+         excand AS (
+           SELECT e.query_id, a.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM q a, exq e WHERE a.vec_id <> e.query_id),
+         ex AS MATERIALIZED (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM excand) WHERE rank <= 5),
+         vic AS (SELECT a.lang, CAST(count(*) AS BIGINT) AS nv
+                 FROM adm a JOIN q v ON a.doc_id = v.vec_id GROUP BY 1),
+         kt AS (SELECT CAST(count(*) AS BIGINT) AS k_total FROM ex),
+         nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM exq),
+         ah AS (SELECT CAST(count(*) AS BIGINT) AS adc_hits
+                FROM ex JOIN adc5 USING (query_id, neighbor)),
+         rh AS (SELECT CAST(count(*) AS BIGINT) AS refine_hits
+                FROM ex JOIN ref5 USING (query_id, neighbor))
+         SELECT metric, lang, value FROM (
+           SELECT 'docs_in' AS metric, lang, v AS value FROM inc
+           UNION ALL
+           SELECT 'docs_admitted', lang, dv FROM admc
+           UNION ALL
+           SELECT 'toks_admitted', lang, tv FROM admc
+           UNION ALL
+           SELECT 'vecs_indexed', lang, nv FROM vic
+           UNION ALL
+           SELECT 'n_queries', '*', n_queries FROM nq
+           UNION ALL
+           SELECT 'k_total', '*', k_total FROM kt
+           UNION ALL
+           SELECT 'adc_hits', '*', adc_hits FROM ah
+           UNION ALL
+           SELECT 'refine_hits', '*', refine_hits FROM rh
+           UNION ALL
+           SELECT 'adc_permille', '*', adc_hits * 1000 // k_total
+           FROM ah, kt
+           UNION ALL
+           SELECT 'refine_permille', '*', refine_hits * 1000 // k_total
+           FROM rh, kt)
+         ORDER BY metric, lang"""
+
+  private def q173OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(
+           VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         ${pqTrainCtes()},
+         ${pqEncodeCtes("astar")},
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid, rn AS crank FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c WHERE a.vec_id % 100 = 0) WHERE rn <= 4),
+         ${pqQueryResCtes(", qs.crank")},
+         cellsz AS (SELECT cid, CAST(count(*) AS BIGINT) AS csz
+                    FROM astar GROUP BY 1),
+         lv AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         mass AS (
+           SELECT l.nprobe, CAST(sum(cs.csz) AS BIGINT) AS probed_mass
+           FROM lv l JOIN qs ON qs.crank <= l.nprobe
+             JOIN cellsz cs ON qs.cid = cs.cid
+           GROUP BY 1),
+         cand AS (
+           SELECT qsr.query_id, qsr.crank, astar.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(r.rv, qsr.qrv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS adc
+           FROM astar JOIN precon r USING (vec_id)
+             JOIN qsr ON astar.cid = qsr.cid
+           WHERE astar.vec_id <> qsr.query_id),
+         adcr AS MATERIALIZED (
+           SELECT l.nprobe, c.query_id, c.neighbor,
+             row_number() OVER (PARTITION BY l.nprobe, c.query_id
+               ORDER BY c.adc, c.neighbor) AS rank
+           FROM lv l JOIN cand c ON c.crank <= l.nprobe),
+         adc5 AS (SELECT nprobe, query_id, neighbor FROM adcr
+                  WHERE rank <= 5),
+         shl AS (SELECT nprobe, query_id, neighbor FROM adcr
+                 WHERE rank <= 25),
+         exq AS (SELECT vec_id AS query_id, qv FROM allq
+                 WHERE vec_id % 100 = 0),
+         ref AS (
+           SELECT sh.nprobe, sh.query_id, sh.neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM shl sh JOIN allq a ON sh.neighbor = a.vec_id
+             JOIN exq e ON sh.query_id = e.query_id),
+         ref5 AS MATERIALIZED (
+           SELECT nprobe, query_id, neighbor FROM (
+             SELECT nprobe, query_id, neighbor,
+               row_number() OVER (PARTITION BY nprobe, query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM ref) WHERE rank <= 5),
+         excand AS (
+           SELECT e.query_id, a.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(a.qv, e.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, exq e WHERE a.vec_id <> e.query_id),
+         ex AS MATERIALIZED (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS rank
+             FROM excand) WHERE rank <= 5),
+         kt AS (SELECT CAST(count(*) AS BIGINT) AS k_total FROM ex),
+         ah AS (SELECT a5.nprobe, CAST(count(*) AS BIGINT) AS adc_hits
+                FROM ex JOIN adc5 a5 USING (query_id, neighbor)
+                GROUP BY 1),
+         rh AS (SELECT r5.nprobe, CAST(count(*) AS BIGINT) AS refine_hits
+                FROM ex JOIN ref5 r5 USING (query_id, neighbor)
+                GROUP BY 1)
+         SELECT CAST(l.nprobe AS BIGINT) AS nprobe, m.probed_mass,
+           kt.k_total,
+           coalesce(ah.adc_hits, 0) AS adc_hits,
+           coalesce(rh.refine_hits, 0) AS refine_hits,
+           coalesce(ah.adc_hits, 0) * 1000 // kt.k_total AS adc_permille,
+           coalesce(rh.refine_hits, 0) * 1000 // kt.k_total
+             AS refine_permille
+         FROM lv l JOIN mass m ON l.nprobe = m.nprobe
+           LEFT JOIN ah ON l.nprobe = ah.nprobe
+           LEFT JOIN rh ON l.nprobe = rh.nprobe
+           CROSS JOIN kt
+         ORDER BY nprobe"""
+
+  private def q175OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+           VectorOps.LloydMinImprove, "WHERE vec_id % 2 = 0")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         bsrc AS (
+           SELECT vec_id, qv FROM allq
+           WHERE vec_id % 2 = 1 AND vec_id % 7 <> 0),
+         nd AS (
+           SELECT b.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(b.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM bsrc b, cstar c),
+         anew AS (
+           SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM nd) WHERE rn = 1),
+         merged AS MATERIALIZED (
+           SELECT vec_id, cid FROM astar
+           UNION ALL SELECT vec_id, cid FROM anew),
+         cellsz AS (
+           SELECT cid, CAST(count(*) AS BIGINT) AS cell_size
+           FROM merged GROUP BY 1),
+         qs AS (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c WHERE a.vec_id % 75 = 0) WHERE rn <= 2),
+         cand AS (
+           SELECT qs.query_id, m.vec_id AS neighbor, m.cid,
+             CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM merged m JOIN allq aq USING (vec_id)
+             JOIN qs ON m.cid = qs.cid
+           WHERE m.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, neighbor, cid, dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS BIGINT) AS rank
+           FROM cand)
+         SELECT query_id, rank, neighbor, dist, cell_size
+         FROM ranked JOIN cellsz USING (cid)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
+
   def oracles: Map[String, String] = Map(
     "q152_ivf_index_serve" -> q152OracleSql,
     "q153_ivf_incremental" -> q153OracleSql,
@@ -2680,6 +3192,9 @@ object IvfIndex {
     "q162_pq_mutated_recall" -> q162OracleSql,
     "q164_index_time_travel" -> q164OracleSql,
     "q165_filtered_pq_ann" -> q165OracleSql,
-    "q168_snapshot_diff" -> q168OracleSql
+    "q168_snapshot_diff" -> q168OracleSql,
+    "q172_release_to_serving" -> q172OracleSql,
+    "q173_ann_tuning_curve" -> q173OracleSql,
+    "q175_index_merge" -> q175OracleSql
   )
 }

@@ -80,10 +80,23 @@ object PipelineOps {
     * rollup is language-cardinality. Text crosses exactly the joins
     * q154 already pays — nothing new moves at corpus scale.
     */
-  private def q155(s: SparkSession, d: String): DataFrame = {
+  /** The release composition's stage frames, shared by the q155 audit
+    * and the q172 release-to-serving gate: each field is one stage's
+    * output, built exactly as q155's scaladoc describes (the dedup →
+    * quality → span-clean → budget chain). Factored so a consumer can
+    * take the ADMITTED SET itself (`kept`) rather than only the audit
+    * rollup — the deployment continues from that set (embed → index →
+    * recall gate), and recomputing the chain would double the corpus
+    * scans.
+    */
+  private[graft] case class ReleaseStages(docs: DataFrame,
+      deduped: DataFrame, quality: DataFrame, cleaned: DataFrame,
+      kept: DataFrame)
+
+  private[graft] def releaseStages(s: SparkSession, d: String,
+      budget: Long): ReleaseStages = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val budget = 3000L
     val docs = Tables(s, d, "documents")
       .select($"doc_id", $"lang", $"source", $"text",
         split($"text", "\\s+").as("toks"))
@@ -110,6 +123,14 @@ object PipelineOps {
       .withColumn("cum", sum($"n_clean").over(
         byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter($"cum" <= budget)
+    ReleaseStages(docs, deduped, quality, cleaned, kept)
+  }
+
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 3000L
+    val ReleaseStages(docs, deduped, quality, cleaned, kept) =
+      releaseStages(s, d, budget)
     val inC = docs.groupBy($"lang").agg(count(lit(1)).as("n_in"))
     val ddC = deduped.groupBy($"lang").agg(count(lit(1)).as("n_dedup"))
     val qC = quality.groupBy($"lang").agg(count(lit(1)).as("n_q"))

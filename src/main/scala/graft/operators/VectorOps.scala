@@ -39,7 +39,8 @@ object VectorOps {
     "q142_hard_negatives" -> ((s, d) => q142(s, d)),
     "q147_ivf_learned" -> ((s, d) => q147(s, d)),
     "q149_kmeans_convergence" -> ((s, d) => q149(s, d)),
-    "q171_semdedup_lloyd" -> ((s, d) => q171(s, d))
+    "q171_semdedup_lloyd" -> ((s, d) => q171(s, d)),
+    "q174_embedding_drift" -> ((s, d) => q174(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -790,6 +791,66 @@ object VectorOps {
       .orderBy($"cid", $"vec_id")
   }
 
+  /** EMBEDDING DRIFT MONITOR — the model-QA signal a production
+    * embedding pipeline watches: as ingestion proceeds, does the
+    * incoming batches' geometry still look like the corpus the coarse
+    * quantizer (and the ANN index routed by it) was trained on? Ten
+    * ingest-order slices (q126's crawl-order slicing rule on vec_id);
+    * per slice: vector count, total-variation distance of the slice's
+    * cell-occupancy distribution vs the CORPUS distribution (integer
+    * permille via cross-multiplication — `500·Σ|n_sc·N − n_c·N_s| /
+    * (N_s·N)`, exact in int64 at any slice size this engine reaches),
+    * and the slice's mean quantization distortion (floor int64) — TVD
+    * catches routing drift (new content concentrating in different
+    * cells ⇒ skewed serve + stale centroids), distortion catches
+    * out-of-manifold drift (cells still balanced but everything far
+    * from every centroid ⇒ retrain/split time). The assignment is the
+    * converged Lloyd the index entries share, so the monitor watches
+    * exactly the structure the serving path routes by.
+    *
+    * Scale: ONE corpus argmin pass (broadcast centroids, map-side
+    * packed-argmin combine); everything after is per-(slice, cell)
+    * rollups — ≤ 10×nlists rows. The slice boundary derives from the
+    * max id by cross-multiplication (no percentile scan).
+    */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = lloydTrain(emb, seeds, LloydMaxIters, LloydMinImprove)
+    val mx = emb.agg(max($"vec_id").as("mx"))
+    val assigned = argminPacked(emb, learned)
+      .crossJoin(broadcast(mx))
+      .select($"vec_id", $"cid", $"dist",
+        expr("least(9, vec_id * 10 div (mx + 1))").as("slice"))
+      .localCheckpoint(true)
+    val sc = assigned.groupBy($"slice", $"cid")
+      .agg(count(lit(1)).as("n_sc"))
+    val cC = assigned.groupBy($"cid").agg(count(lit(1)).as("n_c"))
+    val sTot = assigned.groupBy($"slice")
+      .agg(count(lit(1)).as("n_s"), sum($"dist").as("dsum"))
+    val nAll = assigned.agg(count(lit(1)).as("n_all"))
+    // the TVD sum must range over every (slice, cell) with mass on
+    // EITHER side; a slice always has >= 1 vector in some cell, and a
+    // corpus cell absent from a slice still contributes |0 - n_c·N_s|
+    // — hence the full slice × cell frame, not just observed pairs
+    val frame = sTot.select($"slice", $"n_s")
+      .crossJoin(broadcast(cC))
+      .join(sc, Seq("slice", "cid"), "left")
+      .withColumn("n_sc", coalesce($"n_sc", lit(0L)))
+    val tvd = frame.crossJoin(broadcast(nAll))
+      .groupBy($"slice")
+      .agg(sum(abs($"n_sc" * $"n_all" - $"n_c" * $"n_s")).as("num"),
+        first($"n_s").as("n_s2"), first($"n_all").as("n_all2"))
+      .select($"slice",
+        expr("500 * num div (n_s2 * n_all2)").as("tvd_permille"))
+    sTot.join(tvd, "slice")
+      .select($"slice", $"n_s".as("n_vecs"), $"tvd_permille",
+        expr("dsum div n_s").as("mean_dist"))
+      .orderBy($"slice")
+  }
+
   private def q147(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = quantized(s, d)
@@ -957,7 +1018,7 @@ object VectorOps {
     * centroid/assignment tables and serves through them).
     */
   private[graft] def lloydCtes(maxIters: Int, minImprove: Long,
-      srcWhere: String = ""): String = {
+      srcWhere: String = "", seedWhere: String = "vec_id < 16"): String = {
     val sb = new StringBuilder
     sb ++=
       s"""allq AS MATERIALIZED (
@@ -966,7 +1027,7 @@ object VectorOps {
            FROM embeddings),
          q AS MATERIALIZED (SELECT * FROM allq $srcWhere),
          c0 AS MATERIALIZED (
-           SELECT vec_id AS cid, qv AS cq FROM q WHERE vec_id < 16)"""
+           SELECT vec_id AS cid, qv AS cq FROM q WHERE $seedWhere)"""
     for (r <- 0 to maxIters) {
       sb ++= s""",
          d$r AS (
@@ -1094,10 +1155,47 @@ object VectorOps {
            LEFT JOIN dropped USING (vec_id)
          ORDER BY cid, vec_id"""
 
+  private def q174OracleSql: String =
+    s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove)},
+         ${lloydStarCtes(LloydMaxIters)},
+         ad AS MATERIALIZED (
+           SELECT a.vec_id, a.cid,
+             CAST(list_sum(list_transform(list_zip(v.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM astar a JOIN q v USING (vec_id) JOIN cstar c USING (cid)),
+         mx AS (SELECT max(vec_id) AS mx FROM q),
+         sl AS (
+           SELECT vec_id, cid, dist,
+             least(9, vec_id * 10 // (mx + 1)) AS slice
+           FROM ad CROSS JOIN mx),
+         sc AS (SELECT slice, cid, CAST(count(*) AS BIGINT) AS n_sc
+                FROM sl GROUP BY 1, 2),
+         cc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_c
+                FROM sl GROUP BY 1),
+         stot AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_s,
+                    CAST(sum(dist) AS BIGINT) AS dsum
+                  FROM sl GROUP BY 1),
+         nall AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM sl),
+         frame AS (
+           SELECT st.slice, st.n_s, cc.cid, cc.n_c,
+             coalesce(sc.n_sc, 0) AS n_sc
+           FROM stot st CROSS JOIN cc
+             LEFT JOIN sc ON sc.slice = st.slice AND sc.cid = cc.cid),
+         tvd AS (
+           SELECT slice,
+             CAST(sum(abs(n_sc * n_all - n_c * n_s)) AS BIGINT) AS num,
+             any_value(n_s) AS n_s2, any_value(n_all) AS n_all2
+           FROM frame CROSS JOIN nall GROUP BY 1)
+         SELECT CAST(st.slice AS BIGINT) AS slice, st.n_s AS n_vecs,
+           500 * t.num // (t.n_s2 * t.n_all2) AS tvd_permille,
+           st.dsum // st.n_s AS mean_dist
+         FROM stot st JOIN tvd t USING (slice) ORDER BY slice"""
+
   def oracles: Map[String, String] = Map(
     "q149_kmeans_convergence" -> q149OracleSql,
     "q147_ivf_learned" -> q147OracleSql,
     "q171_semdedup_lloyd" -> q171OracleSql,
+    "q174_embedding_drift" -> q174OracleSql,
     "q105_ivfpq_ann" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,

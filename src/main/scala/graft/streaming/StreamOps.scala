@@ -1117,6 +1117,61 @@ object StreamOps {
     }
   }
 
+  /** STREAMING EMBEDDING-DRIFT MONITOR — the online half of the batch
+    * drift entry (q174): each micro-batch of incoming vectors is
+    * assigned to the REFERENCE centroids (one broadcast-argmin pass,
+    * the same routing structure the index serves by) and reduced to
+    * one row — batch size, total-variation distance of the batch's
+    * cell-occupancy distribution vs the reference distribution
+    * (`refCounts`: (cid, n_c) from the corpus the quantizer was
+    * trained on; q174's integer cross-multiplied permille), and the
+    * batch's mean quantization distortion. The emitted row stream is
+    * the alert feed a serving deployment watches: TVD jump = routing
+    * skew building against the trained cells (stale centroids, skewed
+    * serve); distortion jump = out-of-manifold content (retrain/split
+    * time) — caught while the batch is in flight, not at the next
+    * offline audit.
+    *
+    * Stateless per trigger (reference tables are fixed monitor
+    * config — broadcast, nlists-sized): any batch rate monitors at
+    * constant memory, and a restart needs no state recovery.
+    */
+  def driftMonitorStream(vecs: Dataset[IndexVec], cents: DataFrame,
+      refCounts: DataFrame)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    // frame over the CENTROID table (every routable cell), so batch
+    // mass landing in a cell the reference never occupied still
+    // contributes its full |n_bc·N_ref − 0| drift term
+    val ref = cents.select($"cid".cast("long").as("cid"))
+      .join(refCounts.select($"cid".cast("long").as("cid"),
+        $"n_c".cast("long").as("n_c")), Seq("cid"), "left")
+      .withColumn("n_c", coalesce($"n_c", lit(0L)))
+      .localCheckpoint(true)
+    val refTot = ref.groupBy().agg(sum($"n_c").as("n_ref"))
+    toForeachBatch(vecs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val assigned = graft.operators.VectorOps.argminPacked(
+          batch.select($"vec_id", $"qv"), cents)
+        val bc = assigned.groupBy($"cid").agg(count(lit(1)).as("n_bc"))
+        val bTot = assigned.groupBy()
+          .agg(count(lit(1)).as("n_b"), sum($"dist").as("dsum"))
+        val row = ref.join(bc, Seq("cid"), "left")
+          .withColumn("n_bc", coalesce($"n_bc", lit(0L)))
+          .crossJoin(broadcast(bTot)).crossJoin(broadcast(refTot))
+          .groupBy()
+          .agg(sum(abs($"n_bc" * $"n_ref" - $"n_c" * $"n_b")).as("num"),
+            first($"n_b").as("n_vecs"), first($"dsum").as("dsum"),
+            first($"n_ref").as("n_ref2"))
+          .select($"n_vecs",
+            expr("500 * num div (n_vecs * n_ref2)").as("tvd_permille"),
+            expr("dsum div n_vecs").as("mean_dist"))
+        emit(row, batchId)
+      }
+    }
+  }
+
   /** See the retention contract on [[knnIndexServeStream]]. */
   private def requireServeRetention(s: SparkSession): Unit = {
     val n = s.conf.get("spark.graft.index.retainEpochs", "1").toInt
