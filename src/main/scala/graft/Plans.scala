@@ -65,7 +65,12 @@ object Plans {
     "q166_reservoir_sample" -> "deterministic reservoir: rank-by-md5 window compiles to WindowGroupLimit — partial top-k per task, the exchange carries <= k rows per task x stratum",
     "q167_kneser_ney" -> "Kneser-Ney scoring: bigram model folds map-side to type cardinality (N1/Ncont/Nc derive from the SAME checkpointed relation); scoring join broadcasts at this vocab, degrades to one co-partitioned position shuffle at scale",
     "q168_snapshot_diff" -> "reindex audit: full-outer join of two partition-pruned posting snapshots on vec_id, per-row classes fold map-side to cell cardinality",
-    "q169_pagerank" -> "damped PageRank: adjacency checkpointed once; each round = mass join + explode + partial-summed groupBy (edge-volume shuffle, no per-round edge joins); driver stops on the relative L1 residual")
+    "q169_pagerank" -> "damped PageRank: adjacency checkpointed once; each round = mass join + explode + partial-summed groupBy (edge-volume shuffle, no per-round edge joins); driver stops on the relative L1 residual",
+    "q170_canonical_docs" -> "canonical-doc election: max_by argmax per cluster rep + join-back (no per-cluster row_number window — mega-cluster safe); verdicts join at member cardinality",
+    "q171_semdedup_lloyd" -> "SemDeDup: converged-Lloyd assignment (broadcast centroids, ONE argmin exchange), pair join shuffles on cid only (intra-cell pairs, AQE-splittable), verdict rollups partial-aggregate",
+    "q173_ann_tuning_curve" -> "ANN tuning curve: three probe-pruned serves of ONE stored PQ index (static partition filters per level), probed-mass join against a 16-row broadcast size table, recall vs the session-shared exact ground truth",
+    "q174_embedding_drift" -> "drift monitor: one broadcast-argmin corpus pass; TVD + distortion fold to <= 10 x nlists rows (slice x cell frame), slice boundary from a 1-row max broadcast",
+    "q175_index_merge" -> "shard merge serve: source's live postings re-assigned via one broadcast-argmin pass and committed as an ingest generation; merged serve = the q152 probe-pruned plan over union'd generation directories")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

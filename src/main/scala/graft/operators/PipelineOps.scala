@@ -54,8 +54,86 @@ object PipelineOps {
     "q133_source_quota" -> ((s, d) => q133(s, d)),
     "q135_token_budget" -> ((s, d) => q135(s, d)),
     "q139_containment_decontam" -> ((s, d) => q139(s, d)),
-    "q155_corpus_release" -> ((s, d) => q155(s, d))
+    "q155_corpus_release" -> ((s, d) => q155(s, d)),
+    "q176_sequence_packing" -> ((s, d) => q176(s, d)),
+    "q177_epoch_order" -> ((s, d) => q177(s, d))
   )
+
+  /** EPOCH-ORDER MANIFEST — the reproducible data-ordering artifact a
+    * pretraining run trains from: for each of 3 epochs, the corpus
+    * (high-quality docs upsampled — n_chars ≥ 400 appears twice per
+    * epoch, the standard quality-tier repetition knob) is dealt into 8
+    * loader shards and ordered inside each shard by a seeded content
+    * hash (md5 over epoch:doc:copy — a DIFFERENT deterministic
+    * permutation every epoch, decorrelated across epochs, identical
+    * across reruns). One row per (epoch, shard, position): exactly the
+    * manifest a distributed loader replays — and the audit trail that
+    * makes a training run's data order reproducible bit-for-bit.
+    *
+    * Scale: no corpus shuffle at all until the per-(epoch, shard)
+    * window, whose partitions are corpus/24 by construction (the hash
+    * deals uniformly); the upsample explode and the 3-epoch expansion
+    * are map-side. Position is assigned within a shard, never
+    * globally — a global order would serialize on one task and no
+    * loader wants it anyway.
+    */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val copies = Tables(s, d, "documents")
+      .select($"doc_id", explode(
+        when($"n_chars" >= 400L, array(lit(0L), lit(1L)))
+          .otherwise(array(lit(0L)))).as("copy"))
+    val epochs = Seq(0L, 1L, 2L).toDF("epoch")
+    copies.crossJoin(broadcast(epochs))
+      .withColumn("h", conv(substring(md5(
+        concat_ws(":", $"epoch", $"doc_id", $"copy")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("shard", pmod($"h", lit(8L)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"epoch", $"shard")
+          .orderBy($"h", $"doc_id", $"copy")).cast("long"))
+      .select($"epoch", $"shard", $"pos", $"doc_id", $"copy")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  /** SEQUENCE-PACKING MANIFEST — the last data-prep step before a
+    * pretraining run: documents concatenate in ingestion order within
+    * their source shard and chunk into fixed-capacity training
+    * sequences (C = 512 tokens; concat-and-chunk, the standard packed
+    * pretraining layout — no padding waste, documents crossing a
+    * sequence boundary are split there). The manifest is one row per
+    * document: its token count, its absolute token offset within the
+    * shard, the sequence it starts in, and how many sequence boundaries
+    * cut it — exactly what a loader needs to materialize any training
+    * sequence (and what a boundary-loss analysis reads: `n_splits` is
+    * the attention-discontinuity count this layout pays per doc).
+    * NULL-text documents pack as zero tokens at their offset.
+    *
+    * Scale: ONE scan; the only exchange is the per-source cumulative
+    * window, which carries (doc_id, n_tok) — never text — and is
+    * bounded by shard size (sources are the sharding unit here, as in
+    * q133's quota; a pathological mega-source is the q135 skew note).
+    * Everything after the cumsum is per-row arithmetic.
+    */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512L
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables(s, d, "documents")
+      .select($"doc_id", $"source",
+        when($"text".isNull, 0L)
+          .otherwise(size(split($"text", "\\s+")).cast("long"))
+          .as("n_tok"))
+      .withColumn("offset", coalesce(sum($"n_tok").over(w), lit(0L)))
+      .select($"doc_id", $"source", $"n_tok", $"offset",
+        expr(s"offset div $cap").as("seq_first"),
+        expr(s"(offset + greatest(n_tok, 1) - 1) div $cap" +
+          s" - offset div $cap").as("n_splits"))
+      .orderBy($"source", $"doc_id")
+  }
 
   /** Corpus RELEASE pipeline — the end-to-end composition a training
     * run actually executes, with per-language loss accounting at every
@@ -2401,6 +2479,45 @@ object PipelineOps {
          FROM inc LEFT JOIN ddc USING (lang) LEFT JOIN qc USING (lang)
            LEFT JOIN spanc USING (lang) LEFT JOIN keptc USING (lang)
          ORDER BY inc.lang""",
+    "q176_sequence_packing" ->
+      raw"""WITH t AS (
+           SELECT doc_id, source,
+             CASE WHEN text IS NULL THEN 0
+               ELSE len(string_split_regex(text, '\s+')) END AS n_tok
+           FROM documents),
+         o AS (
+           SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS "offset"
+           FROM t)
+         SELECT doc_id, source, n_tok, "offset",
+           "offset" // 512 AS seq_first,
+           ("offset" + greatest(n_tok, 1) - 1) // 512
+             - "offset" // 512 AS n_splits
+         FROM o ORDER BY source, doc_id""",
+    "q177_epoch_order" ->
+      """WITH c AS (
+           SELECT doc_id,
+             unnest(CASE WHEN n_chars >= 400 THEN [0, 1] ELSE [0] END)
+               AS copy
+           FROM documents),
+         e AS (SELECT unnest([0, 1, 2]) AS epoch),
+         x AS (
+           SELECT CAST(e.epoch AS BIGINT) AS epoch, c.doc_id,
+             CAST(c.copy AS BIGINT) AS copy,
+             CAST(CAST('0x' || substring(md5(
+               CAST(e.epoch AS VARCHAR) || ':' ||
+               CAST(c.doc_id AS VARCHAR) || ':' ||
+               CAST(c.copy AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)
+               AS h
+           FROM c CROSS JOIN e)
+         SELECT epoch, h % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, h % 8
+             ORDER BY h, doc_id, copy) AS BIGINT) AS pos,
+           doc_id, copy
+         FROM x ORDER BY epoch, shard, pos""",
     "q135_token_budget" ->
       """WITH t AS (
            SELECT doc_id, lang, n_chars,
