@@ -70,7 +70,10 @@ object Plans {
     "q171_semdedup_lloyd" -> "SemDeDup: converged-Lloyd assignment (broadcast centroids, ONE argmin exchange), pair join shuffles on cid only (intra-cell pairs, AQE-splittable), verdict rollups partial-aggregate",
     "q173_ann_tuning_curve" -> "ANN tuning curve: three probe-pruned serves of ONE stored PQ index (static partition filters per level), probed-mass join against a 16-row broadcast size table, recall vs the session-shared exact ground truth",
     "q174_embedding_drift" -> "drift monitor: one broadcast-argmin corpus pass; TVD + distortion fold to <= 10 x nlists rows (slice x cell frame), slice boundary from a 1-row max broadcast",
-    "q175_index_merge" -> "shard merge serve: source's live postings re-assigned via one broadcast-argmin pass and committed as an ingest generation; merged serve = the q152 probe-pruned plan over union'd generation directories")
+    "q175_index_merge" -> "shard merge serve: source's live postings re-assigned via one broadcast-argmin pass and committed as an ingest generation; merged serve = the q152 probe-pruned plan over union'd generation directories",
+    "q172_release_to_serving" -> "release-to-serving composition: q155's stage frames reused as-is, admitted ids broadcast-semi-join the embedding scan, recall gate joins the 2-stage serve against the session-shared exact ground truth at query cardinality",
+    "q176_sequence_packing" -> "sequence packing: ONE documents scan; the only exchange is the per-source cumsum window carrying (n_tok, id) — offsets, sequence ids, and boundary splits all derive arithmetically from the running sum",
+    "q177_epoch_order" -> "epoch ordering: upsample = explode over a literal copy array (map-side), shard = pmod(md5), per-(epoch,shard) rank window compiles to a bounded sort per shard — no global sort at any point")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -282,8 +282,39 @@ object StreamBench {
       finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
 
+    // Streaming drift monitor (vectors/s): per-batch broadcast-argmin
+    // assignment against the 16 reference centroids + the TVD/distortion
+    // rollup — the stateless model-QA tap a serving pipeline runs beside
+    // ingest. Reference occupancy precomputed from the index corpus
+    // (monitor config, not per-batch work).
+    val drift = {
+      import spark.implicits._
+      val cents = index.take(16).toSeq
+        .map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cq")
+      val refCounts = graft.operators.VectorOps.argminPacked(
+          index.toSeq.toDF("vec_id", "qv"), cents)
+        .groupBy($"cid").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_c"))
+      val driftVecs: Seq[StreamOps.IndexVec] =
+        queries.map(q => StreamOps.IndexVec(q.qid, q.qv))
+      val in = MemoryStream[StreamOps.IndexVec]
+      val q = StreamOps.driftMonitorStream(in.toDS(), cents, refCounts) {
+        (df, _) => df.write.format("noop").mode("overwrite").save()
+      }
+      val chunks = driftVecs.grouped(math.max(1, batchSize / 20)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val vps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] drift_vps: $vps%.0f/s")
+      "drift_vps" -> vps
+    }
+
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release)
+      attrib, curation, release, drift)
   }
 
   def main(args: Array[String]): Unit = {
