@@ -808,6 +808,58 @@ object IvfIndex {
       masked(s, srcDir, srcSnap).select(col("vec_id"), col("qv")), gen)
   }
 
+  /** CLONE a retained epoch of `srcDir` as an INDEPENDENT store at
+    * `dstDir` — the rollback / fork-for-experiment operation the
+    * time-travel reads stop short of: [[serveAt]] keeps history
+    * readable only while the retention window covers it, but a
+    * deployment that wants to PIN a state (roll back a bad reindex,
+    * fork a store for an offline experiment, seed a staging serve)
+    * needs that state as a first-class store with its own lifecycle.
+    * The clone materializes the epoch's LOGICAL contents — the
+    * tombstone mask applied physically — as a fresh base generation
+    * per cell, copies that epoch's centroid version (and PQ codebook,
+    * for a compressed store) as version 1 of the clone, and commits
+    * manifest epoch 1. No file is shared: the clone is immune to the
+    * source's later mutations, GC, and vacuum, and is itself
+    * ingestable / deletable / compactable / clonable. Rows are carried
+    * as-is (vec_id, cid[, label][, code]) with NO re-assignment and no
+    * re-encoding, so the clone's serve is bit-equal to [[serveAt]] /
+    * [[servePqAt]] on the source epoch — the spec pins both, and the
+    * q179 gate entry hashes a clone's serve against the oracle's
+    * replay of the epoch state.
+    *
+    * Scale: one partition-pruned scan of the epoch's postings (the
+    * validity predicate prunes to its directories), one partitioned
+    * write, metadata copies for centroids/codebook — proportional to
+    * the SNAPSHOT, independent of the source's full mutation history.
+    */
+  def cloneAt(s: SparkSession, srcDir: String, epoch: Long,
+      dstDir: String): DataFrame = {
+    require(new Path(srcDir).toUri.getPath !=
+        new Path(dstDir).toUri.getPath,
+      s"cloneAt: source and destination are the same directory ($srcDir)")
+    val snap = readSnapshotAt(s, srcDir, epoch)
+    prepareBuildDir(s, dstDir)
+    s.read.parquet(centDir(srcDir, snap.centroidsVer))
+      .write.mode(SaveMode.Overwrite).parquet(centDir(dstDir, 1L))
+    if (snap.pqVer > 0)
+      s.read.parquet(pqCbDir(srcDir, snap.pqVer))
+        .write.mode(SaveMode.Overwrite).parquet(pqCbDir(dstDir, 1L))
+    val post = masked(s, srcDir, snap)
+    val partCols =
+      if (post.columns.contains("label")) Seq("cid", "label", "gen")
+      else Seq("cid", "gen")
+    post.drop("gen").withColumn("gen", lit(0L))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(postDir(dstDir))
+    val present = presentCids(s, dstDir)
+    val cells = snap.cells.map { case (c, _) =>
+      c -> (if (present.contains(c)) Seq(0L) else Seq.empty[Long]) }
+    commitSnapshot(s, dstDir, Snapshot(1L, 1L, cells, Set.empty,
+      snap.nextInternal, Nil, pqVer = if (snap.pqVer > 0) 1L else 0L))
+    splitReport(s, dstDir)
+  }
+
   /** Execute the re-splits [[addBatch]]'s `needs_split` flag schedules:
     * for every flagged cell, train a 2-centroid Lloyd to convergence on
     * THAT CELL'S stored postings only (seeds = the cell's two smallest
@@ -1995,6 +2047,40 @@ object IvfIndex {
     }
   }
 
+  /** Store CLONE correctness gate: build the base index (epoch 1),
+    * ingest the held-out fifth (epoch 2), tombstone-delete every 7th
+    * vector (epoch 3) — then [[cloneAt]] the PRE-DELETE epoch 2 into a
+    * fresh directory and serve the query batch from the CLONE. The
+    * hash proves the clone is exactly the epoch-2 logical state: it
+    * contains base ∪ ingest with the original assignments (no
+    * re-training, no re-assignment) and does NOT see the later delete
+    * — the rollback a deployment runs when a mutation batch turns out
+    * bad. The oracle replays training, the incremental assignment, and
+    * the 2-probe serve over the union, deletes nowhere in sight.
+    * CloneStoreSpec drives the adversarial side (source GC'd/vacuumed
+    * after the clone, clone mutated independently, PQ clone).
+    */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = VectorOps.quantized(s, d)
+    val dir = scratch("q179")
+    val dir2 = scratch("q179_clone")
+    val prev = s.conf.getOption("spark.graft.index.retainEpochs")
+    s.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      build(emb.filter($"vec_id" % 5 =!= 0), dir)
+      addBatch(s, dir, emb.filter($"vec_id" % 5 === 0))
+      delete(s, dir, emb.filter($"vec_id" % 7 === 0).select($"vec_id"))
+      cloneAt(s, dir, 2L, dir2)
+      serve(s, dir2, emb.filter($"vec_id" % 100 === 0))
+        .select($"query_id", $"rank", $"neighbor", $"dist", $"cell_size")
+        .orderBy($"query_id", $"rank")
+    } finally {
+      prev.fold(s.conf.unset("spark.graft.index.retainEpochs"))(v =>
+        s.conf.set("spark.graft.index.retainEpochs", v))
+    }
+  }
+
   /** Filtered ANN on the COMPRESSED store end-to-end: labeled PQ build
     * → (cid, label, gen)-partitioned single-long postings → same-label
     * 2-probe ADC top-5 for every 100th vector. Completes the serving
@@ -2227,6 +2313,7 @@ object IvfIndex {
     "q161_pq_refine_recall" -> ((s, d) => q161(s, d)),
     "q162_pq_mutated_recall" -> ((s, d) => q162(s, d)),
     "q164_index_time_travel" -> ((s, d) => q164(s, d)),
+    "q179_store_clone" -> ((s, d) => q179(s, d)),
     "q165_filtered_pq_ann" -> ((s, d) => q165(s, d)),
     "q168_snapshot_diff" -> ((s, d) => q168(s, d)),
     "q172_release_to_serving" -> ((s, d) => q172(s, d)),
@@ -2817,6 +2904,49 @@ object IvfIndex {
          FROM ranked1 JOIN cellsz1 USING (cid) WHERE rank <= 5
          ORDER BY stage, query_id, rank"""
 
+  private def q179OracleSql: String =
+    s"""WITH ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+           VectorOps.LloydMinImprove, "WHERE vec_id % 5 <> 0")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         qs AS MATERIALIZED (
+           SELECT vec_id AS query_id, qv, cid FROM (
+             SELECT a.vec_id, a.qv, c.cid,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum(list_transform(list_zip(a.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))), c.cid) AS rn
+             FROM allq a, cstar c WHERE a.vec_id % 100 = 0) WHERE rn <= 2),
+         nd AS (
+           SELECT a.vec_id, c.cid,
+             CAST(list_sum(list_transform(list_zip(a.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM allq a, cstar c WHERE a.vec_id % 5 = 0),
+         anew AS (
+           SELECT vec_id, cid FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist, cid) AS rn FROM nd) WHERE rn = 1),
+         comb AS MATERIALIZED (
+           SELECT vec_id, cid FROM astar
+           UNION ALL
+           SELECT vec_id, cid FROM anew),
+         cellsz AS (
+           SELECT cid, CAST(count(*) AS BIGINT) AS cell_size
+           FROM comb GROUP BY 1),
+         cand AS (
+           SELECT qs.query_id, cb.vec_id AS neighbor, cb.cid,
+             CAST(list_sum(list_transform(list_zip(aq.qv, qs.qv),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM comb cb JOIN allq aq USING (vec_id)
+             JOIN qs ON cb.cid = qs.cid
+           WHERE cb.vec_id <> qs.query_id),
+         ranked AS (
+           SELECT query_id, neighbor, cid, dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS BIGINT) AS rank
+           FROM cand)
+         SELECT query_id, rank, neighbor, dist, cell_size
+         FROM ranked JOIN cellsz USING (cid) WHERE rank <= 5
+         ORDER BY query_id, rank"""
+
   private def q165OracleSql: String =
     s"""WITH ${VectorOps.lloydCtes(
            VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)},
@@ -3191,6 +3321,7 @@ object IvfIndex {
     "q161_pq_refine_recall" -> q161OracleSql,
     "q162_pq_mutated_recall" -> q162OracleSql,
     "q164_index_time_travel" -> q164OracleSql,
+    "q179_store_clone" -> q179OracleSql,
     "q165_filtered_pq_ann" -> q165OracleSql,
     "q168_snapshot_diff" -> q168OracleSql,
     "q172_release_to_serving" -> q172OracleSql,

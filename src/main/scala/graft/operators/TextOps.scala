@@ -142,6 +142,7 @@ object TextOps {
     "q145_bpe_segment" -> ((s, d) => q145(s, d)),
     "q146_source_divergence" -> ((s, d) => q146(s, d)),
     "q163_hybrid_retrieval" -> ((s, d) => q163(s, d)),
+    "q178_maxsim_chunks" -> ((s, d) => q178(s, d)),
     "q166_reservoir_sample" -> ((s, d) => q166(s, d)),
     "q167_kneser_ney" -> ((s, d) => q167(s, d))
   )
@@ -1843,6 +1844,131 @@ object TextOps {
     * touches ≤ 40 rows per query. The corpus-constant relations
     * (df, dl, nAvg) amortize across query batches in a serving tier.
     */
+  /** Late-interaction (MaxSim) chunk retrieval — the multi-vector
+    * retrieval scheme (ColBERT-style) at the data-pipeline layer: a
+    * document is represented by ONE hashed term-frequency vector PER
+    * CDC CHUNK (the q151 chunker, md5-cut p=1/8; 16 md5-bucketed dims,
+    * raw int64 counts), a query document scores a candidate document as
+    * Σ over its query chunks of the BEST-matching candidate chunk's
+    * similarity — so a doc that contains a near-copy of one query
+    * paragraph ranks above a doc that weakly matches everywhere, which
+    * is exactly the containment structure document-level cosine (q37)
+    * and single-vector ANN average away. Candidates are bounded the
+    * q134 way, never all-pairs: each chunk contributes its 2 globally
+    * rarest tokens (df over distinct chunk membership, ties by token
+    * string) to a symmetric prefix relation, and only chunk pairs
+    * sharing a rare-token-of-both meet the scorer — the candidate mass
+    * is df-bounded, and unmatched pairs contribute the same 0 they
+    * would score. Similarity is the exact-integer squared cosine in
+    * permille — (dot²·1000) div (n2a·n2b), the q171 device one
+    * quantization coarser — so both engines rank identically with no
+    * float anywhere (int64-safe while chunks stay under ~1.7k tokens;
+    * the p=1/8 CDC cut makes longer chunks vanishing). Repeated
+    * identical chunks within a document collapse to one vector with a
+    * multiplicity that weights their MaxSim contribution. Per query
+    * doc: top-5 candidate docs by (score, id), with the number of
+    * query chunks that found any match.
+    *
+    * Scale: chunking + hashing ride the corpus scans MAP-SIDE — the
+    * chunk identity is a 60-bit md5 prefix computed before any
+    * exchange, so chunk TEXT never shuffles (the q136/q155
+    * discipline; a first cut that checkpointed text-bearing chunk
+    * relations OOM'd at sf10 — this form's exchanges carry only id/
+    * dim/token rows); the vector relation is ≤16 longs per distinct
+    * chunk regardless of chunk length, with within-doc duplicate
+    * occurrences divided back out exactly; rare-prefix selection is a
+    * rank≤2 window (WindowGroupLimit under the (doc,chunk) partition);
+    * the scorer joins at CANDIDATE cardinality (id-keyed, df-bounded —
+    * a universally-frequent token can only enter the prefix of chunks
+    * with no rarer token, the same residual skew q134 documents);
+    * MaxSim folds as max-then-sum partial aggregates and the final
+    * top-5 compiles to WindowGroupLimit. Query side here is a
+    * doc_id%100 sample; production binds it to an external query
+    * batch.
+    */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // chunk identity = 60-bit md5 prefix of the chunk text, computed
+    // MAP-SIDE — the chunk text itself never reaches any exchange
+    // (the q136/q155 discipline); repeated identical chunks in a doc
+    // share an id, and their multiplicity m divides back out of the
+    // occurrence-level token counts (identical text ⇒ identical token
+    // multiset, so the division is exact)
+    val raw = PipelineOps.cdcChunks(docs(s, d))
+      .select($"doc_id",
+        conv(substring(md5($"chunk"), 1, 15), 16, 10).cast("long").as("h"),
+        $"chunk")
+    // deliberately NOT materialized: every consumer recomputes from the
+    // (page-cached) scan — the q138 re-scan-beats-reuse finding; an
+    // eagerly checkpointed variant of these relations OOM'd at sf10
+    val mRel = raw.groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
+    val otoks = raw.select($"doc_id", $"h",
+      explode(split($"chunk", " ")).as("tok"))
+    // DENSE 16-long vector per chunk (argminPacked's packing move): the
+    // scorer then moves ONE row per candidate pair through its joins —
+    // a (pair × dim) relational dot was 16× that volume and spilled the
+    // disk away at sf10
+    val dimCnt = otoks
+      .withColumn("dim",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long") % 16)
+      .groupBy($"doc_id", $"h", $"dim").agg(count(lit(1)).as("occ_cnt"))
+      .join(mRel, Seq("doc_id", "h"))
+      .select($"doc_id", $"h", $"dim", expr("occ_cnt div m").as("cnt"))
+    val dimAggs = (0 until 16).map(k =>
+      sum(when($"dim" === k, $"cnt")).as(s"c$k"))
+    // packed, it is small enough (19 longs/chunk) to materialize for
+    // its three consumers — at dim granularity the same checkpoint
+    // OOM'd, which is what forced the packing
+    val vec = dimCnt.groupBy($"doc_id", $"h")
+      .agg(dimAggs.head, dimAggs.tail: _*)
+      .select($"doc_id", $"h",
+        array((0 until 16).map(k => coalesce(col(s"c$k"), lit(0L))): _*)
+          .as("v"))
+      .withColumn("n2", graft.functions.VectorMath.dotLong($"v", $"v"))
+      .localCheckpoint(true)
+    // NOT checkpointed: token strings at corpus scale crowd the heap
+    // (its one extra consumer re-reads the page-cached scan instead)
+    val tokd = otoks.distinct()
+    val dfRel = tokd.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
+    val pref = tokd.join(dfRel, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id", $"h").orderBy($"tok_df", $"tok")))
+      .filter($"pos" <= 2)
+      .select($"doc_id", $"h", $"tok")
+    val cand = pref.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("qdoc"), $"h".as("qh"), $"tok")
+      .join(pref.select($"doc_id".as("cdoc"), $"h".as("cc"), $"tok"), "tok")
+      .filter($"qdoc" =!= $"cdoc")
+      .select($"qdoc", $"qh", $"cdoc", $"cc").distinct()
+    // query-side vectors are the doc_id%100 sample — broadcastable at
+    // any corpus size (1% of chunks × 19 longs); the corpus-side join
+    // is hinted SHUFFLE_HASH so the pair relation is never SORTED (the
+    // sort-merge default cost ~85 of the first cut's 94 s at sf1)
+    val av = vec.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("qdoc"), $"h".as("qh"),
+        $"v".as("va"), $"n2".as("n2a"))
+    val bv = vec.select($"doc_id".as("cdoc"), $"h".as("cc"),
+      $"v".as("vb"), $"n2".as("n2b"))
+    val mx = cand.join(broadcast(av), Seq("qdoc", "qh"))
+      .join(bv.hint("SHUFFLE_HASH"), Seq("cdoc", "cc"))
+      .withColumn("dot", graft.functions.VectorMath.dotLong($"va", $"vb"))
+      .withColumn("qcos2", expr("(dot * dot * 1000L) div (n2a * n2b)"))
+      .groupBy($"qdoc", $"qh", $"cdoc")
+      .agg(max($"qcos2").as("mx"))
+    val score = mx
+      .join(mRel.select($"doc_id".as("qdoc"), $"h".as("qh"), $"m"),
+        Seq("qdoc", "qh"))
+      .groupBy($"qdoc", $"cdoc")
+      .agg(sum($"m" * $"mx").as("score"), count(lit(1)).as("n_chunks_hit"))
+    score.withColumn("rk", row_number().over(
+        Window.partitionBy($"qdoc").orderBy($"score".desc, $"cdoc")))
+      .filter($"rk" <= 5)
+      .select($"qdoc".as("query_doc"), $"rk".cast("long").as("rk"),
+        $"cdoc".as("cand_doc"), $"score", $"n_chunks_hit")
+      .orderBy($"query_doc", $"rk")
+  }
+
   private def q163(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1999,6 +2125,96 @@ object TextOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q178_maxsim_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, toks,
+             list_filter(list_transform(toks, (tk, i) ->
+               CASE WHEN ('0x' || substr(md5(tk), 1, 7))::UBIGINT % 8 = 0
+                 THEN i - 1 ELSE -1 END), x -> x >= 0) AS bpos
+           FROM t),
+         s AS (
+           SELECT doc_id, toks,
+             list_prepend(0, list_transform(bpos, x -> x + 1)) AS starts,
+             list_append(list_transform(bpos, x -> x + 1), len(toks)) AS ends
+           FROM b),
+         ch0 AS (
+           SELECT doc_id,
+             unnest(list_filter(list_transform(range(1, len(starts) + 1),
+               k -> array_to_string(toks[starts[k] + 1 : ends[k]], ' ')),
+               c -> c <> '')) AS chunk
+           FROM s),
+         raw AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(chunk), 1, 15))::UBIGINT AS BIGINT)
+               AS h,
+             chunk
+           FROM ch0),
+         mr AS (
+           SELECT doc_id, h, CAST(count(*) AS BIGINT) AS m
+           FROM raw GROUP BY 1, 2),
+         ctoks AS (
+           SELECT doc_id, h, unnest(string_split(chunk, ' ')) AS tok
+           FROM raw),
+         vec AS (
+           SELECT doc_id, h, dim,
+             CAST(occ_cnt // m AS BIGINT) AS cnt
+           FROM (
+             SELECT doc_id, h,
+               CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 16
+                 AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS occ_cnt
+             FROM ctoks GROUP BY 1, 2, 3)
+           JOIN mr USING (doc_id, h)),
+         n2 AS (
+           SELECT doc_id, h, CAST(sum(cnt * cnt) AS BIGINT) AS n2
+           FROM vec GROUP BY 1, 2),
+         tokd AS (SELECT DISTINCT doc_id, h, tok FROM ctoks),
+         dfr AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS tok_df
+           FROM tokd GROUP BY 1),
+         pref AS (
+           SELECT doc_id, h, tok FROM (
+             SELECT doc_id, h, tok, row_number() OVER (
+               PARTITION BY doc_id, h ORDER BY tok_df, tok) AS pos
+             FROM tokd JOIN dfr USING (tok))
+           WHERE pos <= 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS qdoc, a.h AS qh,
+             c.doc_id AS cdoc, c.h AS cc
+           FROM pref a JOIN pref c USING (tok)
+           WHERE a.doc_id % 100 = 0 AND a.doc_id <> c.doc_id),
+         dotr AS (
+           SELECT qdoc, qh, cdoc, cc,
+             CAST(sum(va.cnt * vb.cnt) AS BIGINT) AS dot
+           FROM cand
+           JOIN vec va ON va.doc_id = cand.qdoc AND va.h = cand.qh
+           JOIN vec vb ON vb.doc_id = cand.cdoc AND vb.h = cand.cc
+             AND vb.dim = va.dim
+           GROUP BY 1, 2, 3, 4),
+         sc AS (
+           SELECT qdoc, qh, cdoc,
+             (dot * dot * 1000) // (na.n2 * nb.n2) AS qcos2
+           FROM dotr
+           JOIN n2 na ON na.doc_id = dotr.qdoc AND na.h = dotr.qh
+           JOIN n2 nb ON nb.doc_id = dotr.cdoc AND nb.h = dotr.cc),
+         mx AS (
+           SELECT qdoc, qh, cdoc, max(qcos2) AS mx
+           FROM sc GROUP BY 1, 2, 3),
+         sco AS (
+           SELECT qdoc, cdoc, CAST(sum(d.m * mx.mx) AS BIGINT) AS score,
+             CAST(count(*) AS BIGINT) AS n_chunks_hit
+           FROM mx JOIN mr d ON d.doc_id = mx.qdoc AND d.h = mx.qh
+           GROUP BY 1, 2)
+         SELECT qdoc AS query_doc, CAST(rk AS BIGINT) AS rk,
+           cdoc AS cand_doc, score, n_chunks_hit
+         FROM (
+           SELECT qdoc, cdoc, score, n_chunks_hit, row_number() OVER (
+             PARTITION BY qdoc ORDER BY score DESC, cdoc) AS rk
+           FROM sco)
+         WHERE rk <= 5 ORDER BY query_doc, rk""",
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
     // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
     // xxhash64 only matter through EQUALITY, so the oracle bands on the

@@ -840,6 +840,57 @@ object StreamOps {
       }
   }
 
+  /** One incoming document for the streaming packer (public: encoder). */
+  case class PackDoc(doc_id: Long, source: String, n_tok: Long)
+  /** Per-source packer state: the running token offset (public: encoder). */
+  case class PackState(offset: Long)
+  /** One loader-manifest row of the online packer (public: encoder). */
+  case class PackRow(doc_id: Long, source: String, n_tok: Long,
+      offset: Long, seq_first: Long, n_splits: Long)
+
+  /** Streaming sequence packing — the online form of the q176 loader
+    * manifest: as documents stream in, assign each its ABSOLUTE token
+    * offset in the per-source concat-and-chunk order and derive the
+    * 512-token-sequence fields (first sequence id, boundary-split
+    * count). State per source is ONE long — the running offset — so a
+    * loader can consume an unbounded corpus with bounded planner
+    * state. Within a micro-batch the group sorts by doc_id, so the
+    * assignment is batching-invariant for in-order (per-source
+    * ascending doc_id) delivery: on any prefix of the corpus the
+    * emitted rows equal the batch q176 manifest restricted to that
+    * prefix, no matter how the prefix was sliced into batches. A
+    * cumulative sum is order-DEPENDENT by nature, so cross-batch
+    * out-of-order delivery is out of contract (feed through a reorder
+    * buffer first — reorderStream — exactly as a loader replaying a
+    * log would); within-batch scrambles are absorbed by the sort.
+    *
+    * Scale: the stateful exchange carries (id, source, n_tok) triples
+    * — fixed-width, text never shuffles (the q155/release discipline);
+    * per-source state is one long regardless of corpus size; emission
+    * is one row per document with no amplification.
+    */
+  def packingStream(docs: Dataset[PackDoc],
+      cap: Long = 512L): Dataset[PackRow] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[PackState, PackRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source, it, state) =>
+          var off = state.getOption.map(_.offset).getOrElse(0L)
+          val out = it.toVector.sortBy(_.doc_id).map { e =>
+            val first = off / cap
+            val last = (off + math.max(e.n_tok, 1L) - 1L) / cap
+            val row = PackRow(e.doc_id, source, e.n_tok, off,
+              first, last - first)
+            off += e.n_tok
+            row
+          }
+          state.update(PackState(off))
+          out.iterator
+      }
+  }
+
   def heavyHittersStream(docs: Dataset[DocEvent], windowSecs: Int, k: Int,
       watermark: String): Dataset[HeavyHitter] = {
     import docs.sparkSession.implicits._
