@@ -75,7 +75,8 @@ object Plans {
     "q176_sequence_packing" -> "sequence packing: ONE documents scan; the only exchange is the per-source cumsum window carrying (n_tok, id) — offsets, sequence ids, and boundary splits all derive arithmetically from the running sum",
     "q177_epoch_order" -> "epoch ordering: upsample = explode over a literal copy array (map-side), shard = pmod(md5), per-(epoch,shard) rank window compiles to a bounded sort per shard — no global sort at any point",
     "q178_maxsim_chunks" -> "late-interaction MaxSim: chunk vectors pack to ONE 16-long array row off one scan (dim-granular form spilled 37+ GB); query-side vectors broadcast (1% sample), corpus side SHUFFLE_HASH so the pair relation is never sorted; MaxSim = max-then-sum partial aggregates; final top-5 compiles to WindowGroupLimit",
-    "q179_store_clone" -> "store clone serve: cloneAt materializes the epoch's masked logical contents as fresh base generations (one partition-pruned scan + one partitioned write, no re-assignment) — the serve is then exactly the q152 probe-pruned plan over the clone's directories")
+    "q179_store_clone" -> "store clone serve: cloneAt materializes the epoch's masked logical contents as fresh base generations (one partition-pruned scan + one partitioned write, no re-assignment) — the serve is then exactly the q152 probe-pruned plan over the clone's directories",
+    "q180_release_packing" -> "release-to-loader: the q155 stage chain keeps its postures; the packing adds ONE cumsum window over the ADMITTED rows only (budget-bounded per language) — manifest cost tracks the release size, not the corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -3041,7 +3041,7 @@ object IvfIndex {
     * `inc`/`admc` rollups — the exact CTE text of q155's oracle up to
     * its audit joins (the admitted SET is the artifact here).
     */
-  private def releaseAdmCtes: String =
+  private[graft] def releaseAdmCtes: String =
     raw"""raw AS MATERIALIZED (
            SELECT doc_id, lang, source, text,
              string_split_regex(text, '\s+') AS toks

@@ -56,6 +56,7 @@ object PipelineOps {
     "q139_containment_decontam" -> ((s, d) => q139(s, d)),
     "q155_corpus_release" -> ((s, d) => q155(s, d)),
     "q176_sequence_packing" -> ((s, d) => q176(s, d)),
+    "q180_release_packing" -> ((s, d) => q180(s, d)),
     "q177_epoch_order" -> ((s, d) => q177(s, d))
   )
 
@@ -131,6 +132,40 @@ object PipelineOps {
       .select($"doc_id", $"source", $"n_tok", $"offset",
         expr(s"offset div $cap").as("seq_first"),
         expr(s"(offset + greatest(n_tok, 1) - 1) div $cap" +
+          s" - offset div $cap").as("n_splits"))
+      .orderBy($"source", $"doc_id")
+  }
+
+  /** RELEASE-TO-LOADER composition — the last join of the two
+    * round-11 chains: q172 takes q155's admitted corpus to the SERVING
+    * side (embed → index → recall gate); this entry takes it to the
+    * TRAINING side, emitting the q176 loader manifest over exactly the
+    * released documents — per admitted doc, its absolute token offset
+    * in the per-source concat-and-chunk order of the CLEANED token
+    * counts (span dedup applied — the loader packs what the release
+    * actually ships, not raw lengths), its first 512-token sequence
+    * and boundary-split count. The pipeline a training run executes is
+    * now oracled end to end at both exits: corpus → release → loader
+    * order, and corpus → release → index → recall.
+    *
+    * Scale: the release stages keep their own postures (q155); the
+    * packing adds one cumsum window over the ADMITTED rows only —
+    * budget-bounded per language, so the manifest cost tracks the
+    * release size, not the corpus.
+    */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 512L
+    val st = releaseStages(s, d, 3000L)
+    val adm = st.kept.select($"doc_id", $"n_clean")
+      .join(st.docs.select($"doc_id", $"source"), "doc_id")
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    adm.withColumn("offset", coalesce(sum($"n_clean").over(w), lit(0L)))
+      .select($"doc_id", $"source", $"n_clean", $"offset",
+        expr(s"offset div $cap").as("seq_first"),
+        expr(s"(offset + greatest(n_clean, 1) - 1) div $cap" +
           s" - offset div $cap").as("n_splits"))
       .orderBy($"source", $"doc_id")
   }
@@ -2479,6 +2514,23 @@ object PipelineOps {
          FROM inc LEFT JOIN ddc USING (lang) LEFT JOIN qc USING (lang)
            LEFT JOIN spanc USING (lang) LEFT JOIN keptc USING (lang)
          ORDER BY inc.lang""",
+    "q180_release_packing" ->
+      (s"WITH ${IvfIndex.releaseAdmCtes}," +
+      raw""" srcj AS (
+           SELECT a.doc_id, d.source, a.n_clean
+           FROM adm a JOIN documents d USING (doc_id)),
+         o AS (
+           SELECT doc_id, source, n_clean,
+             CAST(coalesce(sum(n_clean) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS "offset"
+           FROM srcj)
+         SELECT doc_id, source, n_clean, "offset",
+           "offset" // 512 AS seq_first,
+           ("offset" + greatest(n_clean, 1) - 1) // 512
+             - "offset" // 512 AS n_splits
+         FROM o ORDER BY source, doc_id"""),
     "q176_sequence_packing" ->
       raw"""WITH t AS (
            SELECT doc_id, source,

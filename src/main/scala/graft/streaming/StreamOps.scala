@@ -1281,6 +1281,46 @@ object StreamOps {
       }
     }
 
+  /** CONDITION-DRIVEN index maintenance — the auto-maintainer a
+    * deployment runs beside streaming ingest. [[indexIngestStream]]
+    * compacts on a blind cadence (every Nth batch) whether or not the
+    * store needs it; this variant derives each trigger's maintenance
+    * from OBSERVED state:
+    *   - SPLIT when the ingest's own occupancy report flags a hot cell
+    *     (`needs_split`: a cell holding > 1/8 of the corpus), bounding
+    *     per-probe candidate mass before skew degrades serve latency;
+    *   - COMPACT when any cell's LIVE generation count exceeds
+    *     `maxGens` (a serve reads one directory per live generation
+    *     per probed cell — the read-amplification bound), or when
+    *     pending tombstone sets exceed `maxTombs` (each pending set
+    *     rides every serve's anti-join mask; deletes may arrive out of
+    *     band from this stream).
+    * The compaction decision reads ONLY the committed manifest —
+    * O(nlists) metadata, no data scan; the split decision reuses the
+    * occupancy report [[graft.operators.IvfIndex.addBatch]] already
+    * computes for its return value. Exactly-once is untouched:
+    * maintenance commits its own epochs under the manifest protocol,
+    * and a replayed data batch remains a metadata no-op whose
+    * maintenance re-check is idempotent (state already within bounds).
+    */
+  def indexMaintainStream(vecs: Dataset[IndexVec], dir: String,
+      maxGens: Int = 4, maxTombs: Int = 2,
+      splitHotCells: Boolean = true): StreamingQuery =
+    toForeachBatch(vecs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        val rep = graft.operators.IvfIndex.addBatch(s, dir,
+          batch.select(col("vec_id"), col("qv")), gen = batchId + 1)
+        if (splitHotCells &&
+            rep.filter(col("needs_split") === 1L).limit(1).count() > 0)
+          graft.operators.IvfIndex.splitCells(s, dir)
+        val snap = graft.operators.IvfIndex.readSnapshot(s, dir)
+        val maxLive = snap.cells.values.map(_.size).foldLeft(0)(math.max)
+        if (maxLive > maxGens || snap.tombs.size > maxTombs)
+          graft.operators.IvfIndex.compact(s, dir)
+      }
+    }
+
   /** [[indexIngestStream]] for the PQ-COMPRESSED store: each batch is
     * assigned AND encoded in one pass ([[graft.operators.IvfIndex.addBatchPq]] —
     * the immutable codebook rides the expression tree, so streaming
