@@ -282,6 +282,18 @@ object StreamBench {
       finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
 
+    // Online sequence packer (docs/s): per-source running-offset
+    // assignment — ONE long of state per source, emission 1:1 (the
+    // q176 loader manifest online).
+    val packEvents: Seq[StreamOps.PackDoc] =
+      bids.indices.map { i =>
+        val rng = new Nexmark.Rng(i.toLong)
+        StreamOps.PackDoc(i.toLong, s"src${rng.nextInt(16)}",
+          20L + rng.nextInt(400))
+      }
+    val pack = rate("pack_dps", packEvents, batchSize)(in =>
+      StreamOps.packingStream(in.toDS()).toDF())
+
     // Streaming drift monitor (vectors/s): per-batch broadcast-argmin
     // assignment against the 16 reference centroids + the TVD/distortion
     // rollup — the stateless model-QA tap a serving pipeline runs beside
@@ -314,7 +326,7 @@ object StreamBench {
     }
 
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release, drift)
+      attrib, curation, release, pack, drift)
   }
 
   def main(args: Array[String]): Unit = {
