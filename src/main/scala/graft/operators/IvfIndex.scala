@@ -672,8 +672,13 @@ object IvfIndex {
       VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
     learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
       .parquet(centDir(dir, 1L))
+    // repartition on the partition columns so each (cid, label, gen)
+    // directory gets ONE file instead of one per write task (~8k tiny
+    // files at 32 tasks × 16 cells × 16 labels — the file-create storm
+    // dominated the labeled build's wall at sf10)
     VectorOps.argminPacked(emb, learned, carryQv = true, carry = Seq("label"))
       .select($"vec_id", $"qv", $"cid", $"label", lit(0L).as("gen"))
+      .repartition($"cid", $"label")
       .write.mode(SaveMode.Overwrite).partitionBy("cid", "label", "gen")
       .parquet(postDir(dir))
     val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
@@ -1420,6 +1425,7 @@ object IvfIndex {
     val cbc = cbLiteral(cb)
     resid.select($"vec_id", codeCol(cbc, $"rv").as("code"), $"cid",
         $"label", lit(0L).as("gen"))
+      .repartition($"cid", $"label") // one file per dir — see buildLabeled
       .write.mode(SaveMode.Overwrite).partitionBy("cid", "label", "gen")
       .parquet(postDir(dir))
     val cids = learned.select($"cid".cast("long")).as[Long].collect().toSeq
