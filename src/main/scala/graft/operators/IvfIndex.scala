@@ -505,6 +505,10 @@ object IvfIndex {
       emb, seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
     learned.select($"cid", $"cq").write.mode(SaveMode.Overwrite)
       .parquet(centDir(dir, 1L))
+    // NOT repartitioned before the write (unlike buildLabeled): 16 cell
+    // dirs × 32 tasks is no file storm, and the A/B showed the full-
+    // corpus (vec_id, qv) shuffle costs more than 512 creates save
+    // (q152 sf10 12.0 → 14.3 s with the repartition)
     VectorOps.argminPacked(emb, learned, carryQv = true)
       .select($"vec_id", $"qv", $"cid", lit(0L).as("gen"))
       .write.mode(SaveMode.Overwrite).partitionBy("cid", "gen")
