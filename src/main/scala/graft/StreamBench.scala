@@ -282,6 +282,16 @@ object StreamBench {
       finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     }
 
+    // Streaming decontamination (docs/s): stateless per-doc 8-gram scan
+    // against a broadcast 60-bit digest (10k eval windows).
+    val decontam = {
+      val digest = (0 until 10000)
+        .map(i => new Nexmark.Rng(i.toLong).nextLong() & ((1L << 60) - 1))
+        .toSet
+      rate("decontam_dps", docEvents, docBatch)(in =>
+        StreamOps.decontamStream(in.toDS(), digest).toDF())
+    }
+
     // Online sequence packer (docs/s): per-source running-offset
     // assignment — ONE long of state per source, emission 1:1 (the
     // q176 loader manifest online).
@@ -326,7 +336,7 @@ object StreamBench {
     }
 
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release, pack, drift)
+      attrib, curation, release, decontam, pack, drift)
   }
 
   def main(args: Array[String]): Unit = {

@@ -840,6 +840,60 @@ object StreamOps {
       }
   }
 
+  /** One decontamination verdict (public: encoder). */
+  case class DecontamVerdict(doc_id: Long, n_grams: Long, n_hits: Long,
+      contaminated: Boolean)
+
+  /** Streaming benchmark DECONTAMINATION — q82's eval-8-gram guard as
+    * an ingestion-time tap: every arriving document is scored against
+    * the (static, broadcast) eval-suite digest of distinct 8-token
+    * windows, emitting its window count, hit count, and the
+    * contaminated flag a pipeline routes on (quarantine vs admit).
+    * Stateless by construction — the digest is benchmark-suite-sized
+    * and broadcast once, the scan is per-document — so verdicts are
+    * trivially batching-, delivery-order-, and replay-invariant, and
+    * the operator composes before any stateful stage (drop
+    * contaminated docs BEFORE they enter dedup state). Digest entries
+    * are the windows' 60-bit md5 prefixes (the q136 identity device):
+    * 8 bytes per eval window on the broadcast, the text of neither
+    * side ever shuffles.
+    *
+    * Scale: the eval suite is small by construction (q82's argument);
+    * a digest too big to broadcast is the signal to switch to the q94
+    * Bloom-bitmap form, same verdict schema.
+    */
+  def decontamStream(docs: Dataset[DocEvent],
+      evalGramHashes: Set[Long]): Dataset[DecontamVerdict] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(evalGramHashes)
+    docs.map { d =>
+      val toks = Option(d.text).getOrElse("").split("\\s+", -1)
+      val n = math.max(0, toks.length - 7)
+      var hits = 0L
+      var i = 0
+      while (i < n) {
+        if (bc.value.contains(gramHash60(toks, i))) hits += 1
+        i += 1
+      }
+      DecontamVerdict(d.doc_id, n.toLong, hits, hits > 0)
+    }
+  }
+
+  /** 60-bit md5 prefix of the 8-token window starting at `i` (space-
+    * joined) — the shared cross-engine window identity.
+    */
+  private[graft] def gramHash60(toks: Array[String], i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val g = toks.slice(i, i + 8).mkString(" ")
+    val dig = md.digest(g.getBytes("UTF-8"))
+    // first 15 hex chars = 60 bits: 7.5 bytes, big-endian
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >> 4)
+  }
+
   /** One incoming document for the streaming packer (public: encoder). */
   case class PackDoc(doc_id: Long, source: String, n_tok: Long)
   /** Per-source packer state: the running token offset (public: encoder). */
