@@ -84,6 +84,34 @@ class CloneStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.retainEpochs")
   }
 
+  test("labeled store clone carries the (cid,label,gen) layout") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.index.retainEpochs", "8")
+    try {
+      val emb = VectorOps.quantizedLabeled(spark, sfDir)
+      val queries = emb.filter($"vec_id" % 100 === 0)
+      val src = tmp("labsrc")
+      val dst = tmp("labdst")
+      IvfIndex.buildLabeled(emb, src)
+      IvfIndex.delete(spark, src,
+        emb.filter($"vec_id" % 7 === 0).select($"vec_id")) // epoch 2
+      val at1 = IvfIndex.serveLabeled(spark, src, queries).collect()
+        .map(_.toSeq).toSet
+      IvfIndex.cloneAt(spark, src, 2L, dst)
+      val got = IvfIndex.serveLabeled(spark, dst, queries).collect()
+        .map(_.toSeq).toSet
+      assert(got === at1)
+      // the label partition level survived: the filtered serve still
+      // prunes, and no vector lost its label on the rewrite
+      val lab = IvfIndex.postings(spark, dst)
+      assert(lab.columns.contains("label"))
+      val want = emb.filter($"vec_id" % 7 =!= 0)
+        .select($"vec_id", $"label").as[(Long, Long)].collect().toSet
+      assert(lab.select($"vec_id", $"label".cast("long"))
+        .as[(Long, Long)].collect().toSet === want)
+    } finally spark.conf.unset("spark.graft.index.retainEpochs")
+  }
+
   test("guards: same directory and out-of-window epochs are refused") {
     import spark.implicits._
     spark.conf.set("spark.graft.index.retainEpochs", "1")
