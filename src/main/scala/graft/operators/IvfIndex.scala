@@ -789,15 +789,30 @@ object IvfIndex {
     * applied — a merge must not resurrect the source's deletes) are
     * re-assigned to THIS store's centroids in one broadcast-argmin pass
     * and committed as ingest generation `gen` under the standard
-    * manifest discipline, so a merge is exactly-once under replay,
-    * visible to concurrent serve streams at its commit, time-travelable,
-    * and compactable like any other ingest. The source store is read
-    * through its own committed snapshot and never modified.
+    * manifest discipline — visible to concurrent serve streams at its
+    * commit, time-travelable, and compactable like any other ingest.
+    * The source store is read through its own committed snapshot and
+    * never modified.
     *
-    * Raw stores only (both sides): PQ codes are codebook-relative, so
-    * merging a compressed store means decode→re-encode — a LOSSY step a
-    * deployment must opt into explicitly (re-encode from the original
-    * vectors instead); refusing here keeps the merged store bit-exact.
+    * Generation collisions fail LOUDLY by default: [[addBatch]]'s
+    * replay no-op is the right contract for a streaming sink replaying
+    * its own batch ids, but a shard consolidation that accidentally
+    * reuses a generation id across DIFFERENT sources would silently
+    * drop an entire shard's rows while returning a normal report —
+    * indistinguishable from success. A caller recovering a crashed
+    * merge of the SAME source opts into the no-op explicitly with
+    * `allowReplay = true` (the exactly-once posture), which is safe
+    * precisely because the caller is asserting src/gen identity.
+    *
+    * Raw UNLABELED stores only (both sides): PQ codes are
+    * codebook-relative, so merging a compressed store means
+    * decode→re-encode — a LOSSY step a deployment must opt into
+    * explicitly (re-encode from the original vectors instead); and a
+    * labeled store's postings live under a cid=/label=/gen= layout, so
+    * a label-blind merge would both drop the source's labels and write
+    * cid=/gen= directories into the destination's three-level tree,
+    * corrupting partition discovery for every later read — refusing
+    * both keeps the merged store bit-exact.
     *
     * Scale: the moved bytes are the SOURCE's live postings exactly once
     * (one scan, one argmin exchange, one partitioned write); the
@@ -805,16 +820,31 @@ object IvfIndex {
     * tracks the smaller shard, never the serving store.
     */
   def mergeFrom(s: SparkSession, dstDir: String, srcDir: String,
-      gen: Long): DataFrame = {
+      gen: Long, allowReplay: Boolean = false): DataFrame = {
     val srcSnap = readSnapshot(s, srcDir)
     require(srcSnap.pqVer == 0L,
       s"mergeFrom: source $srcDir is a PQ store (codebook v${srcSnap.pqVer}); " +
         "PQ codes are codebook-relative — re-encode from the original " +
         "vectors instead of merging stores")
-    require(readSnapshot(s, dstDir).pqVer == 0L,
+    val dstSnap = readSnapshot(s, dstDir)
+    require(dstSnap.pqVer == 0L,
       s"mergeFrom: destination $dstDir is a PQ store; raw stores only")
-    addBatch(s, dstDir,
-      masked(s, srcDir, srcSnap).select(col("vec_id"), col("qv")), gen)
+    val srcPost = masked(s, srcDir, srcSnap)
+    require(!srcPost.columns.contains("label"),
+      s"mergeFrom: source $srcDir is a LABELED store — a label-blind " +
+        "merge would silently drop its labels; merge labeled stores " +
+        "through a labeled-aware path")
+    require(!postingsOf(s, dstDir, dstSnap).columns.contains("label"),
+      s"mergeFrom: destination $dstDir is a LABELED store — merging " +
+        "unlabeled cid=/gen= directories into its cid=/label=/gen= " +
+        "tree would corrupt partition discovery for every later read")
+    require(allowReplay || !dstSnap.committedIngest(gen),
+      s"mergeFrom: destination $dstDir already committed ingest " +
+        s"generation $gen (ingest_low=${dstSnap.ingestLow}) — merging " +
+        "another source under a reused generation id would be silently " +
+        "skipped and its rows lost; use a fresh gen per source, or pass " +
+        "allowReplay=true if this IS a recovery replay of the same source")
+    addBatch(s, dstDir, srcPost.select(col("vec_id"), col("qv")), gen)
   }
 
   /** CLONE a retained epoch of `srcDir` as an INDEPENDENT store at

@@ -1926,6 +1926,20 @@ object TextOps {
         array((0 until 16).map(k => coalesce(col(s"c$k"), lit(0L))): _*)
           .as("v"))
       .withColumn("n2", graft.functions.VectorMath.dotLong($"v", $"v"))
+      // exact-int64 cosine bound: qcos2 computes (dot²·1000) div
+      // (n2a·n2b); with every n2 ≤ 9.6e7, n2a·n2b ≤ 9.216e15 and (by
+      // Cauchy–Schwarz, dot ≤ √(n2a·n2b)) dot²·1000 ≤ 9.216e18 < 2^63
+      // — both products provably in range. A chunk heavy enough to
+      // cross the bound (~10k tokens; the p=1/8 CDC cut makes that
+      // adversarial, not organic) must fail LOUDLY exactly as the
+      // DuckDB oracle raises on overflow — never wrap int64 and
+      // silently mis-rank.
+      .withColumn("n2",
+        when($"n2" <= lit(96000000L), $"n2").otherwise(raise_error(
+          concat(lit("q178: chunk vector norm2 overflows the exact " +
+              "int64 cosine bound (n2="), $"n2",
+            lit(" > 96000000) — chunk too heavy for (dot^2*1000) div " +
+              "(n2a*n2b)")))))
       .localCheckpoint(true)
     // NOT checkpointed: token strings at corpus scale crowd the heap
     // (its one extra consumer re-reads the page-cached scan instead)

@@ -1246,6 +1246,21 @@ object StreamOps {
       emit: (DataFrame, Long) => Unit): StreamingQuery = {
     val s = vecs.sparkSession
     import s.implicits._
+    // the reference frame left-joins refCounts from the centroid table,
+    // so a refCounts row keyed to a cell the centroid table lacks would
+    // be silently EXCLUDED from n_ref — a refCounts table built against
+    // a stale/different centroid version would skew tvd_permille
+    // instead of erroring. Validate the subset driver-side before the
+    // stream starts (both tables are nlists-sized monitor config).
+    val centCids = cents.select($"cid".cast("long").as("cid"))
+      .as[Long].collect().toSet
+    val orphanCids = refCounts.select($"cid".cast("long").as("cid"))
+      .as[Long].collect().filterNot(centCids.contains)
+    require(orphanCids.isEmpty,
+      s"driftMonitorStream: refCounts names cell(s) " +
+        s"${orphanCids.sorted.take(5).mkString(", ")} absent from the " +
+        "centroid table — the reference counts were built against a " +
+        "different centroid version; rebuild them from this quantizer")
     // frame over the CENTROID table (every routable cell), so batch
     // mass landing in a cell the reference never occupied still
     // contributes its full |n_bc·N_ref − 0| drift term

@@ -48,12 +48,37 @@ class IndexMergeSpec extends SparkSpec {
     assert(got.map(_._1).toSet.intersect(
       vecs.keys.filter(id => id % 2 == 1 && id % 7 == 0).toSet).isEmpty,
       "source tombstones must not resurrect")
-    // source untouched; replay of the same generation is a no-op
+    // source untouched
     assert(IvfIndex.liveContents(spark, dirB)
       .as[(Long, Long)].collect().toSet === preB)
-    IvfIndex.mergeFrom(spark, dirA, dirB, gen = 1L)
+    // a reused generation id fails LOUDLY by default — a second source
+    // merged under gen 1 would be silently dropped, indistinguishable
+    // from success
+    val collision = intercept[IllegalArgumentException] {
+      IvfIndex.mergeFrom(spark, dirA, dirB, gen = 1L)
+    }
+    assert(collision.getMessage.contains("already committed"))
+    // an EXPLICIT recovery replay of the same source is a no-op
+    IvfIndex.mergeFrom(spark, dirA, dirB, gen = 1L, allowReplay = true)
     assert(IvfIndex.liveContents(spark, dirA).as[(Long, Long)].collect()
       .toSeq.sorted === got)
+  }
+
+  test("labeled stores refuse to merge in either role") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val labeled = emb.withColumn("label", col("vec_id") % 4)
+    val (dirL, dirR) = (tmp("graft_mergeL"), tmp("graft_mergeR2"))
+    IvfIndex.buildLabeled(labeled.filter($"vec_id" % 2 === 0), dirL)
+    IvfIndex.build(emb.filter($"vec_id" % 2 === 1), dirR)
+    val asSrc = intercept[IllegalArgumentException] {
+      IvfIndex.mergeFrom(spark, dirR, dirL, gen = 1L)
+    }
+    assert(asSrc.getMessage.contains("LABELED"))
+    val asDst = intercept[IllegalArgumentException] {
+      IvfIndex.mergeFrom(spark, dirL, dirR, gen = 1L)
+    }
+    assert(asDst.getMessage.contains("LABELED"))
   }
 
   test("PQ stores refuse to merge in either role") {

@@ -902,4 +902,56 @@ class IvfIndexSpec extends SparkSpec {
     // contents: base + 35 distinct ingested vectors, each stored once
     assert(IvfIndex.postings(spark, dir).count() === before + 5)
   }
+
+  test("1000 logical ingest commits: the dedup state stays O(disorder), never O(stream)") {
+    // Pure-logic drive of the manifest's ingest-dedup state machine —
+    // Snapshot.withIngested/committedIngest are exactly what every
+    // commit serializes (`ingest_low=` + the sorted `ingested=` set),
+    // so bounding the set IS bounding the manifest bytes. The Spark
+    // ingest test above proves the same mechanism end-to-end over 30
+    // real batches; this one proves the CLAIMED scale: 1000 commits,
+    // sequential and adversarially reordered.
+    val base = IvfIndex.Snapshot(1L, 1L, Map.empty, Set.empty, -1L)
+    // sequential writer (the streaming sink: gen = batchId + 1): the
+    // out-of-order set stays PERMANENTLY EMPTY — O(1) manifest growth
+    var seq = base
+    (1L to 1000L).foreach { g =>
+      assert(!seq.committedIngest(g), s"gen $g must read uncommitted first")
+      seq = seq.withIngested(g)
+      assert(seq.ingested.isEmpty,
+        s"gen $g: a sequential writer must never park a generation")
+      assert(seq.ingestLow === g)
+    }
+    assert((1L to 1000L).forall(seq.committedIngest),
+      "every committed generation must replay as a no-op")
+    assert(!seq.committedIngest(1001L))
+    // bounded-disorder writer: a seeded permutation where each gen
+    // lands within a W-slot window of its place (the at-least-once
+    // redelivery reality) — the parked set peaks at ≤ W and drains
+    val rnd = new scala.util.Random(12L)
+    val W = 16
+    val order = (1 to 1000).grouped(W)
+      .flatMap(b => rnd.shuffle(b.toList)).toSeq
+    assert(order.sorted == (1 to 1000).toSeq)
+    var dis = base
+    var maxParked = 0
+    order.foreach { g =>
+      dis = dis.withIngested(g.toLong)
+      maxParked = math.max(maxParked, dis.ingested.size)
+    }
+    assert(dis.ingestLow === 1000L && dis.ingested.isEmpty)
+    assert(maxParked <= W,
+      s"parked set peaked at $maxParked > disorder window $W — the " +
+        "state must track the REORDERING, not the stream length")
+    assert(rnd.shuffle((1 to 1000).toList).take(100)
+      .forall(g => dis.committedIngest(g.toLong)))
+    // worst case on record: full reversal parks everything until gen 1
+    // lands, then ONE absorption empties the set — the bound is the
+    // disorder span by construction, which is what the doc claims
+    var rev = base
+    (1000L to 2L by -1L).foreach(g => rev = rev.withIngested(g))
+    assert(rev.ingested.size === 999 && rev.ingestLow === 0L)
+    rev = rev.withIngested(1L)
+    assert(rev.ingestLow === 1000L && rev.ingested.isEmpty)
+  }
 }
