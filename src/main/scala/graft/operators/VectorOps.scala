@@ -40,7 +40,8 @@ object VectorOps {
     "q147_ivf_learned" -> ((s, d) => q147(s, d)),
     "q149_kmeans_convergence" -> ((s, d) => q149(s, d)),
     "q171_semdedup_lloyd" -> ((s, d) => q171(s, d)),
-    "q174_embedding_drift" -> ((s, d) => q174(s, d))
+    "q174_embedding_drift" -> ((s, d) => q174(s, d)),
+    "q181_semdedup_capped" -> ((s, d) => q181(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -760,14 +761,19 @@ object VectorOps {
     semDedupVerdicts(v)
   }
 
-  /** The verdict core on assigned members (vec_id, cid, dist, n2, qv) —
-    * split out so the spec can feed a constructed corpus.
+  /** The verdict core on assigned members (vec_id, dist, n2, qv plus
+    * the grouping column `key`) — split out so the spec can feed a
+    * constructed corpus, and generic over the cell key so the fixed
+    * quantizer (q171: `cid` long) and the capped quantizer (q181:
+    * `cell` path string) share one pair/drop rule.
     */
-  private[graft] def semDedupVerdicts(v: DataFrame): DataFrame = {
+  private[graft] def semDedupVerdictsOn(v: DataFrame,
+      key: String): DataFrame = {
     val s = v.sparkSession
     import s.implicits._
     val pairs = v.as("a").join(v.as("b"),
-        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        col(s"a.$key") === col(s"b.$key") &&
+          col("a.vec_id") < col("b.vec_id"))
       .withColumn("dot",
         graft.functions.VectorMath.dotLong(col("a.qv"), col("b.qv")))
       .filter($"dot" > 0 &&
@@ -782,13 +788,187 @@ object VectorOps {
       .groupBy($"vec_id").agg(count(lit(1)).as("n_dup_pairs"))
     val dropped = pairs.select($"drop_id".as("vec_id")).distinct()
       .withColumn("is_dropped", lit(1L))
-    v.select($"vec_id", $"cid".cast("long").as("cid"))
+    v.select($"vec_id", col(key))
       .join(perDoc, Seq("vec_id"), "left")
       .join(dropped, Seq("vec_id"), "left")
-      .select($"cid", $"vec_id",
+      .select(col(key), $"vec_id",
         coalesce($"n_dup_pairs", lit(0L)).as("n_dup_pairs"),
         coalesce($"is_dropped", lit(0L)).as("is_dropped"))
-      .orderBy($"cid", $"vec_id")
+      .orderBy(col(key), $"vec_id")
+  }
+
+  /** q171's verdict core on (vec_id, cid, dist, n2, qv). */
+  private[graft] def semDedupVerdicts(v: DataFrame): DataFrame =
+    semDedupVerdictsOn(
+      v.withColumn("cid", col("cid").cast("long")), "cid")
+
+  /** Cell-size cap the PRODUCTION SemDeDup entry (q181) enforces, and
+    * the fixed split-round unroll bound its oracle replays. The cap is
+    * what makes intra-cell pair mass LINEAR in corpus size
+    * (Σ|cell|² ≤ cap·N) — the q171 gate form's fixed 16-cell quantizer
+    * is quadratic (SemDedupScale: 12.57M → 1.258B pairs for 10×).
+    * MaxRounds bounds the recursion depth: 16 halvings cover a 2^16×
+    * over-cap cell under balanced splits — far past any gated scale —
+    * and rounds after convergence are identities, so the oracle can
+    * unroll the fixed count while the engine stops early.
+    */
+  private[graft] val SemDedupCap = 24L
+  private[graft] val SemDedupMaxRounds = 16
+
+  /** CAP-BOUNDED quantizer — the recursive-split production posture of
+    * SemDeDup's clustering: start from the converged coarse Lloyd
+    * assignment and, round by round, BISECT every cell holding more
+    * than `cap` members at its MEDIAN along the cell's spread chord —
+    * project each member onto the axis from the cell's most-central to
+    * its most-peripheral member (both argmin/argmax by (dist, vec_id),
+    * so deterministic; the projection is one exact int64 dot), put the
+    * lower half (projection ≤ the floor(n/2)-ranked VALUE, ranked by
+    * (projection, vec_id)) in sub-cell 0 and the rest in sub-cell 1,
+    * and give each half its own floor-mean centroid (the leaf geometry
+    * the "less central" drop rule measures against). Splitting by the
+    * median VALUE — never by rank alone — means identical vectors have
+    * identical projections and can never straddle a split: exact
+    * duplicates always co-land. Cell identity is the split PATH
+    * ("7", "7/0", "7/0/1", …), so the recursion is deterministic and
+    * the DuckDB oracle replays it with fixed-round unrolling (a round
+    * with no over-cap cell is an identity).
+    *
+    * Median bisection, not 2-means: a first cut ran one-update 2-means
+    * per hot cell and its unbalanced splits STALLED on the 10×-
+    * replicated sf1 corpus (16 rounds left a 200-member cell over cap
+    * 24). The median cut halves a cell up to projection ties, so depth
+    * is log₂(max_cell/cap) plus tie slack by construction; the only
+    * unsplittable cell is one where more than half the members share an
+    * exact projection (e.g. > cap copies of one point), and that fails
+    * LOUDLY after `maxRounds` instead of quietly violating the cap.
+    * Returns (vec_id, cell STRING, dist = squared distance to the LEAF
+    * centroid).
+    *
+    * Scale: each round touches ONLY over-cap cells' members (one join
+    * to re-attach vectors — co-partitionable by bucketing the corpus
+    * on vec_id; one broadcast axis/threshold/mean row pair per hot
+    * cell; one map-side-combined mean rollup). The median rank runs as
+    * a window per hot cell — round 0's hottest partition is
+    * ~corpus/nlists rows, the same mass the UNCAPPED form would put
+    * through one task QUADRATICALLY as pairs; here it is one sort,
+    * once, and halves every round. Output guarantees Σ|cell|² ≤ cap·N
+    * — intra-cell pair mass LINEAR in corpus size.
+    */
+  private[graft] def cappedCells(emb: DataFrame, learned: DataFrame,
+      cap: Long, maxRounds: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    var state = argminPacked(emb, learned)
+      .select($"vec_id", $"cid".cast("string").as("cell"), $"dist")
+      .localCheckpoint(true)
+    var round = 0
+    var hot = state.groupBy($"cell").agg(count(lit(1)).as("n"))
+      .filter($"n" > cap).select($"cell").localCheckpoint(true)
+    while (round < maxRounds && !hot.isEmpty) {
+      val hm = state.join(hot, Seq("cell"), "left_semi")
+        .join(emb, "vec_id")
+        .select($"vec_id", $"cell", $"dist", $"qv")
+      // spread chord: most-central -> most-peripheral member, both
+      // deterministic under (dist, vec_id) ties
+      val ax = hm.groupBy($"cell")
+        .agg(expr("min_by(qv, struct(dist, vec_id))").as("s0"),
+          expr("max_by(qv, struct(dist, vec_id))").as("s1"))
+        .select($"cell", expr("zip_with(s1, s0, (a, b) -> a - b)").as("ax"))
+      val pj = hm.join(broadcast(ax), "cell")
+        .withColumn("p", graft.functions.VectorMath.dotLong($"qv", $"ax"))
+      // the median VALUE: projection at rank floor(n/2) under the
+      // (p, vec_id) total order — value-split keeps ties together
+      val th = pj
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"cell").orderBy($"p", $"vec_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"cell")))
+        .groupBy($"cell")
+        .agg(max(when($"rn" * 2 <= $"n", $"p")).as("t"))
+      val a0 = pj.join(broadcast(th), "cell")
+        .withColumn("sub", when($"p" > $"t", lit(1L)).otherwise(lit(0L)))
+      // each half's floor-mean centroid (lloydPass's integer-exact
+      // transform) — the leaf geometry the verdicts rank "central" by
+      val means = a0.groupBy($"cell", $"sub")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.BoundedAggs.vecSum($"qv").as("sums"))
+        .select($"cell", $"sub",
+          expr("transform(sums, sv -> CAST(floor(CAST(sv AS DOUBLE) / n) AS BIGINT))")
+            .as("mcq"))
+      val a1 = a0.join(broadcast(means), Seq("cell", "sub"))
+        .select($"vec_id",
+          concat($"cell", lit("/"), $"sub".cast("string")).as("cell"),
+          graft.functions.VectorMath.sqDistLong($"qv", $"mcq").as("dist"))
+      // re-select the canonical order: a USING-style anti join hoists
+      // the key column first, which would make the output schema order
+      // depend on whether any split happened
+      state = state.join(hot, Seq("cell"), "left_anti")
+        .select($"vec_id", $"cell", $"dist")
+        .unionByName(a1.select($"vec_id", $"cell", $"dist"))
+        .localCheckpoint(true)
+      hot = state.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .filter($"n" > cap).select($"cell").localCheckpoint(true)
+      round += 1
+    }
+    if (!hot.isEmpty) {
+      val worst = state.groupBy($"cell").agg(count(lit(1)).as("n"))
+        .agg(max($"n")).head().getLong(0)
+      throw new IllegalStateException(
+        s"cappedCells: $maxRounds split rounds left a cell of $worst " +
+          s"members over the cap $cap — more than half of an over-cap " +
+          "cell shares one exact projection (e.g. > cap copies of one " +
+          "point: no deterministic value-split can separate them), or " +
+          "raise maxRounds")
+    }
+    state
+  }
+
+  /** PRODUCTION-POSTURE SemDeDup — q171's verdict rule over the
+    * CAP-BOUNDED quantizer ([[cappedCells]]), with the pre-pass every
+    * real pipeline runs first: EXACT-duplicate vectors collapse to one
+    * representative (min vec_id) before the semantic stage. The
+    * collapse is what makes the cap ENFORCEABLE at any duplication
+    * factor — a 100×-replicated corpus puts > cap copies of one exact
+    * point in one cell, and no geometric split can separate identical
+    * vectors (observed: the uncollapsed form failed loudly at sf10) —
+    * and it is also semantically right: exact copies need no cosine to
+    * be declared duplicates, so the quadratic-in-group-size pair mass
+    * they would generate is replaced by group arithmetic. The capped
+    * recursion then bounds the REMAINING (distinct-vector) intra-cell
+    * pair mass to Σ|cell|² ≤ cap·N_distinct — LINEAR where the q171
+    * gate form is quadratic (SemDedupScale prints both).
+    *
+    * Verdicts at document granularity: a non-representative copy
+    * always drops (exact duplicate); a representative drops by the
+    * q171 rule (exact-integer cosine 2/5 within its LEAF cell, the
+    * less-central member loses, ties to the larger id). Output one row
+    * per document: (cell path, vec_id, rep_id, n_copies of its exact
+    * group, n_sem_pairs of its representative, is_dropped).
+    */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val groups = emb.groupBy($"qv")
+      .agg(min($"vec_id").as("rep_id"), count(lit(1)).as("n_copies"))
+      .localCheckpoint(true)
+    val reps = groups.select($"rep_id".as("vec_id"), $"qv")
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = lloydTrain(emb, seeds, LloydMaxIters, LloydMinImprove)
+    val leaves = cappedCells(reps, learned, SemDedupCap, SemDedupMaxRounds)
+    val v = leaves.join(reps, "vec_id")
+      .withColumn("n2", graft.functions.VectorMath.dotLong($"qv", $"qv"))
+      .select($"vec_id", $"cell", $"dist", $"n2", $"qv")
+      .localCheckpoint(true)
+    val verd = semDedupVerdictsOn(v, "cell")
+      .withColumnRenamed("vec_id", "rep_id")
+      .withColumnRenamed("n_dup_pairs", "n_sem_pairs")
+      .withColumnRenamed("is_dropped", "rep_dropped")
+    emb.join(groups, "qv")
+      .join(verd, "rep_id")
+      .select($"cell", $"vec_id", $"rep_id", $"n_copies", $"n_sem_pairs",
+        when($"vec_id" =!= $"rep_id", lit(1L)).otherwise($"rep_dropped")
+          .as("is_dropped"))
+      .orderBy($"cell", $"vec_id")
   }
 
   /** EMBEDDING DRIFT MONITOR — the model-QA signal a production
@@ -1155,6 +1335,128 @@ object VectorOps {
            LEFT JOIN dropped USING (vec_id)
          ORDER BY cid, vec_id"""
 
+  /** The [[cappedCells]] recursion as fixed-round unrolled SQL: per
+    * round, the over-cap cells (`hot`), their members with vectors
+    * (`hm`), the spread-chord axis (`ax` — most-central minus
+    * most-peripheral member under (dist, vec_id)), the projections
+    * (`pj`), the median VALUE threshold (`th`), the half assignment
+    * (`a0`), each half's floor-mean centroid (`mc`), the re-pathed
+    * members with their leaf distance (`a1`), and the next state
+    * (pass-through non-hot ∪ split halves). A round whose hot set is
+    * empty is an identity, which is what lets the fixed unroll replay
+    * the engine's converge-and-stop driver loop exactly.
+    */
+  private def cappedCtes(cap: Long, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""grp AS MATERIALIZED (
+           SELECT min(vec_id) AS rep_id, qv,
+             CAST(count(*) AS BIGINT) AS n_copies
+           FROM q GROUP BY qv),
+         st0 AS MATERIALIZED (
+           SELECT a.vec_id, CAST(a.cid AS VARCHAR) AS cell,
+             CAST(list_sum(list_transform(list_zip(q.qv, c.cq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM astar a
+             JOIN (SELECT rep_id AS vec_id FROM grp) r USING (vec_id)
+             JOIN q USING (vec_id) JOIN cstar c USING (cid))"""
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+         hot$r AS MATERIALIZED (
+           SELECT cell FROM st$r GROUP BY 1 HAVING count(*) > $cap),
+         hm$r AS MATERIALIZED (
+           SELECT s.vec_id, s.cell, s.dist, q.qv
+           FROM st$r s JOIN hot$r USING (cell) JOIN q USING (vec_id)),
+         ax$r AS (
+           SELECT lo.cell, list_transform(list_zip(hi.qv, lo.qv),
+             z -> z[1] - z[2]) AS ax
+           FROM (SELECT cell, qv FROM (
+                   SELECT cell, qv, row_number() OVER (PARTITION BY cell
+                     ORDER BY dist, vec_id) AS rn FROM hm$r)
+                 WHERE rn = 1) lo
+           JOIN (SELECT cell, qv FROM (
+                   SELECT cell, qv, row_number() OVER (PARTITION BY cell
+                     ORDER BY dist DESC, vec_id DESC) AS rn FROM hm$r)
+                 WHERE rn = 1) hi USING (cell)),
+         pj$r AS MATERIALIZED (
+           SELECT m.vec_id, m.cell, m.qv,
+             CAST(list_sum(list_transform(list_zip(m.qv, x.ax),
+               z -> z[1] * z[2])) AS BIGINT) AS p
+           FROM hm$r m JOIN ax$r x USING (cell)),
+         th$r AS (
+           SELECT cell, max(CASE WHEN rn * 2 <= n THEN p END) AS t
+           FROM (SELECT cell, p,
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY p, vec_id) AS rn,
+                   count(*) OVER (PARTITION BY cell) AS n
+                 FROM pj$r)
+           GROUP BY 1),
+         a0_$r AS MATERIALIZED (
+           SELECT j.vec_id, j.cell, j.qv,
+             CASE WHEN j.p > t.t THEN 1 ELSE 0 END AS sub
+           FROM pj$r j JOIN th$r t USING (cell)),
+         mc$r AS MATERIALIZED (
+           SELECT cell, sub,
+             list(CAST(floor(CAST(sdim AS DOUBLE) / nvec) AS BIGINT)
+               ORDER BY i) AS mcq
+           FROM (SELECT cell, sub, t.i, sum(qv[t.i]) AS sdim,
+                   count(*) AS nvec
+                 FROM a0_$r, generate_series(1, 64) AS t(i)
+                 GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+         a1_$r AS (
+           SELECT a.vec_id,
+             a.cell || '/' || CAST(a.sub AS VARCHAR) AS cell,
+             CAST(list_sum(list_transform(list_zip(a.qv, c.mcq),
+               z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS dist
+           FROM a0_$r a JOIN mc$r c USING (cell, sub)),
+         st${r + 1} AS MATERIALIZED (
+           SELECT vec_id, cell, dist FROM st$r
+           WHERE cell NOT IN (SELECT cell FROM hot$r)
+           UNION ALL SELECT vec_id, cell, dist FROM a1_$r)"""
+    }
+    sb.result()
+  }
+
+  private def q181OracleSql: String = {
+    val R = SemDedupMaxRounds
+    s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove)},
+         ${lloydStarCtes(LloydMaxIters)},
+         ${cappedCtes(SemDedupCap, R)},
+         vv AS MATERIALIZED (
+           SELECT s.vec_id, s.cell, s.dist, q.qv,
+             CAST(list_sum(list_transform(q.qv, x -> x * x))
+               AS BIGINT) AS n2
+           FROM st$R s JOIN q USING (vec_id)),
+         cp0 AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib, a.dist AS da,
+             b.dist AS db,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               z -> z[1] * z[2])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+           FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         cp AS MATERIALIZED (
+           SELECT ia, ib,
+             CASE WHEN da > db OR (da = db AND ia > ib)
+                  THEN ia ELSE ib END AS drop_id
+           FROM cp0 WHERE dot > 0 AND dot * dot * 25 >= na * nb * 4),
+         cperdoc AS (
+           SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dup_pairs
+           FROM (SELECT ia AS vec_id FROM cp
+                 UNION ALL SELECT ib FROM cp)
+           GROUP BY 1),
+         cdropped AS (SELECT DISTINCT drop_id AS vec_id FROM cp)
+         SELECT vv.cell, d.vec_id, g.rep_id, g.n_copies,
+           coalesce(cperdoc.n_dup_pairs, 0) AS n_sem_pairs,
+           CAST(CASE WHEN d.vec_id <> g.rep_id THEN 1
+                     WHEN cdropped.vec_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS is_dropped
+         FROM q d JOIN grp g USING (qv)
+           JOIN vv ON vv.vec_id = g.rep_id
+           LEFT JOIN cperdoc ON cperdoc.vec_id = g.rep_id
+           LEFT JOIN cdropped ON cdropped.vec_id = g.rep_id
+         ORDER BY cell, d.vec_id"""
+  }
+
   private def q174OracleSql: String =
     s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove)},
          ${lloydStarCtes(LloydMaxIters)},
@@ -1196,6 +1498,7 @@ object VectorOps {
     "q147_ivf_learned" -> q147OracleSql,
     "q171_semdedup_lloyd" -> q171OracleSql,
     "q174_embedding_drift" -> q174OracleSql,
+    "q181_semdedup_capped" -> q181OracleSql,
     "q105_ivfpq_ann" ->
       """WITH q AS (
            SELECT vec_id, list_transform(embedding,

@@ -47,6 +47,32 @@ object SemDedupScale {
       (System.nanoTime() - t0) / 1e9
     }
     println(f"""{"q171_wall_sec":${walls.min}%.2f,"reps":$reps}""")
+
+    // the CAP-BOUNDED production form (q181): exact copies collapse to
+    // representatives first, then leaf sizes obey Σc² ≤ cap·N_distinct
+    // — its pair mass must read LINEAR in corpus size where the
+    // fixed-quantizer gate form reads quadratic
+    val dreps = emb.groupBy($"qv").agg(min($"vec_id").as("vec_id"))
+      .select($"vec_id", $"qv")
+    val nReps = dreps.count()
+    val capLeaves = graft.operators.VectorOps.cappedCells(dreps, learned,
+        graft.operators.VectorOps.SemDedupCap,
+        graft.operators.VectorOps.SemDedupMaxRounds)
+      .groupBy($"cell").agg(count(lit(1)).as("nc"))
+      .select($"cell", $"nc").as[(String, Long)].collect()
+    val capPairs = capLeaves.map { case (_, c) => c * (c - 1) / 2 }.sum
+    println(s"""{"n_distinct":$nReps,"capped_cells":${capLeaves.length},""" +
+      s""""capped_max_cell":${capLeaves.map(_._2).max},""" +
+      s""""capped_max_depth":${capLeaves.map(_._1.count(_ == '/')).max},""" +
+      s""""capped_pair_mass":$capPairs,""" +
+      s""""cap_times_n_bound":${graft.operators.VectorOps.SemDedupCap * nReps}}""")
+    val cwalls = (1 to reps).map { _ =>
+      val t0 = System.nanoTime()
+      graft.operators.VectorOps.defs("q181_semdedup_capped")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"""{"q181_wall_sec":${cwalls.min}%.2f,"reps":$reps}""")
     spark.stop()
   }
 }
