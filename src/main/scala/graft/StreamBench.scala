@@ -335,8 +335,53 @@ object StreamBench {
       "drift_vps" -> vps
     }
 
+    // Streaming MaxSim retrieval (queries/s): per-trigger chunking,
+    // hashing, and vectorizing of the query docs, bucket-pruned routing
+    // through the PERSISTED chunk store, SHUFFLE_HASH scoring — the
+    // late-interaction serving tier (q182 online). Corpus synthesized
+    // with a 5k-word vocab so rare-2-token routing has real selectivity
+    // (genDocs' 30-word vocab would make every posting list
+    // corpus-sized — an adversarial corpus, not a serving benchmark).
+    val maxsim = {
+      import spark.implicits._
+      def synthDoc(id: Long): String = {
+        val rng = new Nexmark.Rng(id)
+        val n = 30 + rng.nextInt(60)
+        Seq.fill(n)(s"w${rng.nextInt(5000)}").mkString(" ")
+      }
+      val corpusN = 20000
+      val corpus = (0L until corpusN.toLong).map(i => (i, synthDoc(i)))
+        .toDF("doc_id", "text")
+        .withColumn("toks",
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), "\\s+"))
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_maxsim_bench"
+      graft.operators.MaxSimStore.build(corpus, dir)
+      val nQ = math.max(nBids / 100, 500)
+      val qEvents: Seq[StreamOps.DocEvent] = (0L until nQ.toLong).map { i =>
+        StreamOps.DocEvent(i,
+          new java.sql.Timestamp(1_436_918_400_000L + i),
+          synthDoc(i % corpusN))
+      }
+      val in = MemoryStream[StreamOps.DocEvent]
+      val q = StreamOps.maxSimServeStream(in.toDS(), dir) {
+        (df, _) => df.write.format("noop").mode("overwrite").save()
+      }
+      val chunks = qEvents.grouped(math.max(1, batchSize / 100)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val qps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] maxsim_qps: $qps%.0f/s")
+      "maxsim_qps" -> qps
+    }
+
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release, decontam, pack, drift)
+      attrib, curation, release, decontam, pack, drift, maxsim)
   }
 
   def main(args: Array[String]): Unit = {

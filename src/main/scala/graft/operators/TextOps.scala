@@ -143,6 +143,7 @@ object TextOps {
     "q146_source_divergence" -> ((s, d) => q146(s, d)),
     "q163_hybrid_retrieval" -> ((s, d) => q163(s, d)),
     "q178_maxsim_chunks" -> ((s, d) => q178(s, d)),
+    "q182_maxsim_store" -> ((s, d) => q182(s, d)),
     "q166_reservoir_sample" -> ((s, d) => q166(s, d)),
     "q167_kneser_ney" -> ((s, d) => q167(s, d))
   )
@@ -1886,29 +1887,41 @@ object TextOps {
     * doc_id%100 sample; production binds it to an external query
     * batch.
     */
-  private def q178(s: SparkSession, d: String): DataFrame = {
+  /** The MaxSim chunk relations a doc set (doc_id, toks, ...) derives —
+    * shared bit-exactly by q178's in-memory form, the persisted store
+    * build, and its serve path, so store-serve equality is by
+    * construction. Returns (vec, mRel, tokd):
+    *   vec  (doc_id, h, v, n2) — ONE dense 16-long hashed vector per
+    *        distinct chunk (checkpointed; see the packing note below),
+    *   mRel (doc_id, h, m)    — within-doc chunk multiplicity (lazy),
+    *   tokd (doc_id, h, tok)  — distinct chunk-token membership (lazy).
+    *
+    * Chunk identity = 60-bit md5 prefix of the chunk text, computed
+    * MAP-SIDE — the chunk text itself never reaches any exchange (the
+    * q136/q155 discipline); repeated identical chunks in a doc share an
+    * id, and their multiplicity m divides back out of the
+    * occurrence-level token counts (identical text ⇒ identical token
+    * multiset, so the division is exact). mRel/tokd are deliberately
+    * NOT materialized: every consumer recomputes from the (page-cached)
+    * scan — the q138 re-scan-beats-reuse finding; an eagerly
+    * checkpointed variant of these relations OOM'd at sf10. The packed
+    * vector (19 longs/chunk) IS materialized — at dim granularity the
+    * same checkpoint OOM'd, which is what forced the packing; the
+    * scorer then moves ONE row per candidate pair through its joins
+    * where a (pair × dim) relational dot was 16× the volume and
+    * spilled the disk away at sf10.
+    */
+  private[graft] def maxSimChunkRels(dset: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val s = dset.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // chunk identity = 60-bit md5 prefix of the chunk text, computed
-    // MAP-SIDE — the chunk text itself never reaches any exchange
-    // (the q136/q155 discipline); repeated identical chunks in a doc
-    // share an id, and their multiplicity m divides back out of the
-    // occurrence-level token counts (identical text ⇒ identical token
-    // multiset, so the division is exact)
-    val raw = PipelineOps.cdcChunks(docs(s, d))
+    val raw = PipelineOps.cdcChunks(dset)
       .select($"doc_id",
         conv(substring(md5($"chunk"), 1, 15), 16, 10).cast("long").as("h"),
         $"chunk")
-    // deliberately NOT materialized: every consumer recomputes from the
-    // (page-cached) scan — the q138 re-scan-beats-reuse finding; an
-    // eagerly checkpointed variant of these relations OOM'd at sf10
     val mRel = raw.groupBy($"doc_id", $"h").agg(count(lit(1)).as("m"))
     val otoks = raw.select($"doc_id", $"h",
       explode(split($"chunk", " ")).as("tok"))
-    // DENSE 16-long vector per chunk (argminPacked's packing move): the
-    // scorer then moves ONE row per candidate pair through its joins —
-    // a (pair × dim) relational dot was 16× that volume and spilled the
-    // disk away at sf10
     val dimCnt = otoks
       .withColumn("dim",
         conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long") % 16)
@@ -1917,9 +1930,6 @@ object TextOps {
       .select($"doc_id", $"h", $"dim", expr("occ_cnt div m").as("cnt"))
     val dimAggs = (0 until 16).map(k =>
       sum(when($"dim" === k, $"cnt")).as(s"c$k"))
-    // packed, it is small enough (19 longs/chunk) to materialize for
-    // its three consumers — at dim granularity the same checkpoint
-    // OOM'd, which is what forced the packing
     val vec = dimCnt.groupBy($"doc_id", $"h")
       .agg(dimAggs.head, dimAggs.tail: _*)
       .select($"doc_id", $"h",
@@ -1936,34 +1946,45 @@ object TextOps {
       // silently mis-rank.
       .withColumn("n2",
         when($"n2" <= lit(96000000L), $"n2").otherwise(raise_error(
-          concat(lit("q178: chunk vector norm2 overflows the exact " +
+          concat(lit("maxsim: chunk vector norm2 overflows the exact " +
               "int64 cosine bound (n2="), $"n2",
             lit(" > 96000000) — chunk too heavy for (dot^2*1000) div " +
               "(n2a*n2b)")))))
       .localCheckpoint(true)
-    // NOT checkpointed: token strings at corpus scale crowd the heap
-    // (its one extra consumer re-reads the page-cached scan instead)
-    val tokd = otoks.distinct()
-    val dfRel = tokd.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
-    val pref = tokd.join(dfRel, "tok")
+    (vec, mRel, otoks.distinct())
+  }
+
+  /** Each chunk's 2 globally-rarest tokens under the given df relation
+    * ((tok, tok_df); ties by token string) — the symmetric routing
+    * prefix of the MaxSim candidate generation (rank ≤ 2 compiles to
+    * WindowGroupLimit under the (doc, chunk) partition).
+    */
+  private[graft] def maxSimRarePrefix(tokd: DataFrame,
+      dfRel: DataFrame): DataFrame = {
+    val s = tokd.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    tokd.join(dfRel, "tok")
       .withColumn("pos", row_number().over(
         Window.partitionBy($"doc_id", $"h").orderBy($"tok_df", $"tok")))
       .filter($"pos" <= 2)
       .select($"doc_id", $"h", $"tok")
-    val cand = pref.filter($"doc_id" % 100 === 0)
-      .select($"doc_id".as("qdoc"), $"h".as("qh"), $"tok")
-      .join(pref.select($"doc_id".as("cdoc"), $"h".as("cc"), $"tok"), "tok")
-      .filter($"qdoc" =!= $"cdoc")
-      .select($"qdoc", $"qh", $"cdoc", $"cc").distinct()
-    // query-side vectors are the doc_id%100 sample — broadcastable at
-    // any corpus size (1% of chunks × 19 longs); the corpus-side join
-    // is hinted SHUFFLE_HASH so the pair relation is never SORTED (the
-    // sort-merge default cost ~85 of the first cut's 94 s at sf1)
-    val av = vec.filter($"doc_id" % 100 === 0)
-      .select($"doc_id".as("qdoc"), $"h".as("qh"),
-        $"v".as("va"), $"n2".as("n2a"))
-    val bv = vec.select($"doc_id".as("cdoc"), $"h".as("cc"),
-      $"v".as("vb"), $"n2".as("n2b"))
+  }
+
+  /** The MaxSim scoring tail shared by q178 and the store serve:
+    * candidate chunk pairs (qdoc, qh, cdoc, cc) score by exact-integer
+    * squared cosine in permille, fold max-per-candidate-chunk then
+    * multiplicity-weighted sum per candidate doc, and keep the top-k
+    * by (score, cdoc). `av`/`qm` are the query side (broadcastable —
+    * a serving batch is bounded); `bv` is the corpus side, hinted
+    * SHUFFLE_HASH so the pair relation is never SORTED (the sort-merge
+    * default cost ~85 of q178's first-cut 94 s at sf1).
+    */
+  private[graft] def maxSimScore(cand: DataFrame, av: DataFrame,
+      bv: DataFrame, qm: DataFrame, k: Int): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val mx = cand.join(broadcast(av), Seq("qdoc", "qh"))
       .join(bv.hint("SHUFFLE_HASH"), Seq("cdoc", "cc"))
       .withColumn("dot", graft.functions.VectorMath.dotLong($"va", $"vb"))
@@ -1971,16 +1992,50 @@ object TextOps {
       .groupBy($"qdoc", $"qh", $"cdoc")
       .agg(max($"qcos2").as("mx"))
     val score = mx
-      .join(mRel.select($"doc_id".as("qdoc"), $"h".as("qh"), $"m"),
+      .join(qm.select($"doc_id".as("qdoc"), $"h".as("qh"), $"m"),
         Seq("qdoc", "qh"))
       .groupBy($"qdoc", $"cdoc")
       .agg(sum($"m" * $"mx").as("score"), count(lit(1)).as("n_chunks_hit"))
     score.withColumn("rk", row_number().over(
         Window.partitionBy($"qdoc").orderBy($"score".desc, $"cdoc")))
-      .filter($"rk" <= 5)
+      .filter($"rk" <= k)
       .select($"qdoc".as("query_doc"), $"rk".cast("long").as("rk"),
         $"cdoc".as("cand_doc"), $"score", $"n_chunks_hit")
       .orderBy($"query_doc", $"rk")
+  }
+
+  /** MaxSim SERVED FROM DISK — q178's scoring against the persisted
+    * chunk index ([[MaxSimStore]]): build the store over the corpus,
+    * then serve the same doc_id%100 query sample from its parquet
+    * relations (bucket-pruned routing, stored df, stored chunk
+    * vectors). Hashes against q178's OWN oracle — the store must be
+    * transparent: same candidates, same scores, same ranks.
+    */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_maxsim/q182"
+    MaxSimStore.build(docs(s, d), dir)
+    MaxSimStore.serve(s, dir, docs(s, d).filter($"doc_id" % 100 === 0))
+  }
+
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (vec, mRel, tokd) = maxSimChunkRels(docs(s, d))
+    val dfRel = tokd.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
+    val pref = maxSimRarePrefix(tokd, dfRel)
+    val cand = pref.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("qdoc"), $"h".as("qh"), $"tok")
+      .join(pref.select($"doc_id".as("cdoc"), $"h".as("cc"), $"tok"), "tok")
+      .filter($"qdoc" =!= $"cdoc")
+      .select($"qdoc", $"qh", $"cdoc", $"cc").distinct()
+    // query-side vectors are the doc_id%100 sample — broadcastable at
+    // any corpus size (1% of chunks × 19 longs)
+    val av = vec.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("qdoc"), $"h".as("qh"),
+        $"v".as("va"), $"n2".as("n2a"))
+    val bv = vec.select($"doc_id".as("cdoc"), $"h".as("cc"),
+      $"v".as("vb"), $"n2".as("n2b"))
+    maxSimScore(cand, av, bv, mRel, 5)
   }
 
   private def q163(s: SparkSession, d: String): DataFrame = {
@@ -2138,8 +2193,11 @@ object TextOps {
       .orderBy($"lang", $"pick")
   }
 
-  def oracles: Map[String, String] = Map(
-    "q178_maxsim_chunks" ->
+  /** q178's relational replay — ALSO the q182 oracle: the persisted
+    * store serve must be transparent, so it hashes against the
+    * identical SQL.
+    */
+  private def maxSimOracleSql: String =
       """WITH t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
            FROM documents),
@@ -2228,7 +2286,11 @@ object TextOps {
            SELECT qdoc, cdoc, score, n_chunks_hit, row_number() OVER (
              PARTITION BY qdoc ORDER BY score DESC, cdoc) AS rk
            FROM sco)
-         WHERE rk <= 5 ORDER BY query_doc, rk""",
+         WHERE rk <= 5 ORDER BY query_doc, rk"""
+
+  def oracles: Map[String, String] = Map(
+    "q178_maxsim_chunks" -> maxSimOracleSql,
+    "q182_maxsim_store" -> maxSimOracleSql,
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
     // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
     // xxhash64 only matter through EQUALITY, so the oracle bands on the

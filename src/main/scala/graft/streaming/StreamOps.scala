@@ -1410,6 +1410,32 @@ object StreamOps {
       }
     }
 
+  /** Streaming MaxSim (late-interaction) retrieval from the PERSISTED
+    * chunk store ([[graft.operators.MaxSimStore]]) — the serving form
+    * of the q178/q182 scoring: each micro-batch of query documents is
+    * chunked, hashed, and vectorized in flight (batch-bounded work),
+    * its rare-term prefixes route through the store's bucket-pruned
+    * posting directories, and the top-k candidate docs emit with the
+    * batch id. The store is immutable, so there is no retention
+    * contract to enforce — a rebuild lands under a new directory and
+    * the stream restarts against it (the release-cadence pattern, vs
+    * the IvfIndex manifest's in-place epochs).
+    *
+    * Scale: per trigger the corpus-side reads are the batch's probed
+    * bucket directories (≤ [[graft.operators.MaxSimStore.Buckets]]) and
+    * one SHUFFLE_HASH pass of the chunk relation at candidate
+    * cardinality; query-side relations broadcast. Stateless — constant
+    * memory at any stream length.
+    */
+  def maxSimServeStream(docsDs: Dataset[DocEvent], dir: String,
+      k: Int = 5)(emit: (DataFrame, Long) => Unit): StreamingQuery =
+    toForeachBatch(docsDs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      if (!batch.isEmpty)
+        emit(graft.operators.MaxSimStore.serve(batch.sparkSession, dir,
+          batch.withColumn("toks", split(col("text"), "\\s+"))
+            .select(col("doc_id"), col("toks")), k), batchId)
+    }
+
   /** [[knnIndexServeStream]] for the PQ-COMPRESSED store: per trigger
     * the batch's queries run the exact-integer ADC serve
     * ([[graft.operators.IvfIndex.servePq]]) against whatever manifest is
