@@ -380,8 +380,63 @@ object StreamBench {
       "maxsim_qps" -> qps
     }
 
+    // Streaming hybrid retrieval (queries/s): per-trigger BM25 over the
+    // fixed corpus stats + dense top-20 from the persisted IVF store,
+    // integer-RRF fused — q163's serving tier. Same 5k-word synthetic
+    // corpus as the MaxSim row; query embeddings reuse the knn stream's
+    // 64-dim space (index rebuilt over per-doc vectors).
+    val hybrid = {
+      import spark.implicits._
+      def synthDoc(id: Long): String = {
+        val rng = new Nexmark.Rng(id + 7_000_000L)
+        val n = 30 + rng.nextInt(60)
+        Seq.fill(n)(s"w${rng.nextInt(5000)}").mkString(" ")
+      }
+      def synthVec(id: Long): Array[Long] = {
+        val rng = new Nexmark.Rng(id + 8_000_000L)
+        Array.fill(dim)((rng.nextInt(201) - 100).toLong)
+      }
+      val corpusN = 20000
+      val corpusDocs = (0L until corpusN.toLong)
+        .map(i => (i, synthDoc(i))).toDF("doc_id", "text")
+        .localCheckpoint(true)
+      val stats0 = graft.operators.TextOps.bm25StatsOf(corpusDocs)
+      val stats = graft.operators.TextOps.Bm25Stats(
+        stats0.pairs.localCheckpoint(true),
+        stats0.dfRel.localCheckpoint(true),
+        stats0.dl.localCheckpoint(true),
+        stats0.nAvg.localCheckpoint(true))
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hybrid_bench"
+      graft.operators.IvfIndex.build(
+        (0L until corpusN.toLong).map(i => (i, synthVec(i)))
+          .toDF("vec_id", "qv"), dir)
+      val nQ = math.max(nBids / 100, 500)
+      val qEvents: Seq[StreamOps.HybridQuery] = (0L until nQ.toLong).map {
+        i =>
+          val cid = i % corpusN
+          StreamOps.HybridQuery(corpusN + i,
+            new java.sql.Timestamp(1_436_918_400_000L + i),
+            synthDoc(cid), synthVec(cid))
+      }
+      val in = MemoryStream[StreamOps.HybridQuery]
+      val q = StreamOps.hybridServeStream(in.toDS(), stats, dir) {
+        (df, _) => df.write.format("noop").mode("overwrite").save()
+      }
+      val chunks = qEvents.grouped(math.max(1, batchSize / 100)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val qps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] hybrid_qps: $qps%.0f/s")
+      "hybrid_qps" -> qps
+    }
+
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release, decontam, pack, drift, maxsim)
+      attrib, curation, release, decontam, pack, drift, maxsim, hybrid)
   }
 
   def main(args: Array[String]): Unit = {

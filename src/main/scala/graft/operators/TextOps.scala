@@ -2038,32 +2038,53 @@ object TextOps {
     maxSimScore(cand, av, bv, mRel, 5)
   }
 
-  private def q163(s: SparkSession, d: String): DataFrame = {
+  /** The corpus-constant BM25 relations (the lexical side's "index"):
+    * per-(tok, doc) term frequency, document frequency, doc lengths,
+    * and the corpus count/avg-length scalars. Shared by q163 and the
+    * streaming hybrid serve, where they are fixed serving config
+    * computed once, not per trigger.
+    */
+  private[graft] case class Bm25Stats(pairs: DataFrame, dfRel: DataFrame,
+      dl: DataFrame, nAvg: DataFrame)
+
+  private[graft] def bm25Stats(s: SparkSession, d: String): Bm25Stats =
+    bm25StatsOf(Tables(s, d, "documents"))
+
+  private[graft] def bm25StatsOf(documents: DataFrame): Bm25Stats = {
+    val s = documents.sparkSession
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val toks = Tables(s, d, "documents")
+    val toks = documents
       .select($"doc_id", explode(split($"text", "\\s+")).as("tok"))
     val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("len"))
     val nAvg = dl.agg(count(lit(1)).as("n_docs"),
       expr("sum(len) * 1000 div count(1)").as("avg_mil"))
     val pairs = toks.groupBy($"tok", $"doc_id").agg(count(lit(1)).as("tf"))
     val dfRel = pairs.groupBy($"tok").agg(count(lit(1)).as("df"))
-    val emb = VectorOps.quantized(s, d)
-    val qids = Tables(s, d, "documents").filter($"doc_id" % 100 === 0)
-      .join(emb.select($"vec_id".as("doc_id")), "doc_id")
-      .select($"doc_id".as("query_id"))
-    val qterms = pairs.select($"doc_id".as("query_id"), $"tok")
-      .join(qids, "query_id")
-      .join(dfRel, "tok").filter($"df" >= 2)
+    Bm25Stats(pairs, dfRel, dl, nAvg)
+  }
+
+  /** The sparse (BM25) ranker shared by q163 and the streaming hybrid
+    * serve: from each query's DISTINCT token set (`queryToks`:
+    * (query_id, tok)), keep its 5 rarest shared terms (df ≥ 2, ties by
+    * token), score q112's exact-rational BM25 with the Lucene-style
+    * 1e6 idf cap, and rank the top 20 candidates per query.
+    */
+  private[graft] def bm25SparseTop(stats: Bm25Stats,
+      queryToks: DataFrame): DataFrame = {
+    val s = queryToks.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queryToks
+      .join(stats.dfRel, "tok").filter($"df" >= 2)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"query_id").orderBy($"df", $"tok")))
       .filter($"rn" <= 5)
-      .crossJoin(broadcast(nAvg))
+      .crossJoin(broadcast(stats.nAvg))
       .withColumn("idf_k", expr("least((1000 * n_docs) div df, 1000000L)"))
       .select($"query_id", $"tok", $"idf_k", $"avg_mil")
-    val sparseRank = pairs.join(broadcast(qterms), "tok")
+    stats.pairs.join(broadcast(qterms), "tok")
       .filter($"doc_id" =!= $"query_id")
-      .join(dl, "doc_id")
+      .join(stats.dl, "doc_id")
       .withColumn("term_score", expr(
         """(idf_k * 44 * avg_mil * tf)
            div (20 * avg_mil * tf + 6 * avg_mil + 18 * len * 1000)"""))
@@ -2074,6 +2095,18 @@ object TextOps {
       .filter($"sparse_rank" <= 20)
       .select($"query_id", $"doc_id",
         $"sparse_rank".cast("long").as("sparse_rank"))
+  }
+
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = bm25Stats(s, d)
+    val emb = VectorOps.quantized(s, d)
+    val qids = Tables(s, d, "documents").filter($"doc_id" % 100 === 0)
+      .join(emb.select($"vec_id".as("doc_id")), "doc_id")
+      .select($"doc_id".as("query_id"))
+    val queryToks = stats.pairs.select($"doc_id".as("query_id"), $"tok")
+      .join(qids, "query_id")
+    val sparseRank = bm25SparseTop(stats, queryToks)
     // dense side: the SHARED session ground truth — the exact top-20
     // over the full corpus ([[VectorOps.exactTop]] "full", the same
     // brute force q161 gates against), restricted to this entry's
@@ -2083,6 +2116,20 @@ object TextOps {
       .join(qids, "query_id")
       .select($"query_id", $"neighbor".as("doc_id"),
         $"rank".as("dense_rank"))
+    rrfFuse(sparseRank, denseRank, 10)
+  }
+
+  /** Integer Reciprocal Rank Fusion (K = 60, the standard constant, in
+    * exact integer space so both engines rank identically) of a sparse
+    * and a dense ranking — the fusion tail shared by q163 and the
+    * streaming hybrid serve. Either side's missing candidates carry
+    * rank 0 (retrieved by the other system only).
+    */
+  private[graft] def rrfFuse(sparseRank: DataFrame, denseRank: DataFrame,
+      k: Int): DataFrame = {
+    val s = sparseRank.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     sparseRank.join(denseRank, Seq("query_id", "doc_id"), "full_outer")
       .select($"query_id", $"doc_id",
         coalesce($"sparse_rank", lit(0L)).as("sparse_rank"),
@@ -2094,7 +2141,7 @@ object TextOps {
                   ELSE 0L END"""))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")))
-      .filter($"rank" <= 10)
+      .filter($"rank" <= k)
       .select($"query_id", $"rank".cast("long").as("rank"), $"doc_id",
         $"rrf", $"sparse_rank", $"dense_rank")
       .orderBy($"query_id", $"rank")

@@ -1410,6 +1410,70 @@ object StreamOps {
       }
     }
 
+  /** A hybrid-retrieval query: text for the lexical side, a quantized
+    * embedding for the dense side (public: encoder requirement).
+    */
+  case class HybridQuery(qid: Long, ts: Timestamp, text: String,
+      qv: Array[Long])
+
+  /** STREAMING HYBRID RETRIEVAL — q163's serving sibling, the one
+    * retrieval operator that was still batch-only: per micro-batch of
+    * queries, the LEXICAL side scores q112's exact-rational BM25 over
+    * the query's 5 rarest shared terms against the corpus-constant
+    * statistics (computed ONCE as serving config — checkpointed here,
+    * the df-bounded "index" of the sparse system), the DENSE side
+    * serves top-20 from the PERSISTED IVF store
+    * ([[graft.operators.IvfIndex.serveCached]] — manifest re-read per
+    * trigger, metadata cached per epoch, probe-pruned scan), and the
+    * two rankings fuse by integer Reciprocal Rank Fusion (K = 60) into
+    * the top-k per query. All three stages are the exact code q163 and
+    * the batch reference share ([[graft.operators.TextOps.bm25SparseTop]] /
+    * [[graft.operators.TextOps.rrfFuse]]), so stream == batch at every
+    * batching boundary (HybridStreamSpec pins it); q163's exact
+    * brute-force dense side is exactly the slot the stored serve fills
+    * in deployment.
+    *
+    * Same retention contract as [[knnIndexServeStream]]
+    * (retainEpochs ≥ 2, enforced): the dense side scans the shared
+    * store while a mutator may be committing.
+    *
+    * Scale: per trigger the query side broadcasts (bounded batch); the
+    * sparse side joins 5 rare-term posting lists per query against the
+    * fixed stats (rare terms ⇒ short lists); the dense side reads
+    * nprobe pruned cell directories; fusion touches ≤ 40 rows per
+    * query. Stateless — constant memory at any stream length.
+    */
+  def hybridServeStream(qs: Dataset[HybridQuery],
+      stats: graft.operators.TextOps.Bm25Stats, indexDir: String,
+      k: Int = 10)(emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    requireServeRetention(qs.sparkSession)
+    toForeachBatch(qs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      if (!batch.isEmpty)
+        emit(hybridServeBatch(batch, stats, indexDir, k), batchId)
+    }
+  }
+
+  /** One hybrid serve over a bounded query relation (qid, text, qv) —
+    * the per-trigger body, also the BATCH REFERENCE the spec compares
+    * the stream against.
+    */
+  def hybridServeBatch(batch: DataFrame,
+      stats: graft.operators.TextOps.Bm25Stats, indexDir: String,
+      k: Int = 10): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    val queryToks = batch
+      .select($"qid".as("query_id"),
+        explode(split($"text", "\\s+")).as("tok"))
+      .distinct()
+    val sparse = graft.operators.TextOps.bm25SparseTop(stats, queryToks)
+    val dense = graft.operators.IvfIndex.serveCached(s, indexDir,
+        batch.select($"qid".as("vec_id"), $"qv"), probes = 2, k = 20)
+      .select($"query_id", $"neighbor".as("doc_id"),
+        $"rank".as("dense_rank"))
+    graft.operators.TextOps.rrfFuse(sparse, dense, k)
+  }
+
   /** Streaming MaxSim (late-interaction) retrieval from the PERSISTED
     * chunk store ([[graft.operators.MaxSimStore]]) — the serving form
     * of the q178/q182 scoring: each micro-batch of query documents is
