@@ -1390,6 +1390,90 @@ object StreamOps {
       }
     }
 
+  /** CONDITION-DRIVEN maintenance for the PQ-COMPRESSED store, with the
+    * missing last wire: [[driftMonitorStream]]'s signal actually
+    * TRIGGERING the maintenance it exists to schedule. Per batch:
+    *   - ingest: [[graft.operators.IvfIndex.addBatchPq]] (one
+    *     assign+encode pass, exactly-once generation = batchId + 1);
+    *   - drift check: the batch's cell-occupancy TVD vs the reference
+    *     distribution (`refCounts`, q174's integer permille — computed
+    *     DRIVER-SIDE from the nlists-row occupancy rollup, O(nlists)
+    *     arithmetic); when it exceeds `retrainTvd`, the stream runs
+    *     [[graft.operators.IvfIndex.retrainPq]] against `corpus` (the
+    *     full-precision source of truth, which must cover every live
+    *     id — the refine tier's lookup store in a deployment): the
+    *     codebook re-trains on the LIVE residuals (drifted mass
+    *     included) and every posting re-encodes under a new codebook
+    *     VERSION. Serving is never interrupted: the retrain commits a
+    *     new epoch under the manifest protocol, a concurrent serve
+    *     stream's per-epoch metadata cache picks the new codebook up
+    *     on its next trigger, and `serveAt`/`servePqAt` of the
+    *     pre-retrain epoch still decode with the OLD codebook
+    *     (retainEpochs permitting). A retrain on an UNdrifted corpus
+    *     is a pure version flip: same seeds, same residuals, same
+    *     fixed training rounds ⇒ bit-identical codebook ⇒ bit-equal
+    *     serving (RetrainStreamSpec pins exactly that);
+    *   - compaction: when live generations exceed `maxGens` or pending
+    *     tombstone sets exceed `maxTombs` (the [[indexMaintainStream]]
+    *     read-amplification bounds — O(nlists) manifest metadata).
+    *
+    * PQ stores take no cell splits (codes are codebook-relative per
+    * cell; coarse centroids are fixed at build), so the reference
+    * centroid table is loaded once and `refCounts` is validated
+    * against it up front (the [[driftMonitorStream]] guard).
+    *
+    * Scale: the per-batch drift check is one broadcast-argmin pass
+    * over the BATCH plus nlists rows collected; the retrain is by
+    * construction a full-index rewrite — the most expensive
+    * maintenance op, which is exactly why it fires on a measured
+    * threshold instead of a blind cadence.
+    */
+  def pqIndexMaintainStream(vecs: Dataset[IndexVec], dir: String,
+      corpus: DataFrame, refCounts: DataFrame,
+      retrainTvd: Long = 300L, maxGens: Int = 4,
+      maxTombs: Int = 2): StreamingQuery = {
+    val s0 = vecs.sparkSession
+    import s0.implicits._
+    val cents = graft.operators.IvfIndex.centroids(s0, dir)
+      .select($"cid".cast("long").as("cid"), $"cq").localCheckpoint(true)
+    val refMap = refCounts
+      .select($"cid".cast("long").as("cid"), $"n_c".cast("long").as("n_c"))
+      .as[(Long, Long)].collect().toMap
+    val centCids = cents.select($"cid").as[Long].collect().toSet
+    val orphan = refMap.keys.filterNot(centCids.contains)
+    require(orphan.isEmpty,
+      s"pqIndexMaintainStream: refCounts names cell(s) " +
+        s"${orphan.toSeq.sorted.take(5).mkString(", ")} absent from the " +
+        "store's centroid table — rebuild the reference from this store")
+    val refTot = refMap.values.sum
+    require(refTot > 0, "pqIndexMaintainStream: empty drift reference")
+    toForeachBatch(vecs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      val s = batch.sparkSession
+      if (!batch.isEmpty) {
+        graft.operators.IvfIndex.addBatchPq(s, dir,
+          batch.select(col("vec_id"), col("qv")), gen = batchId + 1)
+        // q174's integer TVD, folded driver-side from nlists rows
+        val bc = graft.operators.VectorOps.argminPacked(
+            batch.select(col("vec_id"), col("qv")), cents)
+          .groupBy(col("cid")).agg(count(lit(1)).as("n_bc"))
+          .select(col("cid").cast("long"), col("n_bc").cast("long"))
+          .as[(Long, Long)].collect().toMap
+        val nB = bc.values.sum
+        val num = centCids.toSeq.map { c =>
+          (BigInt(bc.getOrElse(c, 0L)) * refTot -
+            BigInt(refMap.getOrElse(c, 0L)) * nB).abs
+        }.sum
+        val tvd = (BigInt(500) * num / (BigInt(nB) * refTot)).toLong
+        if (tvd > retrainTvd)
+          graft.operators.IvfIndex.retrainPq(s, dir, corpus)
+        val snap = graft.operators.IvfIndex.readSnapshot(s, dir)
+        val maxLive = snap.cells.values.map(_.size).foldLeft(0)(math.max)
+        if (maxLive > maxGens || snap.tombs.size > maxTombs)
+          graft.operators.IvfIndex.compact(s, dir)
+      }
+    }
+  }
+
   /** [[indexIngestStream]] for the PQ-COMPRESSED store: each batch is
     * assigned AND encoded in one pass ([[graft.operators.IvfIndex.addBatchPq]] —
     * the immutable codebook rides the expression tree, so streaming
