@@ -495,11 +495,22 @@ object IvfIndex {
     * state there (including a crashed build's uncommitted files) is
     * removed first.
     */
-  def build(emb: DataFrame, dir: String): Unit = {
+  def build(emb: DataFrame, dir: String,
+      seedSmallest: Boolean = false): Unit = {
     val s = emb.sparkSession
     import s.implicits._
     prepareBuildDir(s, dir)
-    val seeds = emb.filter($"vec_id" < 16)
+    // seedSmallest: a SHARD build's id range needn't include 0..15 (a
+    // per-day / per-partition shard starts wherever its slice starts),
+    // so seed on the 16 smallest ids actually present — buildPq's rule,
+    // same driver cost class as the cid collect below
+    val seedF: Column =
+      if (seedSmallest) {
+        val sids = emb.select($"vec_id").orderBy($"vec_id").limit(16)
+          .as[Long].collect()
+        $"vec_id".isInCollection(sids)
+      } else $"vec_id" < 16
+    val seeds = emb.filter(seedF)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
       emb, seeds, VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)

@@ -150,4 +150,198 @@ class IndexModelSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.graft.index.retainEpochs")
   }
+
+  /** The round-12 soak: every mutator the store grew — ingest, delete,
+    * compact, split, mergeFrom (shard consolidation), cloneAt (fork +
+    * isolation) — interleaved by seed over ≥ 120 raw-store steps, with
+    * contents checked against the driver model after EVERY step, serve
+    * consistency and a TIME-TRAVEL READ AT A RANDOM RETAINED EPOCH
+    * (against the serve recorded when that epoch was current) probed
+    * periodically; plus an 80-step PQ-store soak interleaving ingest /
+    * delete / compact / retrainPq with pinned-epoch ADC stability
+    * across codebook version flips and exact-distance verification of
+    * the refine tier.
+    */
+  test("full-lifecycle soak: all mutators, random epoch replays, 200 seeded steps") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.index.retainEpochs", "512")
+    try {
+      val emb = VectorOps.quantized(spark, sfDir)
+        .as[(Long, Seq[Long])].collect()
+      val vecsOf = emb.toMap
+      val queries = emb.filter(_._1 % 100 == 0)
+      val queryDf = queries.toSeq.toDF("vec_id", "qv")
+      var totalSteps = 0
+
+      Seq(11L, 42L).foreach { seed =>
+        val rng = new scala.util.Random(seed)
+        val dir = tmp(s"soak$seed")
+        val base = emb.filter(_._1 % 3 != 0)
+        val pool = scala.collection.mutable.Queue(
+          emb.filter(_._1 % 3 == 0).grouped(12).toSeq: _*)
+        IvfIndex.build(base.toSeq.toDF("vec_id", "qv"), dir)
+        var live = base.map(_._1).toSet
+        var deleted = Set.empty[Long]
+        var nextGen = 1L
+        var cloneN = 0
+        // epoch -> the serve recorded while that epoch was current
+        val history = scala.collection.mutable.Buffer[
+          (Long, Set[(Long, Long, Long, Long, Long)])]()
+        history += IvfIndex.readSnapshot(spark, dir).epoch ->
+          storeServe(dir, queryDf)
+
+        (1 to 60).foreach { step =>
+          totalSteps += 1
+          val op = rng.nextInt(6)
+          op match {
+            case 0 if pool.nonEmpty => // ingest
+              val batch = pool.dequeue()
+              IvfIndex.addBatch(spark, dir,
+                batch.toSeq.toDF("vec_id", "qv"), gen = nextGen)
+              nextGen += 1
+              live = live ++ batch.map(_._1)
+            case 1 if (live -- deleted).nonEmpty => // delete
+              val victims = (live -- deleted).toSeq.sorted
+                .filter(_ => rng.nextInt(6) == 0).take(40)
+              if (victims.nonEmpty) {
+                IvfIndex.delete(spark, dir, victims.toDF("vec_id"))
+                deleted = deleted ++ victims
+              }
+            case 2 => // compact
+              IvfIndex.compact(spark, dir)
+              live = live -- deleted
+              deleted = Set.empty
+            case 3 => // split (policy's call; no-op when nothing flags)
+              IvfIndex.splitCells(spark, dir)
+            case 4 if pool.nonEmpty => // shard merge
+              val batch = pool.dequeue()
+              val side = tmp(s"soak${seed}_side$step")
+              // a shard's id range starts wherever its slice starts
+              IvfIndex.build(batch.toSeq.toDF("vec_id", "qv"), side,
+                seedSmallest = true)
+              // the shard may take its own deletes before consolidating
+              val dead = batch.map(_._1)
+                .filter(_ => rng.nextInt(4) == 0).toSet
+              if (dead.nonEmpty)
+                IvfIndex.delete(spark, side, dead.toSeq.toDF("vec_id"))
+              IvfIndex.mergeFrom(spark, dir, side, gen = nextGen)
+              nextGen += 1
+              live = live ++ (batch.map(_._1).toSet -- dead)
+            case _ => // clone the CURRENT epoch; verify independence
+              val ep = IvfIndex.readSnapshot(spark, dir).epoch
+              val cl = tmp(s"soak${seed}_clone$step")
+              cloneN += 1
+              IvfIndex.cloneAt(spark, dir, ep, cl)
+              val want = emb.filter(e =>
+                  live.contains(e._1) && !deleted.contains(e._1))
+                .map(_._1).toSet
+              assert(storeContents(cl).keySet === want,
+                s"seed $seed step $step: clone contents drift")
+              // mutating the clone must not touch the source
+              val victim = want.headOption.toSeq
+              if (victim.nonEmpty)
+                IvfIndex.delete(spark, cl, victim.toDF("vec_id"))
+              assert(maskedContents(dir, deleted).keySet === want,
+                s"seed $seed step $step: clone mutation leaked to source")
+          }
+          // contents == model after EVERY step
+          val want = emb.filter(e =>
+              live.contains(e._1) && !deleted.contains(e._1))
+            .map { case (id, v) => id -> v }.toMap
+          val got = maskedContents(dir, deleted)
+          assert(got.keySet === want.keySet,
+            s"seed $seed step $step op $op: content id drift")
+          got.foreach { case (id, (_, v)) => assert(v == want(id),
+            s"seed $seed step $step: vector bytes drifted for $id") }
+          // serve + random-retained-epoch replay every 4th step
+          if (step % 4 == 0) {
+            val cur = storeServe(dir, queryDf)
+            assert(cur === driverServe(dir, got, queries.toSeq),
+              s"seed $seed step $step op $op: serve drift")
+            history += IvfIndex.readSnapshot(spark, dir).epoch -> cur
+            val (ep, wantServe) = history(rng.nextInt(history.size))
+            assert(IvfIndex.serveAt(spark, dir, ep, queryDf)
+                .as[(Long, Long, Long, Long, Long)].collect().toSet
+                === wantServe,
+              s"seed $seed step $step: epoch $ep replay drifted")
+          }
+        }
+        assert(cloneN > 0, s"seed $seed: the soak should exercise clones")
+      }
+
+      // PQ-store soak: ingest / delete / compact / retrain, with
+      // pinned-epoch ADC stability across codebook version flips and
+      // exact-distance verification of the refine tier
+      val corpusDf = emb.toSeq.toDF("vec_id", "qv").localCheckpoint(true)
+      val rng = new scala.util.Random(5L)
+      val dir = tmp("soakpq")
+      val base = emb.filter(_._1 % 3 != 0)
+      val pool = scala.collection.mutable.Queue(
+        emb.filter(_._1 % 3 == 0).grouped(20).toSeq: _*)
+      IvfIndex.buildPq(base.toSeq.toDF("vec_id", "qv"), dir)
+      var live = base.map(_._1).toSet
+      var deleted = Set.empty[Long]
+      var nextGen = 1L
+      var retrains = 0
+      val pinnedEpoch = 1L
+      val pinnedAdc = IvfIndex.servePq(spark, dir, queryDf)
+        .collect().toSeq
+      (1 to 80).foreach { step =>
+        totalSteps += 1
+        rng.nextInt(5) match {
+          case 0 if pool.nonEmpty =>
+            val batch = pool.dequeue()
+            IvfIndex.addBatchPq(spark, dir,
+              batch.toSeq.toDF("vec_id", "qv"), gen = nextGen)
+            nextGen += 1
+            live = live ++ batch.map(_._1)
+          case 1 if (live -- deleted).nonEmpty =>
+            val victims = (live -- deleted).toSeq.sorted
+              .filter(_ => rng.nextInt(6) == 0).take(30)
+            if (victims.nonEmpty) {
+              IvfIndex.delete(spark, dir, victims.toDF("vec_id"))
+              deleted = deleted ++ victims
+            }
+          case 2 =>
+            IvfIndex.compact(spark, dir)
+            live = live -- deleted
+            deleted = Set.empty
+          case 3 if step % 16 == 0 => // retrain is reindex-cadence work
+            IvfIndex.retrainPq(spark, dir, corpusDf)
+            live = live -- deleted
+            deleted = Set.empty
+            retrains += 1
+          case _ => ()
+        }
+        val wantIds = live -- deleted
+        val gotIds = IvfIndex.liveContents(spark, dir)
+          .select($"vec_id").as[Long].collect().toSet
+        assert(gotIds === wantIds, s"pq step $step: live id drift")
+        if (step % 8 == 0) {
+          // refine tier: exact distances on full vectors, ordered,
+          // live-only
+          val ref = IvfIndex.servePqRefine(spark, dir, queryDf, corpusDf)
+            .as[(Long, Long, Long, Long)].collect().toSeq
+          ref.groupBy(_._1).foreach { case (qid, rows) =>
+            val sorted = rows.sortBy(_._2)
+            sorted.foreach { case (_, _, nb, dist) =>
+              assert(wantIds.contains(nb), s"pq step $step: dead $nb served")
+              assert(dist === d2(vecsOf(nb), vecsOf(qid)),
+                s"pq step $step: refine distance drift for $nb")
+            }
+            assert(sorted.map(r => (r._4, r._3)) ===
+              sorted.map(r => (r._4, r._3)).sorted,
+              s"pq step $step: refine rank order broken for $qid")
+          }
+          // the pinned pre-mutation epoch replays bit-identically even
+          // across retrains (its codebook version is its own)
+          assert(IvfIndex.servePqAt(spark, dir, pinnedEpoch, queryDf)
+              .collect().toSeq === pinnedAdc,
+            s"pq step $step: pinned ADC replay drifted")
+        }
+      }
+      assert(retrains > 0, "the PQ soak should exercise retrains")
+      assert(totalSteps >= 200, s"soak ran only $totalSteps steps")
+    } finally spark.conf.unset("spark.graft.index.retainEpochs")
+  }
 }
