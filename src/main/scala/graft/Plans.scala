@@ -68,7 +68,9 @@ object Plans {
     "q169_pagerank" -> "damped PageRank: adjacency checkpointed once; each round = mass join + explode + partial-summed groupBy (edge-volume shuffle, no per-round edge joins); driver stops on the relative L1 residual",
     "q170_canonical_docs" -> "canonical-doc election: max_by argmax per cluster rep + join-back (no per-cluster row_number window — mega-cluster safe); verdicts join at member cardinality",
     "q171_semdedup_lloyd" -> "SemDeDup: converged-Lloyd assignment (broadcast centroids, ONE argmin exchange), pair join shuffles on cid only (intra-cell pairs, AQE-splittable), verdict rollups partial-aggregate",
-    "q173_ann_tuning_curve" -> "ANN tuning curve: three probe-pruned serves of ONE stored PQ index (static partition filters per level), probed-mass join against a 16-row broadcast size table, recall vs the session-shared exact ground truth",
+    "q173_ann_tuning_curve" -> "ANN tuning curve: four probe-pruned serves of ONE stored PQ index (fixed 1/2/4 + the ratio-adaptive router, static partition filters per level), refine-25/refine-100 off one shortlist-100 ADC ranking, routing ceiling = exact-top5 homes semi-joined to the probed sets, all vs the session-shared exact ground truth",
+    "q181_semdedup_capped" -> "capped SemDeDup: exact-dup collapse (one qv-keyed aggregate), recursive median bisection touches ONLY over-cap cells per round (semi/anti joins + broadcast axis/threshold/mean rows, rank window per hot cell), verdict pair join shuffles on the leaf path — pair mass bounded cap*N_distinct",
+    "q182_maxsim_store" -> "MaxSim from disk: query chunks/vectors derive in-flight, df + posting reads prune to the batch's token BUCKETS (static partition filters), candidates join stored postings on tok, scoring = the q178 SHUFFLE_HASH tail over the stored chunk relation",
     "q174_embedding_drift" -> "drift monitor: one broadcast-argmin corpus pass; TVD + distortion fold to <= 10 x nlists rows (slice x cell frame), slice boundary from a 1-row max broadcast",
     "q175_index_merge" -> "shard merge serve: source's live postings re-assigned via one broadcast-argmin pass and committed as an ingest generation; merged serve = the q152 probe-pruned plan over union'd generation directories",
     "q172_release_to_serving" -> "release-to-serving composition: q155's stage frames reused as-is, admitted ids broadcast-semi-join the embedding scan, recall gate joins the 2-stage serve against the session-shared exact ground truth at query cardinality",

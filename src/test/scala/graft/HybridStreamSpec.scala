@@ -19,7 +19,7 @@ class HybridStreamSpec extends SparkSpec {
   test("stream == batch hybrid fusion at every batching boundary") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.graft.index.retainEpochs", "2")
+    withIndexRetention(2) {
     val dir = tmp("fuse")
     val emb = VectorOps.quantized(spark, sfDir)
     IvfIndex.build(emb, dir)
@@ -70,12 +70,12 @@ class HybridStreamSpec extends SparkSpec {
     val rows = all
     assert(rows.exists(_._5 > 0L) && rows.exists(_._6 > 0L),
       "fixture should retrieve through both the sparse and dense system")
-  }
+  }}
 
   test("a mid-stream index commit is visible to the next trigger") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.graft.index.retainEpochs", "2")
+    withIndexRetention(2) {
     val dir = tmp("commit")
     val emb = VectorOps.quantized(spark, sfDir)
     // build WITHOUT half the corpus; ingest it mid-stream
@@ -115,7 +115,7 @@ class HybridStreamSpec extends SparkSpec {
     assert(emitted(1) === after)
     assert(emitted(0) !== emitted(1),
       "the ingested half should change the dense ranking on the fixture")
-  }
+  }}
 
   test("the serve-retention guard refuses retainEpochs = 1") {
     import spark.implicits._

@@ -25,7 +25,7 @@ class RetrainStreamSpec extends SparkSpec {
 
   test("retrain on the undrifted corpus is a version flip with bit-equal serving") {
     import spark.implicits._
-    spark.conf.set("spark.graft.index.retainEpochs", "3")
+    withIndexRetention(3) {
     val dir = tmp("flip")
     val emb = VectorOps.quantized(spark, sfDir).localCheckpoint(true)
     IvfIndex.buildPq(emb, dir)
@@ -45,12 +45,12 @@ class RetrainStreamSpec extends SparkSpec {
     val pinned = IvfIndex.servePqAt(spark, dir, preEpoch, queries, k = 10)
       .collect().toSeq
     assert(pinned === before)
-  }
+  }}
 
   test("a drifted ingest stream triggers an in-stream retrain; serving stays live, batch-equal, and recovers recall") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.graft.index.retainEpochs", "3")
+    withIndexRetention(3) {
     val dir = tmp("drift")
     // region A: the build corpus; region B: the drifted ingest mass
     val aVecs = (0L until 800L).map(i => (i, vec(i, 0L)))
@@ -135,7 +135,7 @@ class RetrainStreamSpec extends SparkSpec {
       s"retrained ADC recall $recallPost must not trail the " +
         s"no-retrain counterfactual $recallPre")
     assert(recallPost > 0L)
-  }
+  }}
 
   test("an undrifted batch does not trigger a retrain") {
     import spark.implicits._

@@ -8,6 +8,20 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Run `body` with `spark.graft.index.retainEpochs` set to `n`,
+    * RESTORING the previous value after — the session is shared across
+    * every suite in the run, so a leaked retention window silently
+    * changes other suites' GC behavior (it did: two IvfIndexSpec
+    * GC-sensitive cases failed only under full-suite ordering).
+    */
+  def withIndexRetention[A](n: Int)(body: => A): A = {
+    val key = "spark.graft.index.retainEpochs"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
 
 object SparkSpec {
