@@ -793,6 +793,74 @@ object IvfIndex {
     splitReport(s, dir)
   }
 
+  /** [[addBatch]] for the LABELED layout: assign the batch (vec_id,
+    * qv, label) to the stored cells carrying the label through the
+    * argmin aggregate (the buildLabeled min_by rule), write postings
+    * under cid=/label=/gen= with one file per directory (the q156
+    * small-files rule), and commit generation `gen` exactly-once under
+    * the same manifest discipline. This closes the labeled store's
+    * lifecycle gap — build-once stores can now take incremental
+    * tenant-scoped ingest like their unlabeled siblings.
+    */
+  def addBatchLabeled(s: SparkSession, dir: String, newVecs: DataFrame,
+      gen: Long = 1L): DataFrame = {
+    import s.implicits._
+    require(gen > 0L,
+      s"ingest generations are caller-named positives (got $gen)")
+    require(newVecs.columns.contains("label"),
+      "addBatchLabeled: the batch must carry a label column")
+    val snap = readSnapshot(s, dir)
+    require(postingsOf(s, dir, snap).columns.contains("label"),
+      s"addBatchLabeled: $dir is not a labeled store — use addBatch")
+    if (!snap.committedIngest(gen)) {
+      val assigned = VectorOps.argminPacked(
+          newVecs.select($"vec_id", $"qv", $"label"),
+          centroidsOf(s, dir, snap), carryQv = true, carry = Seq("label"))
+        .select($"vec_id", $"qv", $"cid", $"label", lit(gen).as("gen"))
+        .localCheckpoint(true)
+      val touched = assigned.select($"cid".cast("long")).distinct()
+        .as[Long].collect().toSeq
+      assigned.repartition($"cid", $"label")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "label", "gen").parquet(postDir(dir))
+      val cells = snap.cells ++ touched.map(c =>
+        c -> (snap.cells.getOrElse(c, Seq.empty) :+ gen).distinct)
+      commitSnapshot(s, dir, snap.withIngested(gen)
+        .copy(epoch = snap.epoch + 1, cells = cells))
+    }
+    splitReport(s, dir)
+  }
+
+  /** [[mergeFrom]] for LABELED stores — the labeled-aware path the
+    * label-blind merge refuses toward: the source's masked postings
+    * move with their labels intact through one broadcast-argmin pass
+    * against the DESTINATION's centroids and commit as a standard
+    * exactly-once labeled ingest generation ([[addBatchLabeled]]).
+    * Both sides must be raw labeled stores; generation collisions fail
+    * loudly under the same `allowReplay` contract as [[mergeFrom]].
+    */
+  def mergeFromLabeled(s: SparkSession, dstDir: String, srcDir: String,
+      gen: Long, allowReplay: Boolean = false): DataFrame = {
+    val srcSnap = readSnapshot(s, srcDir)
+    require(srcSnap.pqVer == 0L,
+      s"mergeFromLabeled: source $srcDir is a PQ store; raw stores only")
+    val dstSnap = readSnapshot(s, dstDir)
+    require(dstSnap.pqVer == 0L,
+      s"mergeFromLabeled: destination $dstDir is a PQ store; raw stores only")
+    val srcPost = masked(s, srcDir, srcSnap)
+    require(srcPost.columns.contains("label"),
+      s"mergeFromLabeled: source $srcDir is UNLABELED — use mergeFrom")
+    require(postingsOf(s, dstDir, dstSnap).columns.contains("label"),
+      s"mergeFromLabeled: destination $dstDir is UNLABELED — use mergeFrom")
+    require(allowReplay || !dstSnap.committedIngest(gen),
+      s"mergeFromLabeled: destination $dstDir already committed ingest " +
+        s"generation $gen — use a fresh gen per source, or pass " +
+        "allowReplay=true for a recovery replay of the same source")
+    addBatchLabeled(s, dstDir,
+      srcPost.select(col("vec_id"), col("qv"), col("label")), gen)
+  }
+
   /** MERGE another raw IVF store's LIVE contents into this one — the
     * shard-consolidation operation a 100 TB deployment runs when index
     * builds are sharded (per-partition / per-day builds merged into the
@@ -843,12 +911,12 @@ object IvfIndex {
     val srcPost = masked(s, srcDir, srcSnap)
     require(!srcPost.columns.contains("label"),
       s"mergeFrom: source $srcDir is a LABELED store — a label-blind " +
-        "merge would silently drop its labels; merge labeled stores " +
-        "through a labeled-aware path")
+        "merge would silently drop its labels; use mergeFromLabeled")
     require(!postingsOf(s, dstDir, dstSnap).columns.contains("label"),
       s"mergeFrom: destination $dstDir is a LABELED store — merging " +
         "unlabeled cid=/gen= directories into its cid=/label=/gen= " +
-        "tree would corrupt partition discovery for every later read")
+        "tree would corrupt partition discovery for every later read; " +
+        "use mergeFromLabeled")
     require(allowReplay || !dstSnap.committedIngest(gen),
       s"mergeFrom: destination $dstDir already committed ingest " +
         s"generation $gen (ingest_low=${dstSnap.ingestLow}) — merging " +

@@ -86,6 +86,11 @@ object MaxSimStore {
       k: Int = 5): DataFrame = {
     import s.implicits._
     val (qvec, qmRel, qtokd) = TextOps.maxSimChunkRels(queryDocs)
+    // qtokd deliberately stays LAZY like the corpus side: an A/B at
+    // sf10 read checkpoint-once as -5% on the 20k-doc audit batch but
+    // WORSE on a 100-doc serving batch (the materialization barrier
+    // costs more than the recompute saves) — serve cost is dominated
+    // by the pair-scoring tail either way (MaxSimStoreBench split).
     // query-side df lookup, pruned to the batch's token buckets
     val qtoks = qtokd.select($"tok").distinct()
       .withColumn("bucket", bucketCol($"tok"))

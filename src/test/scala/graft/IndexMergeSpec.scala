@@ -81,6 +81,110 @@ class IndexMergeSpec extends SparkSpec {
     assert(asDst.getMessage.contains("LABELED"))
   }
 
+  test("labeled merge moves live rows with labels intact, re-homed to dst cells") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+      .withColumn("label", col("vec_id") % 4)
+    val (dirA, dirB) = (tmp("graft_lmA"), tmp("graft_lmB"))
+    IvfIndex.buildLabeled(emb.filter($"vec_id" % 2 === 0), dirA)
+    IvfIndex.buildLabeled(emb.filter($"vec_id" % 2 === 1), dirB)
+    IvfIndex.delete(spark, dirB,
+      emb.filter($"vec_id" % 2 === 1 && $"vec_id" % 7 === 0)
+        .select($"vec_id"))
+    IvfIndex.mergeFromLabeled(spark, dirA, dirB, gen = 1L)
+    val got = IvfIndex.postings(spark, dirA)
+      .select($"vec_id", $"cid".cast("long"), $"label".cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // driver replay: every live row homes to its nearest A-centroid
+    // and KEEPS its label
+    val cents = IvfIndex.centroids(spark, dirA)
+      .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])].collect()
+    val vecs = emb.select($"vec_id", $"qv").as[(Long, Seq[Long])]
+      .collect().toMap
+    val wantIds = vecs.keys.filter(id =>
+      id % 2 == 0 || id % 7 != 0).toSeq.sorted
+    val want = wantIds.map { id =>
+      (id, cents.minBy { case (c, cq) => (d2(vecs(id), cq), c) }._1,
+        id % 4)
+    }
+    assert(got === want)
+    // the merged rows serve through the label-pruned path
+    val q = emb.filter($"vec_id" % 75 === 0)
+      .select($"vec_id", $"qv", $"label")
+    val served = IvfIndex.serveLabeled(spark, dirA, q)
+      .select(col("query_id"), col("label"), col("neighbor"))
+      .as[(Long, Long, Long)].collect()
+    assert(served.nonEmpty)
+    served.foreach { case (_, lbl, nb) =>
+      assert(nb % 4 === lbl, "filtered serve must stay within the label") }
+    // gen collision fails loudly; explicit replay is a no-op
+    intercept[IllegalArgumentException] {
+      IvfIndex.mergeFromLabeled(spark, dirA, dirB, gen = 1L)
+    }
+    IvfIndex.mergeFromLabeled(spark, dirA, dirB, gen = 1L,
+      allowReplay = true)
+    assert(IvfIndex.postings(spark, dirA)
+      .select($"vec_id", $"cid".cast("long"), $"label".cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted === want)
+    // the labeled path refuses unlabeled stores in either role
+    val dirU = tmp("graft_lmU")
+    IvfIndex.build(VectorOps.quantized(spark, sfDir)
+      .filter($"vec_id" % 2 === 1), dirU)
+    val asSrc = intercept[IllegalArgumentException] {
+      IvfIndex.mergeFromLabeled(spark, dirA, dirU, gen = 2L)
+    }
+    assert(asSrc.getMessage.contains("UNLABELED"))
+    val asDst = intercept[IllegalArgumentException] {
+      IvfIndex.mergeFromLabeled(spark, dirU, dirB, gen = 2L)
+    }
+    assert(asDst.getMessage.contains("UNLABELED"))
+  }
+
+  test("labeled incremental ingest assigns like fresh argmin and keeps one file per directory") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+      .withColumn("label", col("vec_id") % 4)
+    val dir = tmp("graft_lingest")
+    IvfIndex.buildLabeled(emb.filter($"vec_id" % 5 =!= 0), dir)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    IvfIndex.addBatchLabeled(spark, dir,
+      batch.select($"vec_id", $"qv", $"label"), gen = 1L)
+    val cents = IvfIndex.centroids(spark, dir)
+      .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])].collect()
+    val got = IvfIndex.postings(spark, dir)
+      .filter($"gen" === 1L)
+      .select($"vec_id", $"cid".cast("long"), $"label".cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val want = batch.select($"vec_id", $"qv").as[(Long, Seq[Long])]
+      .collect().map { case (id, qv) =>
+        (id, cents.minBy { case (c, cq) => (d2(qv, cq), c) }._1, id % 4)
+      }.toSeq.sorted
+    assert(got === want)
+    // replay is a metadata no-op
+    val before = IvfIndex.postings(spark, dir).count()
+    IvfIndex.addBatchLabeled(spark, dir,
+      batch.select($"vec_id", $"qv", $"label"), gen = 1L)
+    assert(IvfIndex.postings(spark, dir).count() === before)
+    // one file per (cid, label, gen) directory — the q156 rule
+    val root = new java.io.File(s"$dir/postings")
+    def leafDirs(f: java.io.File): Seq[java.io.File] =
+      if (f.listFiles == null) Nil
+      else {
+        val subs = f.listFiles.filter(_.isDirectory)
+        if (subs.isEmpty) Seq(f) else subs.toSeq.flatMap(leafDirs)
+      }
+    leafDirs(root).foreach { d =>
+      val parts = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(parts.length <= 1,
+        s"${d.getPath} holds ${parts.length} files — file-storm regression")
+    }
+    // an unlabeled batch / store pairing fails loudly
+    intercept[IllegalArgumentException] {
+      IvfIndex.addBatchLabeled(spark, dir,
+        batch.select($"vec_id", $"qv"), gen = 2L)
+    }
+  }
+
   test("PQ stores refuse to merge in either role") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
