@@ -435,8 +435,38 @@ object StreamBench {
       "hybrid_qps" -> qps
     }
 
+    // Online SemDeDup (vectors/s): per-row capped-quantizer routing
+    // (broadcast split-tree config) + per-leaf admitted-member state
+    // within the watermark horizon — the semantic member of the
+    // streaming dedup family (exact: ingest_dps; lexical: neardup_dps).
+    val semdedup = {
+      import spark.implicits._
+      val refDf = index.toSeq.toDF("vec_id", "qv")
+      val learned = index.take(16).toSeq
+        .map { case (id, v) => (id, v.toSeq) }.toDF("cid", "cq")
+      val (_, quant) = graft.operators.VectorOps.cappedQuantizer(
+        refDf, learned, cap = 24L, maxRounds = 16)
+      val vecEvents: Seq[StreamOps.VecEvent] = queries
+      val in = MemoryStream[StreamOps.VecEvent]
+      val q = StreamOps.toMemory(
+        StreamOps.semDedupStream(in.toDS(), quant, "10 seconds",
+          horizonMs = 3_600_000L).toDF(), "semdedup_bench",
+        OutputMode.Append)
+      val chunks = vecEvents.grouped(math.max(1, batchSize / 20)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val vps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] semdedup_vps: $vps%.0f/s")
+      "semdedup_vps" -> vps
+    }
+
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release, decontam, pack, drift, maxsim, hybrid)
+      attrib, curation, release, decontam, pack, drift, maxsim, hybrid,
+      semdedup)
   }
 
   def main(args: Array[String]): Unit = {

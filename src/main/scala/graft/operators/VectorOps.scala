@@ -854,10 +854,57 @@ object VectorOps {
     * once, and halves every round. Output guarantees Σ|cell|² ≤ cap·N
     * — intra-cell pair mass LINEAR in corpus size.
     */
+  /** The capped quantizer's ROUTING CONFIG — everything a new vector
+    * needs to be assigned to a leaf without replaying the training
+    * data: the base coarse centroids, plus per split cell its chord
+    * axis and median threshold. Serializable driver-side arrays
+    * (≤ nlists + one row per split — metadata-scale), so a streaming
+    * operator can broadcast it in a closure. `route` reproduces the
+    * recursion's assignment exactly: base argmin by (dist, cid), then
+    * walk the split tree by `p > t`.
+    */
+  private[graft] case class CappedQuantizer(
+      cents: Array[(Long, Array[Long])],
+      splits: Map[String, (Array[Long], Long)]) {
+    def route(qv: Array[Long]): String = {
+      var bestC = Long.MaxValue
+      var bestD = Long.MaxValue
+      cents.foreach { case (c, cq) =>
+        var d = 0L; var i = 0
+        while (i < cq.length) { val z = qv(i) - cq(i); d += z * z; i += 1 }
+        if (d < bestD || (d == bestD && c < bestC)) { bestD = d; bestC = c }
+      }
+      var cell = bestC.toString
+      var nxt = splits.get(cell)
+      while (nxt.isDefined) {
+        val (ax, t) = nxt.get
+        var p = 0L; var i = 0
+        while (i < ax.length) { p += qv(i) * ax(i); i += 1 }
+        cell = cell + "/" + (if (p > t) "1" else "0")
+        nxt = splits.get(cell)
+      }
+      cell
+    }
+  }
+
   private[graft] def cappedCells(emb: DataFrame, learned: DataFrame,
-      cap: Long, maxRounds: Int): DataFrame = {
+      cap: Long, maxRounds: Int): DataFrame =
+    cappedQuantizer(emb, learned, cap, maxRounds)._1
+
+  /** [[cappedCells]] plus the recursion's routing config
+    * ([[CappedQuantizer]]) — each round's (cell → axis, threshold)
+    * rows are collected as they are computed (bounded by the hot-cell
+    * count, metadata-scale), so an online consumer can route NEW
+    * vectors through the identical split tree.
+    */
+  private[graft] def cappedQuantizer(emb: DataFrame, learned: DataFrame,
+      cap: Long, maxRounds: Int): (DataFrame, CappedQuantizer) = {
     val s = emb.sparkSession
     import s.implicits._
+    val centsArr = learned.select($"cid".cast("long"), $"cq")
+      .as[(Long, Array[Long])].collect()
+    val splitsAcc =
+      scala.collection.mutable.Map[String, (Array[Long], Long)]()
     var state = argminPacked(emb, learned)
       .select($"vec_id", $"cid".cast("string").as("cell"), $"dist")
       .localCheckpoint(true)
@@ -884,6 +931,10 @@ object VectorOps {
         .withColumn("n", count(lit(1)).over(Window.partitionBy($"cell")))
         .groupBy($"cell")
         .agg(max(when($"rn" * 2 <= $"n", $"p")).as("t"))
+      // record this round's routing metadata (bounded by hot cells)
+      ax.join(th, "cell").select($"cell", $"ax", $"t")
+        .as[(String, Array[Long], Long)].collect()
+        .foreach { case (c, a, t) => splitsAcc(c) = (a, t) }
       val a0 = pj.join(broadcast(th), "cell")
         .withColumn("sub", when($"p" > $"t", lit(1L)).otherwise(lit(0L)))
       // each half's floor-mean centroid (lloydPass's integer-exact
@@ -919,7 +970,7 @@ object VectorOps {
           "point: no deterministic value-split can separate them), or " +
           "raise maxRounds")
     }
-    state
+    (state, CappedQuantizer(centsArr, splitsAcc.toMap))
   }
 
   /** PRODUCTION-POSTURE SemDeDup — q171's verdict rule over the

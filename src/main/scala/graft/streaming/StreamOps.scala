@@ -1494,6 +1494,120 @@ object StreamOps {
       }
     }
 
+  /** One admission verdict of [[semDedupStream]] (public: encoder
+    * requirement). `dup_of` = the kept member the newcomer duplicated
+    * (−1 when admitted).
+    */
+  case class SemVerdict(vec_id: Long, ts: Timestamp, cell: String,
+      is_dropped: Boolean, dup_of: Long)
+
+  /** Per-leaf admitted members within the horizon (public: encoder
+    * requirement). Parallel arrays: ids, event-time millis, norms,
+    * vectors.
+    */
+  case class SemCellState(ids: Array[Long], tss: Array[Long],
+      n2s: Array[Long], qvs: Array[Array[Long]])
+
+  /** ONLINE SemDeDup — the streaming sibling of q181, the semantic
+    * member the streaming dedup family was missing (exact:
+    * [[dedupExactStream]]; lexical near-dup: [[nearDupLshStream]]).
+    * Each arriving vector routes through the CAPPED quantizer's split
+    * tree ([[graft.operators.VectorOps.CappedQuantizer]] — base argmin
+    * then median-threshold walks, broadcast serving config trained
+    * offline on a reference corpus), and within its LEAF cell the
+    * online admission rule runs: DROP the newcomer if its
+    * exact-integer cosine crosses 2/5 against ANY member admitted
+    * within the watermark horizon, else admit it into the leaf state.
+    * Online semantics are greedy-first-wins (an admitted member is
+    * never retroactively dropped — q181's batch form can instead keep
+    * the more central copy because it sees all pairs); under ordered
+    * delivery the verdicts are deterministic and batching-invariant
+    * (the spec pins both), and the horizon ages state out exactly like
+    * the other dedup streams.
+    *
+    * Scale: state per leaf is the ADMITTED members within the horizon
+    * — the leaf cap bounds the reference corpus's leaf population, and
+    * admission (dedup) plus the TTL bound the stream's; each verdict
+    * compares against one leaf's members only, never the corpus. The
+    * groupByKey shuffles (id, ts, qv, cell) rows keyed by leaf —
+    * leaf populations are cap-bounded by construction, so no hot keys.
+    * Routing is a per-row O(nlists + depth) computation against the
+    * broadcast config. Vector norms must respect the exact-int64
+    * cosine bound (n2 ≤ 9.6e7 — the q178/q181 operand discipline),
+    * enforced loudly per row.
+    */
+  def semDedupStream(vecs: Dataset[VecEvent],
+      quant: graft.operators.VectorOps.CappedQuantizer,
+      watermark: String, horizonMs: Long): Dataset[SemVerdict] = {
+    import vecs.sparkSession.implicits._
+    val routed = vecs
+      .map(v => (v.qid, v.ts, v.qv, quant.route(v.qv)))
+      .toDF("vec_id", "ts", "qv", "cell")
+      .withWatermark("ts", watermark)
+      .as[(Long, Timestamp, Array[Long], String)]
+    routed.groupByKey(_._4)
+      .flatMapGroupsWithState[SemCellState, SemVerdict](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (cell, rowsIt, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            def dot(a: Array[Long], b: Array[Long]): Long = {
+              var s = 0L; var i = 0
+              while (i < a.length) { s += a(i) * b(i); i += 1 }
+              s
+            }
+            val batch = rowsIt.toArray
+            java.util.Arrays.sort(batch,
+              Ordering.by((r: (Long, Timestamp, Array[Long], String)) =>
+                (r._2.getTime, r._1)))
+            var kept = state.getOption.getOrElse(SemCellState(
+              Array.empty, Array.empty, Array.empty, Array.empty))
+            val out = scala.collection.mutable.ArrayBuffer[SemVerdict]()
+            batch.foreach { case (id, ts, qv, _) =>
+              // age out BEFORE comparing: a duplicate of a member that
+              // left the horizon must re-admit even when both land in
+              // one micro-batch — the same rule the driver replay runs
+              val newestSoFar = math.max(ts.getTime,
+                if (kept.tss.isEmpty) 0L else kept.tss.max)
+              val live = kept.tss.indices
+                .filter(i => kept.tss(i) >= newestSoFar - horizonMs)
+              if (live.size != kept.ids.length)
+                kept = SemCellState(live.map(kept.ids).toArray,
+                  live.map(kept.tss).toArray, live.map(kept.n2s).toArray,
+                  live.map(kept.qvs).toArray)
+              val n2 = dot(qv, qv)
+              // bound: with both norms <= 6e8, n2*n2b*4 <= 1.44e18
+              // and (Cauchy-Schwarz) d^2*25 <= 9.0e18 < 2^63 - the
+              // q178 discipline without its extra permille factor
+              require(n2 <= 600000000L,
+                s"semDedupStream: vector $id norm2 $n2 overflows the " +
+                  "exact int64 cosine bound (<= 6e8)")
+              var dupOf = -1L
+              var i = 0
+              while (dupOf < 0 && i < kept.ids.length) {
+                val d = dot(qv, kept.qvs(i))
+                if (d > 0 && d * d * 25L >= n2 * kept.n2s(i) * 4L)
+                  dupOf = kept.ids(i)
+                i += 1
+              }
+              if (dupOf >= 0)
+                out += SemVerdict(id, ts, cell, is_dropped = true, dupOf)
+              else {
+                kept = SemCellState(kept.ids :+ id,
+                  kept.tss :+ ts.getTime, kept.n2s :+ n2,
+                  kept.qvs :+ qv)
+                out += SemVerdict(id, ts, cell, is_dropped = false, -1L)
+              }
+            }
+            val newest = math.max(batch.map(_._2.getTime).max,
+              if (kept.tss.isEmpty) 0L else kept.tss.max)
+            state.update(kept)
+            state.setTimeoutTimestamp(newest + horizonMs)
+            out.iterator
+          }
+      }
+  }
+
   /** A hybrid-retrieval query: text for the lexical side, a quantized
     * embedding for the dense side (public: encoder requirement).
     */
