@@ -57,7 +57,8 @@ object PipelineOps {
     "q155_corpus_release" -> ((s, d) => q155(s, d)),
     "q176_sequence_packing" -> ((s, d) => q176(s, d)),
     "q180_release_packing" -> ((s, d) => q180(s, d)),
-    "q177_epoch_order" -> ((s, d) => q177(s, d))
+    "q177_epoch_order" -> ((s, d) => q177(s, d)),
+    "q183_curriculum_order" -> ((s, d) => q183(s, d))
   )
 
   /** EPOCH-ORDER MANIFEST — the reproducible data-ordering artifact a
@@ -78,6 +79,53 @@ object PipelineOps {
     * globally — a global order would serialize on one task and no
     * loader wants it anyway.
     */
+  /** CURRICULUM ORDER — q177's epoch manifest with an EPOCH-DEPENDENT
+    * sampling schedule: the quality-warmup curriculum a pretraining run
+    * actually configures (start on the cleaner tiers, anneal to the
+    * full mixture — the data-curriculum knob beside q177's flat
+    * repetition). Documents tier by an integer quality rule
+    * (tier 2: n_chars ≥ 380; tier 1: ≥ 220; tier 0 below), and each
+    * (epoch, tier) gets a literal multiplicity from the schedule
+    * matrix: epoch 0 = (0, 1, 2) — low tier EXCLUDED, high tier
+    * doubled; epoch 1 = (1, 1, 2); epoch 2 = (1, 1, 1) — the full
+    * uniform mix. Copies then deal into 8 loader shards and order by
+    * the seeded per-epoch md5 exactly as q177, so every epoch is a
+    * distinct deterministic permutation OF ITS SCHEDULED MULTISET and
+    * a rerun replays bit-for-bit. One row per (epoch, shard, position)
+    * carrying the doc, its tier, and its copy index.
+    *
+    * Scale: q177's postures unchanged — the tier rule and the schedule
+    * explode are map-side (`slice` of a 2-element literal array by the
+    * matrix multiplicity, so a 0-multiplicity tier vanishes before any
+    * exchange); the only shuffle is the per-(epoch, shard) rank window
+    * at corpus/24 partitions.
+    */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val copies = Tables(s, d, "documents")
+      .select($"doc_id",
+        when($"n_chars" >= 380L, 2L).when($"n_chars" >= 220L, 1L)
+          .otherwise(0L).as("tier"))
+      .crossJoin(broadcast(Seq(0L, 1L, 2L).toDF("epoch")))
+      .withColumn("m", expr(
+        """element_at(element_at(
+             array(array(0, 1, 2), array(1, 1, 2), array(1, 1, 1)),
+             CAST(epoch + 1 AS INT)), CAST(tier + 1 AS INT))"""))
+      .select($"epoch", $"doc_id", $"tier",
+        explode(expr("slice(array(0L, 1L), 1, m)")).as("copy"))
+    copies
+      .withColumn("h", conv(substring(md5(
+        concat_ws(":", $"epoch", $"doc_id", $"copy")), 1, 15), 16, 10)
+        .cast("long"))
+      .withColumn("shard", pmod($"h", lit(8L)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"epoch", $"shard")
+          .orderBy($"h", $"doc_id", $"copy")).cast("long"))
+      .select($"epoch", $"shard", $"pos", $"doc_id", $"tier", $"copy")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
   private def q177(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -2549,6 +2597,36 @@ object PipelineOps {
            ("offset" + greatest(n_tok, 1) - 1) // 512
              - "offset" // 512 AS n_splits
          FROM o ORDER BY source, doc_id""",
+    "q183_curriculum_order" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN n_chars >= 380 THEN 2
+                  WHEN n_chars >= 220 THEN 1 ELSE 0 END AS tier
+           FROM documents),
+         e AS (SELECT unnest([0, 1, 2]) AS epoch),
+         sched AS (
+           SELECT t.doc_id, t.tier, e.epoch,
+             [[0, 1, 2], [1, 1, 2], [1, 1, 1]][e.epoch + 1][t.tier + 1]
+               AS m
+           FROM t CROSS JOIN e),
+         c AS (
+           SELECT doc_id, tier, epoch,
+             unnest([0, 1][1:m]) AS copy
+           FROM sched),
+         x AS (
+           SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+             CAST(tier AS BIGINT) AS tier, CAST(copy AS BIGINT) AS copy,
+             CAST(CAST('0x' || substring(md5(
+               CAST(epoch AS VARCHAR) || ':' ||
+               CAST(doc_id AS VARCHAR) || ':' ||
+               CAST(copy AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)
+               AS h
+           FROM c)
+         SELECT epoch, h % 8 AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, h % 8
+             ORDER BY h, doc_id, copy) AS BIGINT) AS pos,
+           doc_id, tier, copy
+         FROM x ORDER BY epoch, shard, pos""",
     "q177_epoch_order" ->
       """WITH c AS (
            SELECT doc_id,
