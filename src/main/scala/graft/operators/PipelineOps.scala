@@ -58,7 +58,8 @@ object PipelineOps {
     "q176_sequence_packing" -> ((s, d) => q176(s, d)),
     "q180_release_packing" -> ((s, d) => q180(s, d)),
     "q177_epoch_order" -> ((s, d) => q177(s, d)),
-    "q183_curriculum_order" -> ((s, d) => q183(s, d))
+    "q183_curriculum_order" -> ((s, d) => q183(s, d)),
+    "q184_release_semantic" -> ((s, d) => q184(s, d))
   )
 
   /** EPOCH-ORDER MANIFEST — the reproducible data-ordering artifact a
@@ -285,6 +286,108 @@ object PipelineOps {
         byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter($"cum" <= budget)
     ReleaseStages(docs, deduped, quality, cleaned, kept)
+  }
+
+  /** RELEASE v2 — q155's composition with the SEMANTIC stage a modern
+    * pipeline inserts between the cheap filters and the expensive
+    * cleanup: exact text dedup → quality gate → CAPPED SemDeDup over
+    * the survivors' embeddings (q181's full machinery — exact-vector
+    * collapse, median-bisection leaves trained ON THE SURVIVOR
+    * population with smallest-present seeds, cosine-2/5 less-central
+    * drops; documents without a vector pass through, the standard
+    * posture) → span cleanup of the semantic survivors → per-language
+    * token budget on CLEANED counts. One audit row per language with
+    * each stage's drop accounting, n_sem_dropped included — the
+    * DuckDB oracle replays the ENTIRE chain, Lloyd convergence and
+    * 16 split rounds included.
+    *
+    * Scale: every stage keeps its own entry's posture; the semantic
+    * stage adds one broadcast-argmin corpus pass + the capped
+    * recursion's hot-cell rounds over the SURVIVOR population only,
+    * and its pair mass is Σ|leaf|² ≤ cap·N_distinct by construction.
+    */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 3000L
+    val docs = Tables(s, d, "documents")
+      .select($"doc_id", $"lang", $"source", $"text",
+        split($"text", "\\s+").as("toks"))
+    val keepIds = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val quality = deduped
+      .filter(size($"toks").cast("long").between(20L, 1000L))
+    // semantic stage over the survivors' embeddings
+    val emb = VectorOps.quantized(s, d)
+      .join(quality.select($"doc_id".as("vec_id")), Seq("vec_id"),
+        "left_semi")
+      .localCheckpoint(true)
+    val sids = emb.select($"vec_id").orderBy($"vec_id").limit(16)
+      .as[Long].collect()
+    val seeds = emb.filter($"vec_id".isInCollection(sids))
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = VectorOps.lloydTrain(emb, seeds,
+      VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
+    val groups = emb.groupBy($"qv")
+      .agg(min($"vec_id").as("rep_id"), count(lit(1)).as("n_copies"))
+      .localCheckpoint(true)
+    val reps = groups.select($"rep_id".as("vec_id"), $"qv")
+    val leaves = VectorOps.cappedCells(reps, learned,
+      VectorOps.SemDedupCap, VectorOps.SemDedupMaxRounds)
+    val v = leaves.join(reps, "vec_id")
+      .withColumn("n2", graft.functions.VectorMath.dotLong($"qv", $"qv"))
+      .select($"vec_id", $"cell", $"dist", $"n2", $"qv")
+      .localCheckpoint(true)
+    val repDrops = VectorOps.semDedupVerdictsOn(v, "cell")
+      .filter($"is_dropped" === 1L).select($"vec_id".as("rep_id"))
+    val semDrops = emb.join(groups, "qv")
+      .join(repDrops.withColumn("rdrop", lit(1L)), Seq("rep_id"), "left")
+      .filter($"vec_id" =!= $"rep_id" || $"rdrop".isNotNull)
+      .select($"vec_id".as("doc_id"))
+    val semKept = quality.join(semDrops, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    // span cleanup + budget, q155's stages over the semantic survivors
+    val cleaned = TextOps.spanDedupApply(
+        semKept.select($"doc_id", $"source", $"toks"),
+        TextOps.spanAutoNSeg(semKept))
+      .select($"doc_id", $"n_tokens", $"tokens_removed")
+      .join(deduped.select($"doc_id", $"lang"), "doc_id")
+      .withColumn("n_clean", $"n_tokens" - $"tokens_removed")
+      .localCheckpoint(true)
+    val byQ = Window.partitionBy($"lang")
+      .orderBy($"n_clean".desc, $"doc_id")
+    val kept = cleaned.filter($"n_clean" >= 1L)
+      .withColumn("rk", row_number().over(byQ)).filter($"rk" <= budget)
+      .withColumn("cum", sum($"n_clean").over(
+        byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= budget)
+    val inC = docs.groupBy($"lang").agg(count(lit(1)).as("n_in"))
+    val ddC = deduped.groupBy($"lang").agg(count(lit(1)).as("n_dedup"))
+    val qC = quality.groupBy($"lang").agg(count(lit(1)).as("n_q"))
+    val semC = semKept.groupBy($"lang").agg(count(lit(1)).as("n_sem"))
+    val spanC = cleaned.groupBy($"lang")
+      .agg(sum($"tokens_removed").as("span_removed"))
+    val keptC = kept.groupBy($"lang")
+      .agg(count(lit(1)).as("docs_kept"), max($"cum").as("toks_kept"))
+    inC.join(ddC, Seq("lang"), "left")
+      .join(qC, Seq("lang"), "left")
+      .join(semC, Seq("lang"), "left")
+      .join(spanC, Seq("lang"), "left")
+      .join(keptC, Seq("lang"), "left")
+      .select($"lang", $"n_in",
+        ($"n_in" - coalesce($"n_dedup", lit(0L))).as("n_dup_dropped"),
+        (coalesce($"n_dedup", lit(0L)) - coalesce($"n_q", lit(0L)))
+          .as("n_quality_dropped"),
+        (coalesce($"n_q", lit(0L)) - coalesce($"n_sem", lit(0L)))
+          .as("n_sem_dropped"),
+        coalesce($"span_removed", lit(0L)).as("span_tokens_removed"),
+        coalesce($"docs_kept", lit(0L)).as("docs_kept"),
+        coalesce($"toks_kept", lit(0L)).as("toks_kept"),
+        expr(s"1000 * coalesce(toks_kept, 0) div $budget")
+          .as("fill_permille"))
+      .orderBy($"lang")
   }
 
   private def q155(s: SparkSession, d: String): DataFrame = {
@@ -1770,7 +1873,122 @@ object PipelineOps {
       .orderBy($"action")
   }
 
+  /** q184's relational replay: q155's stage CTEs, with the Lloyd
+    * training + capped split recursion + verdict chain (q181's oracle
+    * machinery) spliced between the quality gate and the span cleanup.
+    * The Lloyd population and seeds are the QUALITY SURVIVORS
+    * (smallest-present seed rule replayed as a LIMIT 16 subquery).
+    */
+  private def q184OracleSql: String =
+    s"""WITH raw AS MATERIALIZED (
+           SELECT doc_id, lang, source, text,
+             string_split_regex(text, '\\s+') AS toks
+           FROM documents),
+         keep AS (SELECT min(doc_id) AS doc_id FROM raw GROUP BY text),
+         dd AS MATERIALIZED (SELECT raw.* FROM raw JOIN keep USING (doc_id)),
+         t AS MATERIALIZED (
+           SELECT doc_id, source, toks FROM dd
+           WHERE len(toks) BETWEEN 20 AND 1000),
+         ${VectorOps.lloydCtes(VectorOps.LloydMaxIters,
+             VectorOps.LloydMinImprove,
+             "WHERE vec_id IN (SELECT doc_id FROM t)",
+             "vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT 16)")},
+         ${VectorOps.lloydStarCtes(VectorOps.LloydMaxIters)},
+         ${VectorOps.cappedCtes(VectorOps.SemDedupCap,
+             VectorOps.SemDedupMaxRounds)},
+         vv AS MATERIALIZED (
+           SELECT s.vec_id, s.cell, s.dist, q.qv,
+             CAST(list_sum(list_transform(q.qv, x -> x * x))
+               AS BIGINT) AS n2
+           FROM st${VectorOps.SemDedupMaxRounds} s JOIN q USING (vec_id)),
+         cp0 AS (
+           SELECT a.vec_id AS ia, b.vec_id AS ib, a.dist AS da,
+             b.dist AS db,
+             CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+               z -> z[1] * z[2])) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+           FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         cp AS MATERIALIZED (
+           SELECT ia, ib,
+             CASE WHEN da > db OR (da = db AND ia > ib)
+                  THEN ia ELSE ib END AS drop_id
+           FROM cp0 WHERE dot > 0 AND dot * dot * 25 >= na * nb * 4),
+         cdropped AS (SELECT DISTINCT drop_id AS vec_id FROM cp),
+         semdrop AS (
+           SELECT d.vec_id AS doc_id
+           FROM q d JOIN grp g USING (qv)
+           WHERE d.vec_id <> g.rep_id
+              OR g.rep_id IN (SELECT vec_id FROM cdropped)),
+         t2 AS MATERIALIZED (
+           SELECT * FROM t
+           WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
+         w AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16))) AS h
+           FROM t2 WHERE len(toks) >= 8),
+         nd AS (SELECT h FROM w GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (SELECT w.doc_id, w.i FROM w JOIN nd ON w.h = nd.h),
+         cov AS (
+           SELECT DISTINCT doc_id, i + g AS p
+           FROM dw, generate_series(0, 7) AS gs(g)),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS p
+           FROM t2),
+         keptagg AS (
+           SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+           FROM pos LEFT JOIN cov
+             ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+           WHERE cov.p IS NULL
+           GROUP BY 1),
+         cleaned AS MATERIALIZED (
+           SELECT t2.doc_id, dd.lang,
+             CAST(len(t2.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS removed,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_clean
+           FROM t2 LEFT JOIN keptagg k USING (doc_id)
+             JOIN dd USING (doc_id)),
+         ranked AS (
+           SELECT lang, doc_id, n_clean,
+             sum(n_clean) OVER (PARTITION BY lang
+               ORDER BY n_clean DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM cleaned WHERE n_clean >= 1),
+         keptc AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS docs_kept,
+             CAST(max(cum) AS BIGINT) AS toks_kept
+           FROM ranked WHERE cum <= 3000 GROUP BY 1),
+         inc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in
+                 FROM raw GROUP BY 1),
+         ddc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup
+                 FROM dd GROUP BY 1),
+         qc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_q
+                FROM dd WHERE len(toks) BETWEEN 20 AND 1000 GROUP BY 1),
+         semc AS (SELECT dd.lang, CAST(count(*) AS BIGINT) AS n_sem
+                  FROM t2 JOIN dd USING (doc_id) GROUP BY 1),
+         spanc AS (SELECT lang, CAST(sum(removed) AS BIGINT) AS span_removed
+                   FROM cleaned GROUP BY 1)
+         SELECT inc.lang, inc.n_in,
+           CAST(inc.n_in - coalesce(ddc.n_dedup, 0) AS BIGINT)
+             AS n_dup_dropped,
+           CAST(coalesce(ddc.n_dedup, 0) - coalesce(qc.n_q, 0) AS BIGINT)
+             AS n_quality_dropped,
+           CAST(coalesce(qc.n_q, 0) - coalesce(semc.n_sem, 0) AS BIGINT)
+             AS n_sem_dropped,
+           CAST(coalesce(spanc.span_removed, 0) AS BIGINT)
+             AS span_tokens_removed,
+           CAST(coalesce(keptc.docs_kept, 0) AS BIGINT) AS docs_kept,
+           CAST(coalesce(keptc.toks_kept, 0) AS BIGINT) AS toks_kept,
+           CAST(1000 * coalesce(keptc.toks_kept, 0) // 3000 AS BIGINT)
+             AS fill_permille
+         FROM inc LEFT JOIN ddc USING (lang) LEFT JOIN qc USING (lang)
+           LEFT JOIN semc USING (lang)
+           LEFT JOIN spanc USING (lang) LEFT JOIN keptc USING (lang)
+         ORDER BY inc.lang"""
+
   def oracles: Map[String, String] = Map(
+    "q184_release_semantic" -> q184OracleSql,
     "q169_pagerank" -> q169OracleSql,
     "q107_cdc_chunks" ->
       """WITH t AS (

@@ -1397,7 +1397,7 @@ object VectorOps {
     * empty is an identity, which is what lets the fixed unroll replay
     * the engine's converge-and-stop driver loop exactly.
     */
-  private def cappedCtes(cap: Long, rounds: Int): String = {
+  private[graft] def cappedCtes(cap: Long, rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""grp AS MATERIALIZED (
            SELECT min(vec_id) AS rep_id, qv,
