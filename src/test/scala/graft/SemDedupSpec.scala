@@ -232,4 +232,54 @@ class SemDedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("over the cap"))
   }
+
+  test("capped recursion invariants hold over randomized corpora") {
+    import spark.implicits._
+    // seeded randomized cases (the ScalaCheck discipline at Spark-job
+    // granularity): random cluster structure, random cap — the
+    // recursion must either enforce the cap on every leaf or fail
+    // loudly; identical vectors must co-land; reruns must replay
+    // bit-for-bit
+    Seq(101, 202, 303).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val cap = 4L + rnd.nextInt(12)
+      val nPts = 40 + rnd.nextInt(120)
+      val nClusters = 1 + rnd.nextInt(4)
+      val centers = Seq.fill(nClusters)(
+        Seq.fill(64)(rnd.nextInt(1200).toLong))
+      val pts = (0 until nPts).map { i =>
+        val c = centers(rnd.nextInt(nClusters))
+        (i.toLong, c.map(_ + rnd.nextInt(7) - 3))
+      }
+      val copies = (0 until 10).map(k =>
+        (1000L + k, pts(rnd.nextInt(nPts))._2))
+      val all = pts ++ copies
+      val emb = all.toDF("vec_id", "qv").localCheckpoint(true)
+      val learned = Seq((0L, pts.head._2), (1L, pts.last._2))
+        .toDF("cid", "cq")
+      try {
+        val leaves = VectorOps.cappedCells(emb, learned, cap, 16)
+          .as[(Long, String, Long)].collect().toSeq
+        assert(leaves.map(_._1).sorted === all.map(_._1).sorted,
+          s"seed $seed: members lost or duplicated")
+        leaves.groupBy(_._2).foreach { case (cell, ms) =>
+          assert(ms.size <= cap, s"seed $seed: leaf $cell over cap $cap")
+        }
+        val cellOf = leaves.map(l => l._1 -> l._2).toMap
+        copies.foreach { case (cid2, qv) =>
+          val twin = all.find(p => p._2 == qv && p._1 != cid2).get._1
+          assert(cellOf(cid2) === cellOf(twin),
+            s"seed $seed: identical vectors $cid2/$twin split apart")
+        }
+        val again = VectorOps.cappedCells(emb, learned, cap, 16)
+          .as[(Long, String, Long)].collect().toSeq
+        assert(again.sorted === leaves.sorted,
+          s"seed $seed: rerun drifted")
+      } catch {
+        case e: IllegalStateException =>
+          assert(e.getMessage.contains("over the cap"),
+            s"seed $seed: unexpected failure ${e.getMessage}")
+      }
+    }
+  }
 }
