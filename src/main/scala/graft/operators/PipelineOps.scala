@@ -258,7 +258,6 @@ object PipelineOps {
   private[graft] def releaseStages(s: SparkSession, d: String,
       budget: Long): ReleaseStages = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(s, d, "documents")
       .select($"doc_id", $"lang", $"source", $"text",
         split($"text", "\\s+").as("toks"))
@@ -268,9 +267,23 @@ object PipelineOps {
       .localCheckpoint(true)
     val quality = deduped
       .filter(size($"toks").cast("long").between(20L, 1000L))
+    val (cleaned, kept) = spanAndBudget(quality, deduped, budget)
+    ReleaseStages(docs, deduped, quality, cleaned, kept)
+  }
+
+  /** The release tail shared by q155's chain and q184's semantic
+    * variant: span cleanup of `survivors` (doc_id, source, toks) and
+    * the per-language greedy token budget on CLEANED counts. Returns
+    * (cleaned, kept).
+    */
+  private[graft] def spanAndBudget(survivors: DataFrame,
+      deduped: DataFrame, budget: Long): (DataFrame, DataFrame) = {
+    val s = survivors.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val cleaned = TextOps.spanDedupApply(
-        quality.select($"doc_id", $"source", $"toks"),
-        TextOps.spanAutoNSeg(quality))
+        survivors.select($"doc_id", $"source", $"toks"),
+        TextOps.spanAutoNSeg(survivors))
       // audit columns only — the cleaned TEXT is q154's own output;
       // dropping it before the checkpoint lets Catalyst prune the
       // rejoin payload and keeps the materialized state to four longs
@@ -285,7 +298,7 @@ object PipelineOps {
       .withColumn("cum", sum($"n_clean").over(
         byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter($"cum" <= budget)
-    ReleaseStages(docs, deduped, quality, cleaned, kept)
+    (cleaned, kept)
   }
 
   /** RELEASE v2 — q155's composition with the SEMANTIC stage a modern
@@ -330,39 +343,17 @@ object PipelineOps {
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(emb, seeds,
       VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
-    val groups = emb.groupBy($"qv")
-      .agg(min($"vec_id").as("rep_id"), count(lit(1)).as("n_copies"))
-      .localCheckpoint(true)
-    val reps = groups.select($"rep_id".as("vec_id"), $"qv")
-    val leaves = VectorOps.cappedCells(reps, learned,
-      VectorOps.SemDedupCap, VectorOps.SemDedupMaxRounds)
-    val v = leaves.join(reps, "vec_id")
-      .withColumn("n2", graft.functions.VectorMath.dotLong($"qv", $"qv"))
-      .select($"vec_id", $"cell", $"dist", $"n2", $"qv")
-      .localCheckpoint(true)
-    val repDrops = VectorOps.semDedupVerdictsOn(v, "cell")
-      .filter($"is_dropped" === 1L).select($"vec_id".as("rep_id"))
+    val (groups, verd) = VectorOps.cappedSemVerdicts(emb, learned)
+    val repDrops = verd.filter($"is_dropped" === 1L)
+      .select($"vec_id".as("rep_id"))
     val semDrops = emb.join(groups, "qv")
       .join(repDrops.withColumn("rdrop", lit(1L)), Seq("rep_id"), "left")
       .filter($"vec_id" =!= $"rep_id" || $"rdrop".isNotNull)
       .select($"vec_id".as("doc_id"))
     val semKept = quality.join(semDrops, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    // span cleanup + budget, q155's stages over the semantic survivors
-    val cleaned = TextOps.spanDedupApply(
-        semKept.select($"doc_id", $"source", $"toks"),
-        TextOps.spanAutoNSeg(semKept))
-      .select($"doc_id", $"n_tokens", $"tokens_removed")
-      .join(deduped.select($"doc_id", $"lang"), "doc_id")
-      .withColumn("n_clean", $"n_tokens" - $"tokens_removed")
-      .localCheckpoint(true)
-    val byQ = Window.partitionBy($"lang")
-      .orderBy($"n_clean".desc, $"doc_id")
-    val kept = cleaned.filter($"n_clean" >= 1L)
-      .withColumn("rk", row_number().over(byQ)).filter($"rk" <= budget)
-      .withColumn("cum", sum($"n_clean").over(
-        byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter($"cum" <= budget)
+    // span cleanup + budget, q155's shared tail over the survivors
+    val (cleaned, kept) = spanAndBudget(semKept, deduped, budget)
     val inC = docs.groupBy($"lang").agg(count(lit(1)).as("n_in"))
     val ddC = deduped.groupBy($"lang").agg(count(lit(1)).as("n_dedup"))
     val qC = quality.groupBy($"lang").agg(count(lit(1)).as("n_q"))

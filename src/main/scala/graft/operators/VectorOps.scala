@@ -995,22 +995,36 @@ object VectorOps {
     * per document: (cell path, vec_id, rep_id, n_copies of its exact
     * group, n_sem_pairs of its representative, is_dropped).
     */
-  private def q181(s: SparkSession, d: String): DataFrame = {
+  /** The capped SemDeDup core shared by q181 and q184's release stage:
+    * exact-duplicate collapse to min-id representatives, the capped
+    * recursion over the representatives, and the verdict rule within
+    * leaves. Returns (groups: (qv, rep_id, n_copies), repVerdicts:
+    * (cell, vec_id = rep, n_dup_pairs, is_dropped)).
+    */
+  private[graft] def cappedSemVerdicts(emb: DataFrame,
+      learned: DataFrame): (DataFrame, DataFrame) = {
+    val s = emb.sparkSession
     import s.implicits._
-    val emb = quantized(s, d)
     val groups = emb.groupBy($"qv")
       .agg(min($"vec_id").as("rep_id"), count(lit(1)).as("n_copies"))
       .localCheckpoint(true)
     val reps = groups.select($"rep_id".as("vec_id"), $"qv")
-    val seeds = emb.filter($"vec_id" < 16)
-      .select($"vec_id".as("cid"), $"qv".as("cq"))
-    val (learned, _) = lloydTrain(emb, seeds, LloydMaxIters, LloydMinImprove)
     val leaves = cappedCells(reps, learned, SemDedupCap, SemDedupMaxRounds)
     val v = leaves.join(reps, "vec_id")
       .withColumn("n2", graft.functions.VectorMath.dotLong($"qv", $"qv"))
       .select($"vec_id", $"cell", $"dist", $"n2", $"qv")
       .localCheckpoint(true)
-    val verd = semDedupVerdictsOn(v, "cell")
+    (groups, semDedupVerdictsOn(v, "cell"))
+  }
+
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (learned, _) = lloydTrain(emb, seeds, LloydMaxIters, LloydMinImprove)
+    val (groups, verd0) = cappedSemVerdicts(emb, learned)
+    val verd = verd0
       .withColumnRenamed("vec_id", "rep_id")
       .withColumnRenamed("n_dup_pairs", "n_sem_pairs")
       .withColumnRenamed("is_dropped", "rep_dropped")
