@@ -59,7 +59,8 @@ object PipelineOps {
     "q180_release_packing" -> ((s, d) => q180(s, d)),
     "q177_epoch_order" -> ((s, d) => q177(s, d)),
     "q183_curriculum_order" -> ((s, d) => q183(s, d)),
-    "q184_release_semantic" -> ((s, d) => q184(s, d))
+    "q184_release_semantic" -> ((s, d) => q184(s, d)),
+    "q185_dsir_select" -> ((s, d) => q185(s, d))
   )
 
   /** EPOCH-ORDER MANIFEST — the reproducible data-ordering artifact a
@@ -1189,6 +1190,72 @@ object PipelineOps {
         $"n_tok", when($"id" === $"keeper_id", 1L).otherwise(0L)
           .as("is_keeper"))
       .orderBy($"rep_id", $"doc_id")
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): score every candidate document by how
+    * much more cheaply a TARGET-domain bag-of-hashed-ngrams model codes
+    * it than the raw-pool model, then keep the top quarter per source.
+    * Features are unigrams + adjacent bigrams hashed into 256 buckets
+    * (the q98 md5 idiom); each model is the bucket-count distribution
+    * with +1 Laplace smoothing, and the per-bucket cost is the q146
+    * whole-bit coding cost — bits(b) = ⌊log₂(N+256)⌋ − ⌊log₂(c_b+1)⌋ —
+    * so the importance weight Σ_b c_b·(bits_raw(b) − bits_tgt(b)) is
+    * exact int64 cross-engine (DSIR's log-likelihood ratio, whole-bit
+    * quantized; Gumbel resampling's deterministic stand-in is the exact
+    * top-k). The target seed here is the doc_id % 23 = 5 slice — the
+    * "small curated corpus" role the paper gives Wikipedia+books.
+    *
+    * Scale: gram explode collapses to ≤256 bucket rows per doc before
+    * the first exchange (two-phase count); both models are 256-row
+    * frames that BROADCAST; the per-doc weight is one broadcast join +
+    * grouped sum over (doc, bucket) rows — corpus text never shuffles.
+    * Selection ranks (weight, id) pairs per source — fixed-width rows,
+    * partition-parallel across sources (the q133 posture; a single
+    * dominant source would salt the rank the q135 way).
+    */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d).withColumn("is_tgt", $"doc_id" % 23 === 5)
+    val grams = base.select($"doc_id", $"is_tgt", explode(concat(
+        $"toks",
+        when(size($"toks") < 2, array().cast("array<string>")).otherwise(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+      )).as("g"))
+      .withColumn("b",
+        expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % 256"))
+    val db = grams.groupBy($"doc_id", $"is_tgt", $"b")
+      .agg(count(lit(1)).as("c"))
+    val model = db.groupBy($"b").agg(
+      sum(when($"is_tgt", $"c").otherwise(0L)).as("tc"),
+      sum(when(!$"is_tgt", $"c").otherwise(0L)).as("rc"))
+    val tot = model.agg(sum($"tc").as("tn"), sum($"rc").as("rn"))
+    val bits = model.crossJoin(broadcast(tot)).select($"b",
+      (((length(bin($"rn" + 256L)) - 1) - (length(bin($"rc" + 1L)) - 1)) -
+        ((length(bin($"tn" + 256L)) - 1) - (length(bin($"tc" + 1L)) - 1)))
+        .cast("long").as("bitdiff"))
+    val w = db.filter(!$"is_tgt")
+      .join(broadcast(bits), "b")
+      .groupBy($"doc_id").agg(sum($"c" * $"bitdiff").as("weight"))
+    val cand = base.filter(!$"is_tgt")
+      .select($"doc_id", $"source", size($"toks").cast("long").as("n_tok"))
+      .join(w, Seq("doc_id"), "left")
+      .withColumn("weight", coalesce($"weight", lit(0L)))
+    val counts = cand.groupBy($"source").agg(count(lit(1)).as("n_cand"))
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"weight".desc, $"doc_id")))
+      .join(broadcast(counts), "source")
+      .withColumn("sel", $"rn" <= expr("n_cand div 4"))
+      .groupBy($"source")
+      .agg(max($"n_cand").as("n_candidates"),
+        sum(when($"sel", 1L).otherwise(0L)).as("n_selected"),
+        sum(when($"sel", $"weight").otherwise(0L)).as("sel_weight_mass"),
+        sum(when($"sel", $"n_tok").otherwise(0L)).as("sel_token_mass"),
+        coalesce(min(when($"sel", $"weight")), lit(0L)).as("min_sel_weight"))
+      .orderBy($"source")
   }
 
   /** Benchmark DECONTAMINATION: flag training documents sharing any
@@ -2480,6 +2547,62 @@ object PipelineOps {
          SELECT rep_id, doc_id, n_tok,
            CAST(CASE WHEN pick = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
          FROM v ORDER BY rep_id, doc_id"""),
+    "q185_dsir_select" ->
+      """WITH t AS (
+           SELECT doc_id, source, doc_id % 23 = 5 AS is_tgt,
+             string_split_regex(text, '\s+') AS tk
+           FROM documents),
+         gr AS (
+           SELECT doc_id, is_tgt, unnest(list_concat(tk,
+             CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+               list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i + 1]) END)) AS g
+           FROM t),
+         db AS (
+           SELECT doc_id, is_tgt,
+             CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT % 256
+               AS BIGINT) AS b,
+             CAST(count(*) AS BIGINT) AS c
+           FROM gr GROUP BY 1, 2, 3),
+         model AS (
+           SELECT b,
+             CAST(sum(CASE WHEN is_tgt THEN c ELSE 0 END) AS BIGINT) AS tc,
+             CAST(sum(CASE WHEN NOT is_tgt THEN c ELSE 0 END) AS BIGINT)
+               AS rc
+           FROM db GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(tc) AS BIGINT) AS tn,
+             CAST(sum(rc) AS BIGINT) AS rn FROM model),
+         bits AS (
+           SELECT b, CAST(
+             ((len(bin(rn + 256)) - 1) - (len(bin(rc + 1)) - 1))
+             - ((len(bin(tn + 256)) - 1) - (len(bin(tc + 1)) - 1))
+             AS BIGINT) AS bitdiff
+           FROM model CROSS JOIN tot),
+         w AS (
+           SELECT doc_id, CAST(sum(c * bitdiff) AS BIGINT) AS weight
+           FROM db JOIN bits USING (b) WHERE NOT is_tgt GROUP BY 1),
+         cand AS (
+           SELECT t.doc_id, t.source, CAST(len(t.tk) AS BIGINT) AS n_tok,
+             coalesce(w.weight, 0) AS weight
+           FROM t LEFT JOIN w USING (doc_id) WHERE NOT t.is_tgt),
+         rk AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY source
+               ORDER BY weight DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_cand
+           FROM cand),
+         sel AS (SELECT *, rn <= n_cand // 4 AS sel FROM rk)
+         SELECT source, CAST(max(n_cand) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(sum(CASE WHEN sel THEN weight ELSE 0 END) AS BIGINT)
+             AS sel_weight_mass,
+           CAST(sum(CASE WHEN sel THEN n_tok ELSE 0 END) AS BIGINT)
+             AS sel_token_mass,
+           CAST(coalesce(min(CASE WHEN sel THEN weight END), 0) AS BIGINT)
+             AS min_sel_weight
+         FROM sel GROUP BY 1 ORDER BY 1""",
     "q82_decontaminate" ->
       """WITH t AS (
            SELECT doc_id, lang, string_split_regex(text, '\s+') AS toks

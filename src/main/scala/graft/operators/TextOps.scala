@@ -141,6 +141,7 @@ object TextOps {
     "q144_bpe_merges" -> ((s, d) => q144(s, d)),
     "q145_bpe_segment" -> ((s, d) => q145(s, d)),
     "q146_source_divergence" -> ((s, d) => q146(s, d)),
+    "q186_watermark_detect" -> ((s, d) => q186(s, d)),
     "q163_hybrid_retrieval" -> ((s, d) => q163(s, d)),
     "q178_maxsim_chunks" -> ((s, d) => q178(s, d)),
     "q182_maxsim_store" -> ((s, d) => q182(s, d)),
@@ -952,6 +953,53 @@ object TextOps {
         expr("(n_tokens * (length(bin(n_total)) - 1) - corpus_mass)" +
           " - (n_tokens * (length(bin(n_tokens)) - 1) - self_mass)")
           .as("gain_bits_mass"))
+      .orderBy($"source")
+  }
+
+  /** Watermark detection (Kirchenbauer et al. 2023 shape): under a
+    * green-list watermark, each generated token is biased toward the
+    * "green" half of the vocabulary, where green membership is a seeded
+    * hash of the PREVIOUS token — so a detector with the key counts
+    * green transitions g out of m and flags documents whose one-sided
+    * z-score exceeds 2 at γ = ½:  2g > m  ∧  (2g − m)² > 4m  (the
+    * z > 2 test cross-multiplied into exact int64, the q83 discipline).
+    * This is the training-data hygiene filter that keeps watermarked
+    * model output OUT of a pretraining corpus; on unwatermarked text
+    * the flag rate is the test's documented one-sided false-positive
+    * mass (~2.3%), which is exactly what the driver corpus shows.
+    * Green membership = md5(prev|cur|key) low-60-bit parity — the q98
+    * bucket idiom, replayed verbatim by the DuckDB oracle. Docs with
+    * fewer than 16 transitions are counted but not scored (the z-test
+    * is meaningless on a handful of trials).
+    *
+    * Scale: ONE codegen'd map pass — the filter/sequence lambda hashes
+    * each adjacent pair inline, no explode, no shuffle of text; the
+    * only exchange is the per-source rollup (5 longs per source).
+    * 100 TB posture: same plan; the md5 would be xxhash64 (parity is
+    * the only bit consumed), halving hash cost.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = docs(s, d)
+      .withColumn("n_tr",
+        greatest(size($"toks") - 1, lit(0)).cast("long"))
+      .withColumn("n_green",
+        when($"n_tr" < 1L, lit(0L)).otherwise(expr(
+          "CAST(size(filter(sequence(1, size(toks) - 1), i -> " +
+            "CAST(conv(substring(md5(concat(element_at(toks, i), '|', " +
+            "element_at(toks, i + 1), '|wm1')), 1, 15), 16, 10) AS BIGINT) " +
+            "% 2 = 0)) AS BIGINT)")))
+      .withColumn("scored", $"n_tr" >= 16L)
+      .withColumn("flagged",
+        $"scored" && lit(2L) * $"n_green" > $"n_tr" &&
+          (lit(2L) * $"n_green" - $"n_tr") * (lit(2L) * $"n_green" - $"n_tr") >
+            lit(4L) * $"n_tr")
+    m.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"scored", 1L).otherwise(0L)).as("n_scored"),
+        sum(when($"flagged", 1L).otherwise(0L)).as("n_flagged"),
+        sum(when($"scored", $"n_green").otherwise(0L)).as("green_mass"),
+        sum(when($"scored", $"n_tr").otherwise(0L)).as("transition_mass"))
       .orderBy($"source")
   }
 
@@ -2798,6 +2846,35 @@ object TextOps {
          FROM pd GROUP BY 1, 2 ORDER BY 1, 2""",
     "q144_bpe_merges" -> bpeOracleSql(BpeK),
     "q145_bpe_segment" -> bpeSegmentOracleSql(BpeK),
+    "q186_watermark_detect" ->
+      """WITH t AS (
+           SELECT doc_id, source, string_split_regex(text, '\s+') AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, source,
+             CAST(greatest(len(tk) - 1, 0) AS BIGINT) AS n_tr,
+             CAST(CASE WHEN len(tk) < 2 THEN 0 ELSE
+               len(list_filter(range(1, len(tk)), i ->
+                 ('0x' || substring(md5(tk[i] || '|' || tk[i + 1] || '|wm1'),
+                   1, 15))::UBIGINT % 2 = 0))
+             END AS BIGINT) AS n_green
+           FROM t),
+         s AS (
+           SELECT source, n_tr, n_green, n_tr >= 16 AS scored,
+             n_tr >= 16 AND 2 * n_green > n_tr
+               AND (2 * n_green - n_tr) * (2 * n_green - n_tr) > 4 * n_tr
+               AS flagged
+           FROM g)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN scored THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scored,
+           CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(CASE WHEN scored THEN n_green ELSE 0 END) AS BIGINT)
+             AS green_mass,
+           CAST(sum(CASE WHEN scored THEN n_tr ELSE 0 END) AS BIGINT)
+             AS transition_mass
+         FROM s GROUP BY 1 ORDER BY 1""",
     "q146_source_divergence" ->
       """WITH sc AS (
            SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (

@@ -41,7 +41,8 @@ object VectorOps {
     "q149_kmeans_convergence" -> ((s, d) => q149(s, d)),
     "q171_semdedup_lloyd" -> ((s, d) => q171(s, d)),
     "q174_embedding_drift" -> ((s, d) => q174(s, d)),
-    "q181_semdedup_capped" -> ((s, d) => q181(s, d))
+    "q181_semdedup_capped" -> ((s, d) => q181(s, d)),
+    "q187_semantic_decontam" -> ((s, d) => q187(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -724,6 +725,56 @@ object VectorOps {
           ($"pos" + 1).cast("long").as("rank"))
         .localCheckpoint(true)
     })
+
+  /** SEMANTIC decontamination — the embedding-space sibling of q82/q139
+    * (those are lexical 8-gram tests; paraphrased benchmark leakage has
+    * no shared 8-gram and only THIS test sees it). For every held-out
+    * eval vector (vec_id % 97 = 0 — the q82-style benchmark split), the
+    * nearest TRAINING vector by exact integer cosine plus how many
+    * training vectors sit above the audit threshold (signed cos² ≥
+    * 40‰, i.e. |cos| ≥ 0.2 with positive sign — wide enough to rank
+    * real leakage on any corpus, narrow enough to stay informative).
+    * Cosine is quantized to signed permille-of-cos² (the q178 scheme:
+    * (dot²·1000) div (n2_t·n2_e), sign of dot carried separately), so
+    * every comparison is exact int64 cross-engine — dot² ≤ ~3.2e14 and
+    * ×1000 ≤ 3.2e17 at this quantization (qv ≤ ~530, dim 64), proved
+    * in-range the q178 way. The argmax is deterministic: the packed
+    * key (c2p + 1000)·2⁴¹ + (2⁴¹−1−train_id) is monotone in
+    * (c2p asc, train_id desc), so max(packed) picks the highest score
+    * and breaks ties toward the SMALLEST train id — an order-free
+    * aggregate, not a window.
+    *
+    * Scale: the eval side is the benchmark suite — tiny by
+    * construction — so it BROADCASTS; the train corpus computes all
+    * |eval| cosines per row map-side and partial-aggregates to one row
+    * per eval id before the only exchange (|eval| rows). No window, no
+    * all-pairs, no corpus shuffle: the q82 posture in embedding space.
+    */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val P = 2199023255552L // 2^41
+    val emb = quantized(s, d)
+      .withColumn("n2", graft.functions.VectorMath.dotLong($"qv", $"qv"))
+      .filter($"n2" > 0L)
+    val ev = emb.filter($"vec_id" % 97 === 0)
+      .select($"vec_id".as("eval_id"), $"qv".as("eqv"), $"n2".as("en2"))
+    val tr = emb.filter($"vec_id" % 97 =!= 0)
+      .select($"vec_id".as("train_id"), $"qv", $"n2")
+    tr.crossJoin(broadcast(ev))
+      .withColumn("dot", graft.functions.VectorMath.dotLong($"qv", $"eqv"))
+      .withColumn("mag", expr("(dot * dot * 1000) div (n2 * en2)"))
+      .withColumn("c2p", when($"dot" >= 0L, $"mag").otherwise(-$"mag"))
+      .withColumn("packed",
+        ($"c2p" + 1000L) * lit(P) + (lit(P - 1L) - $"train_id"))
+      .groupBy($"eval_id")
+      .agg(max($"packed").as("p"),
+        sum(when($"c2p" >= 40L, 1L).otherwise(0L)).as("n_above"))
+      .select($"eval_id",
+        (expr(s"p div $P") - 1000L).as("best_c2p"),
+        (lit(P - 1L) - expr(s"p % $P")).as("best_train"),
+        $"n_above")
+      .orderBy($"eval_id")
+  }
 
   /** SemDeDup over the CONVERGED coarse quantizer — the semantic member
     * of the dedup family (exact/MinHash/SimHash/span/chunk are all
@@ -1733,6 +1784,42 @@ object VectorOps {
            FROM pairs)
          SELECT query_id, neighbor, cosine, rank FROM ranked
          WHERE rank <= 5 ORDER BY query_id, rank"""),
+    "q187_semantic_decontam" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+             AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           FROM q),
+         ev AS (SELECT vec_id AS eval_id, qv AS eqv, n2 AS en2
+                FROM n WHERE vec_id % 97 = 0 AND n2 > 0),
+         tr AS (SELECT vec_id AS train_id, qv, n2
+                FROM n WHERE vec_id % 97 <> 0 AND n2 > 0),
+         pr AS (
+           SELECT eval_id, train_id, n2, en2,
+             CAST(list_sum(list_transform(list_zip(qv, eqv),
+               z -> z[1] * z[2])) AS BIGINT) AS dot
+           FROM tr CROSS JOIN ev),
+         sc AS (
+           SELECT eval_id, train_id,
+             CASE WHEN dot >= 0 THEN (dot * dot * 1000) // (n2 * en2)
+                  ELSE -((dot * dot * 1000) // (n2 * en2)) END AS c2p
+           FROM pr),
+         ag AS (
+           SELECT eval_id,
+             max((c2p + 1000) * 2199023255552 + (2199023255551 - train_id))
+               AS p,
+             CAST(sum(CASE WHEN c2p >= 40 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above
+           FROM sc GROUP BY 1)
+         SELECT eval_id,
+           CAST(p // 2199023255552 - 1000 AS BIGINT) AS best_c2p,
+           CAST(2199023255551 - (p % 2199023255552) AS BIGINT) AS best_train,
+           n_above
+         FROM ag ORDER BY eval_id""",
     "q60_cosine_dedup" ->
       (graft.operators.DuckMacros.Sm64 +
       s"""WITH m AS (
