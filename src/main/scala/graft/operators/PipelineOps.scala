@@ -1218,27 +1218,37 @@ object PipelineOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val base = docs(s, d).withColumn("is_tgt", $"doc_id" % 23 === 5)
+    // One native digest pass per gram (Md5WindowPrefixExpr, k=1 then
+    // k=2 — k=2 on a 1-token doc emits the empty array, so no length
+    // guard): the SQL md5(g) form allocates a joined string plus a
+    // 32-char hex per gram. The bucket is hex chars 14–15 of the
+    // 16-char prefix — the same low-8-bits-of-60 the oracle computes
+    // as ('0x' || substr(md5(g), 1, 15))::UBIGINT % 256.
     val grams = base.select($"doc_id", $"is_tgt", explode(concat(
-        $"toks",
-        when(size($"toks") < 2, array().cast("array<string>")).otherwise(expr(
-          "transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-      )).as("g"))
+        graft.functions.TextHashes.md5WindowPrefixes($"toks", 1),
+        graft.functions.TextHashes.md5WindowPrefixes($"toks", 2))).as("h"))
       .withColumn("b",
-        expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % 256"))
-    val db = grams.groupBy($"doc_id", $"is_tgt", $"b")
-      .agg(count(lit(1)).as("c"))
-    val model = db.groupBy($"b").agg(
-      sum(when($"is_tgt", $"c").otherwise(0L)).as("tc"),
-      sum(when(!$"is_tgt", $"c").otherwise(0L)).as("rc"))
+        expr("CAST(conv(substring(h, 14, 2), 16, 10) AS BIGINT)"))
+    // Model counts fold DIRECTLY from the exploded grams (Σ per-doc
+    // counts = the plain per-bucket count): 256 rows after map-side
+    // combine. The first cut staged a (doc, bucket, c) relation to
+    // serve both the model and the weights — 750M rows through the
+    // shuffle at sf10 (26.5 s); folding the model map-side and paying
+    // a second tokenize+md5 pass for the weights instead reads the
+    // page-cached corpus twice but exchanges only 256 + |docs| skinny
+    // rows (the weight sum partial-aggregates to one row per doc
+    // before its exchange).
+    val model = grams.groupBy($"b").agg(
+      sum(when($"is_tgt", 1L).otherwise(0L)).as("tc"),
+      sum(when(!$"is_tgt", 1L).otherwise(0L)).as("rc"))
     val tot = model.agg(sum($"tc").as("tn"), sum($"rc").as("rn"))
     val bits = model.crossJoin(broadcast(tot)).select($"b",
       (((length(bin($"rn" + 256L)) - 1) - (length(bin($"rc" + 1L)) - 1)) -
         ((length(bin($"tn" + 256L)) - 1) - (length(bin($"tc" + 1L)) - 1)))
         .cast("long").as("bitdiff"))
-    val w = db.filter(!$"is_tgt")
+    val w = grams.filter(!$"is_tgt")
       .join(broadcast(bits), "b")
-      .groupBy($"doc_id").agg(sum($"c" * $"bitdiff").as("weight"))
+      .groupBy($"doc_id").agg(sum($"bitdiff").as("weight"))
     val cand = base.filter(!$"is_tgt")
       .select($"doc_id", $"source", size($"toks").cast("long").as("n_tok"))
       .join(w, Seq("doc_id"), "left")
