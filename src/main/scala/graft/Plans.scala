@@ -78,7 +78,10 @@ object Plans {
     "q177_epoch_order" -> "epoch ordering: upsample = explode over a literal copy array (map-side), shard = pmod(md5), per-(epoch,shard) rank window compiles to a bounded sort per shard — no global sort at any point",
     "q178_maxsim_chunks" -> "late-interaction MaxSim: chunk vectors pack to ONE 16-long array row off one scan (dim-granular form spilled 37+ GB); query-side vectors broadcast (1% sample), corpus side SHUFFLE_HASH so the pair relation is never sorted; MaxSim = max-then-sum partial aggregates; final top-5 compiles to WindowGroupLimit",
     "q179_store_clone" -> "store clone serve: cloneAt materializes the epoch's masked logical contents as fresh base generations (one partition-pruned scan + one partitioned write, no re-assignment) — the serve is then exactly the q152 probe-pruned plan over the clone's directories",
-    "q180_release_packing" -> "release-to-loader: the q155 stage chain keeps its postures; the packing adds ONE cumsum window over the ADMITTED rows only (budget-bounded per language) — manifest cost tracks the release size, not the corpus")
+    "q180_release_packing" -> "release-to-loader: the q155 stage chain keeps its postures; the packing adds ONE cumsum window over the ADMITTED rows only (budget-bounded per language) — manifest cost tracks the release size, not the corpus",
+    "q185_dsir_select" -> "DSIR selection: native one-digest gram hashing, bucket models fold to 256 rows map-side and broadcast, per-doc weight partial-aggregates before its exchange; only the per-source (weight, id) rank relation is corpus-count-sized",
+    "q186_watermark_detect" -> "watermark z-test: ONE codegen'd map pass (inline per-transition hash, no explode), text never shuffles, per-source rollup is the only exchange",
+    "q187_semantic_decontam" -> "semantic decontamination: broadcast eval vectors (BNLJ = the q37 class), per-eval argmax via an order-free packed max aggregate — map-side partials collapse to |eval| rows before the single exchange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -12,11 +12,24 @@ import org.apache.spark.sql.expressions.Window
   * recall at equal or lower probed mass — this tool is where that
   * claim's numbers come from.
   *
-  * Usage: runMain graft.tools.AdaptiveProbe <sfDir>
+  * Usage: runMain graft.tools.AdaptiveProbe <sfDir> [clustered]
+  *
+  * `clustered` reshapes the near-isotropic driver embeddings into 24
+  * well-separated topic clusters before the sweep (deterministic:
+  * vector i joins cluster i % 24, whose anchor is corpus vector
+  * (i % 24) scaled ×3 — anchor separation ≈ 9× the intra-cluster
+  * spread in squared distance). Real embedding corpora are clustered,
+  * and this is where the distance-ratio rule's per-query probe-count
+  * adaptation should separate from fixed nprobe: interior queries see
+  * a huge best-to-next centroid gap (probe 1, save mass), boundary
+  * queries see a near-tie (probe wide, buy recall).
   */
 object AdaptiveProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val clustered = args.lift(1).contains("clustered")
+    val anchorScale = args.lift(2).map(_.toLong).getOrElse(3L)
+    val nClusters = args.lift(3).map(_.toInt).getOrElse(24)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,8 +38,15 @@ object AdaptiveProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val emb = graft.operators.VectorOps.quantized(spark, sfDir)
-      .localCheckpoint(true)
+    val emb0 = graft.operators.VectorOps.quantized(spark, sfDir)
+    val emb = (if (clustered) {
+      val anchors = emb0.filter($"vec_id" < nClusters)
+        .select($"vec_id".as("c"),
+          expr(s"transform(qv, x -> x * ${anchorScale}L)").as("aq"))
+      emb0.withColumn("c", $"vec_id" % nClusters)
+        .join(broadcast(anchors), "c")
+        .select($"vec_id", expr("zip_with(aq, qv, (a, x) -> a + x)").as("qv"))
+    } else emb0).localCheckpoint(true)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_adapt").toString + "/ix"
     graft.operators.IvfIndex.buildPq(emb, dir)
