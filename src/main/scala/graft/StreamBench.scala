@@ -292,6 +292,20 @@ object StreamBench {
         StreamOps.decontamStream(in.toDS(), digest).toDF())
     }
 
+    // Streaming watermark detection (docs/s): stateless per-transition
+    // parity scan — the q186 ingestion tap.
+    val wmDetect = rate("watermark_dps", docEvents, docBatch)(in =>
+      StreamOps.watermarkDetectStream(in.toDS()).toDF())
+
+    // Streaming DSIR admission (docs/s): per-gram digest against a
+    // broadcast 256-long bit-cost table — the q185 ingestion gate.
+    val dsir = {
+      val rng = new Nexmark.Rng(99L)
+      val bd = Array.fill(256)((rng.nextLong() % 7) - 3)
+      rate("dsir_dps", docEvents, docBatch)(in =>
+        StreamOps.dsirAdmitStream(in.toDS(), bd, 0L).toDF())
+    }
+
     // Online sequence packer (docs/s): per-source running-offset
     // assignment — ONE long of state per source, emission 1:1 (the
     // q176 loader manifest online).
@@ -465,8 +479,8 @@ object StreamBench {
     }
 
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release, decontam, pack, drift, maxsim, hybrid,
-      semdedup)
+      attrib, curation, release, decontam, wmDetect, dsir, pack, drift,
+      maxsim, hybrid, semdedup)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1214,21 +1214,52 @@ object PipelineOps {
     * partition-parallel across sources (the q133 posture; a single
     * dominant source would salt the rank the q135 way).
     */
-  private def q185(s: SparkSession, d: String): DataFrame = {
+  /** q185's hashed-gram relation (doc_id, is_tgt, b): one native digest
+    * pass per gram (Md5WindowPrefixExpr, k=1 then k=2 — k=2 on a
+    * 1-token doc emits the empty array, so no length guard); the SQL
+    * md5(g) form allocates a joined string plus a 32-char hex per
+    * gram. The bucket is hex chars 14–15 of the 16-char prefix — the
+    * same low-8-bits-of-60 the oracle computes as
+    * ('0x' || substr(md5(g), 1, 15))::UBIGINT % 256. Shared by q185
+    * and the [[dsirBitdiffs]] serving-config derivation.
+    */
+  private def dsirGrams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val base = docs(s, d).withColumn("is_tgt", $"doc_id" % 23 === 5)
-    // One native digest pass per gram (Md5WindowPrefixExpr, k=1 then
-    // k=2 — k=2 on a 1-token doc emits the empty array, so no length
-    // guard): the SQL md5(g) form allocates a joined string plus a
-    // 32-char hex per gram. The bucket is hex chars 14–15 of the
-    // 16-char prefix — the same low-8-bits-of-60 the oracle computes
-    // as ('0x' || substr(md5(g), 1, 15))::UBIGINT % 256.
-    val grams = base.select($"doc_id", $"is_tgt", explode(concat(
+    docs(s, d).withColumn("is_tgt", $"doc_id" % 23 === 5)
+      .select($"doc_id", $"is_tgt", explode(concat(
         graft.functions.TextHashes.md5WindowPrefixes($"toks", 1),
         graft.functions.TextHashes.md5WindowPrefixes($"toks", 2))).as("h"))
       .withColumn("b",
         expr("CAST(conv(substring(h, 14, 2), 16, 10) AS BIGINT)"))
+  }
+
+  /** The q185 bucket models collapsed to STREAMING SERVING CONFIG: the
+    * 256 per-bucket bit-cost differences (bits_raw − bits_tgt), with
+    * never-seen buckets at the zero-count default — metadata-scale
+    * (256 longs), the Bm25Stats pattern. `StreamOps.dsirAdmitStream`
+    * broadcasts this and admits documents at ingest wire speed.
+    */
+  private[graft] def dsirBitdiffs(s: SparkSession, d: String): Array[Long] = {
+    import s.implicits._
+    val m = dsirGrams(s, d).groupBy($"b").agg(
+        sum(when($"is_tgt", 1L).otherwise(0L)).as("tc"),
+        sum(when(!$"is_tgt", 1L).otherwise(0L)).as("rc"))
+      .as[(Long, Long, Long)].collect()
+    val tn = m.map(_._2).sum
+    val rn = m.map(_._3).sum
+    def f(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val out = Array.fill(256)(f(rn + 256) - f(tn + 256))
+    m.foreach { case (b, tc, rc) =>
+      out(b.toInt) = (f(rn + 256) - f(rc + 1)) - (f(tn + 256) - f(tc + 1))
+    }
+    out
+  }
+
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(s, d).withColumn("is_tgt", $"doc_id" % 23 === 5)
+    val grams = dsirGrams(s, d)
     // Model counts fold DIRECTLY from the exploded grams (Σ per-doc
     // counts = the plain per-bucket count): 256 rows after map-side
     // combine. The first cut staged a (doc, bucket, c) relation to

@@ -883,15 +883,93 @@ object StreamOps {
   /** 60-bit md5 prefix of the 8-token window starting at `i` (space-
     * joined) — the shared cross-engine window identity.
     */
-  private[graft] def gramHash60(toks: Array[String], i: Int): Long = {
+  private[graft] def gramHash60(toks: Array[String], i: Int): Long =
+    md5Hash60(toks.slice(i, i + 8).mkString(" "))
+
+  /** First 15 hex chars of md5 as a 60-bit long — the JVM twin of the
+    * engine/oracle device `conv(substring(md5(s), 1, 15), 16, 10)`
+    * (7.5 bytes, big-endian). Streaming taps derive bucket ids and
+    * parities from THIS so their verdicts replay in SQL.
+    */
+  private[graft] def md5Hash60(s: String): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val g = toks.slice(i, i + 8).mkString(" ")
-    val dig = md.digest(g.getBytes("UTF-8"))
-    // first 15 hex chars = 60 bits: 7.5 bytes, big-endian
+    val dig = md.digest(s.getBytes("UTF-8"))
     var v = 0L
     var b = 0
     while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
     (v << 4) | ((dig(7) & 0xf0L) >> 4)
+  }
+
+  /** One watermark verdict of [[watermarkDetectStream]] (encoder). */
+  case class WatermarkVerdict(doc_id: Long, n_tr: Long, n_green: Long,
+      scored: Boolean, flagged: Boolean)
+
+  /** Streaming watermark detection — the online form of q186, sitting
+    * at the same ingestion tap as [[decontamStream]]: score every
+    * arriving document's green-transition fraction against the seeded
+    * green-list key and flag one-sided z > 2 (2g > m ∧ (2g−m)² > 4m,
+    * exact int64). Stateless, so verdicts are trivially batching /
+    * order / replay invariant, and flagged (likely model-generated)
+    * documents can be quarantined before they enter dedup state.
+    * Green membership is [[md5Hash60]] parity of prev|cur|key — the
+    * spec pins it bit-equal to q186's SQL md5-prefix identity.
+    */
+  def watermarkDetectStream(docs: Dataset[DocEvent],
+      key: String = "wm1"): Dataset[WatermarkVerdict] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.map { d =>
+      val toks = Option(d.text).getOrElse("").split("\\s+", -1)
+      val m = math.max(0, toks.length - 1).toLong
+      var g = 0L
+      var i = 0
+      while (i < toks.length - 1) {
+        if (md5Hash60(toks(i) + "|" + toks(i + 1) + "|" + key) % 2 == 0)
+          g += 1
+        i += 1
+      }
+      val scored = m >= 16
+      val dlt = 2 * g - m
+      WatermarkVerdict(d.doc_id, m, g, scored,
+        scored && dlt > 0 && dlt * dlt > 4 * m)
+    }
+  }
+
+  /** One admission verdict of [[dsirAdmitStream]] (encoder). */
+  case class DsirVerdict(doc_id: Long, weight: Long, admitted: Boolean)
+
+  /** Streaming DSIR admission — q185's importance weight as an online
+    * gate: each arriving document's hashed unigram+bigram buckets look
+    * up a FROZEN 256-entry bit-cost-difference table (the q185 models
+    * as serving config, derived once from a reference corpus by
+    * `PipelineOps.dsirBitdiffs` — the Bm25Stats pattern) and the doc
+    * admits when its summed weight clears the threshold. Stateless:
+    * batching / order / replay invariant by construction; the spec
+    * pins the JVM weights equal to batch q185's per-doc weights.
+    *
+    * Scale: the config is 256 longs broadcast once; per-doc work is
+    * one digest per gram, no state, no shuffle — the admission tap
+    * runs at ingest wire speed.
+    */
+  def dsirAdmitStream(docs: Dataset[DocEvent], bitdiff: Array[Long],
+      threshold: Long): Dataset[DsirVerdict] = {
+    require(bitdiff.length == 256, s"need 256 bucket costs, got ${bitdiff.length}")
+    val s = docs.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(bitdiff)
+    docs.map { d =>
+      val toks = Option(d.text).getOrElse("").split("\\s+", -1)
+      var w = 0L
+      var i = 0
+      while (i < toks.length) {
+        w += bc.value(((md5Hash60(toks(i)) % 256) + 256).toInt % 256)
+        if (i + 1 < toks.length)
+          w += bc.value(
+            ((md5Hash60(toks(i) + " " + toks(i + 1)) % 256) + 256).toInt % 256)
+        i += 1
+      }
+      DsirVerdict(d.doc_id, w, w >= threshold)
+    }
   }
 
   /** One incoming document for the streaming packer (public: encoder). */
