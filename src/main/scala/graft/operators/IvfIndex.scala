@@ -676,11 +676,22 @@ object IvfIndex {
     * rank-then-filter). The label rides through the build's argmin
     * aggregate as a `min_by` carry — no join-back exchange.
     */
-  def buildLabeled(emb: DataFrame, dir: String): Unit = {
+  def buildLabeled(emb: DataFrame, dir: String,
+      seedSmallest: Boolean = false): Unit = {
     val s = emb.sparkSession
     import s.implicits._
     prepareBuildDir(s, dir)
-    val seeds = emb.filter($"vec_id" < 16)
+    // seedSmallest: [[build]]'s shard rule — a labeled per-tenant /
+    // per-day shard's id range needn't include 0..15 (the labeled soak
+    // caught the empty-seed crash here exactly as the raw soak did for
+    // build)
+    val seedF: Column =
+      if (seedSmallest) {
+        val sids = emb.select($"vec_id").orderBy($"vec_id").limit(16)
+          .as[Long].collect()
+        $"vec_id".isInCollection(sids)
+      } else $"vec_id" < 16
+    val seeds = emb.filter(seedF)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
       emb.select($"vec_id", $"qv"), seeds,
@@ -1005,6 +1016,12 @@ object IvfIndex {
       .as[Long].collect().toSeq
     if (flagged.nonEmpty) {
       val snap = readSnapshot(s, dir)
+      // labeled stores keep their label through the rewrite: the first
+      // cut selected only (vec_id, qv) and partitioned by (cid, gen),
+      // which DROPPED labels and wrote label-less partition dirs into a
+      // cid=/label=/gen= tree — the same corruption class the labeled
+      // mergeFrom guard closed. Caught by the labeled-store soak.
+      val hasLabel = postingsOf(s, dir, snap).columns.contains("label")
       val cents = centroids(s, dir)
         .select($"cid".cast("long").as("cid"), $"cq")
         .localCheckpoint(true)
@@ -1014,13 +1031,16 @@ object IvfIndex {
       val keptCents = cents.filter(!$"cid".isin(flagged: _*))
       val newCents = flagged.map { hot =>
         val cell = postings(s, dir).filter($"cid" === hot)
-          .select($"vec_id", $"qv").localCheckpoint(true)
+          .select($"vec_id" +: $"qv" +:
+            (if (hasLabel) Seq($"label") else Nil): _*)
+          .localCheckpoint(true)
         val seedIds = cell.select($"vec_id").orderBy($"vec_id").limit(2)
           .as[Long].collect()
         val seeds = cell.filter($"vec_id".isin(seedIds: _*))
           .select(($"vec_id" === seedIds.max).cast("int").cast("long")
             .as("cid"), $"qv".as("cq"))
-        val (learned, _) = VectorOps.lloydTrain(cell, seeds,
+        val (learned, _) = VectorOps.lloydTrain(
+          cell.select($"vec_id", $"qv"), seeds,
           VectorOps.LloydMaxIters, VectorOps.LloydMinImprove)
         // local cid 0/1 from the 2-way train -> fresh global ids only
         // at the storage boundary
@@ -1028,17 +1048,25 @@ object IvfIndex {
         val g = intGen; intGen -= 1
         val remapped = learned.select(($"cid" + lo).as("cid"), $"cq")
           .localCheckpoint(true)
-        VectorOps.argminPacked(cell, learned, carryQv = true)
-          .select($"vec_id", $"qv", ($"cid" + lo).as("cid"),
-            lit(g).as("gen"))
+        val assigned = VectorOps.argminPacked(cell, learned,
+            carryQv = true, carry = if (hasLabel) Seq("label") else Nil)
+          .select($"vec_id" +: $"qv" +:
+            (if (hasLabel) Seq($"label") else Nil) :+
+            ($"cid" + lo).as("cid") :+ lit(g).as("gen"): _*)
+        (if (hasLabel) assigned.repartition($"cid", $"label")
+         else assigned)
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cid", "gen").parquet(postDir(dir))
+          .partitionBy((if (hasLabel) Seq("cid", "label", "gen")
+            else Seq("cid", "gen")): _*)
+          .parquet(postDir(dir))
         // a degenerate 2-way train can leave one half memberless: that
-        // half commits an EMPTY generation list, never a file-less gen
+        // half commits an EMPTY generation list, never a file-less gen.
+        // The new cids are fresh, so directory existence IS membership
+        // (labeled layouts nest label= between cid= and gen=).
         val f = fs(s, dir)
         def gensOf(c: Long): Seq[Long] =
-          if (f.exists(new Path(postDir(dir), s"cid=$c/gen=$g"))) Seq(g)
+          if (f.exists(new Path(postDir(dir), s"cid=$c"))) Seq(g)
           else Seq.empty[Long]
         cells = cells - hot + (lo -> gensOf(lo)) +
           ((lo + 1) -> gensOf(lo + 1))

@@ -344,4 +344,156 @@ class IndexModelSpec extends SparkSpec {
       assert(totalSteps >= 200, s"soak ran only $totalSteps steps")
     } finally spark.conf.unset("spark.graft.index.retainEpochs")
   }
+
+  // ---------- labeled store ----------
+
+  /** id -> (cid, label, qv) over the RAW postings (masks applied by the
+    * caller); also asserts every row still carries a label and no id
+    * appears in two cells — the invariants a label-blind rewrite breaks.
+    */
+  private def labeledContents(dir: String): Map[Long, (Long, Long, Vec)] = {
+    import spark.implicits._
+    val rows = IvfIndex.postings(spark, dir)
+      .select($"vec_id", $"cid".cast("long"), $"label".cast("long"), $"qv")
+      .as[(Long, Long, Long, Seq[Long])].collect()
+    assert(rows.map(_._1).distinct.length === rows.length,
+      "a vector appears in more than one cell")
+    rows.map { case (id, cid, l, qv) => id -> (cid, l, qv) }.toMap
+  }
+
+  private def driverServeLabeled(dir: String,
+      contents: Map[Long, (Long, Long, Vec)],
+      queries: Seq[(Long, Vec, Long)], probes: Int = 2, k: Int = 5)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val cents = IvfIndex.centroids(spark, dir)
+      .select($"cid".cast("long"), $"cq").as[(Long, Seq[Long])].collect()
+    queries.flatMap { case (qid, qv, ql) =>
+      val probed = cents.sortBy { case (c, cq) => (d2(qv, cq), c) }
+        .take(probes).map(_._1).toSet
+      contents.toSeq
+        .filter { case (id, (c, l, _)) =>
+          id != qid && l == ql && probed.contains(c) }
+        .map { case (id, (_, _, v)) => (id, d2(v, qv)) }
+        .sortBy { case (id, dist) => (dist, id) }.take(k)
+        .zipWithIndex.map { case ((id, dist), r) =>
+          (qid, ql, id, dist, (r + 1).toLong) }
+    }.toSet
+  }
+
+  private def storeServeLabeled(dir: String,
+      queryDf: org.apache.spark.sql.DataFrame)
+      : Set[(Long, Long, Long, Long, Long)] = {
+    import spark.implicits._
+    IvfIndex.serveLabeled(spark, dir, queryDf)
+      .select($"query_id", $"label", $"neighbor", $"dist", $"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("labeled splitCells carries labels through the hot-cell rewrite") {
+    import spark.implicits._
+    val dir = tmp("labsplit")
+    // 16 spread seeds; 30 extra members packed into seed 0's cell so it
+    // holds >1/8 of the corpus and flags for split
+    val vecs: Seq[(Long, Vec, Long)] =
+      (0L until 16L).map(i => (i, Seq(i * 1000L, 0L, 0L, 0L), i % 4)) ++
+        (16L until 46L).map(i => (i, Seq(i % 3, i % 5, 0L, 0L), i % 4)) ++
+        (46L until 100L).map(i =>
+          (i, Seq((i % 16) * 1000L + 17L, i % 7, 0L, 0L), i % 4))
+    IvfIndex.buildLabeled(vecs.toDF("vec_id", "qv", "label"), dir)
+    val before = labeledContents(dir)
+    val report = IvfIndex.splitCells(spark, dir)
+    // the hot cell must actually have split (fresh cids past the seeds)
+    assert(IvfIndex.centroids(spark, dir)
+      .select(max($"cid".cast("long"))).head().getLong(0) >= 16L,
+      "fixture did not trigger a split — the regression would not bite")
+    val after = labeledContents(dir) // asserts label column + no dup ids
+    assert(after.keySet === before.keySet, "split lost or invented ids")
+    after.foreach { case (id, (_, l, v)) =>
+      assert((l, v) === (before(id)._2, before(id)._3),
+        s"split drifted label/vector for $id") }
+    // the labeled layout survives: every split-cell posting sits under
+    // cid=/label=/gen= and the filtered serve still routes
+    val queries = vecs.filter(_._1 % 10 == 0)
+    assert(storeServeLabeled(dir, queries.toDF("vec_id", "qv", "label"))
+      === driverServeLabeled(dir, after, queries),
+      "filtered serve drifted after the labeled split")
+    assert(report.columns.contains("needs_split"))
+  }
+
+  /** The labeled twin of the all-mutator soak: addBatchLabeled / delete
+    * / compact / splitCells / mergeFromLabeled (shard built with
+    * buildLabeled's seedSmallest rule — the labeled twin of the crash
+    * the raw soak caught) interleaved by seed, with labeled contents
+    * checked against the driver model and the FILTERED serve checked
+    * against a same-label driver re-ranking after every step.
+    */
+  test("labeled-store soak: all labeled mutators keep labels and serves intact") {
+    import spark.implicits._
+    withIndexRetention(64) {
+      val emb = VectorOps.quantizedLabeled(spark, sfDir)
+        .as[(Long, Seq[Long], Long)].collect()
+      val queries = emb.filter(_._1 % 100 == 0).toSeq
+      val queryDf = queries.toDF("vec_id", "qv", "label")
+
+      Seq(11L, 29L).foreach { seed =>
+        val rng = new scala.util.Random(seed)
+        val dir = tmp(s"lab$seed")
+        val base = emb.filter(_._1 % 3 != 0)
+        val pool = scala.collection.mutable.Queue(
+          emb.filter(_._1 % 3 == 0).grouped(30).toSeq: _*)
+        IvfIndex.buildLabeled(base.toSeq.toDF("vec_id", "qv", "label"), dir)
+        var live = base.map(_._1).toSet
+        var deleted = Set.empty[Long]
+        var nextGen = 1L
+        var merges = 0
+
+        (1 to 14).foreach { step =>
+          val op = rng.nextInt(5)
+          op match {
+            case 0 if pool.nonEmpty =>
+              val b = pool.dequeue()
+              IvfIndex.addBatchLabeled(spark, dir,
+                b.toSeq.toDF("vec_id", "qv", "label"), gen = nextGen)
+              nextGen += 1; live = live ++ b.map(_._1)
+            case 1 if (live -- deleted).nonEmpty =>
+              val victims = (live -- deleted).toSeq.sorted
+                .filter(_ => rng.nextInt(4) == 0).take(50)
+              if (victims.nonEmpty) {
+                IvfIndex.delete(spark, dir, victims.toDF("vec_id"))
+                deleted = deleted ++ victims
+              }
+            case 2 =>
+              IvfIndex.compact(spark, dir)
+              live = live -- deleted; deleted = Set.empty
+            case 3 =>
+              IvfIndex.splitCells(spark, dir)
+            case _ if pool.nonEmpty =>
+              val b = pool.dequeue()
+              val shard = tmp(s"lab${seed}_shard$step")
+              IvfIndex.buildLabeled(
+                b.toSeq.toDF("vec_id", "qv", "label"), shard,
+                seedSmallest = true)
+              IvfIndex.mergeFromLabeled(spark, dir, shard, gen = nextGen)
+              nextGen += 1; live = live ++ b.map(_._1); merges += 1
+            case _ => ()
+          }
+          val want = emb.filter(e =>
+              live.contains(e._1) && !deleted.contains(e._1))
+            .map { case (id, v, l) => id -> (l, v) }.toMap
+          val got = labeledContents(dir)
+            .filter { case (id, _) => !deleted.contains(id) }
+          assert(got.keySet === want.keySet,
+            s"seed $seed step $step op $op: content id drift")
+          got.foreach { case (id, (_, l, v)) =>
+            assert((l, v) === want(id),
+              s"seed $seed step $step: label/vector drift for $id") }
+          assert(storeServeLabeled(dir, queryDf)
+              === driverServeLabeled(dir, got, queries),
+            s"seed $seed step $step op $op: filtered-serve drift")
+        }
+        assert(merges > 0, s"seed $seed: soak never exercised the merge")
+      }
+    }
+  }
 }
