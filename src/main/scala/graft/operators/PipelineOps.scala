@@ -60,7 +60,8 @@ object PipelineOps {
     "q177_epoch_order" -> ((s, d) => q177(s, d)),
     "q183_curriculum_order" -> ((s, d) => q183(s, d)),
     "q184_release_semantic" -> ((s, d) => q184(s, d)),
-    "q185_dsir_select" -> ((s, d) => q185(s, d))
+    "q185_dsir_select" -> ((s, d) => q185(s, d)),
+    "q188_release_diff" -> ((s, d) => q188(s, d))
   )
 
   /** EPOCH-ORDER MANIFEST — the reproducible data-ordering artifact a
@@ -320,20 +321,16 @@ object PipelineOps {
     * recursion's hot-cell rounds over the SURVIVOR population only,
     * and its pair mass is Σ|leaf|² ≤ cap·N_distinct by construction.
     */
-  private def q184(s: SparkSession, d: String): DataFrame = {
+  /** The q184 semantic stage over the quality survivors — q181's full
+    * machinery (exact-vector collapse, capped median-bisection leaves
+    * trained on the SURVIVOR population with smallest-present seeds,
+    * cosine-2/5 less-central drops) returning the dropped doc ids.
+    * Documents without a vector never appear (they pass through).
+    * Shared by q184 (release v2 audit) and q188 (release diff).
+    */
+  private[graft] def semanticDrops(s: SparkSession, d: String,
+      quality: DataFrame): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val budget = 3000L
-    val docs = Tables(s, d, "documents")
-      .select($"doc_id", $"lang", $"source", $"text",
-        split($"text", "\\s+").as("toks"))
-    val keepIds = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-    val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    val quality = deduped
-      .filter(size($"toks").cast("long").between(20L, 1000L))
-    // semantic stage over the survivors' embeddings
     val emb = VectorOps.quantized(s, d)
       .join(quality.select($"doc_id".as("vec_id")), Seq("vec_id"),
         "left_semi")
@@ -347,10 +344,25 @@ object PipelineOps {
     val (groups, verd) = VectorOps.cappedSemVerdicts(emb, learned)
     val repDrops = verd.filter($"is_dropped" === 1L)
       .select($"vec_id".as("rep_id"))
-    val semDrops = emb.join(groups, "qv")
+    emb.join(groups, "qv")
       .join(repDrops.withColumn("rdrop", lit(1L)), Seq("rep_id"), "left")
       .filter($"vec_id" =!= $"rep_id" || $"rdrop".isNotNull)
       .select($"vec_id".as("doc_id"))
+  }
+
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 3000L
+    val docs = Tables(s, d, "documents")
+      .select($"doc_id", $"lang", $"source", $"text",
+        split($"text", "\\s+").as("toks"))
+    val keepIds = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val quality = deduped
+      .filter(size($"toks").cast("long").between(20L, 1000L))
+    val semDrops = semanticDrops(s, d, quality)
     val semKept = quality.join(semDrops, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     // span cleanup + budget, q155's shared tail over the survivors
@@ -379,6 +391,69 @@ object PipelineOps {
         coalesce($"toks_kept", lit(0L)).as("toks_kept"),
         expr(s"1000 * coalesce(toks_kept, 0) div $budget")
           .as("fill_permille"))
+      .orderBy($"lang")
+  }
+
+  /** RELEASE DIFF — the audit an operator runs before flipping a
+    * pipeline config: document-level membership diff between release
+    * v1 (q155's chain) and release v2 (q184's chain — the semantic
+    * stage inserted), with every change ATTRIBUTED. Per language:
+    * docs/tokens kept by each version, the stable intersection, v1
+    * docs lost to the semantic stage itself, v1 docs lost to the
+    * knock-on (the span pass sees a different survivor population and
+    * the budget ranks a different field — a doc can fall out of v2
+    * without being semantically dropped), and docs GAINED by v2 (the
+    * backfill: semantic drops free budget that admits new docs — the
+    * non-obvious effect this audit exists to surface). Both chains
+    * share the dedup → quality head, computed once.
+    *
+    * Scale: the shared head and both tails keep their entries'
+    * postures; the diff itself joins (doc_id, lang, n_clean) triples —
+    * fixed-width, release-sized, never the corpus text — and every
+    * rollup is language-cardinality.
+    */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 3000L
+    val st = releaseStages(s, d, budget) // v1 chain (audited by q155)
+    val semDrops = semanticDrops(s, d, st.quality).localCheckpoint(true)
+    val semKept = st.quality.join(semDrops, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val (_, kept2) = spanAndBudget(semKept, st.deduped, budget)
+    val k1 = st.kept.select($"doc_id", $"lang", $"n_clean")
+      .localCheckpoint(true)
+    val k2 = kept2.select($"doc_id", $"lang", $"n_clean")
+      .localCheckpoint(true)
+    val lostC = k1
+      .join(k2.select($"doc_id", lit(1L).as("in2")), Seq("doc_id"), "left")
+      .filter($"in2".isNull)
+      .join(semDrops.withColumn("sem", lit(1L)), Seq("doc_id"), "left")
+      .groupBy($"lang").agg(
+        sum(when($"sem".isNotNull, 1L).otherwise(0L)).as("n_lost_sem"),
+        sum(when($"sem".isNull, 1L).otherwise(0L)).as("n_lost_other"))
+    val gainedC = k2
+      .join(k1.select($"doc_id", lit(1L).as("in1")), Seq("doc_id"), "left")
+      .filter($"in1".isNull)
+      .groupBy($"lang").agg(count(lit(1)).as("n_gained"))
+    val stableC = k1.join(k2.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy($"lang").agg(count(lit(1)).as("n_stable"))
+    val c1 = k1.groupBy($"lang")
+      .agg(count(lit(1)).as("n_v1"), sum($"n_clean").as("tok_v1"))
+    val c2 = k2.groupBy($"lang")
+      .agg(count(lit(1)).as("n_v2"), sum($"n_clean").as("tok_v2"))
+    st.docs.select($"lang").distinct()
+      .join(c1, Seq("lang"), "left").join(c2, Seq("lang"), "left")
+      .join(stableC, Seq("lang"), "left").join(lostC, Seq("lang"), "left")
+      .join(gainedC, Seq("lang"), "left")
+      .select($"lang",
+        coalesce($"n_v1", lit(0L)).as("n_v1"),
+        coalesce($"tok_v1", lit(0L)).as("tok_v1"),
+        coalesce($"n_v2", lit(0L)).as("n_v2"),
+        coalesce($"tok_v2", lit(0L)).as("tok_v2"),
+        coalesce($"n_stable", lit(0L)).as("n_stable"),
+        coalesce($"n_lost_sem", lit(0L)).as("n_lost_sem"),
+        coalesce($"n_lost_other", lit(0L)).as("n_lost_other"),
+        coalesce($"n_gained", lit(0L)).as("n_gained"))
       .orderBy($"lang")
   }
 
@@ -1978,8 +2053,54 @@ object PipelineOps {
     * The Lloyd population and seeds are the QUALITY SURVIVORS
     * (smallest-present seed rule replayed as a LIMIT 16 subquery).
     */
-  private def q184OracleSql: String =
-    s"""WITH raw AS MATERIALIZED (
+  /** The span-cleanup + budget-ranking oracle chain over source CTE
+    * `src`, CTE names suffixed `x` — the SQL twin of [[spanAndBudget]],
+    * shared by the q184 replay (x = "", src = t2) and the q188 diff
+    * (both tails: x = "1" over t, x = "2" over t2). Emits w..ranked;
+    * callers take `ranked$x WHERE cum <= 3000` as the kept set.
+    */
+  private def spanBudgetCtes(src: String, x: String): String =
+    s"""w$x AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16))) AS h
+           FROM $src WHERE len(toks) >= 8),
+         nd$x AS (SELECT h FROM w$x GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+         dw$x AS (SELECT w$x.doc_id, w$x.i FROM w$x JOIN nd$x ON w$x.h = nd$x.h),
+         cov$x AS (
+           SELECT DISTINCT doc_id, i + g AS p
+           FROM dw$x, generate_series(0, 7) AS gs$x(g)),
+         pos$x AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS p
+           FROM $src),
+         keptagg$x AS (
+           SELECT pos$x.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+           FROM pos$x LEFT JOIN cov$x
+             ON pos$x.doc_id = cov$x.doc_id AND pos$x.p = cov$x.p
+           WHERE cov$x.p IS NULL
+           GROUP BY 1),
+         cleaned$x AS MATERIALIZED (
+           SELECT $src.doc_id, dd.lang,
+             CAST(len($src.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS removed,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_clean
+           FROM $src LEFT JOIN keptagg$x k USING (doc_id)
+             JOIN dd USING (doc_id)),
+         ranked$x AS (
+           SELECT lang, doc_id, n_clean,
+             sum(n_clean) OVER (PARTITION BY lang
+               ORDER BY n_clean DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM cleaned$x WHERE n_clean >= 1)"""
+
+  /** The q184 oracle's head: raw → dedup → quality (`t`), the survivor
+    * Lloyd + capped recursion, the semantic drop set, and the
+    * post-semantic survivors (`t2`) — shared verbatim by the q188 diff
+    * oracle, which appends BOTH budget tails instead of one.
+    */
+  private def semanticChainCtes: String =
+    s"""raw AS MATERIALIZED (
            SELECT doc_id, lang, source, text,
              string_split_regex(text, '\\s+') AS toks
            FROM documents),
@@ -2020,40 +2141,11 @@ object PipelineOps {
               OR g.rep_id IN (SELECT vec_id FROM cdropped)),
          t2 AS MATERIALIZED (
            SELECT * FROM t
-           WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)),
-         w AS (
-           SELECT doc_id,
-             unnest(generate_series(1, len(toks) - 7)) AS i,
-             unnest(list_transform(generate_series(1, len(toks) - 7),
-               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16))) AS h
-           FROM t2 WHERE len(toks) >= 8),
-         nd AS (SELECT h FROM w GROUP BY h
-                HAVING count(DISTINCT doc_id) >= 2),
-         dw AS (SELECT w.doc_id, w.i FROM w JOIN nd ON w.h = nd.h),
-         cov AS (
-           SELECT DISTINCT doc_id, i + g AS p
-           FROM dw, generate_series(0, 7) AS gs(g)),
-         pos AS (
-           SELECT doc_id, unnest(generate_series(1, len(toks))) AS p
-           FROM t2),
-         keptagg AS (
-           SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_kept
-           FROM pos LEFT JOIN cov
-             ON pos.doc_id = cov.doc_id AND pos.p = cov.p
-           WHERE cov.p IS NULL
-           GROUP BY 1),
-         cleaned AS MATERIALIZED (
-           SELECT t2.doc_id, dd.lang,
-             CAST(len(t2.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS removed,
-             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_clean
-           FROM t2 LEFT JOIN keptagg k USING (doc_id)
-             JOIN dd USING (doc_id)),
-         ranked AS (
-           SELECT lang, doc_id, n_clean,
-             sum(n_clean) OVER (PARTITION BY lang
-               ORDER BY n_clean DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-           FROM cleaned WHERE n_clean >= 1),
+           WHERE doc_id NOT IN (SELECT doc_id FROM semdrop))"""
+
+  private def q184OracleSql: String =
+    s"""WITH $semanticChainCtes,
+         ${spanBudgetCtes("t2", "")},
          keptc AS (
            SELECT lang, CAST(count(*) AS BIGINT) AS docs_kept,
              CAST(max(cum) AS BIGINT) AS toks_kept
@@ -2086,8 +2178,55 @@ object PipelineOps {
            LEFT JOIN spanc USING (lang) LEFT JOIN keptc USING (lang)
          ORDER BY inc.lang"""
 
+  private def q188OracleSql: String =
+    s"""WITH $semanticChainCtes,
+         ${spanBudgetCtes("t", "1")},
+         ${spanBudgetCtes("t2", "2")},
+         k1 AS MATERIALIZED (
+           SELECT lang, doc_id, n_clean FROM ranked1 WHERE cum <= 3000),
+         k2 AS MATERIALIZED (
+           SELECT lang, doc_id, n_clean FROM ranked2 WHERE cum <= 3000),
+         lost AS (
+           SELECT k1.lang,
+             CASE WHEN k1.doc_id IN (SELECT doc_id FROM semdrop)
+                  THEN 1 ELSE 0 END AS sem
+           FROM k1 LEFT JOIN k2 ON k1.doc_id = k2.doc_id
+           WHERE k2.doc_id IS NULL),
+         lostc AS (
+           SELECT lang, CAST(sum(sem) AS BIGINT) AS n_lost_sem,
+             CAST(sum(1 - sem) AS BIGINT) AS n_lost_other
+           FROM lost GROUP BY 1),
+         gainedc AS (
+           SELECT k2.lang, CAST(count(*) AS BIGINT) AS n_gained
+           FROM k2 LEFT JOIN k1 ON k2.doc_id = k1.doc_id
+           WHERE k1.doc_id IS NULL GROUP BY 1),
+         stablec AS (
+           SELECT k1.lang, CAST(count(*) AS BIGINT) AS n_stable
+           FROM k1 JOIN k2 ON k1.doc_id = k2.doc_id GROUP BY 1),
+         v1c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_v1,
+                  CAST(sum(n_clean) AS BIGINT) AS tok_v1
+                FROM k1 GROUP BY 1),
+         v2c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_v2,
+                  CAST(sum(n_clean) AS BIGINT) AS tok_v2
+                FROM k2 GROUP BY 1),
+         langs AS (SELECT DISTINCT lang FROM raw)
+         SELECT langs.lang,
+           CAST(coalesce(n_v1, 0) AS BIGINT) AS n_v1,
+           CAST(coalesce(tok_v1, 0) AS BIGINT) AS tok_v1,
+           CAST(coalesce(n_v2, 0) AS BIGINT) AS n_v2,
+           CAST(coalesce(tok_v2, 0) AS BIGINT) AS tok_v2,
+           CAST(coalesce(n_stable, 0) AS BIGINT) AS n_stable,
+           CAST(coalesce(n_lost_sem, 0) AS BIGINT) AS n_lost_sem,
+           CAST(coalesce(n_lost_other, 0) AS BIGINT) AS n_lost_other,
+           CAST(coalesce(n_gained, 0) AS BIGINT) AS n_gained
+         FROM langs LEFT JOIN v1c USING (lang) LEFT JOIN v2c USING (lang)
+           LEFT JOIN stablec USING (lang) LEFT JOIN lostc USING (lang)
+           LEFT JOIN gainedc USING (lang)
+         ORDER BY langs.lang"""
+
   def oracles: Map[String, String] = Map(
     "q184_release_semantic" -> q184OracleSql,
+    "q188_release_diff" -> q188OracleSql,
     "q169_pagerank" -> q169OracleSql,
     "q107_cdc_chunks" ->
       """WITH t AS (

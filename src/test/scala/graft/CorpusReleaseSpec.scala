@@ -94,4 +94,30 @@ class CorpusReleaseSpec extends SparkSpec {
         s"$lang: upstream stages must match q155 exactly")
     }
   }
+
+  test("q188 diff ties out against q155 and q184 exactly") {
+    import spark.implicits._
+    val diff = SparkEntry.queries("q188_release_diff")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(diff.nonEmpty)
+    val v1 = SparkEntry.queries("q155_corpus_release")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._6, r._7)).toMap // docs/toks kept
+    val v2 = SparkEntry.queries("q184_release_semantic")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._7, r._8)).toMap
+    diff.foreach { case (lang, n1, t1, n2, t2, stable, lSem, lOther,
+        gained) =>
+      // the diff's per-version totals ARE the audits' kept numbers
+      assert((n1, t1) === v1(lang), s"$lang: v1 side disagrees with q155")
+      assert((n2, t2) === v2(lang), s"$lang: v2 side disagrees with q184")
+      // membership algebra: v1 = stable + lost, v2 = stable + gained
+      assert(n1 === stable + lSem + lOther, s"$lang: lost split broken")
+      assert(n2 === stable + gained, s"$lang: gained split broken")
+    }
+    // the diff must show real movement on the fixture: something lost
+    // to the semantic stage somewhere
+    assert(diff.map(_._7).sum > 0, "no semantic losses surfaced")
+  }
 }
