@@ -1516,6 +1516,12 @@ object IvfIndex {
     require(gen > 0L,
       s"ingest generations are caller-named positives (got $gen)")
     val snap = readSnapshot(s, dir)
+    // a label-blind ingest into a labeled PQ store would drop labels
+    // and write cid=/gen= dirs into the cid=/label=/gen= tree — the
+    // splitCells/mergeFrom corruption class; refuse toward the
+    // labeled-aware path
+    require(!postingsOf(s, dir, snap).columns.contains("label"),
+      s"addBatchPq: $dir is a labeled PQ store — use addBatchPqLabeled")
     if (!snap.committedIngest(gen)) {
       val cents = centroidsOf(s, dir, snap)
       val cbc = cbLiteral(readCb(s, dir, snap.pqVer))
@@ -1532,6 +1538,52 @@ object IvfIndex {
       assigned.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cid", "gen").parquet(postDir(dir))
+      val cells = snap.cells ++ touched.map(c =>
+        c -> (snap.cells.getOrElse(c, Seq.empty) :+ gen).distinct)
+      commitSnapshot(s, dir, snap.withIngested(gen)
+        .copy(epoch = snap.epoch + 1, cells = cells))
+    }
+    splitReport(s, dir)
+  }
+
+  /** [[addBatchPq]] for LABELED PQ stores — the matrix's fourth cell
+    * ({PQ} × {filtered}) gets its incremental ingest: the batch
+    * (vec_id, qv, label) assigns against the stored centroids,
+    * residual-encodes under the CURRENT codebook version, and commits
+    * as generation `gen` under the standard exactly-once manifest
+    * discipline, with the label riding the argmin aggregate and the
+    * cid=/label=/gen= layout preserved (one file per directory — the
+    * buildLabeled file-storm rule). Unlabeled stores refuse toward
+    * [[addBatchPq]], mirroring its guard.
+    */
+  def addBatchPqLabeled(s: SparkSession, dir: String, newVecs: DataFrame,
+      gen: Long = 1L): DataFrame = {
+    import s.implicits._
+    require(gen > 0L,
+      s"ingest generations are caller-named positives (got $gen)")
+    require(newVecs.columns.contains("label"),
+      "addBatchPqLabeled: the batch must carry a label column")
+    val snap = readSnapshot(s, dir)
+    require(snap.pqVer > 0, s"index $dir is not a PQ store")
+    require(postingsOf(s, dir, snap).columns.contains("label"),
+      s"addBatchPqLabeled: $dir is not a labeled store — use addBatchPq")
+    if (!snap.committedIngest(gen)) {
+      val cents = centroidsOf(s, dir, snap)
+      val cbc = cbLiteral(readCb(s, dir, snap.pqVer))
+      val assigned = VectorOps.argminPacked(
+          newVecs.select($"vec_id", $"qv", $"label"), cents,
+          carryQv = true, carry = Seq("label"))
+        .join(broadcast(cents.select($"cid", $"cq")), Seq("cid"))
+        .select($"vec_id",
+          codeCol(cbc, residCol($"qv", $"cq")).as("code"), $"cid",
+          $"label", lit(gen).as("gen"))
+        .localCheckpoint(true)
+      val touched = assigned.select($"cid".cast("long")).distinct()
+        .as[Long].collect().toSeq
+      assigned.repartition($"cid", $"label")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid", "label", "gen").parquet(postDir(dir))
       val cells = snap.cells ++ touched.map(c =>
         c -> (snap.cells.getOrElse(c, Seq.empty) :+ gen).distinct)
       commitSnapshot(s, dir, snap.withIngested(gen)
@@ -1614,11 +1666,19 @@ object IvfIndex {
     * min_by carry; the encode is the same single-pass literal-codebook
     * projection as [[buildPq]].
     */
-  def buildPqLabeled(emb: DataFrame, dir: String): Unit = {
+  def buildPqLabeled(emb: DataFrame, dir: String,
+      seedSmallest: Boolean = false): Unit = {
     val s = emb.sparkSession
     import s.implicits._
     prepareBuildDir(s, dir)
-    val seeds = emb.filter($"vec_id" < 16)
+    // seedSmallest: the shard-build rule, as in build/buildLabeled
+    val seedF: Column =
+      if (seedSmallest) {
+        val sids = emb.select($"vec_id").orderBy($"vec_id").limit(16)
+          .as[Long].collect()
+        $"vec_id".isInCollection(sids)
+      } else $"vec_id" < 16
+    val seeds = emb.filter(seedF)
       .select($"vec_id".as("cid"), $"qv".as("cq"))
     val (learned, _) = VectorOps.lloydTrain(
       emb.select($"vec_id", $"qv"), seeds,

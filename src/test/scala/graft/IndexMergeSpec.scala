@@ -185,6 +185,56 @@ class IndexMergeSpec extends SparkSpec {
     }
   }
 
+  test("labeled PQ ingest encodes like the unlabeled path and keeps labels") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val lemb = emb.withColumn("label", col("vec_id") % 4)
+    val (dirU, dirL) = (tmp("graft_pqing_u"), tmp("graft_pqing_l"))
+    // identical base slice -> identical Lloyd, residuals, codebook:
+    // the labeled path must produce byte-identical codes
+    IvfIndex.buildPq(emb.filter($"vec_id" % 5 =!= 0), dirU)
+    IvfIndex.buildPqLabeled(lemb.filter($"vec_id" % 5 =!= 0), dirL)
+    val batch = lemb.filter($"vec_id" % 5 === 0)
+    IvfIndex.addBatchPq(spark, dirU,
+      batch.select($"vec_id", $"qv"), gen = 1L)
+    IvfIndex.addBatchPqLabeled(spark, dirL,
+      batch.select($"vec_id", $"qv", $"label"), gen = 1L)
+    val gotU = IvfIndex.postings(spark, dirU).filter($"gen" === 1L)
+      .select($"vec_id", $"cid".cast("long"), $"code")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val gotL = IvfIndex.postings(spark, dirL).filter($"gen" === 1L)
+      .select($"vec_id", $"cid".cast("long"), $"label".cast("long"),
+        $"code")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(gotL.map(r => (r._1, r._2, r._4)) === gotU,
+      "labeled PQ ingest diverged from the unlabeled encode")
+    gotL.foreach { case (id, _, l, _) =>
+      assert(l === id % 4, s"label drift for $id") }
+    // filtered serve sees the ingested generation, label-scoped
+    val queries = batch.limit(8).select($"vec_id", $"qv", $"label")
+    val served = IvfIndex.servePqLabeled(spark, dirL, queries)
+      .select($"query_id", $"label", $"neighbor")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(served.nonEmpty)
+    served.foreach { case (q, l, nb) =>
+      assert(l === q % 4 && nb % 4 === l,
+        s"query $q: filtered PQ serve crossed labels") }
+    // replay is a metadata no-op
+    val before = IvfIndex.postings(spark, dirL).count()
+    IvfIndex.addBatchPqLabeled(spark, dirL,
+      batch.select($"vec_id", $"qv", $"label"), gen = 1L)
+    assert(IvfIndex.postings(spark, dirL).count() === before)
+    // guards: label-blind ingest into the labeled store and vice versa
+    intercept[IllegalArgumentException] {
+      IvfIndex.addBatchPq(spark, dirL,
+        batch.select($"vec_id", $"qv"), gen = 2L)
+    }
+    intercept[IllegalArgumentException] {
+      IvfIndex.addBatchPqLabeled(spark, dirU,
+        batch.select($"vec_id", $"qv", $"label"), gen = 2L)
+    }
+  }
+
   test("PQ stores refuse to merge in either role") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
