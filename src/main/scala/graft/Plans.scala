@@ -82,7 +82,8 @@ object Plans {
     "q185_dsir_select" -> "DSIR selection: native one-digest gram hashing, bucket models fold to 256 rows map-side and broadcast, per-doc weight partial-aggregates before its exchange; only the per-source (weight, id) rank relation is corpus-count-sized",
     "q186_watermark_detect" -> "watermark z-test: ONE codegen'd map pass (inline per-transition hash, no explode), text never shuffles, per-source rollup is the only exchange",
     "q187_semantic_decontam" -> "semantic decontamination: broadcast eval vectors (BNLJ = the q37 class), per-eval argmax via an order-free packed max aggregate — map-side partials collapse to |eval| rows before the single exchange",
-    "q188_release_diff" -> "release diff: both budget tails over ONE shared dedup/quality head (checkpointed), diff joins carry (doc_id, lang, n_clean) triples only — fixed-width, release-sized, language-cardinality rollups")
+    "q188_release_diff" -> "release diff: both budget tails over ONE shared dedup/quality head (checkpointed), diff joins carry (doc_id, lang, n_clean) triples only — fixed-width, release-sized, language-cardinality rollups",
+    "q189_incremental_release" -> "incremental release: the corpus-scale old-window digest joins shuffle-keyed on the 16-hex hash (NOT broadcast — the q136 exchange class; production scans the release's materialized digest instead of deriving it), everything downstream is batch-sized")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

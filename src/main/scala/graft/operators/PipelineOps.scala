@@ -61,7 +61,8 @@ object PipelineOps {
     "q183_curriculum_order" -> ((s, d) => q183(s, d)),
     "q184_release_semantic" -> ((s, d) => q184(s, d)),
     "q185_dsir_select" -> ((s, d) => q185(s, d)),
-    "q188_release_diff" -> ((s, d) => q188(s, d))
+    "q188_release_diff" -> ((s, d) => q188(s, d)),
+    "q189_incremental_release" -> ((s, d) => q189(s, d))
   )
 
   /** EPOCH-ORDER MANIFEST — the reproducible data-ordering artifact a
@@ -258,11 +259,19 @@ object PipelineOps {
       kept: DataFrame)
 
   private[graft] def releaseStages(s: SparkSession, d: String,
+      budget: Long): ReleaseStages =
+    releaseStagesFrom(Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        split(col("text"), "\\s+").as("toks")), budget)
+
+  /** [[releaseStages]] over an explicit docs frame — the q189
+    * incremental release runs the v1 chain over YESTERDAY'S corpus
+    * slice rather than the whole table.
+    */
+  private[graft] def releaseStagesFrom(docs: DataFrame,
       budget: Long): ReleaseStages = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables(s, d, "documents")
-      .select($"doc_id", $"lang", $"source", $"text",
-        split($"text", "\\s+").as("toks"))
     val keepIds = docs.groupBy($"text").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     val deduped = docs.join(keepIds, Seq("doc_id"), "left_semi")
@@ -454,6 +463,111 @@ object PipelineOps {
         coalesce($"n_lost_sem", lit(0L)).as("n_lost_sem"),
         coalesce($"n_lost_other", lit(0L)).as("n_lost_other"),
         coalesce($"n_gained", lit(0L)).as("n_gained"))
+      .orderBy($"lang")
+  }
+
+  /** INCREMENTAL RELEASE — the daily-increment path a production
+    * pipeline actually runs: yesterday's corpus (doc_id % 7 ≠ 6) is
+    * already released (the q155 chain, FROZEN); today's crawl batch
+    * (doc_id % 7 = 6) is admitted against that frozen state without
+    * recomputing the world. Stages: exact-dup against ANY old text +
+    * within-batch min-id dedup → quality window → span cleanup where a
+    * new doc's 8-token window is duplicated iff it appears ANYWHERE in
+    * the old quality population OR in ≥ 2 distinct new docs — which is
+    * PROVABLY the full-recompute rule over (old ∪ new) restricted to
+    * the new docs (old_count ≥ 1 means the new occurrence makes the
+    * pair; the spec pins this equivalence) → per-language greedy
+    * budget over what v1 left unspent. One audit row per language with
+    * the v1 carry-over and the post-increment fill.
+    *
+    * Scale: the old-side window digest is corpus-scale, so it is NOT
+    * broadcast — the new batch's windows join it shuffle-keyed on the
+    * 16-hex hash (ids only, the q136 exchange class); in production
+    * the release MATERIALIZES its digest once (the MaxSimStore
+    * posture) and each increment joins the stored relation — the same
+    * plan with the derive subtree replaced by a scan. Everything else
+    * is batch-sized: the batch's own stages, the ≤|langs| budget
+    * remainders, the rank window over batch rows only.
+    */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 3000L
+    val all = Tables(s, d, "documents")
+      .select($"doc_id", $"lang", $"source", $"text",
+        split($"text", "\\s+").as("toks"))
+    val old = all.filter($"doc_id" % 7 =!= 6)
+    val fresh = all.filter($"doc_id" % 7 === 6)
+    val st = releaseStagesFrom(old, budget)
+    val spent = st.kept.groupBy($"lang").agg(max($"cum").as("toks_v1"))
+    val oldTexts = old.select($"text").distinct()
+    val notOld = fresh.join(oldTexts, Seq("text"), "left_anti")
+    val keepNew = notOld.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val dd = notOld.join(keepNew, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val q = dd.filter(size($"toks").cast("long").between(20L, 1000L))
+      .localCheckpoint(true)
+    val oldDigest = st.quality.filter(size($"toks") >= 8)
+      .select(explode(array_distinct(
+        graft.functions.TextHashes.md5WindowPrefixes($"toks", 8))).as("h"))
+      .distinct()
+    val newWin = q.filter(size($"toks") >= 8)
+      .select($"doc_id", posexplode(
+        graft.functions.TextHashes.md5WindowPrefixes($"toks", 8)))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("i"), $"col".as("h"))
+    val batchDup = newWin.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" >= 2L).select($"h")
+    val dupWin = newWin.join(
+      oldDigest.unionByName(batchDup).distinct(), Seq("h"), "left_semi")
+    val wLag = Window.partitionBy($"doc_id").orderBy($"i")
+    val covered = dupWin
+      .withColumn("prev", lag($"i", 1).over(wLag))
+      .withColumn("add", when($"prev".isNull, lit(8L))
+        .otherwise(least(lit(8L), $"i" - $"prev")))
+      .groupBy($"doc_id").agg(sum($"add").as("covered"))
+    val cleaned = q
+      .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tok"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_clean", $"n_tok" - coalesce($"covered", lit(0L)))
+      .localCheckpoint(true)
+    val rem = all.select($"lang").distinct()
+      .join(spent, Seq("lang"), "left")
+      .select($"lang", coalesce($"toks_v1", lit(0L)).as("toks_v1"),
+        (lit(budget) - coalesce($"toks_v1", lit(0L))).as("remaining"))
+      .localCheckpoint(true)
+    val byQ = Window.partitionBy($"lang").orderBy($"n_clean".desc, $"doc_id")
+    val admitted = cleaned.filter($"n_clean" >= 1L)
+      .join(broadcast(rem), "lang")
+      .withColumn("rk", row_number().over(byQ)).filter($"rk" <= budget)
+      .withColumn("cum", sum($"n_clean").over(
+        byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= $"remaining")
+    val nNew = fresh.groupBy($"lang").agg(count(lit(1)).as("n_new"))
+    val nDd = dd.groupBy($"lang").agg(count(lit(1)).as("n_dd"))
+    val nQ = q.groupBy($"lang").agg(count(lit(1)).as("n_q"))
+    val spanC = cleaned.groupBy($"lang")
+      .agg(sum($"n_tok" - $"n_clean").as("span_removed"))
+    val admC = admitted.groupBy($"lang")
+      .agg(count(lit(1)).as("docs_admitted"),
+        max($"cum").as("toks_admitted"))
+    rem
+      .join(nNew, Seq("lang"), "left").join(nDd, Seq("lang"), "left")
+      .join(nQ, Seq("lang"), "left").join(spanC, Seq("lang"), "left")
+      .join(admC, Seq("lang"), "left")
+      .select($"lang",
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        (coalesce($"n_new", lit(0L)) - coalesce($"n_dd", lit(0L)))
+          .as("n_dup_dropped"),
+        (coalesce($"n_dd", lit(0L)) - coalesce($"n_q", lit(0L)))
+          .as("n_quality_dropped"),
+        coalesce($"span_removed", lit(0L)).as("span_tokens_removed"),
+        coalesce($"docs_admitted", lit(0L)).as("docs_admitted"),
+        coalesce($"toks_admitted", lit(0L)).as("toks_admitted"),
+        $"remaining".as("budget_remaining"),
+        expr(s"1000 * (toks_v1 + coalesce(toks_admitted, 0))" +
+          s" div $budget").as("fill_permille"))
       .orderBy($"lang")
   }
 
@@ -2059,7 +2173,8 @@ object PipelineOps {
     * (both tails: x = "1" over t, x = "2" over t2). Emits w..ranked;
     * callers take `ranked$x WHERE cum <= 3000` as the kept set.
     */
-  private def spanBudgetCtes(src: String, x: String): String =
+  private def spanBudgetCtes(src: String, x: String,
+      dd: String = "dd"): String =
     s"""w$x AS (
            SELECT doc_id,
              unnest(generate_series(1, len(toks) - 7)) AS i,
@@ -2082,11 +2197,11 @@ object PipelineOps {
            WHERE cov$x.p IS NULL
            GROUP BY 1),
          cleaned$x AS MATERIALIZED (
-           SELECT $src.doc_id, dd.lang,
+           SELECT $src.doc_id, $dd.lang,
              CAST(len($src.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS removed,
              CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_clean
            FROM $src LEFT JOIN keptagg$x k USING (doc_id)
-             JOIN dd USING (doc_id)),
+             JOIN $dd USING (doc_id)),
          ranked$x AS (
            SELECT lang, doc_id, n_clean,
              sum(n_clean) OVER (PARTITION BY lang
@@ -2224,9 +2339,113 @@ object PipelineOps {
            LEFT JOIN gainedc USING (lang)
          ORDER BY langs.lang"""
 
+  private def q189OracleSql: String =
+    s"""WITH raw0 AS MATERIALIZED (
+           SELECT doc_id, lang, source, text,
+             string_split_regex(text, '\\s+') AS toks
+           FROM documents WHERE doc_id % 7 <> 6),
+         keep0 AS (SELECT min(doc_id) AS doc_id FROM raw0 GROUP BY text),
+         dd0 AS MATERIALIZED (
+           SELECT raw0.* FROM raw0 JOIN keep0 USING (doc_id)),
+         t0 AS MATERIALIZED (
+           SELECT doc_id, source, toks FROM dd0
+           WHERE len(toks) BETWEEN 20 AND 1000),
+         ${spanBudgetCtes("t0", "0", "dd0")},
+         k0 AS MATERIALIZED (
+           SELECT lang, doc_id, n_clean, cum FROM ranked0
+           WHERE cum <= 3000),
+         spent AS (SELECT lang, CAST(max(cum) AS BIGINT) AS toks_v1
+                   FROM k0 GROUP BY 1),
+         nraw AS MATERIALIZED (
+           SELECT doc_id, lang, source, text,
+             string_split_regex(text, '\\s+') AS toks
+           FROM documents WHERE doc_id % 7 = 6),
+         nno AS (SELECT nraw.* FROM nraw
+                 WHERE text NOT IN (SELECT text FROM raw0)),
+         nkeep AS (SELECT min(doc_id) AS doc_id FROM nno GROUP BY text),
+         ndd AS MATERIALIZED (SELECT nno.* FROM nno JOIN nkeep USING (doc_id)),
+         nt AS MATERIALIZED (
+           SELECT doc_id, lang, toks FROM ndd
+           WHERE len(toks) BETWEEN 20 AND 1000),
+         olddig AS MATERIALIZED (
+           SELECT DISTINCT h FROM (
+             SELECT unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16)))
+               AS h
+             FROM t0 WHERE len(toks) >= 8)),
+         nw AS MATERIALIZED (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16)))
+               AS h
+           FROM nt WHERE len(toks) >= 8),
+         bdup AS (SELECT h FROM nw GROUP BY h
+                  HAVING count(DISTINCT doc_id) >= 2),
+         dupw AS (
+           SELECT nw.doc_id, nw.i FROM nw
+           WHERE nw.h IN (SELECT h FROM olddig)
+              OR nw.h IN (SELECT h FROM bdup)),
+         covered AS (
+           SELECT doc_id, CAST(sum(CASE WHEN prev IS NULL THEN 8
+             ELSE least(8, i - prev) END) AS BIGINT) AS covered
+           FROM (SELECT doc_id, i,
+                   lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+                 FROM dupw)
+           GROUP BY 1),
+         ncleaned AS MATERIALIZED (
+           SELECT nt.doc_id, nt.lang, CAST(len(nt.toks) AS BIGINT) AS n_tok,
+             CAST(len(nt.toks) - coalesce(covered.covered, 0) AS BIGINT)
+               AS n_clean
+           FROM nt LEFT JOIN covered USING (doc_id)),
+         rem AS (
+           SELECT l.lang,
+             CAST(coalesce(spent.toks_v1, 0) AS BIGINT) AS toks_v1,
+             CAST(3000 - coalesce(spent.toks_v1, 0) AS BIGINT) AS remaining
+           FROM (SELECT DISTINCT lang FROM documents) l
+             LEFT JOIN spent USING (lang)),
+         nranked AS (
+           SELECT lang, doc_id, n_clean,
+             sum(n_clean) OVER (PARTITION BY lang
+               ORDER BY n_clean DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM ncleaned WHERE n_clean >= 1),
+         adm AS (SELECT nranked.* FROM nranked JOIN rem USING (lang)
+                 WHERE cum <= rem.remaining),
+         nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_new
+                FROM nraw GROUP BY 1),
+         nd2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dd
+                 FROM ndd GROUP BY 1),
+         nq2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_q
+                 FROM nt GROUP BY 1),
+         sp2 AS (SELECT lang, CAST(sum(n_tok - n_clean) AS BIGINT)
+                   AS span_removed
+                 FROM ncleaned GROUP BY 1),
+         ad2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS docs_admitted,
+                   CAST(max(cum) AS BIGINT) AS toks_admitted
+                 FROM adm GROUP BY 1)
+         SELECT rem.lang,
+           CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+           CAST(coalesce(n_new, 0) - coalesce(n_dd, 0) AS BIGINT)
+             AS n_dup_dropped,
+           CAST(coalesce(n_dd, 0) - coalesce(n_q, 0) AS BIGINT)
+             AS n_quality_dropped,
+           CAST(coalesce(span_removed, 0) AS BIGINT)
+             AS span_tokens_removed,
+           CAST(coalesce(docs_admitted, 0) AS BIGINT) AS docs_admitted,
+           CAST(coalesce(toks_admitted, 0) AS BIGINT) AS toks_admitted,
+           rem.remaining AS budget_remaining,
+           CAST(1000 * (rem.toks_v1 + coalesce(toks_admitted, 0)) // 3000
+             AS BIGINT) AS fill_permille
+         FROM rem LEFT JOIN nn USING (lang) LEFT JOIN nd2 USING (lang)
+           LEFT JOIN nq2 USING (lang) LEFT JOIN sp2 USING (lang)
+           LEFT JOIN ad2 USING (lang)
+         ORDER BY rem.lang"""
+
   def oracles: Map[String, String] = Map(
     "q184_release_semantic" -> q184OracleSql,
     "q188_release_diff" -> q188OracleSql,
+    "q189_incremental_release" -> q189OracleSql,
     "q169_pagerank" -> q169OracleSql,
     "q107_cdc_chunks" ->
       """WITH t AS (

@@ -120,4 +120,103 @@ class CorpusReleaseSpec extends SparkSpec {
     // to the semantic stage somewhere
     assert(diff.map(_._7).sum > 0, "no semantic losses surfaced")
   }
+
+  test("q189: incremental span rule equals full recompute over old ∪ new") {
+    import spark.implicits._
+    val corpus3 = Tables(spark, sfDir, "documents")
+      .select($"doc_id", $"text", $"lang")
+      .as[(Long, String, String)].collect().toSeq
+    val langOf = corpus3.map(d => d._1 -> d._3).toMap
+    val corpus = corpus3.map(d => (d._1, d._2))
+    def toks(t: String) = t.split("\\s+")
+    def wins(t: String): Seq[(Int, String)] = {
+      val tk = toks(t)
+      if (tk.length < 8) Nil
+      else tk.sliding(8).zipWithIndex
+        .map { case (w, i) => (i + 1, w.mkString(" ")) }.toSeq
+    }
+    // the two quality populations, exactly as the q189 chains build them
+    val old = corpus.filter(_._1 % 7 != 6)
+    val fresh = corpus.filter(_._1 % 7 == 6)
+    val tOld = old.groupBy(_._2).map { case (_, xs) => xs.minBy(_._1) }
+      .filter { case (_, t) => val n = toks(t).length; n >= 20 && n <= 1000 }
+      .toSeq
+    val oldTexts = old.map(_._2).toSet
+    val tNew = fresh.filterNot(d => oldTexts.contains(d._2))
+      .groupBy(_._2).map { case (_, xs) => xs.minBy(_._1) }
+      .filter { case (_, t) => val n = toks(t).length; n >= 20 && n <= 1000 }
+      .toSeq
+    val oldDigest = tOld.flatMap(d => wins(d._2).map(_._2)).toSet
+    val newWinDocs = tNew.flatMap { case (id, t) =>
+      wins(t).map { case (_, w) => (w, id) } }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    // per new doc: dup-window starts under BOTH predicates must agree
+    val combinedDocs = (tOld ++ tNew).flatMap { case (id, t) =>
+      wins(t).map { case (_, w) => (w, id) } }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    var oldPathBit = false
+    tNew.foreach { case (id, t) =>
+      wins(t).foreach { case (_, w) =>
+        val inc = oldDigest.contains(w) || newWinDocs(w) >= 2
+        val full = combinedDocs(w) >= 2
+        assert(inc === full, s"doc $id window '$w': predicates diverge")
+        if (inc && oldDigest.contains(w) && newWinDocs(w) < 2)
+          oldPathBit = true
+      }
+    }
+    assert(oldPathBit,
+      "fixture never exercised the frozen-digest path — weaken alarm")
+    // full driver brute force of the remaining chain: v1 budget spend,
+    // per-lang remainders, greedy admission — compared exactly
+    def coveredLen(starts: Seq[Int]): Long =
+      starts.sorted.foldLeft((0L, Option.empty[Int])) {
+        case ((acc, prev), i) =>
+          (acc + prev.map(p => math.min(8, i - p)).getOrElse(8).toLong,
+            Some(i))
+      }._1
+    val oldWinDocs = tOld.flatMap { case (id, t) =>
+      wins(t).map { case (_, w) => (w, id) } }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).distinct.size }
+    val v1Clean = tOld.map { case (id, t) =>
+      val dup = wins(t).filter { case (_, w) => oldWinDocs(w) >= 2 }.map(_._1)
+      (id, langOf(id), toks(t).length.toLong - coveredLen(dup))
+    }
+    def greedy(cands: Seq[(Long, Long)], budget: Long): (Long, Long) = {
+      // (docs, toks) admitted from (id, n_clean) by (n_clean desc, id):
+      // PREFIX semantics — the running sum includes every ranked doc,
+      // so one overflow ends admission (the engine's cum ≤ budget rule)
+      var cum = 0L; var n = 0L; var tk = 0L
+      cands.filter(_._2 >= 1).sortBy { case (id, c) => (-c, id) }
+        .foreach { case (_, c) =>
+          cum += c
+          if (cum <= budget) { n += 1; tk = cum } }
+      (n, tk)
+    }
+    val toksV1 = v1Clean.groupBy(_._2).map { case (l, xs) =>
+      l -> greedy(xs.map(x => (x._1, x._3)), 3000L)._2 }
+    val newClean = tNew.map { case (id, t) =>
+      val dup = wins(t).filter { case (_, w) =>
+        oldDigest.contains(w) || newWinDocs(w) >= 2 }.map(_._1)
+      (id, langOf(id), toks(t).length.toLong - coveredLen(dup))
+    }
+    val expected = corpus3.map(_._3).distinct.sorted.map { l =>
+      val rem = 3000L - toksV1.getOrElse(l, 0L)
+      val (n, tk) = greedy(
+        newClean.filter(_._2 == l).map(x => (x._1, x._3)), rem)
+      (l, n, tk, rem)
+    }
+    val got = SparkEntry.queries("q189_incremental_release")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.map(r => (r._1, r._6, r._7, r._8)) === expected,
+      "admission disagrees with the driver greedy over the frozen state")
+    got.foreach { case (lang, nNew, dup, qual, span, _, toksAdm,
+        remaining, fill) =>
+      assert(dup >= 0 && qual >= 0 && span >= 0, lang)
+      assert(dup + qual <= nNew, s"$lang: stage drops exceed batch")
+      assert(toksAdm <= remaining, s"$lang: admitted past the remainder")
+      assert(fill <= 1000L, s"$lang: overfilled")
+      assert(fill == 1000L * ((3000L - remaining) + toksAdm) / 3000L, lang)
+    }
+  }
 }
