@@ -292,6 +292,40 @@ object StreamBench {
         StreamOps.decontamStream(in.toDS(), digest).toDF())
     }
 
+    // Incremental-release admission (docs/s): stream-static digest
+    // joins + per-doc coverage group + per-lang budget state. The
+    // digest comes from the FIRST half of the generated corpus so the
+    // joins carry real mass; the second half streams.
+    val incr = {
+      import spark.implicits._
+      val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try {
+        import org.apache.spark.sql.functions._
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sb_incr"
+        val (oldHalf, newHalf) = docEvents.splitAt(docEvents.size / 2)
+        val oldDf = oldHalf.toDF()
+          .withColumn("toks", split(col("text"), "\\s+"))
+        oldDf.select(expr(
+            "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+            .as("th")).distinct()
+          .write.mode("overwrite").parquet(s"$dir/textdig")
+        oldDf.filter(size(col("toks")) >= 8)
+          .select(explode(array_distinct(
+            graft.functions.TextHashes.md5WindowPrefixes(col("toks"), 8)))
+            .as("h")).distinct()
+          .write.mode("overwrite").parquet(s"$dir/windig")
+        Seq.tabulate(5)(i => (s"l$i", 0L, 1000000000L))
+          .toDF("lang", "toks_v1", "remaining")
+          .write.mode("overwrite").parquet(s"$dir/budgets")
+        val incrEvents = newHalf.map(d =>
+          StreamOps.IncrDoc(d.doc_id, d.ts, s"l${d.doc_id % 5}", d.text))
+        rate("incr_admit_dps", incrEvents, docBatch)(in =>
+          StreamOps.incrementalReleaseStream(in.toDS(), dir).toDF())
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+
     // Streaming watermark detection (docs/s): stateless per-transition
     // parity scan — the q186 ingestion tap.
     val wmDetect = rate("watermark_dps", docEvents, docBatch)(in =>
@@ -479,8 +513,8 @@ object StreamBench {
     }
 
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release, decontam, wmDetect, dsir, pack, drift,
-      maxsim, hybrid, semdedup)
+      attrib, curation, release, decontam, wmDetect, dsir, incr, pack,
+      drift, maxsim, hybrid, semdedup)
   }
 
   def main(args: Array[String]): Unit = {

@@ -62,7 +62,8 @@ object PipelineOps {
     "q184_release_semantic" -> ((s, d) => q184(s, d)),
     "q185_dsir_select" -> ((s, d) => q185(s, d)),
     "q188_release_diff" -> ((s, d) => q188(s, d)),
-    "q189_incremental_release" -> ((s, d) => q189(s, d))
+    "q189_incremental_release" -> ((s, d) => q189(s, d)),
+    "q190_incremental_from_store" -> ((s, d) => q190(s, d))
   )
 
   /** EPOCH-ORDER MANIFEST — the reproducible data-ordering artifact a
@@ -536,6 +537,135 @@ object PipelineOps {
       .join(spent, Seq("lang"), "left")
       .select($"lang", coalesce($"toks_v1", lit(0L)).as("toks_v1"),
         (lit(budget) - coalesce($"toks_v1", lit(0L))).as("remaining"))
+      .localCheckpoint(true)
+    val byQ = Window.partitionBy($"lang").orderBy($"n_clean".desc, $"doc_id")
+    val admitted = cleaned.filter($"n_clean" >= 1L)
+      .join(broadcast(rem), "lang")
+      .withColumn("rk", row_number().over(byQ)).filter($"rk" <= budget)
+      .withColumn("cum", sum($"n_clean").over(
+        byQ.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"cum" <= $"remaining")
+    val nNew = fresh.groupBy($"lang").agg(count(lit(1)).as("n_new"))
+    val nDd = dd.groupBy($"lang").agg(count(lit(1)).as("n_dd"))
+    val nQ = q.groupBy($"lang").agg(count(lit(1)).as("n_q"))
+    val spanC = cleaned.groupBy($"lang")
+      .agg(sum($"n_tok" - $"n_clean").as("span_removed"))
+    val admC = admitted.groupBy($"lang")
+      .agg(count(lit(1)).as("docs_admitted"),
+        max($"cum").as("toks_admitted"))
+    rem
+      .join(nNew, Seq("lang"), "left").join(nDd, Seq("lang"), "left")
+      .join(nQ, Seq("lang"), "left").join(spanC, Seq("lang"), "left")
+      .join(admC, Seq("lang"), "left")
+      .select($"lang",
+        coalesce($"n_new", lit(0L)).as("n_new"),
+        (coalesce($"n_new", lit(0L)) - coalesce($"n_dd", lit(0L)))
+          .as("n_dup_dropped"),
+        (coalesce($"n_dd", lit(0L)) - coalesce($"n_q", lit(0L)))
+          .as("n_quality_dropped"),
+        coalesce($"span_removed", lit(0L)).as("span_tokens_removed"),
+        coalesce($"docs_admitted", lit(0L)).as("docs_admitted"),
+        coalesce($"toks_admitted", lit(0L)).as("toks_admitted"),
+        $"remaining".as("budget_remaining"),
+        expr(s"1000 * (toks_v1 + coalesce(toks_admitted, 0))" +
+          s" div $budget").as("fill_permille"))
+      .orderBy($"lang")
+  }
+
+  /** Materialize release v1's FROZEN state as a store — the production
+    * posture q189's scaladoc names: instead of re-deriving yesterday's
+    * corpus digests on every increment, the release ships three
+    * relations under `dir` and each increment SCANS them:
+    * `textdig/` (60-bit md5 text prefixes of every old corpus text —
+    * the exact-dup gate), `windig/` (16-hex window prefixes of the old
+    * quality population — the span gate), `budgets/` (per language,
+    * the v1 token spend and the remaining budget). Written once per
+    * release; corpus-scale relations stay columnar hashes on disk,
+    * only `budgets` (≤ |langs| rows) is driver-small.
+    */
+  private[graft] def writeReleaseDigest(s: SparkSession, d: String,
+      dir: String, budget: Long = 3000L): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.SaveMode
+    val all = Tables(s, d, "documents")
+      .select($"doc_id", $"lang", $"source", $"text",
+        split($"text", "\\s+").as("toks"))
+    val old = all.filter($"doc_id" % 7 =!= 6)
+    val st = releaseStagesFrom(old, budget)
+    old.select(expr(
+        "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+        .as("th")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/textdig")
+    st.quality.filter(size($"toks") >= 8)
+      .select(explode(array_distinct(
+        graft.functions.TextHashes.md5WindowPrefixes($"toks", 8))).as("h"))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/windig")
+    val spent = st.kept.groupBy($"lang").agg(max($"cum").as("toks_v1"))
+    all.select($"lang").distinct()
+      .join(spent, Seq("lang"), "left")
+      .select($"lang", coalesce($"toks_v1", lit(0L)).as("toks_v1"),
+        (lit(budget) - coalesce($"toks_v1", lit(0L))).as("remaining"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/budgets")
+  }
+
+  /** q189 SERVED FROM THE STORE — the increment as production runs it:
+    * [[writeReleaseDigest]] persists the release's frozen state, and
+    * the batch admission reads textdig/windig/budgets instead of
+    * re-deriving the old corpus (the q182 transparency pattern: the
+    * oracle replays the derivation from the tables, so a hash match
+    * proves the store roundtrip changes nothing). The dedup gate
+    * compares 60-bit text hashes on BOTH sides (what a store can
+    * actually ship — raw text equality is q189's in-query luxury), so
+    * the within-batch keep-first groups by hash too; the oracle
+    * replays the hash rule.
+    *
+    * Scale: identical to q189 with the digest-derive subtrees replaced
+    * by parquet scans — the window join stays shuffle-keyed on the
+    * hash, the budgets relation is ≤ |langs| rows.
+    */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 3000L
+    val dir =
+      s"${System.getProperty("java.io.tmpdir")}/graft_release_digest/q190"
+    writeReleaseDigest(s, d, dir, budget)
+    val textdig = s.read.parquet(s"$dir/textdig")
+    val windig = s.read.parquet(s"$dir/windig")
+    val rem = s.read.parquet(s"$dir/budgets").localCheckpoint(true)
+    val all = Tables(s, d, "documents")
+      .select($"doc_id", $"lang", $"source", $"text",
+        split($"text", "\\s+").as("toks"))
+    val fresh = all.filter($"doc_id" % 7 === 6)
+      .withColumn("th", expr(
+        "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+    val notOld = fresh.join(textdig, Seq("th"), "left_anti")
+    val keepNew = notOld.groupBy($"th").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val dd = notOld.join(keepNew, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val q = dd.filter(size($"toks").cast("long").between(20L, 1000L))
+      .localCheckpoint(true)
+    val newWin = q.filter(size($"toks") >= 8)
+      .select($"doc_id", posexplode(
+        graft.functions.TextHashes.md5WindowPrefixes($"toks", 8)))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("i"), $"col".as("h"))
+    val batchDup = newWin.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("ndocs"))
+      .filter($"ndocs" >= 2L).select($"h")
+    val dupWin = newWin.join(
+      windig.unionByName(batchDup).distinct(), Seq("h"), "left_semi")
+    val wLag = Window.partitionBy($"doc_id").orderBy($"i")
+    val covered = dupWin
+      .withColumn("prev", lag($"i", 1).over(wLag))
+      .withColumn("add", when($"prev".isNull, lit(8L))
+        .otherwise(least(lit(8L), $"i" - $"prev")))
+      .groupBy($"doc_id").agg(sum($"add").as("covered"))
+    val cleaned = q
+      .select($"doc_id", $"lang", size($"toks").cast("long").as("n_tok"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_clean", $"n_tok" - coalesce($"covered", lit(0L)))
       .localCheckpoint(true)
     val byQ = Window.partitionBy($"lang").orderBy($"n_clean".desc, $"doc_id")
     val admitted = cleaned.filter($"n_clean" >= 1L)
@@ -2339,7 +2469,27 @@ object PipelineOps {
            LEFT JOIN gainedc USING (lang)
          ORDER BY langs.lang"""
 
-  private def q189OracleSql: String =
+  private def q189OracleSql: String = incrOracle(hashDedup = false)
+  private def q190OracleSql: String = incrOracle(hashDedup = true)
+
+  /** The incremental-release oracle chain; `hashDedup` switches the
+    * new-batch exact-dup gate from raw text equality (q189's in-query
+    * form) to the 60-bit md5 text prefix (q190's store-shippable form,
+    * with the within-batch keep-first grouped by the same hash).
+    */
+  private def incrOracle(hashDedup: Boolean): String = {
+    val th = "('0x' || substring(md5(text), 1, 15))::UBIGINT"
+    val nno =
+      if (hashDedup)
+        s"""nno AS (SELECT nraw.* FROM nraw
+                 WHERE $th NOT IN (SELECT $th FROM raw0)),
+         nkeep AS (SELECT min(doc_id) AS doc_id FROM nno
+                   GROUP BY $th),"""
+      else
+        """nno AS (SELECT nraw.* FROM nraw
+                 WHERE text NOT IN (SELECT text FROM raw0)),
+         nkeep AS (SELECT min(doc_id) AS doc_id FROM nno GROUP BY text),"""
+
     s"""WITH raw0 AS MATERIALIZED (
            SELECT doc_id, lang, source, text,
              string_split_regex(text, '\\s+') AS toks
@@ -2360,9 +2510,7 @@ object PipelineOps {
            SELECT doc_id, lang, source, text,
              string_split_regex(text, '\\s+') AS toks
            FROM documents WHERE doc_id % 7 = 6),
-         nno AS (SELECT nraw.* FROM nraw
-                 WHERE text NOT IN (SELECT text FROM raw0)),
-         nkeep AS (SELECT min(doc_id) AS doc_id FROM nno GROUP BY text),
+         $nno
          ndd AS MATERIALIZED (SELECT nno.* FROM nno JOIN nkeep USING (doc_id)),
          nt AS MATERIALIZED (
            SELECT doc_id, lang, toks FROM ndd
@@ -2441,11 +2589,13 @@ object PipelineOps {
            LEFT JOIN nq2 USING (lang) LEFT JOIN sp2 USING (lang)
            LEFT JOIN ad2 USING (lang)
          ORDER BY rem.lang"""
+  }
 
   def oracles: Map[String, String] = Map(
     "q184_release_semantic" -> q184OracleSql,
     "q188_release_diff" -> q188OracleSql,
     "q189_incremental_release" -> q189OracleSql,
+    "q190_incremental_from_store" -> q190OracleSql,
     "q169_pagerank" -> q169OracleSql,
     "q107_cdc_chunks" ->
       """WITH t AS (

@@ -763,13 +763,22 @@ object StreamOps {
   }
 
   def tokenBudgetStream(docs: Dataset[CurationDoc],
-      budget: Long): Dataset[Admission] = {
+      budget: Long): Dataset[Admission] =
+    tokenBudgetStreamBy(docs, _ => budget)
+
+  /** [[tokenBudgetStream]] with a PER-LANGUAGE budget function — the
+    * incremental-release tap passes each language's remaining budget
+    * from the stored release digest.
+    */
+  def tokenBudgetStreamBy(docs: Dataset[CurationDoc],
+      budgetOf: String => Long): Dataset[Admission] = {
     val s = docs.sparkSession
     import s.implicits._
     docs.groupByKey(_.lang)
       .flatMapGroupsWithState[LangBudgetState, Admission](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (lang, it, state) =>
+          val budget = budgetOf(lang)
           var st = state.getOption.getOrElse(LangBudgetState(0L, 0L))
           val out = it.toVector.sortBy(e => (e.seq, e.doc_id)).map { e =>
             val cum = st.spent + e.n_tok
@@ -780,6 +789,76 @@ object StreamOps {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** One incoming document for the incremental-release tap (encoder). */
+  case class IncrDoc(doc_id: Long, ts: Timestamp, lang: String, text: String)
+
+  /** Streaming incremental release — q189/q190 as the ONLINE admission
+    * a crawl ingest runs against the STORED release digest
+    * (`PipelineOps.writeReleaseDigest`): each arriving document passes
+    * the quality window, the exact-dup gate against the release's
+    * 60-bit text digest (a stream-static anti-join — within-stream
+    * exact dups are `dedupExactStream`'s job upstream of this tap),
+    * span cleanup against the release's window digest (stream-static
+    * join on the 16-hex hash; the FROZEN-digest-only rule — the online
+    * tap does not hold unbounded cross-document window state, the
+    * documented delta from q189's batch-dup term), and each language's
+    * REMAINING budget in arrival order (the prefix rule, per-event —
+    * a rejected overflow burns the budget exactly as the batch cum
+    * rule does).
+    *
+    * Scale: the digest relations stay on disk and join shuffle-keyed
+    * per micro-batch (stream-static, never broadcast at corpus scale);
+    * the per-doc coverage group sees only that doc's window rows
+    * (bounded by doc length, no retained state); budget state is two
+    * longs per language.
+    */
+  def incrementalReleaseStream(docs: Dataset[IncrDoc],
+      digestDir: String): Dataset[Admission] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val textdig = s.read.parquet(s"$digestDir/textdig")
+    val windig = s.read.parquet(s"$digestDir/windig")
+    val budgets = s.read.parquet(s"$digestDir/budgets")
+      .select(col("lang"), col("remaining")).as[(String, Long)]
+      .collect().toMap // ≤ |langs| rows: serving config, not data
+    val staged = docs.toDF()
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok").between(20L, 1000L))
+      .withColumn("th", expr(
+        "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+      .join(textdig, Seq("th"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_tok"), posexplode(
+        graft.functions.TextHashes.md5WindowPrefixes(col("toks"), 8)))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        (col("pos") + 1).cast("long").as("i"), col("col").as("h"))
+      .join(windig.withColumn("dup", lit(1L)), Seq("h"), "left")
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("i"),
+        coalesce(col("dup"), lit(0L)).as("dup"))
+      .as[(Long, String, Long, Long, Long)]
+    val cleaned = staged.groupByKey(_._1)
+      .flatMapGroupsWithState[LangBudgetState, CurationDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (docId, it, _) => // state never written: per-doc rows arrive in
+          // one batch (they derive from one input row), nothing retained
+          val rows = it.toVector
+          val dupIs = rows.filter(_._5 == 1L).map(_._4).sorted
+          var cov = 0L
+          var prev = Long.MinValue
+          dupIs.foreach { i =>
+            cov += (if (prev == Long.MinValue) 8L
+                    else math.min(8L, i - prev))
+            prev = i
+          }
+          val nClean = rows.head._3 - cov
+          if (nClean >= 1L)
+            Iterator.single(
+              CurationDoc(docId, docId, rows.head._2, nClean))
+          else Iterator.empty
+      }
+    tokenBudgetStreamBy(cleaned, budgets.getOrElse(_, 0L))
   }
 
   /** One document for the streaming reservoir (public: encoder). */
