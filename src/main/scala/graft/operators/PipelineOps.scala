@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -24,6 +25,7 @@ object PipelineOps {
 
   def defs: Map[String, Q] = Map(
     "q81_dup_clusters" -> ((s, d) => q81(s, d)),
+    "q194_preference_pairs" -> ((s, d) => q194(s, d)),
     "q82_decontaminate" -> ((s, d) => q82(s, d)),
     "q83_gopher_rules" -> ((s, d) => q83(s, d)),
     "q84_tfidf_topk" -> ((s, d) => q84(s, d)),
@@ -1385,6 +1387,56 @@ object PipelineOps {
     Tables(s, d, "documents").withColumn("toks", split($"text", "\\s+"))
   }
 
+  /** Preference-pair construction — the reward-model data step: per
+    * language, pair the r-th HIGHEST-quality document with the r-th
+    * LOWEST (r ≤ 4) as (chosen, rejected), keeping a pair only when
+    * (a) the quality margin clears 100 permille — a weak preference
+    * signal teaches a reward model noise; (b) 2r ≤ bucket size — the
+    * two rankings never cross, so no document prefers itself; and
+    * (c) the two texts are not byte-identical (md5 fingerprints
+    * differ) — an exact-dup pair is a contradiction with margin 0 at
+    * the text level regardless of score. Quality is the integer
+    * lexical-diversity permille (n_distinct·1000 div n_tok) — any
+    * in-engine scorer (q102's classifier, q109's surprisal, q192's
+    * trained weights) slots into the same rank-and-pair frame.
+    *
+    * Scale: both rankings are rank-1..4 windows, which compile to
+    * WindowGroupLimit — every partition pre-prunes to its local top-4
+    * before the per-language exchange, so the shuffle carries O(langs
+    * × 4 × partitions) rows, never the corpus (the q133 posture). The
+    * join matches 4 rows per language.
+    */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sc = docs(s, d)
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("score",
+        expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000) div n_tok"))
+      .select($"doc_id", $"lang", $"score", md5($"text").as("fp"))
+    val wDesc = Window.partitionBy($"lang")
+      .orderBy($"score".desc, $"doc_id")
+    val wAsc = Window.partitionBy($"lang")
+      .orderBy($"score".asc, $"doc_id")
+    val best = sc.withColumn("r", row_number().over(wDesc).cast("long"))
+      .filter($"r" <= 4L)
+      .select($"lang", $"r", $"doc_id".as("chosen_id"),
+        $"score".as("chosen_score"), $"fp".as("cfp"))
+    val worst = sc.withColumn("r", row_number().over(wAsc).cast("long"))
+      .filter($"r" <= 4L)
+      .select($"lang", $"r", $"doc_id".as("rejected_id"),
+        $"score".as("rejected_score"), $"fp".as("rfp"))
+    val nLang = sc.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    best.join(worst, Seq("lang", "r"))
+      .join(nLang, "lang")
+      .filter($"r" * 2L <= $"n_docs" &&
+        $"chosen_score" - $"rejected_score" >= 100L &&
+        $"cfp" =!= $"rfp")
+      .select($"lang", $"r".as("pair_rank"), $"chosen_id", $"rejected_id",
+        $"chosen_score", $"rejected_score",
+        ($"chosen_score" - $"rejected_score").as("margin"))
+      .orderBy($"lang", $"pair_rank")
+  }
+
   /** Min-label propagation to a fixpoint over symmetric `(src, dst)`
     * edges → one `(id, rep)` row per node that appears in any edge —
     * connected components, the cluster-resolution half of fuzzy dedup
@@ -2592,6 +2644,34 @@ object PipelineOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q194_preference_pairs" ->
+      """WITH sc AS (
+           SELECT doc_id, lang,
+             CAST(len(list_distinct(string_split_regex(text, '\s+'))) * 1000
+               // len(string_split_regex(text, '\s+')) AS BIGINT) AS score,
+             md5(text) AS fp
+           FROM documents),
+         best AS (
+           SELECT lang, doc_id AS chosen_id, score AS chosen_score, fp AS cfp,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY score DESC, doc_id) AS BIGINT) AS r
+           FROM sc),
+         worst AS (
+           SELECT lang, doc_id AS rejected_id, score AS rejected_score, fp AS rfp,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY score ASC, doc_id) AS BIGINT) AS r
+           FROM sc),
+         nl AS (SELECT lang, count(*) AS n_docs FROM sc GROUP BY 1)
+         SELECT b.lang, b.r AS pair_rank, b.chosen_id, w.rejected_id,
+           b.chosen_score, w.rejected_score,
+           b.chosen_score - w.rejected_score AS margin
+         FROM best b
+         JOIN worst w ON w.lang = b.lang AND w.r = b.r
+         JOIN nl ON nl.lang = b.lang
+         WHERE b.r <= 4 AND w.r <= 4 AND b.r * 2 <= nl.n_docs
+           AND b.chosen_score - w.rejected_score >= 100
+           AND b.cfp <> w.rfp
+         ORDER BY b.lang, b.r""",
     "q184_release_semantic" -> q184OracleSql,
     "q188_release_diff" -> q188OracleSql,
     "q189_incremental_release" -> q189OracleSql,

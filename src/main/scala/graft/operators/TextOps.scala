@@ -128,6 +128,8 @@ object TextOps {
     "q78_bounded_topk_agg" -> ((s, d) => q78(s, d)),
     "q80_doc_chunking" -> ((s, d) => q80(s, d)),
     "q98_feature_hashing" -> ((s, d) => q98(s, d)),
+    "q192_quality_train" -> ((s, d) => q192(s, d)),
+    "q193_labeler_agreement" -> ((s, d) => q193(s, d)),
     "q109_unigram_surprisal" -> ((s, d) => q109(s, d)),
     "q111_inverted_index" -> ((s, d) => q111(s, d)),
     "q112_bm25_topk" -> ((s, d) => q112(s, d)),
@@ -185,6 +187,98 @@ object TextOps {
     Tables(s, d, "documents").withColumn("toks", split($"text", "\\s+"))
   }
 
+  /** In-engine quality-classifier TRAINING — the missing half of q102
+    * (which only scores with fixed weights): a fastText-shaped linear
+    * classifier (hashed bag-of-tokens → 32 buckets + bias) trained by
+    * BATCH PERCEPTRON on a weak in-corpus label (is the document
+    * English — the label every corpus carries for free), with a
+    * held-out fifth (doc_id % 5 = 0) scoring generalization. The batch
+    * variant is what makes the trainer an ENGINE op: each epoch's
+    * update is Δw = Σ over misclassified docs of y·x — an order-free
+    * integer aggregate, not per-row sequential mutation — so epochs
+    * parallelize like Lloyd iterations (q147/q149) and the oracle
+    * replays them exactly. Everything is int64: features are token
+    * counts via the q98 md5-bucket idiom, weights start at zero (so
+    * epoch 1 misclassifies everything — margin 0 counts as wrong, the
+    * perceptron convention), margins are integer dots. One row per
+    * epoch: train misclassification under the INCOMING weights, test
+    * error under the UPDATED weights, and the updated weights' L1 mass
+    * as a replayable checksum.
+    *
+    * Scale: the feature build is one corpus scan folding to a dense
+    * 33-long array per doc (the map-from-sparse transform — no
+    * doc×dim row explosion ever shuffles); each epoch is one codegen'd
+    * map (the weight vector INLINED as an array literal — 33 longs,
+    * the Lloyd broadcast-centroid discipline) plus a VecSum partial
+    * aggregate whose only exchange carries 33-long partials per
+    * partition. Driver state = 33 longs. At 100 TB the trainer is
+    * 3 × (scan + bounded agg) — the same posture as q144's BPE rounds.
+    */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val feats = docs(s, d)
+      .select($"doc_id",
+        when($"lang" === "en", 1L).otherwise(-1L).as("y"),
+        explode($"toks").as("tok"))
+      .withColumn("dim",
+        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long") % 32)
+      .groupBy($"doc_id", $"y", $"dim").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id", $"y")
+      .agg(map_from_entries(collect_list(struct($"dim", $"cnt"))).as("fm"))
+      .select($"doc_id", $"y",
+        expr("concat(transform(sequence(0L, 31L), b -> coalesce(fm[b], 0L)), array(1L))")
+          .as("x"))
+      .localCheckpoint(true)
+    val train = feats.filter($"doc_id" % 5 =!= 0)
+    val test = feats.filter($"doc_id" % 5 === 0)
+    var w = Array.fill(33)(0L)
+    def marginCol(weights: Array[Long]) = expr(
+      s"y * aggregate(zip_with(x, array(${weights.mkString("L, ")}L), (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+    def errCount(df: DataFrame, weights: Array[Long]): (Long, Long) = {
+      val Array(r) = df.withColumn("margin", marginCol(weights)).agg(
+        count(lit(1)).as("n"),
+        sum(when($"margin" <= 0L, 1L).otherwise(0L)).as("m")).collect()
+      (r.getLong(0), r.getLong(1))
+    }
+    // epoch e: nMiscl measures the INCOMING weights w_{e-1}; the update
+    // is the order-free batch sum over exactly those docs; testErr and
+    // l1 describe the UPDATED w_e. Snapshots feed the pocket pick.
+    val epochs = (1 to 3).map { epoch =>
+      val scored = train.withColumn("margin", marginCol(w))
+      val Array(stat) = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when($"margin" <= 0L, 1L).otherwise(0L)).as("m")).collect()
+      val (nTrain, nMiscl) = (stat.getLong(0), stat.getLong(1))
+      val delta = scored.filter($"margin" <= 0L)
+        .select(expr("transform(x, v -> v * y)").as("yx"))
+        .agg(graft.functions.BoundedAggs.vecSum($"yx").as("d"))
+        .collect()(0).getSeq[Long](0)
+      if (delta.nonEmpty) w = w.indices.map(i => w(i) + delta(i)).toArray
+      val (nTest, nTestErr) = errCount(test, w)
+      (epoch.toLong, nTrain, nMiscl, nTest, nTestErr, w)
+    }
+    // pocket: train error of each epoch's OUTGOING weights — w_e is
+    // scored by epoch e+1's incoming count; the last needs one extra
+    // pass. Ship the best (ties to the earliest epoch): the batch
+    // perceptron oscillates on non-separable data, so "which weights
+    // do you deploy" is part of the trainer's answer.
+    val (_, lastTrainErr) = errCount(train, w)
+    val trainErrOf: Map[Long, Long] =
+      epochs.sliding(2).collect { case Seq(a, b) => a._1 -> b._3 }.toMap +
+        (epochs.last._1 -> lastTrainErr)
+    val pocketEpoch = epochs.map(e => (trainErrOf(e._1), e._1)).min._2
+    val pe = epochs(pocketEpoch.toInt - 1)
+    val rows = epochs.map { case (epoch, nTrain, nMiscl, nTest, nTestErr, wE) =>
+      (epoch, nTrain, nMiscl, nMiscl * 1000L / nTrain,
+        nTestErr * 1000L / nTest, wE.map(math.abs).sum)
+    } :+ ((-1L, pe._2, trainErrOf(pocketEpoch),
+      trainErrOf(pocketEpoch) * 1000L / pe._2,
+      pe._5 * 1000L / pe._4, pe._6.map(math.abs).sum))
+    rows.toDF("epoch", "n_train", "n_miscl", "train_err_permille",
+      "test_err_permille", "w_l1")
+      .orderBy($"epoch")
+  }
+
   /** Token counting: whitespace tokens + BPE-ish regex token estimate. */
   private def q28(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -213,6 +307,71 @@ object TextOps {
         round(size(array_distinct($"toks")).cast("double") / $"n_tokens", 4).as("ttr"),
         ($"n_tokens" >= 20 && $"n_tokens" <= 1000).as("keep"))
       .orderBy($"doc_id")
+  }
+
+  /** Weak-labeler AGREEMENT audit — the Snorkel-style QC step a
+    * label-model pipeline runs before trusting its labeling functions:
+    * three integer quality labelers (A: the Gopher word-count gate
+    * 20 ≤ n_tok ≤ 1000; B: stopword density n_stop·25 ≥ n_tok — the
+    * q29 ratio cross-multiplied exact; C: lexical diversity
+    * n_distinct·2 ≥ n_tok) vote on every document, and each PAIR of
+    * labelers is scored per source and overall with raw agreement and
+    * COHEN'S KAPPA — agreement corrected for chance, the statistic
+    * that exposes two labelers that "agree" only because both mostly
+    * say yes. Kappa is computed as one exact integer rational:
+    * κ = (n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0)),
+    * permille-scaled with explicit sign handling (sign · (1000·|num|
+    * div den)) so the truncation direction is engine-independent; a
+    * degenerate pair (den = 0 — both marginals constant) reports 0.
+    *
+    * Scale: labels are ONE map pass (three integer tests per doc, no
+    * joins); the contingency table folds map-side to
+    * (3 pairs × sources) rows of four counters each — the only
+    * exchange. Nothing scales with corpus size but the scan.
+    */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lab = docs(s, d)
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .withColumn("n_stop",
+        size(expr("filter(toks, t -> t IN ('a', 'the', 'of', 'and', 'to'))"))
+          .cast("long"))
+      .withColumn("n_dist", size(array_distinct($"toks")).cast("long"))
+      .select($"doc_id", $"source",
+        ($"n_tok" >= 20L && $"n_tok" <= 1000L).cast("long").as("la"),
+        ($"n_stop" * 25L >= $"n_tok").cast("long").as("lb"),
+        ($"n_dist" * 2L >= $"n_tok").cast("long").as("lc"))
+    val pairs = lab.select($"source", lit("A_B").as("pair"),
+        $"la".as("x"), $"lb".as("y"))
+      .unionByName(lab.select($"source", lit("A_C").as("pair"),
+        $"la".as("x"), $"lc".as("y")))
+      .unionByName(lab.select($"source", lit("B_C").as("pair"),
+        $"lb".as("x"), $"lc".as("y")))
+    def kappaCols(g: DataFrame): DataFrame = g
+      .withColumn("n_agree", $"n11" + $"n00")
+      .withColumn("pe_num",
+        ($"n11" + $"n10") * ($"n11" + $"n01") +
+          ($"n00" + $"n01") * ($"n00" + $"n10"))
+      .withColumn("num", $"n" * $"n_agree" - $"pe_num")
+      .withColumn("den", $"n" * $"n" - $"pe_num")
+      .select($"pair", $"source", $"n", $"n_agree",
+        expr("n_agree * 1000 div n").as("agree_permille"),
+        when($"den" === 0L, 0L).otherwise(
+          (when($"num" < 0L, -1L).when($"num" > 0L, 1L).otherwise(0L)) *
+            expr("(1000 * abs(num)) div den")).as("kappa_permille"))
+    val cells = pairs.groupBy($"pair", $"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"x" === 1L && $"y" === 1L, 1L).otherwise(0L)).as("n11"),
+        sum(when($"x" === 0L && $"y" === 0L, 1L).otherwise(0L)).as("n00"),
+        sum(when($"x" === 1L && $"y" === 0L, 1L).otherwise(0L)).as("n10"),
+        sum(when($"x" === 0L && $"y" === 1L, 1L).otherwise(0L)).as("n01"))
+      .localCheckpoint(true)
+    val overall = cells.groupBy($"pair")
+      .agg(sum($"n").as("n"), sum($"n11").as("n11"), sum($"n00").as("n00"),
+        sum($"n10").as("n10"), sum($"n01").as("n01"))
+      .withColumn("source", lit("__all__"))
+    kappaCols(cells.unionByName(overall.select(cells.columns.map(col).toSeq: _*)))
+      .orderBy($"pair", $"source")
   }
 
   /** Per-language corpus stats. */
@@ -2513,6 +2672,142 @@ object TextOps {
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q193_labeler_agreement" ->
+      """WITH base AS (
+           SELECT doc_id, source,
+             string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         lab AS (
+           SELECT doc_id, source,
+             CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS la,
+             CASE WHEN len(list_filter(toks,
+               t -> t IN ('a', 'the', 'of', 'and', 'to'))) * 25 >= len(toks)
+               THEN 1 ELSE 0 END AS lb,
+             CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+               THEN 1 ELSE 0 END AS lc
+           FROM base),
+         pairs AS (
+           SELECT source, 'A_B' AS pair, la AS x, lb AS y FROM lab
+           UNION ALL
+           SELECT source, 'A_C', la, lc FROM lab
+           UNION ALL
+           SELECT source, 'B_C', lb, lc FROM lab),
+         cells AS (
+           SELECT pair, source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+             CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01
+           FROM pairs GROUP BY 1, 2),
+         allcells AS (
+           SELECT * FROM cells
+           UNION ALL
+           SELECT pair, '__all__' AS source, CAST(sum(n) AS BIGINT),
+             CAST(sum(n11) AS BIGINT), CAST(sum(n00) AS BIGINT),
+             CAST(sum(n10) AS BIGINT), CAST(sum(n01) AS BIGINT)
+           FROM cells GROUP BY 1),
+         k AS (
+           SELECT pair, source, n, n11 + n00 AS n_agree,
+             (n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10) AS pe_num
+           FROM allcells)
+         SELECT pair, source, n, CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(n_agree * 1000 // n AS BIGINT) AS agree_permille,
+           CAST(CASE WHEN n * n - pe_num = 0 THEN 0
+             ELSE CASE WHEN n * n_agree - pe_num < 0 THEN -1 ELSE
+               CASE WHEN n * n_agree - pe_num > 0 THEN 1 ELSE 0 END END
+               * ((1000 * abs(n * n_agree - pe_num)) // (n * n - pe_num))
+             END AS BIGINT) AS kappa_permille
+         FROM k ORDER BY pair, source""",
+    "q192_quality_train" ->
+      """WITH tk AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         sf AS (
+           SELECT doc_id, any_value(y) AS y,
+             CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 32 AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY doc_id, dim),
+         f AS MATERIALIZED (
+           SELECT * FROM sf
+           UNION ALL
+           SELECT DISTINCT doc_id, y, CAST(32 AS BIGINT) AS dim, CAST(1 AS BIGINT) AS cnt FROM tk),
+         dims AS (SELECT unnest(generate_series(0, 32)) AS dim),
+         tr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 0),
+         te AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 = 0),
+         ntr AS (SELECT count(DISTINCT doc_id) AS n FROM tr),
+         nte AS (SELECT count(DISTINCT doc_id) AS n FROM te),
+         w1 AS MATERIALIZED (
+           SELECT d.dim, COALESCE(CAST(sum(tr.y * tr.cnt) AS BIGINT), 0) AS w
+           FROM dims d LEFT JOIN tr ON tr.dim = d.dim GROUP BY 1),
+         t1 AS (
+           SELECT count(*) AS n_err FROM (
+             SELECT te.doc_id, any_value(te.y) AS y, CAST(sum(te.cnt * w1.w) AS BIGINT) AS dot
+             FROM te JOIN w1 ON w1.dim = te.dim GROUP BY 1) WHERE y * dot <= 0),
+         m2 AS MATERIALIZED (
+           SELECT tr.doc_id, any_value(tr.y) AS y, CAST(sum(tr.cnt * w1.w) AS BIGINT) AS dot
+           FROM tr JOIN w1 ON w1.dim = tr.dim GROUP BY 1),
+         mis2 AS MATERIALIZED (SELECT doc_id FROM m2 WHERE y * dot <= 0),
+         d2 AS (SELECT t.dim, CAST(sum(t.y * t.cnt) AS BIGINT) AS dw
+                FROM tr t JOIN mis2 m ON m.doc_id = t.doc_id GROUP BY 1),
+         w2 AS MATERIALIZED (
+           SELECT w1.dim, w1.w + COALESCE(d2.dw, 0) AS w
+           FROM w1 LEFT JOIN d2 ON d2.dim = w1.dim),
+         t2 AS (
+           SELECT count(*) AS n_err FROM (
+             SELECT te.doc_id, any_value(te.y) AS y, CAST(sum(te.cnt * w2.w) AS BIGINT) AS dot
+             FROM te JOIN w2 ON w2.dim = te.dim GROUP BY 1) WHERE y * dot <= 0),
+         m3 AS MATERIALIZED (
+           SELECT tr.doc_id, any_value(tr.y) AS y, CAST(sum(tr.cnt * w2.w) AS BIGINT) AS dot
+           FROM tr JOIN w2 ON w2.dim = tr.dim GROUP BY 1),
+         mis3 AS MATERIALIZED (SELECT doc_id FROM m3 WHERE y * dot <= 0),
+         d3 AS (SELECT t.dim, CAST(sum(t.y * t.cnt) AS BIGINT) AS dw
+                FROM tr t JOIN mis3 m ON m.doc_id = t.doc_id GROUP BY 1),
+         w3 AS MATERIALIZED (
+           SELECT w2.dim, w2.w + COALESCE(d3.dw, 0) AS w
+           FROM w2 LEFT JOIN d3 ON d3.dim = w2.dim),
+         t3 AS (
+           SELECT count(*) AS n_err FROM (
+             SELECT te.doc_id, any_value(te.y) AS y, CAST(sum(te.cnt * w3.w) AS BIGINT) AS dot
+             FROM te JOIN w3 ON w3.dim = te.dim GROUP BY 1) WHERE y * dot <= 0),
+         m4 AS (
+           SELECT tr.doc_id, any_value(tr.y) AS y, CAST(sum(tr.cnt * w3.w) AS BIGINT) AS dot
+           FROM tr JOIN w3 ON w3.dim = tr.dim GROUP BY 1),
+         mis4n AS (SELECT count(*) AS n FROM m4 WHERE y * dot <= 0),
+         summary AS MATERIALIZED (
+           SELECT 1 AS t, (SELECT count(*) FROM mis2) AS trainerr,
+             (SELECT n_err FROM t1) AS testerr,
+             (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w1) AS l1
+           UNION ALL
+           SELECT 2, (SELECT count(*) FROM mis3), (SELECT n_err FROM t2),
+             (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w2)
+           UNION ALL
+           SELECT 3, (SELECT n FROM mis4n), (SELECT n_err FROM t3),
+             (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w3)),
+         pocket AS (SELECT * FROM summary ORDER BY trainerr, t LIMIT 1)
+         SELECT * FROM (
+           SELECT CAST(-1 AS BIGINT) AS epoch, (SELECT n FROM ntr) AS n_train,
+             CAST(p.trainerr AS BIGINT) AS n_miscl,
+             CAST(p.trainerr * 1000 // (SELECT n FROM ntr) AS BIGINT) AS train_err_permille,
+             CAST(p.testerr * 1000 // (SELECT n FROM nte) AS BIGINT) AS test_err_permille,
+             CAST(p.l1 AS BIGINT) AS w_l1
+           FROM pocket p
+           UNION ALL
+           SELECT CAST(1 AS BIGINT), (SELECT n FROM ntr), (SELECT n FROM ntr),
+             CAST(1000 AS BIGINT),
+             CAST((SELECT n_err FROM t1) * 1000 // (SELECT n FROM nte) AS BIGINT),
+             (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w1)
+           UNION ALL
+           SELECT 2, (SELECT n FROM ntr), (SELECT count(*) FROM mis2),
+             CAST((SELECT count(*) FROM mis2) * 1000 // (SELECT n FROM ntr) AS BIGINT),
+             CAST((SELECT n_err FROM t2) * 1000 // (SELECT n FROM nte) AS BIGINT),
+             (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w2)
+           UNION ALL
+           SELECT 3, (SELECT n FROM ntr), (SELECT count(*) FROM mis3),
+             CAST((SELECT count(*) FROM mis3) * 1000 // (SELECT n FROM ntr) AS BIGINT),
+             CAST((SELECT n_err FROM t3) * 1000 // (SELECT n FROM nte) AS BIGINT),
+             (SELECT CAST(sum(abs(w)) AS BIGINT) FROM w3))
+         ORDER BY epoch""",
     "q98_feature_hashing" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok

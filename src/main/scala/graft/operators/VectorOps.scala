@@ -42,7 +42,8 @@ object VectorOps {
     "q171_semdedup_lloyd" -> ((s, d) => q171(s, d)),
     "q174_embedding_drift" -> ((s, d) => q174(s, d)),
     "q181_semdedup_capped" -> ((s, d) => q181(s, d)),
-    "q187_semantic_decontam" -> ((s, d) => q187(s, d))
+    "q187_semantic_decontam" -> ((s, d) => q187(s, d)),
+    "q191_binary_sign_ann" -> ((s, d) => q191(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -774,6 +775,116 @@ object VectorOps {
         (lit(P - 1L) - expr(s"p % $P")).as("best_train"),
         $"n_above")
       .orderBy($"eval_id")
+  }
+
+  /** Sign-bit packed binary codes (vec_id, w0, w1) — the 1-bit-per-
+    * dimension quantization of the lifted corpus: bit i is set iff
+    * qv[i] > 0, dims 0–31 pack into w0 and 32–63 into w1 (two 32-bit
+    * words, so no engine ever shifts into an int64 sign bit). One
+    * codegen'd map pass; 16 logical bytes per vector vs 256 for the
+    * float32 row — the 16× footprint cut that makes the Hamming scan
+    * an in-cache pass at corpus scale.
+    */
+  private[graft] def binaryCodes(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    emb.select($"vec_id", $"qv",
+      expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+               (acc, i) -> acc + IF(qv[i] > 0,
+                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
+        .as("w0"),
+      expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+               (acc, i) -> acc + IF(qv[i + 32] > 0,
+                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
+        .as("w1"))
+  }
+
+  /** Binary (sign-bit) quantization ANN — the fourth compression tier
+    * of the serving matrix (float32 q37 / int8 q132 / PQ q90-q159 /
+    * 1-bit here): each 64-dim vector becomes a 64-bit sign code, the
+    * candidate stage ranks the corpus by HAMMING distance to the query
+    * code (`bit_count(xor)` — the cheapest distance that exists), and
+    * a refine stage re-ranks only the 20-deep shortlist with the exact
+    * integer L2. The report scores BOTH stages against the shared
+    * exact top-5 ([[exactTop]] "full"): per query and overall,
+    * recall@5 of the raw Hamming top-5 beside recall@5 of the
+    * re-ranked shortlist — the measured case for why binary serving
+    * always ships with a refine pass. Everything is integer-exact
+    * cross-engine: the sign test runs in the lifted space, codes are
+    * disjoint bit sums, Hamming is int, and both rankings use total
+    * (score, neighbor) orders.
+    *
+    * Scale: codes are ONE map pass and 16 bytes/vector — at 1B vectors
+    * the whole binary tier is 16 GB spread across executors, scanned
+    * with two xor+popcount ops per candidate (SIMD-friendly, stays in
+    * whole-stage codegen). The query side broadcasts (codes + lifted
+    * vectors, KB-scale); the corpus×queries Hamming pairs fold
+    * MAP-SIDE to 20 rows per query through the bounded top-k
+    * aggregator, so the only exchanges carry |queries|·20 rows. The
+    * refine join brings back full vectors for shortlist ids only
+    * (broadcast semi-probe, never a corpus shuffle). Composes with IVF
+    * routing (q40) when even the linear bit-scan is too much — this
+    * entry measures the tier itself.
+    */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val codes = binaryCodes(emb)
+    val queries = codes.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    // Hamming shortlist: corpus × queries folds map-side to 20/query.
+    // score = -(ham·2^40 + neighbor) makes the aggregator's (score
+    // desc, id asc) order the exact (ham asc, neighbor asc) total
+    // order even past k ties (neighbor ids stay < 2^40 — the MakeBigSf
+    // sf10 corpus reaches ~10^9 — and 64·2^40 + 2^40 < 2^53 keeps the
+    // double carry exact).
+    val shortlist = codes.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id",
+        $"vec_id".as("neighbor"),
+        (expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS BIGINT)"))
+          .as("ham"))
+      .groupBy($"query_id")
+      .agg(graft.functions.BoundedAggs.topScored(
+        -($"ham" * 1099511627776L + $"neighbor").cast("double"),
+        $"neighbor", lit(true), 20).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("neighbor"),
+        ($"pos" + 1).cast("long").as("srank"))
+      .localCheckpoint(true)
+    // refine: exact integer L2 over the shortlist rows only
+    val refined = shortlist
+      .join(emb.withColumnRenamed("vec_id", "neighbor"), "neighbor")
+      .join(broadcast(queries.select($"query_id", $"q_qv")), "query_id")
+      .select($"query_id", $"neighbor", $"srank",
+        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+      .withColumn("rrank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dist", $"neighbor"))
+        .cast("long"))
+    val ex = exactTop(s, d, "full").filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
+    val hamTop5 = shortlist.filter($"srank" <= 5)
+      .join(ex, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_ham"))
+    val refTop5 = refined.filter($"rrank" <= 5)
+      .join(ex, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_refined"))
+    val per = queries.select($"query_id")
+      .join(hamTop5, Seq("query_id"), "left")
+      .join(refTop5, Seq("query_id"), "left")
+      .select($"query_id", lit(5L).as("k"),
+        coalesce($"n_ham", lit(0L)).as("n_ham"),
+        coalesce($"n_refined", lit(0L)).as("n_refined"))
+    val overall = per.groupBy()
+      .agg(sum($"k").as("k"), sum($"n_ham").as("n_ham"),
+        sum($"n_refined").as("n_refined"))
+      .select(lit(-1L).as("query_id"), $"k", $"n_ham", $"n_refined")
+    per.unionByName(overall)
+      .select($"query_id", $"k", $"n_ham", $"n_refined",
+        expr("n_ham * 1000 div k").as("recall_ham_permille"),
+        expr("n_refined * 1000 div k").as("recall_ref_permille"))
+      .orderBy($"query_id")
   }
 
   /** SemDeDup over the CONVERGED coarse quantizer — the semantic member
@@ -1610,6 +1721,88 @@ object VectorOps {
          FROM stot st JOIN tvd t USING (slice) ORDER BY slice"""
 
   def oracles: Map[String, String] = Map(
+    "q191_binary_sign_ann" ->
+      """WITH m AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+             AS qv
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, qv,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+               i -> CASE WHEN qv[i + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << i)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+               i -> CASE WHEN qv[i + 33] > 0
+                 THEN (CAST(1 AS BIGINT) << i)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+           FROM m),
+         qs AS (SELECT vec_id AS query_id, qv, w0, w1
+                FROM c WHERE vec_id % 100 = 0),
+         h AS (
+           SELECT q.query_id, c.vec_id AS neighbor,
+             CAST(bit_count(xor(c.w0, q.w0))
+                + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS ham
+           FROM c, qs q WHERE c.vec_id <> q.query_id),
+         sl AS (
+           SELECT query_id, neighbor, ham,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ham, neighbor) AS srank
+           FROM h),
+         s20 AS (SELECT * FROM sl WHERE srank <= 20),
+         rf AS (
+           SELECT s.query_id, s.neighbor,
+             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+           FROM s20 s
+           JOIN m mc ON mc.vec_id = s.neighbor
+           JOIN m mq ON mq.vec_id = s.query_id),
+         rr AS (
+           SELECT query_id, neighbor,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS rrank
+           FROM rf),
+         exd AS (
+           SELECT mq.vec_id AS query_id, mc.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+           FROM m mc, m mq
+           WHERE mq.vec_id % 100 = 0 AND mc.vec_id <> mq.vec_id),
+         ex AS (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS r
+             FROM exd) WHERE r <= 5),
+         nh AS (
+           SELECT s.query_id, count(*) AS n_ham
+           FROM s20 s JOIN ex e
+             ON e.query_id = s.query_id AND e.neighbor = s.neighbor
+           WHERE s.srank <= 5 GROUP BY 1),
+         nr AS (
+           SELECT r.query_id, count(*) AS n_refined
+           FROM rr r JOIN ex e
+             ON e.query_id = r.query_id AND e.neighbor = r.neighbor
+           WHERE r.rrank <= 5 GROUP BY 1),
+         per AS (
+           SELECT q.query_id, CAST(5 AS BIGINT) AS k,
+             CAST(coalesce(nh.n_ham, 0) AS BIGINT) AS n_ham,
+             CAST(coalesce(nr.n_refined, 0) AS BIGINT) AS n_refined
+           FROM qs q
+           LEFT JOIN nh ON nh.query_id = q.query_id
+           LEFT JOIN nr ON nr.query_id = q.query_id),
+         al AS (
+           SELECT CAST(-1 AS BIGINT) AS query_id,
+             CAST(sum(k) AS BIGINT) AS k,
+             CAST(sum(n_ham) AS BIGINT) AS n_ham,
+             CAST(sum(n_refined) AS BIGINT) AS n_refined
+           FROM per)
+         SELECT query_id, k, n_ham, n_refined,
+           CAST(n_ham * 1000 // k AS BIGINT) AS recall_ham_permille,
+           CAST(n_refined * 1000 // k AS BIGINT) AS recall_ref_permille
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
+         ORDER BY query_id""",
     "q149_kmeans_convergence" -> q149OracleSql,
     "q147_ivf_learned" -> q147OracleSql,
     "q171_semdedup_lloyd" -> q171OracleSql,

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.TextOps
+
+/** q192 in-engine perceptron training: full driver-side replay of the
+  * batch-perceptron epochs (features, margins, updates, pocket pick)
+  * in straight-line Scala against the engine's report.
+  */
+class QualityTrainSpec extends SparkSpec {
+
+  private def md5Bucket(tok: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 32).toInt
+  }
+
+  private def reference(d: String): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+", -1)
+        val x = Array.fill(33)(0L)
+        toks.foreach(t => x(md5Bucket(t)) += 1L)
+        x(32) = 1L
+        (r.getLong(0), if (r.getString(2) == "en") 1L else -1L, x)
+      }
+    val train = docs.filter(_._1 % 5 != 0)
+    val test = docs.filter(_._1 % 5 == 0)
+    def dot(w: Array[Long], x: Array[Long]): Long =
+      w.indices.map(i => w(i) * x(i)).sum
+    def errs(pop: Array[(Long, Long, Array[Long])], w: Array[Long]): Long =
+      pop.count { case (_, y, x) => y * dot(w, x) <= 0 }.toLong
+    var w = Array.fill(33)(0L)
+    val snaps = (1 to 3).map { e =>
+      val mis = train.filter { case (_, y, x) => y * dot(w, x) <= 0 }
+      val nMiscl = mis.length.toLong
+      val delta = Array.fill(33)(0L)
+      mis.foreach { case (_, y, x) =>
+        x.indices.foreach(i => delta(i) += y * x(i)) }
+      w = w.indices.map(i => w(i) + delta(i)).toArray
+      (e.toLong, nMiscl, errs(test, w), w)
+    }
+    val trainErrOf = snaps.map { case (e, _, _, wE) => e -> errs(train, wE) }.toMap
+    val pocket = snaps.map { case (e, _, _, _) => (trainErrOf(e), e) }.min._2
+    val p = snaps(pocket.toInt - 1)
+    val nTr = train.length.toLong; val nTe = test.length.toLong
+    val rows = snaps.map { case (e, nm, te, wE) =>
+      (e, nTr, nm, nm * 1000L / nTr, te * 1000L / nTe, wE.map(math.abs).sum)
+    }
+    ((-1L, nTr, trainErrOf(pocket), trainErrOf(pocket) * 1000L / nTr,
+      p._3 * 1000L / nTe, p._4.map(math.abs).sum)) +: rows
+  }
+
+  test("q192 matches a driver-side perceptron replay on driver data") {
+    val got = TextOps.defs("q192_quality_train")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    val want = reference(sfDir).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("epoch 1 misclassifies everything and the pocket is the argmin") {
+    val rows = TextOps.defs("q192_quality_train")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5)))).toMap
+    assert(rows(1L)._1 == TextOps.defs("q192_quality_train")(spark, sfDir)
+      .collect().find(_.getLong(0) == 1L).get.getLong(1)) // n_miscl == n_train
+    // the pocket row's weights checksum matches one of the epochs
+    assert(Seq(1L, 2L, 3L).map(rows).map(_._2).contains(rows(-1L)._2))
+  }
+}
