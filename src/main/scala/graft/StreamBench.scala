@@ -184,6 +184,14 @@ object StreamBench {
     val knn = rate("knn_qps", queries, math.max(1, batchSize / 20))(in =>
       StreamOps.knnStream(in.toDS(), index, k = 10).toDF())
 
+    // Binary-quantized serving (queries/s): the same scan over 64-bit
+    // sign codes (two xor+popcount per candidate) with a 64-deep exact
+    // re-rank — the q191 two-stage plan as a stream; read beside
+    // knn_qps for the bandwidth cut the 16-byte tier buys.
+    val binary = rate("binary_qps", queries, math.max(1, batchSize / 20))(in =>
+      StreamOps.binaryAnnStream(in.toDS(), index, shortlist = 64,
+        k = 10).toDF())
+
     // Stored-index vector serving (queries/s): the same query stream
     // served from a PERSISTED IVF store (manifest re-opened per trigger,
     // probe-pruned posting scan) — the foreachBatch serving tier, so the
@@ -512,8 +520,8 @@ object StreamBench {
       "semdedup_vps" -> vps
     }
 
-    Seq(q5, q11, ingest, neardup, hh, funnel, knn, knnStore, pqStore, cdc,
-      attrib, curation, release, decontam, wmDetect, dsir, incr, pack,
+    Seq(q5, q11, ingest, neardup, hh, funnel, knn, binary, knnStore, pqStore,
+      cdc, attrib, curation, release, decontam, wmDetect, dsir, incr, pack,
       drift, maxsim, hybrid, semdedup)
   }
 

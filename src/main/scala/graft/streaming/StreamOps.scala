@@ -1333,6 +1333,96 @@ object StreamOps {
     }
   }
 
+  /** Streaming BINARY-QUANTIZED vector serving — [[knnStream]]'s scan
+    * with the q191 two-stage plan: the broadcast index is packed ONCE
+    * at construction into 64-bit sign codes (16 logical bytes per
+    * entry), each query Hamming-scans the codes (two xor+popcount per
+    * candidate) into a bounded (ham, id)-ordered shortlist, and only
+    * the shortlist is re-ranked with the exact integer L2. With
+    * `shortlist >= index size` the refine pass IS the exact scan, so
+    * the stream is bit-equal to [[knnStream]] — the spec pins that —
+    * and the shortlist knob trades recall for a memory-bandwidth cut
+    * measured by the StreamBench binary_qps row next to knn_qps.
+    * Per-event work is stateless (no keyed state, any batching), and a
+    * dimension-mismatched query emits the same rank -1 sentinel as
+    * [[knnStream]]. Dimensions past 64 would need more code words —
+    * construction fails loudly rather than silently truncating.
+    */
+  def binaryAnnStream(qs: Dataset[VecEvent],
+      index: Array[(Long, Array[Long])], shortlist: Int,
+      k: Int): Dataset[KnnMatch] = {
+    import qs.sparkSession.implicits._
+    val dims = index.map(_._2.length).distinct
+    require(dims.length <= 1,
+      s"binaryAnnStream index has mixed dimensions: ${dims.sorted.mkString(",")}")
+    require(dims.headOption.forall(_ <= 64),
+      s"binaryAnnStream packs sign bits into one 64-bit code pair; dim ${dims.head} > 64")
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val indexDim = dims.headOption.getOrElse(0)
+    def pack(v: Array[Long]): (Long, Long) = {
+      var w0 = 0L; var w1 = 0L; var i = 0
+      while (i < v.length) {
+        if (v(i) > 0) { if (i < 32) w0 |= 1L << i else w1 |= 1L << (i - 32) }
+        i += 1
+      }
+      (w0, w1)
+    }
+    val packed: Array[(Long, Long, Long, Array[Long])] = index.map {
+      case (id, v) => val (w0, w1) = pack(v); (id, w0, w1, v)
+    }
+    val bIndex = qs.sparkSession.sparkContext.broadcast(packed)
+    qs.flatMap { q =>
+      if (q.qv.length != indexDim)
+        Iterator.single(KnnMatch(q.qid, -1, -1L, -1L))
+      else {
+        val idx = bIndex.value
+        val (qw0, qw1) = pack(q.qv)
+        // stage 1: bounded (ham, id) shortlist over the packed codes
+        val short =
+          new scala.collection.mutable.ArrayBuffer[(Long, Int)](shortlist + 1)
+        var p = 0
+        while (p < idx.length) {
+          val e = idx(p)
+          val ham = (java.lang.Long.bitCount(e._2 ^ qw0)
+            + java.lang.Long.bitCount(e._3 ^ qw1)).toLong
+          val beatsWorst = short.lastOption.exists { case (bh, bp) =>
+            ham < bh || (ham == bh && e._1 < idx(bp)._1)
+          }
+          if (short.size < shortlist || beatsWorst) {
+            val at = short.indexWhere { case (bh, bp) =>
+              ham < bh || (ham == bh && e._1 < idx(bp)._1)
+            }
+            short.insert(if (at < 0) short.size else at, (ham, p))
+            if (short.size > shortlist) short.remove(shortlist)
+          }
+          p += 1
+        }
+        // stage 2: exact integer L2 re-rank of the shortlist only
+        val top = new scala.collection.mutable.ArrayBuffer[(Long, Long)](k + 1)
+        short.foreach { case (_, pos) =>
+          val e = idx(pos)
+          var dist = 0L; var i = 0
+          while (i < e._4.length) {
+            val d = q.qv(i) - e._4(i); dist += d * d; i += 1
+          }
+          val beatsWorst = top.lastOption.exists { case (bd, bid) =>
+            dist < bd || (dist == bd && e._1 < bid)
+          }
+          if (top.size < k || beatsWorst) {
+            val at = top.indexWhere { case (bd, bid) =>
+              dist < bd || (dist == bd && e._1 < bid)
+            }
+            top.insert(if (at < 0) top.size else at, (dist, e._1))
+            if (top.size > k) top.remove(k)
+          }
+        }
+        top.iterator.zipWithIndex.map { case ((dist, id), r) =>
+          KnnMatch(q.qid, r + 1, id, dist)
+        }
+      }
+    }
+  }
+
   /** Streaming top-k vector serving from the PERSISTED index — the tier
     * [[knnStream]] approximates with a broadcast in-memory array: each
     * micro-batch of queries runs [[graft.operators.IvfIndex.serve]]
