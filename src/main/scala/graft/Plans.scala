@@ -83,7 +83,11 @@ object Plans {
     "q186_watermark_detect" -> "watermark z-test: ONE codegen'd map pass (inline per-transition hash, no explode), text never shuffles, per-source rollup is the only exchange",
     "q187_semantic_decontam" -> "semantic decontamination: broadcast eval vectors (BNLJ = the q37 class), per-eval argmax via an order-free packed max aggregate — map-side partials collapse to |eval| rows before the single exchange",
     "q188_release_diff" -> "release diff: both budget tails over ONE shared dedup/quality head (checkpointed), diff joins carry (doc_id, lang, n_clean) triples only — fixed-width, release-sized, language-cardinality rollups",
-    "q189_incremental_release" -> "incremental release: the corpus-scale old-window digest joins shuffle-keyed on the 16-hex hash (NOT broadcast — the q136 exchange class; production scans the release's materialized digest instead of deriving it), everything downstream is batch-sized")
+    "q189_incremental_release" -> "incremental release: the corpus-scale old-window digest joins shuffle-keyed on the 16-hex hash (NOT broadcast — the q136 exchange class; production scans the release's materialized digest instead of deriving it), everything downstream is batch-sized",
+    "q191_binary_sign_ann" -> "binary-sign ANN: one map pass packs 64-bit codes; the Hamming scan folds corpus×queries to 20 rows/query MAP-SIDE via the bounded top-k aggregator; the refine join brings back full vectors for shortlist ids only",
+    "q192_quality_train" -> "perceptron trainer: feature build is one scan to a dense 33-long array per doc; each epoch is a codegen'd map (weights inlined as an array literal) + a VecSum partial aggregate — driver state 33 longs, the Lloyd loop posture",
+    "q193_labeler_agreement" -> "labeler kappa: three integer label tests in one scan, contingency cells partial-aggregate to (pair × source) rows — the only exchange is labeler-pair × source cardinality",
+    "q194_preference_pairs" -> "preference pairs: both rank directions compile to WindowGroupLimit (partitions pre-prune to local top-4 before the per-language exchange); the pair join matches 4 rows per language")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
