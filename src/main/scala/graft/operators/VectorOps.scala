@@ -43,7 +43,8 @@ object VectorOps {
     "q174_embedding_drift" -> ((s, d) => q174(s, d)),
     "q181_semdedup_capped" -> ((s, d) => q181(s, d)),
     "q187_semantic_decontam" -> ((s, d) => q187(s, d)),
-    "q191_binary_sign_ann" -> ((s, d) => q191(s, d))
+    "q191_binary_sign_ann" -> ((s, d) => q191(s, d)),
+    "q195_binary_store" -> ((s, d) => q195(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -826,20 +827,23 @@ object VectorOps {
     * routing (q40) when even the linear bit-scan is too much — this
     * entry measures the tier itself.
     */
-  private def q191(s: SparkSession, d: String): DataFrame = {
+  /** Stage 1 of the binary tier: Hamming shortlist of `width` per
+    * query over packed codes (vec_id, w0, w1) × queries (query_id,
+    * qw0, qw1). The corpus × queries pairs fold map-side to `width`
+    * rows per query: score = -(ham·2^40 + neighbor) makes the
+    * aggregator's (score desc, id asc) order the exact (ham asc,
+    * neighbor asc) total order even past k ties (neighbor ids stay
+    * < 2^40 — the MakeBigSf sf10 corpus reaches ~10^9 — and
+    * 64·2^40 + 2^40 < 2^53 keeps the double carry exact).
+    * Checkpointed: every consumer (refine fetch, ham-recall join,
+    * the store's bucket collection) re-reads the small result.
+    */
+  private[graft] def hamShortlist(codes: DataFrame, queries: DataFrame,
+      width: Int): DataFrame = {
+    val s = codes.sparkSession
     import s.implicits._
-    val emb = quantized(s, d)
-    val codes = binaryCodes(emb)
-    val queries = codes.filter($"vec_id" % 100 === 0)
-      .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
-        $"w0".as("qw0"), $"w1".as("qw1"))
-    // Hamming shortlist: corpus × queries folds map-side to 20/query.
-    // score = -(ham·2^40 + neighbor) makes the aggregator's (score
-    // desc, id asc) order the exact (ham asc, neighbor asc) total
-    // order even past k ties (neighbor ids stay < 2^40 — the MakeBigSf
-    // sf10 corpus reaches ~10^9 — and 64·2^40 + 2^40 < 2^53 keeps the
-    // double carry exact).
-    val shortlist = codes.crossJoin(broadcast(queries))
+    codes.crossJoin(broadcast(
+        queries.select($"query_id", $"qw0", $"qw1")))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id",
         $"vec_id".as("neighbor"),
@@ -848,20 +852,41 @@ object VectorOps {
       .groupBy($"query_id")
       .agg(graft.functions.BoundedAggs.topScored(
         -($"ham" * 1099511627776L + $"neighbor").cast("double"),
-        $"neighbor", lit(true), 20).as("top"))
+        $"neighbor", lit(true), width).as("top"))
       .select($"query_id", posexplode($"top"))
       .select($"query_id", $"col.id".as("neighbor"),
         ($"pos" + 1).cast("long").as("srank"))
       .localCheckpoint(true)
-    // refine: exact integer L2 over the shortlist rows only
-    val refined = shortlist
-      .join(emb.withColumnRenamed("vec_id", "neighbor"), "neighbor")
+  }
+
+  /** Stage 2: exact integer L2 re-rank of the shortlist rows only —
+    * `vecs` (vec_id, qv) supplies full-precision vectors for exactly
+    * the shortlist ids (in-memory corpus for q191; the store's
+    * bucket-pruned vectors relation for q195).
+    */
+  private[graft] def refineRank(shortlist: DataFrame, vecs: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val s = shortlist.sparkSession
+    import s.implicits._
+    shortlist
+      .join(vecs.select($"vec_id".as("neighbor"), $"qv"), "neighbor")
       .join(broadcast(queries.select($"query_id", $"q_qv")), "query_id")
       .select($"query_id", $"neighbor", $"srank",
         graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
       .withColumn("rrank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"dist", $"neighbor"))
         .cast("long"))
+  }
+
+  /** The q191 report frame: recall@5 of the raw Hamming top-5 and of
+    * the refined top-5 against the shared exact ground truth, per
+    * query plus an overall row. Shared verbatim by q195 (store serve)
+    * so the stored tier hashes against q191's own oracle.
+    */
+  private[graft] def binaryRecallReport(s: SparkSession, d: String,
+      shortlist: DataFrame, refined: DataFrame,
+      queries: DataFrame): DataFrame = {
+    import s.implicits._
     val ex = exactTop(s, d, "full").filter($"rank" <= 5)
       .select($"query_id", $"neighbor")
     val hamTop5 = shortlist.filter($"srank" <= 5)
@@ -885,6 +910,42 @@ object VectorOps {
         expr("n_ham * 1000 div k").as("recall_ham_permille"),
         expr("n_refined * 1000 div k").as("recall_ref_permille"))
       .orderBy($"query_id")
+  }
+
+  private[graft] def binaryQueries(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    binaryCodes(emb.filter($"vec_id" % 100 === 0))
+      .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+  }
+
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val codes = binaryCodes(emb)
+    val queries = binaryQueries(emb)
+    val shortlist = hamShortlist(codes, queries, 20)
+    val refined = refineRank(shortlist, emb, queries)
+    binaryRecallReport(s, d, shortlist, refined, queries)
+  }
+
+  /** Binary tier SERVED FROM DISK — the q195 gate entry: build the
+    * [[BinaryStore]] (16-byte codes relation + id-bucketed
+    * full-precision vectors) from the corpus, run the identical
+    * two-stage serve against the STORED relations, and emit q191's
+    * recall report — hashed against q191's own oracle, so the store
+    * roundtrip (write, codes-only stage-1 scan, bucket-pruned refine
+    * fetch) is provably transparent.
+    */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_binary/q195"
+    val emb = quantized(s, d)
+    BinaryStore.build(emb, dir)
+    val queries = binaryQueries(emb)
+    val (shortlist, refined) = BinaryStore.serveStages(s, dir, queries, 20)
+    binaryRecallReport(s, d, shortlist, refined, queries)
   }
 
   /** SemDeDup over the CONVERGED coarse quantizer — the semantic member
@@ -1720,8 +1781,7 @@ object VectorOps {
            st.dsum // st.n_s AS mean_dist
          FROM stot st JOIN tvd t USING (slice) ORDER BY slice"""
 
-  def oracles: Map[String, String] = Map(
-    "q191_binary_sign_ann" ->
+  private val BinaryAnnOracleSql: String =
       """WITH m AS (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
@@ -1802,7 +1862,13 @@ object VectorOps {
            CAST(n_ham * 1000 // k AS BIGINT) AS recall_ham_permille,
            CAST(n_refined * 1000 // k AS BIGINT) AS recall_ref_permille
          FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
-         ORDER BY query_id""",
+         ORDER BY query_id"""
+
+  def oracles: Map[String, String] = Map(
+    "q191_binary_sign_ann" -> BinaryAnnOracleSql,
+    // the store entry IS q191's computation served from disk — same
+    // report, same oracle (the q182/q178 transparent-store discipline)
+    "q195_binary_store" -> BinaryAnnOracleSql,
     "q149_kmeans_convergence" -> q149OracleSql,
     "q147_ivf_learned" -> q147OracleSql,
     "q171_semdedup_lloyd" -> q171OracleSql,

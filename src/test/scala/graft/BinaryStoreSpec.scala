@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BinaryStore, VectorOps}
+
+/** q195 persisted binary tier: the stored serve must be row-identical
+  * to the in-memory q191 stages, the refine fetch must prune vector
+  * bucket directories, and stage 1 must read only the codes relation.
+  */
+class BinaryStoreSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_binstore").toString
+    BinaryStore.build(VectorOps.quantized(spark, sfDir), d)
+    d
+  }
+
+  test("store serve stages are row-identical to the in-memory plan") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val queries = VectorOps.binaryQueries(emb)
+    val codes = VectorOps.binaryCodes(emb)
+    val memShort = VectorOps.hamShortlist(codes, queries, 20)
+    val memRef = VectorOps.refineRank(memShort, emb, queries)
+    val (stShort, stRef) = BinaryStore.serveStages(spark, dir, queries, 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(stShort) == rows(memShort))
+    assert(rows(stRef.select($"query_id", $"neighbor", $"srank", $"dist",
+      $"rrank")) == rows(memRef.select($"query_id", $"neighbor", $"srank",
+      $"dist", $"rrank")))
+    // and the gate entry equals q191's report exactly
+    val q191 = VectorOps.defs("q191_binary_sign_ann")(spark, sfDir)
+    val q195 = VectorOps.defs("q195_binary_store")(spark, sfDir)
+    assert(rows(q195) == rows(q191))
+  }
+
+  test("a single-query serve prunes vector bucket directories") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val one = VectorOps.binaryQueries(emb).limit(1)
+    val (_, refined) = BinaryStore.serveStages(spark, dir, one, 20)
+    refined.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[(String, Long)] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.relation.location.rootPaths.head.toString ->
+          f.metrics("numFiles").value)
+      case other =>
+        other.children.flatMap(scans) ++
+          other.subqueries.flatMap(scans) ++
+          other.innerChildren.collect {
+            case sp: org.apache.spark.sql.execution.SparkPlan => sp
+          }.flatMap(scans)
+    }
+    val vecScans = scans(refined.queryExecution.executedPlan)
+      .filter(_._1.contains("vectors")).distinct
+    assert(vecScans.nonEmpty)
+    val scanned = vecScans.map(_._2).sum
+    // 20 shortlist ids touch at most 20 of the 64 bucket files
+    assert(scanned > 0 && scanned <= 20,
+      s"vector fetch read $scanned bucket files for one query")
+  }
+
+  test("serve returns the refined top-k in rank order") {
+    import spark.implicits._
+    val emb = VectorOps.quantized(spark, sfDir)
+    val queries = VectorOps.binaryQueries(emb)
+    val top = BinaryStore.serve(spark, dir, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    top.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // rank-1 of a corpus query is its own nearest non-self neighbor:
+    // dist must be the minimum over the refined candidates
+    val (_, refined) = BinaryStore.serveStages(spark, dir, queries, 20)
+    val best = refined.groupBy($"query_id").agg(min($"dist").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    BinaryStore.serve(spark, dir, queries, k = 1).collect().foreach { r =>
+      assert(r.getLong(3) == best(r.getLong(0)))
+    }
+  }
+}
