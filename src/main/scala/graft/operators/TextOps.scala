@@ -130,6 +130,9 @@ object TextOps {
     "q98_feature_hashing" -> ((s, d) => q98(s, d)),
     "q192_quality_train" -> ((s, d) => q192(s, d)),
     "q193_labeler_agreement" -> ((s, d) => q193(s, d)),
+    "q196_auc_exact" -> ((s, d) => q196(s, d)),
+    "q197_reliability_table" -> ((s, d) => q197(s, d)),
+    "q198_threshold_calibration" -> ((s, d) => q198(s, d)),
     "q109_unigram_surprisal" -> ((s, d) => q109(s, d)),
     "q111_inverted_index" -> ((s, d) => q111(s, d)),
     "q112_bm25_topk" -> ((s, d) => q112(s, d)),
@@ -372,6 +375,131 @@ object TextOps {
       .withColumn("source", lit("__all__"))
     kappaCols(cells.unionByName(overall.select(cells.columns.map(col).toSeq: _*)))
       .orderBy($"pair", $"source")
+  }
+
+  /** Shared eval frame for the q196–q198 model-evaluation suite: one
+    * scan producing an integer score (lexical diversity permille — any
+    * in-engine scorer slots in) and a binary reference label (the
+    * Gopher word-count gate) per document. Scorer and label are
+    * deliberately DIFFERENT signals: the suite measures how well one
+    * predicts the other, which is the shape of every filter-calibration
+    * question (does perplexity predict the rules? does the classifier
+    * predict human labels?).
+    */
+  private def evalFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .withColumn("n_tok", size($"toks").cast("long"))
+      .select($"doc_id", $"source",
+        expr("(CAST(size(array_distinct(toks)) AS BIGINT) * 1000) div n_tok")
+          .as("score"),
+        ($"n_tok" >= 20L && $"n_tok" <= 1000L).cast("long").as("y"))
+  }
+
+  /** EXACT integer AUC — the Mann-Whitney U with tie-averaged ranks,
+    * kept in integers end to end: collapse to per-(source, score)
+    * counts, one cumulative window gives each tie group its doubled
+    * average rank (2·avgrank = 2·C + c + 1 for a group of c starting
+    * after C rows), and AUC_permille = 1000·(2R₁ − n₁(n₁+1)) div
+    * (2·n₁·n₀). No sampling, no float rank statistics — the number a
+    * filter-calibration review actually wants, per source and overall
+    * (sources where either class is empty are reported with auc = -1,
+    * explicitly undefined rather than silently 500).
+    *
+    * Scale: ONE corpus scan collapses to (source × distinct score)
+    * rows — score is permille-valued, so ≤ 1001 per source — and
+    * everything after runs on that tiny relation. The overall row
+    * re-aggregates the same collapsed counts, not the corpus.
+    */
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cnt = evalFrame(s, d)
+      .groupBy($"source", $"score")
+      .agg(count(lit(1)).as("c"), sum($"y").as("c_pos"))
+      .localCheckpoint(true)
+    val all = cnt.groupBy($"score")
+      .agg(sum($"c").as("c"), sum($"c_pos").as("c_pos"))
+      .withColumn("source", lit("__all__"))
+      .select($"source", $"score", $"c", $"c_pos")
+    def auc(g: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"source").orderBy($"score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("cum", coalesce(sum($"c").over(w), lit(0L)))
+        .withColumn("r2_pos", $"c_pos" * ($"cum" * 2L + $"c" + 1L))
+        .groupBy($"source")
+        .agg(sum($"c").as("n"), sum($"c_pos").as("n_pos"),
+          sum($"r2_pos").as("r2"))
+        .withColumn("n_neg", $"n" - $"n_pos")
+        .select($"source", $"n", $"n_pos", $"n_neg",
+          when($"n_pos" === 0L || $"n_neg" === 0L, -1L).otherwise(
+            expr("(1000 * (r2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)"))
+            .as("auc_permille"))
+    }
+    auc(cnt).unionByName(auc(all)).orderBy($"source")
+  }
+
+  /** Reliability table — the calibration half of the eval suite: ten
+    * fixed score buckets (b = score·10 div 1001, exact on the 0..1000
+    * permille range), each reporting its observed positive rate beside
+    * its mean score. A monotone pos_rate column is what "the score is
+    * calibrated enough to threshold" looks like; q198 then picks the
+    * threshold. One scan, ten-row output, all integer.
+    */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    evalFrame(s, d)
+      .withColumn("bucket", expr("(score * 10) div 1001"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"y").as("n_pos"),
+        sum($"score").as("ssum"))
+      .select($"bucket", $"n", $"n_pos",
+        expr("(n_pos * 1000) div n").as("pos_rate_permille"),
+        expr("ssum div n").as("mean_score"))
+      .orderBy($"bucket")
+  }
+
+  /** Threshold calibration — the CCNet move (choose the per-language
+    * perplexity cap that keeps the bulk of good text) on the shared
+    * eval frame: per source, the smallest score cap t admitting ≥ 90%
+    * of label-1 documents (t = the ceil(0.9·n₁)-th smallest positive
+    * score — an exact order statistic via one rank window over the
+    * positives), reported with what the cap ADMITS: total kept,
+    * false admits (label-0 under the cap), and admitted precision.
+    * The deployment knob every scored filter ships with, stated as
+    * exact integers so both engines agree on the boundary document.
+    *
+    * Scale: positives rank inside WindowGroupLimit-prunable per-source
+    * windows only to the k-th element; the admit counts reuse the
+    * q196 collapsed (source × score) relation, so nothing after the
+    * scan is corpus-sized.
+    */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = evalFrame(s, d)
+    val ef = base
+      .unionByName(base.withColumn("source", lit("__all__")))
+      .localCheckpoint(true)
+    val nPos = ef.filter($"y" === 1L).groupBy($"source")
+      .agg(count(lit(1)).as("n_pos"))
+      .withColumn("k", expr("(9 * n_pos + 9) div 10"))
+    val t = ef.filter($"y" === 1L)
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"source").orderBy($"score", $"doc_id"))
+        .cast("long"))
+      .join(broadcast(nPos), "source")
+      .filter($"r" === $"k")
+      .select($"source", $"n_pos", $"k", $"score".as("threshold"))
+    ef.join(broadcast(t), "source")
+      .groupBy($"source", $"n_pos", $"k", $"threshold")
+      .agg(sum(when($"score" <= $"threshold", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"score" <= $"threshold" && $"y" === 0L, 1L).otherwise(0L))
+          .as("n_false_admit"))
+      .select($"source", $"n_pos", $"threshold", $"n_kept", $"n_false_admit",
+        expr("((n_kept - n_false_admit) * 1000) div n_kept")
+          .as("precision_permille"))
+      .orderBy($"source")
   }
 
   /** Per-language corpus stats. */
@@ -2672,6 +2800,88 @@ object TextOps {
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q196_auc_exact" ->
+      """WITH ef AS (
+           SELECT doc_id, source,
+             CAST(len(list_distinct(string_split_regex(text, '\s+'))) * 1000
+               // len(string_split_regex(text, '\s+')) AS BIGINT) AS score,
+             CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 20 AND 1000
+               THEN 1 ELSE 0 END AS y
+           FROM documents),
+         cnt AS (
+           SELECT source, score, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS c_pos
+           FROM ef GROUP BY 1, 2),
+         allc AS (
+           SELECT '__all__' AS source, score, CAST(sum(c) AS BIGINT) AS c,
+             CAST(sum(c_pos) AS BIGINT) AS c_pos
+           FROM cnt GROUP BY 2),
+         u AS (SELECT * FROM cnt UNION ALL SELECT * FROM allc),
+         w AS (
+           SELECT source, score, c, c_pos,
+             COALESCE(sum(c) OVER (PARTITION BY source ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM u),
+         a AS (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c_pos) AS BIGINT) AS n_pos,
+             CAST(sum(c_pos * (cum * 2 + c + 1)) AS BIGINT) AS r2
+           FROM w GROUP BY 1)
+         SELECT source, n, n_pos, n - n_pos AS n_neg,
+           CAST(CASE WHEN n_pos = 0 OR n - n_pos = 0 THEN -1
+             ELSE (1000 * (r2 - n_pos * (n_pos + 1)))
+               // (2 * n_pos * (n - n_pos)) END AS BIGINT) AS auc_permille
+         FROM a ORDER BY source""",
+    "q197_reliability_table" ->
+      """WITH ef AS (
+           SELECT doc_id, source,
+             CAST(len(list_distinct(string_split_regex(text, '\s+'))) * 1000
+               // len(string_split_regex(text, '\s+')) AS BIGINT) AS score,
+             CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 20 AND 1000
+               THEN 1 ELSE 0 END AS y
+           FROM documents)
+         SELECT CAST((score * 10) // 1001 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST((sum(y) * 1000) // count(*) AS BIGINT) AS pos_rate_permille,
+           CAST(sum(score) // count(*) AS BIGINT) AS mean_score
+         FROM ef GROUP BY 1 ORDER BY 1""",
+    "q198_threshold_calibration" ->
+      """WITH ef AS (
+           SELECT doc_id, source,
+             CAST(len(list_distinct(string_split_regex(text, '\s+'))) * 1000
+               // len(string_split_regex(text, '\s+')) AS BIGINT) AS score,
+             CASE WHEN len(string_split_regex(text, '\s+')) BETWEEN 20 AND 1000
+               THEN 1 ELSE 0 END AS y
+           FROM documents),
+         ef2 AS (
+           SELECT * FROM ef
+           UNION ALL
+           SELECT doc_id, '__all__' AS source, score, y FROM ef),
+         np AS (
+           SELECT source, CAST(count(*) AS BIGINT) AS n_pos,
+             CAST((9 * count(*) + 9) // 10 AS BIGINT) AS k
+           FROM ef2 WHERE y = 1 GROUP BY 1),
+         r AS (
+           SELECT source, score,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY score, doc_id) AS BIGINT) AS r
+           FROM ef2 WHERE y = 1),
+         t AS (
+           SELECT r.source, np.n_pos, np.k, r.score AS threshold
+           FROM r JOIN np ON np.source = r.source AND r.r = np.k)
+         SELECT t.source, t.n_pos, t.threshold,
+           CAST(sum(CASE WHEN ef.score <= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN ef.score <= t.threshold AND ef.y = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_false_admit,
+           CAST(((sum(CASE WHEN ef.score <= t.threshold THEN 1 ELSE 0 END)
+                - sum(CASE WHEN ef.score <= t.threshold AND ef.y = 0 THEN 1 ELSE 0 END))
+               * 1000)
+             // sum(CASE WHEN ef.score <= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS precision_permille
+         FROM ef2 ef JOIN t ON t.source = ef.source
+         GROUP BY 1, 2, 3 ORDER BY 1""",
     "q193_labeler_agreement" ->
       """WITH base AS (
            SELECT doc_id, source,
