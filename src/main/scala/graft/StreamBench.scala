@@ -192,6 +192,18 @@ object StreamBench {
       StreamOps.binaryAnnStream(in.toDS(), index, shortlist = 64,
         k = 10).toDF())
 
+    // Online exact AUC (events/s): per-source permille count arrays —
+    // state bounded by the score domain (2×1001 longs/source), the
+    // q196 metric re-emitted per touched source per batch.
+    val scoreEvents: Seq[StreamOps.ScoreEvent] = docEvents.map { d =>
+      val toks = d.text.split("\\s+", -1)
+      StreamOps.ScoreEvent(s"src${d.doc_id % 16}",
+        (toks.distinct.length.toLong * 1000 / toks.length).toInt,
+        if (toks.length >= 20 && toks.length <= 1000) 1 else 0)
+    }
+    val aucMon = rate("auc_eps", scoreEvents, docBatch)(in =>
+      StreamOps.aucMonitorStream(in.toDS()).toDF())
+
     // Stored-index vector serving (queries/s): the same query stream
     // served from a PERSISTED IVF store (manifest re-opened per trigger,
     // probe-pruned posting scan) — the foreachBatch serving tier, so the
@@ -520,9 +532,9 @@ object StreamBench {
       "semdedup_vps" -> vps
     }
 
-    Seq(q5, q11, ingest, neardup, hh, funnel, knn, binary, knnStore, pqStore,
-      cdc, attrib, curation, release, decontam, wmDetect, dsir, incr, pack,
-      drift, maxsim, hybrid, semdedup)
+    Seq(q5, q11, ingest, neardup, hh, funnel, knn, binary, aucMon, knnStore,
+      pqStore, cdc, attrib, curation, release, decontam, wmDetect, dsir, incr,
+      pack, drift, maxsim, hybrid, semdedup)
   }
 
   def main(args: Array[String]): Unit = {

@@ -941,6 +941,57 @@ object StreamOps {
     * a digest too big to broadcast is the signal to switch to the q94
     * Bloom-bitmap form, same verdict schema.
     */
+  /** One scored-and-labeled observation for [[aucMonitorStream]]. */
+  case class ScoreEvent(source: String, score: Int, y: Int)
+
+  /** Rolling per-source eval metrics after each micro-batch. */
+  case class AucRow(source: String, n: Long, n_pos: Long,
+      auc_permille: Long)
+
+  /** ONLINE exact AUC — streaming model monitoring with the q196
+    * semantics: per source, running counts of positives and negatives
+    * AT EACH permille score value, re-emitting the exact tie-averaged
+    * Mann-Whitney AUC after every micro-batch that touches the source.
+    * The state trick is that scores live on an integer permille domain,
+    * so per-source state is two 1001-long count arrays (≈16 KB) —
+    * bounded by the SCORE DOMAIN, not the stream length — and counts
+    * are order-free, so the rolling metric is delivery-order- and
+    * batching-invariant and equals the batch q196 over exactly the
+    * delivered prefix at every boundary (spec-pinned). Scores outside
+    * [0, 1000] are corrupt input and fail loudly. A single-class
+    * prefix reports -1 like the batch entry.
+    */
+  def aucMonitorStream(events: Dataset[ScoreEvent]): Dataset[AucRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.groupByKey(_.source)
+      .flatMapGroupsWithState[Array[Long], AucRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (source, it, state) =>
+          val cnt = state.getOption.getOrElse(Array.fill(2002)(0L))
+          it.foreach { e =>
+            require(e.score >= 0 && e.score <= 1000,
+              s"score ${e.score} outside the permille domain")
+            require(e.y == 0 || e.y == 1, s"label ${e.y} not binary")
+            cnt(e.score * 2 + e.y) += 1L
+          }
+          state.update(cnt)
+          var n = 0L; var nPos = 0L; var cum = 0L; var r2 = 0L
+          var v = 0
+          while (v <= 1000) {
+            val neg = cnt(v * 2); val pos = cnt(v * 2 + 1)
+            val c = neg + pos
+            r2 += pos * (cum * 2 + c + 1)
+            cum += c; n += c; nPos += pos
+            v += 1
+          }
+          val nNeg = n - nPos
+          val auc = if (nPos == 0 || nNeg == 0) -1L
+            else (1000L * (r2 - nPos * (nPos + 1))) / (2L * nPos * nNeg)
+          Iterator.single(AucRow(source, n, nPos, auc))
+      }
+  }
+
   def decontamStream(docs: Dataset[DocEvent],
       evalGramHashes: Set[Long]): Dataset[DecontamVerdict] = {
     val s = docs.sparkSession
