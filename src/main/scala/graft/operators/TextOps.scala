@@ -131,6 +131,7 @@ object TextOps {
     "q192_quality_train" -> ((s, d) => q192(s, d)),
     "q193_labeler_agreement" -> ((s, d) => q193(s, d)),
     "q196_auc_exact" -> ((s, d) => q196(s, d)),
+    "q199_data_map" -> ((s, d) => q199(s, d)),
     "q197_reliability_table" -> ((s, d) => q197(s, d)),
     "q198_threshold_calibration" -> ((s, d) => q198(s, d)),
     "q109_unigram_surprisal" -> ((s, d) => q109(s, d)),
@@ -217,69 +218,134 @@ object TextOps {
     * partition. Driver state = 33 longs. At 100 TB the trainer is
     * 3 × (scan + bounded agg) — the same posture as q144's BPE rounds.
     */
+  /** One trained epoch's bookkeeping (see [[q192]] for semantics). */
+  private[graft] case class EpochRun(epoch: Long, nTrain: Long,
+      nMiscl: Long, nTest: Long, nTestErr: Long, w: Array[Long])
+
+  /** The q192 training loop, factored and SESSION-CACHED per sfDir
+    * (the [[VectorOps.exactTop]] discipline): the feature relation
+    * (doc_id, source, y, x) plus the three epoch snapshots and the
+    * final weights' train error. q192 reports it; q199 maps every
+    * training document against the snapshots.
+    */
+  private val perceptronCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (DataFrame, Seq[EpochRun], Long)]()
+
+  private[graft] def marginCol(weights: Array[Long]) = expr(
+    s"y * aggregate(zip_with(x, array(${weights.mkString("L, ")}L), (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+
+  private[graft] def perceptronRun(s: SparkSession,
+      d: String): (DataFrame, Seq[EpochRun], Long) =
+    perceptronCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val feats = docs(s, d)
+        .select($"doc_id", $"source",
+          when($"lang" === "en", 1L).otherwise(-1L).as("y"),
+          explode($"toks").as("tok"))
+        .withColumn("dim",
+          conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long") % 32)
+        .groupBy($"doc_id", $"source", $"y", $"dim")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy($"doc_id", $"source", $"y")
+        .agg(map_from_entries(collect_list(struct($"dim", $"cnt"))).as("fm"))
+        .select($"doc_id", $"source", $"y",
+          expr("concat(transform(sequence(0L, 31L), b -> coalesce(fm[b], 0L)), array(1L))")
+            .as("x"))
+        .localCheckpoint(true)
+      val train = feats.filter($"doc_id" % 5 =!= 0)
+      val test = feats.filter($"doc_id" % 5 === 0)
+      var w = Array.fill(33)(0L)
+      def errCount(df: DataFrame, weights: Array[Long]): (Long, Long) = {
+        val Array(r) = df.withColumn("margin", marginCol(weights)).agg(
+          count(lit(1)).as("n"),
+          sum(when($"margin" <= 0L, 1L).otherwise(0L)).as("m")).collect()
+        (r.getLong(0), r.getLong(1))
+      }
+      // epoch e: nMiscl measures the INCOMING weights w_{e-1}; the
+      // update is the order-free batch sum over exactly those docs;
+      // testErr and w describe the UPDATED w_e.
+      val epochs = (1 to 3).map { epoch =>
+        val scored = train.withColumn("margin", marginCol(w))
+        val Array(stat) = scored.agg(
+          count(lit(1)).as("n"),
+          sum(when($"margin" <= 0L, 1L).otherwise(0L)).as("m")).collect()
+        val (nTrain, nMiscl) = (stat.getLong(0), stat.getLong(1))
+        val delta = scored.filter($"margin" <= 0L)
+          .select(expr("transform(x, v -> v * y)").as("yx"))
+          .agg(graft.functions.BoundedAggs.vecSum($"yx").as("d"))
+          .collect()(0).getSeq[Long](0)
+        if (delta.nonEmpty) w = w.indices.map(i => w(i) + delta(i)).toArray
+        val (nTest, nTestErr) = errCount(test, w)
+        EpochRun(epoch.toLong, nTrain, nMiscl, nTest, nTestErr, w)
+      }
+      val (_, lastTrainErr) = errCount(train, w)
+      (feats, epochs, lastTrainErr)
+    })
+
   private def q192(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val feats = docs(s, d)
-      .select($"doc_id",
-        when($"lang" === "en", 1L).otherwise(-1L).as("y"),
-        explode($"toks").as("tok"))
-      .withColumn("dim",
-        conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long") % 32)
-      .groupBy($"doc_id", $"y", $"dim").agg(count(lit(1)).as("cnt"))
-      .groupBy($"doc_id", $"y")
-      .agg(map_from_entries(collect_list(struct($"dim", $"cnt"))).as("fm"))
-      .select($"doc_id", $"y",
-        expr("concat(transform(sequence(0L, 31L), b -> coalesce(fm[b], 0L)), array(1L))")
-          .as("x"))
-      .localCheckpoint(true)
-    val train = feats.filter($"doc_id" % 5 =!= 0)
-    val test = feats.filter($"doc_id" % 5 === 0)
-    var w = Array.fill(33)(0L)
-    def marginCol(weights: Array[Long]) = expr(
-      s"y * aggregate(zip_with(x, array(${weights.mkString("L, ")}L), (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
-    def errCount(df: DataFrame, weights: Array[Long]): (Long, Long) = {
-      val Array(r) = df.withColumn("margin", marginCol(weights)).agg(
-        count(lit(1)).as("n"),
-        sum(when($"margin" <= 0L, 1L).otherwise(0L)).as("m")).collect()
-      (r.getLong(0), r.getLong(1))
-    }
-    // epoch e: nMiscl measures the INCOMING weights w_{e-1}; the update
-    // is the order-free batch sum over exactly those docs; testErr and
-    // l1 describe the UPDATED w_e. Snapshots feed the pocket pick.
-    val epochs = (1 to 3).map { epoch =>
-      val scored = train.withColumn("margin", marginCol(w))
-      val Array(stat) = scored.agg(
-        count(lit(1)).as("n"),
-        sum(when($"margin" <= 0L, 1L).otherwise(0L)).as("m")).collect()
-      val (nTrain, nMiscl) = (stat.getLong(0), stat.getLong(1))
-      val delta = scored.filter($"margin" <= 0L)
-        .select(expr("transform(x, v -> v * y)").as("yx"))
-        .agg(graft.functions.BoundedAggs.vecSum($"yx").as("d"))
-        .collect()(0).getSeq[Long](0)
-      if (delta.nonEmpty) w = w.indices.map(i => w(i) + delta(i)).toArray
-      val (nTest, nTestErr) = errCount(test, w)
-      (epoch.toLong, nTrain, nMiscl, nTest, nTestErr, w)
-    }
+    val (_, epochs, lastTrainErr) = perceptronRun(s, d)
     // pocket: train error of each epoch's OUTGOING weights — w_e is
     // scored by epoch e+1's incoming count; the last needs one extra
     // pass. Ship the best (ties to the earliest epoch): the batch
     // perceptron oscillates on non-separable data, so "which weights
     // do you deploy" is part of the trainer's answer.
-    val (_, lastTrainErr) = errCount(train, w)
     val trainErrOf: Map[Long, Long] =
-      epochs.sliding(2).collect { case Seq(a, b) => a._1 -> b._3 }.toMap +
-        (epochs.last._1 -> lastTrainErr)
-    val pocketEpoch = epochs.map(e => (trainErrOf(e._1), e._1)).min._2
+      epochs.sliding(2).collect { case Seq(a, b) => a.epoch -> b.nMiscl }
+        .toMap + (epochs.last.epoch -> lastTrainErr)
+    val pocketEpoch = epochs.map(e => (trainErrOf(e.epoch), e.epoch)).min._2
     val pe = epochs(pocketEpoch.toInt - 1)
-    val rows = epochs.map { case (epoch, nTrain, nMiscl, nTest, nTestErr, wE) =>
-      (epoch, nTrain, nMiscl, nMiscl * 1000L / nTrain,
-        nTestErr * 1000L / nTest, wE.map(math.abs).sum)
-    } :+ ((-1L, pe._2, trainErrOf(pocketEpoch),
-      trainErrOf(pocketEpoch) * 1000L / pe._2,
-      pe._5 * 1000L / pe._4, pe._6.map(math.abs).sum))
+    val rows = epochs.map { e =>
+      (e.epoch, e.nTrain, e.nMiscl, e.nMiscl * 1000L / e.nTrain,
+        e.nTestErr * 1000L / e.nTest, e.w.map(math.abs).sum)
+    } :+ ((-1L, pe.nTrain, trainErrOf(pocketEpoch),
+      trainErrOf(pocketEpoch) * 1000L / pe.nTrain,
+      pe.nTestErr * 1000L / pe.nTest, pe.w.map(math.abs).sum))
     rows.toDF("epoch", "n_train", "n_miscl", "train_err_permille",
       "test_err_permille", "w_l1")
       .orderBy($"epoch")
+  }
+
+  /** Dataset cartography — the training-dynamics data map (the
+    * "easy / ambiguous / hard" split a curation pass acts on): every
+    * TRAINING document is scored under each of the three epoch weight
+    * snapshots, and its confidence is how many snapshots classify it
+    * correctly (margin > 0; 0..3). Easy-for-the-model regions
+    * (n_correct = 3) are candidates for downsampling, never-learned
+    * ones (n_correct = 0) for label audit — the integer-exact form of
+    * the data-maps recipe, derived from weights the engine itself
+    * trained ([[perceptronRun]], session-cached so q192 and this
+    * entry share one training run). One row per (source, n_correct):
+    * doc count, how many carry the positive label, and the share of
+    * the source's training mass; plus the __all__ rollup.
+    *
+    * Scale: three margin evaluations fuse into ONE codegen'd map pass
+    * over the checkpointed features (the snapshots are 33-long array
+    * literals); the rollup exchange carries (source × 4) rows.
+    */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (feats, epochs, _) = perceptronRun(s, d)
+    val scored = feats.filter($"doc_id" % 5 =!= 0)
+      .withColumn("n_correct",
+        epochs.map(e => when(marginCol(e.w) > 0L, 1L).otherwise(0L))
+          .reduce(_ + _))
+    val cells = scored.groupBy($"source", $"n_correct")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"y" === 1L, 1L).otherwise(0L)).as("n_pos_label"))
+      .localCheckpoint(true)
+    val withAll = cells.unionByName(
+      cells.groupBy($"n_correct")
+        .agg(sum($"n_docs").as("n_docs"),
+          sum($"n_pos_label").as("n_pos_label"))
+        .withColumn("source", lit("__all__"))
+        .select($"source", $"n_correct", $"n_docs", $"n_pos_label"))
+    val totals = withAll.groupBy($"source").agg(sum($"n_docs").as("n_src"))
+    withAll.join(totals, "source")
+      .select($"source", $"n_correct", $"n_docs", $"n_pos_label",
+        expr("(n_docs * 1000) div n_src").as("share_permille"))
+      .orderBy($"source", $"n_correct")
   }
 
   /** Token counting: whitespace tokens + BPE-ish regex token estimate. */
@@ -2800,6 +2866,77 @@ object TextOps {
            CAST(count(*) AS BIGINT) AS n_docs,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q199_data_map" ->
+      """WITH tk AS (
+           SELECT doc_id, source, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         sf AS (
+           SELECT doc_id, any_value(source) AS source, any_value(y) AS y,
+             CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 32 AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY doc_id, dim),
+         f AS MATERIALIZED (
+           SELECT * FROM sf
+           UNION ALL
+           SELECT DISTINCT doc_id, source, y, CAST(32 AS BIGINT) AS dim,
+             CAST(1 AS BIGINT) AS cnt FROM tk),
+         dims AS (SELECT unnest(generate_series(0, 32)) AS dim),
+         tr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 0),
+         w1 AS MATERIALIZED (
+           SELECT d.dim, COALESCE(CAST(sum(tr.y * tr.cnt) AS BIGINT), 0) AS w
+           FROM dims d LEFT JOIN tr ON tr.dim = d.dim GROUP BY 1),
+         m2 AS MATERIALIZED (
+           SELECT tr.doc_id, any_value(tr.y) AS y, CAST(sum(tr.cnt * w1.w) AS BIGINT) AS dot
+           FROM tr JOIN w1 ON w1.dim = tr.dim GROUP BY 1),
+         mis2 AS MATERIALIZED (SELECT doc_id FROM m2 WHERE y * dot <= 0),
+         d2 AS (SELECT t.dim, CAST(sum(t.y * t.cnt) AS BIGINT) AS dw
+                FROM tr t JOIN mis2 m ON m.doc_id = t.doc_id GROUP BY 1),
+         w2 AS MATERIALIZED (
+           SELECT w1.dim, w1.w + COALESCE(d2.dw, 0) AS w
+           FROM w1 LEFT JOIN d2 ON d2.dim = w1.dim),
+         m3 AS MATERIALIZED (
+           SELECT tr.doc_id, any_value(tr.y) AS y, CAST(sum(tr.cnt * w2.w) AS BIGINT) AS dot
+           FROM tr JOIN w2 ON w2.dim = tr.dim GROUP BY 1),
+         mis3 AS MATERIALIZED (SELECT doc_id FROM m3 WHERE y * dot <= 0),
+         d3 AS (SELECT t.dim, CAST(sum(t.y * t.cnt) AS BIGINT) AS dw
+                FROM tr t JOIN mis3 m ON m.doc_id = t.doc_id GROUP BY 1),
+         w3 AS MATERIALIZED (
+           SELECT w2.dim, w2.w + COALESCE(d3.dw, 0) AS w
+           FROM w2 LEFT JOIN d3 ON d3.dim = w2.dim),
+         dots AS MATERIALIZED (
+           SELECT tr.doc_id, any_value(tr.source) AS source, any_value(tr.y) AS y,
+             CAST(sum(tr.cnt * w1.w) AS BIGINT) AS dot1,
+             CAST(sum(tr.cnt * w2.w) AS BIGINT) AS dot2,
+             CAST(sum(tr.cnt * w3.w) AS BIGINT) AS dot3
+           FROM tr
+           JOIN w1 ON w1.dim = tr.dim
+           JOIN w2 ON w2.dim = tr.dim
+           JOIN w3 ON w3.dim = tr.dim
+           GROUP BY tr.doc_id),
+         nc AS (
+           SELECT doc_id, source, y,
+             (CASE WHEN y * dot1 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN y * dot2 > 0 THEN 1 ELSE 0 END
+              + CASE WHEN y * dot3 > 0 THEN 1 ELSE 0 END) AS n_correct
+           FROM dots),
+         cells AS (
+           SELECT source, CAST(n_correct AS BIGINT) AS n_correct,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_label
+           FROM nc GROUP BY 1, 2),
+         withall AS (
+           SELECT * FROM cells
+           UNION ALL
+           SELECT '__all__' AS source, n_correct, CAST(sum(n_docs) AS BIGINT),
+             CAST(sum(n_pos_label) AS BIGINT)
+           FROM cells GROUP BY 2),
+         tot AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_src
+                 FROM withall GROUP BY 1)
+         SELECT w.source, w.n_correct, w.n_docs, w.n_pos_label,
+           CAST((w.n_docs * 1000) // t.n_src AS BIGINT) AS share_permille
+         FROM withall w JOIN tot t ON t.source = w.source
+         ORDER BY w.source, w.n_correct""",
     "q196_auc_exact" ->
       """WITH ef AS (
            SELECT doc_id, source,

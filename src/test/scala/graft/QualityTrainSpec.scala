@@ -60,6 +60,47 @@ class QualityTrainSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q199 data map matches a driver-side snapshot-scoring replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source").collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+", -1)
+        val x = Array.fill(33)(0L)
+        toks.foreach(t => x(md5Bucket(t)) += 1L)
+        x(32) = 1L
+        (r.getLong(0), if (r.getString(2) == "en") 1L else -1L, x,
+          r.getString(3))
+      }
+    val train = docs.filter(_._1 % 5 != 0)
+    def dot(w: Array[Long], x: Array[Long]): Long =
+      w.indices.map(i => w(i) * x(i)).sum
+    var w = Array.fill(33)(0L)
+    val snaps = (1 to 3).map { _ =>
+      val mis = train.filter { case (_, y, x, _) => y * dot(w, x) <= 0 }
+      val delta = Array.fill(33)(0L)
+      mis.foreach { case (_, y, x, _) =>
+        x.indices.foreach(i => delta(i) += y * x(i)) }
+      w = w.indices.map(i => w(i) + delta(i)).toArray
+      w
+    }
+    val cells = train.map { case (_, y, x, src) =>
+      (src, snaps.count(s => y * dot(s, x) > 0).toLong, y)
+    }
+    val bySrcAll = cells.groupBy(_._1).toSeq ++
+      Seq("__all__" -> cells)
+    val want = bySrcAll.flatMap { case (src, xs) =>
+      val total = xs.length.toLong
+      xs.groupBy(_._2).map { case (nc, g) =>
+        (src, nc, g.length.toLong,
+          g.count(_._3 == 1L).toLong, g.length.toLong * 1000 / total)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val got = TextOps.defs("q199_data_map")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("epoch 1 misclassifies everything and the pocket is the argmin") {
     val rows = TextOps.defs("q192_quality_train")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5)))).toMap
