@@ -26,6 +26,7 @@ object PipelineOps {
   def defs: Map[String, Q] = Map(
     "q81_dup_clusters" -> ((s, d) => q81(s, d)),
     "q194_preference_pairs" -> ((s, d) => q194(s, d)),
+    "q200_trained_filter_release" -> ((s, d) => q200(s, d)),
     "q82_decontaminate" -> ((s, d) => q82(s, d)),
     "q83_gopher_rules" -> ((s, d) => q83(s, d)),
     "q84_tfidf_topk" -> ((s, d) => q84(s, d)),
@@ -723,6 +724,81 @@ object PipelineOps {
         ($"n_in" - coalesce($"n_dedup", lit(0L))).as("n_dup_dropped"),
         (coalesce($"n_dedup", lit(0L)) - coalesce($"n_q", lit(0L)))
           .as("n_quality_dropped"),
+        coalesce($"span_removed", lit(0L)).as("span_tokens_removed"),
+        coalesce($"docs_kept", lit(0L)).as("docs_kept"),
+        coalesce($"toks_kept", lit(0L)).as("toks_kept"),
+        expr(s"1000 * coalesce(toks_kept, 0) div $budget")
+          .as("fill_permille"))
+      .orderBy($"lang")
+  }
+
+  /** Release gated by the engine's OWN trained filter — the full
+    * learned-filter loop composed end to end: [[TextOps.perceptronRun]]
+    * trains the hashed-feature classifier (q192), the three epoch
+    * snapshots AVERAGE into the deployment weights (the averaged
+    * perceptron — the batch form oscillates between all-accept and
+    * all-reject on non-separable data, and the probe run shows exactly
+    * that: w1/w3 admit 0 docs, w2 admits all 500; the sum admits a
+    * real decision boundary), the admission threshold is CALIBRATED
+    * with q198's rule (the score keeping ≥ 90% of train-positive
+    * documents — admit dot ≥ the ceil(n₁/10)-th smallest positive
+    * score), and the q155 release chain runs with that gate in place
+    * of the hand-written quality rule: exact dedup → trained filter →
+    * span cleanup → per-language token budget. One audit row per
+    * language; the oracle replays training, averaging, calibration,
+    * and the whole release chain.
+    *
+    * Scale: training is q192's bounded-driver-state loop (cached, one
+    * run per session); scoring is one codegen'd map with the averaged
+    * weights inlined; the threshold is an exact order statistic whose
+    * rank window pre-prunes through WindowGroupLimit (at extreme
+    * corpus scale swap the selection for a two-pass log-histogram
+    * bracket — [[graft.functions.LogHistogram]] — since k itself
+    * grows with the corpus); the chain stages keep their own entries'
+    * postures.
+    */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 3000L
+    val (feats, epochs, _) = TextOps.perceptronRun(s, d)
+    val wavg = epochs.map(_.w).transpose.map(_.sum).toArray
+    val dots = feats.select($"doc_id", $"y", expr(
+        s"aggregate(zip_with(x, array(${wavg.mkString("L, ")}L), (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+        .as("dot"))
+      .localCheckpoint(true)
+    val trpos = dots.filter($"doc_id" % 5 =!= 0 && $"y" === 1L)
+    val n1 = trpos.count()
+    val k = (n1 + 9L) / 10L
+    val t = trpos
+      .withColumn("r", row_number().over(
+        Window.orderBy($"dot", $"doc_id")).cast("long"))
+      .filter($"r" === k).select($"dot").as[Long].head()
+    val accepted = dots.filter($"dot" >= t).select($"doc_id")
+    val docsAll = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        split(col("text"), "\\s+").as("toks"))
+    val keepIds = docsAll.groupBy($"text").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val deduped = docsAll.join(keepIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    val gated = deduped.join(accepted, Seq("doc_id"), "left_semi")
+    val (cleaned, kept) = spanAndBudget(gated, deduped, budget)
+    val inC = docsAll.groupBy($"lang").agg(count(lit(1)).as("n_in"))
+    val ddC = deduped.groupBy($"lang").agg(count(lit(1)).as("n_dedup"))
+    val gC = gated.groupBy($"lang").agg(count(lit(1)).as("n_g"))
+    val spanC = cleaned.groupBy($"lang")
+      .agg(sum($"tokens_removed").as("span_removed"))
+    val keptC = kept.groupBy($"lang")
+      .agg(count(lit(1)).as("docs_kept"), max($"cum").as("toks_kept"))
+    inC.join(ddC, Seq("lang"), "left")
+      .join(gC, Seq("lang"), "left")
+      .join(spanC, Seq("lang"), "left")
+      .join(keptC, Seq("lang"), "left")
+      .select($"lang", $"n_in",
+        ($"n_in" - coalesce($"n_dedup", lit(0L))).as("n_dup_dropped"),
+        (coalesce($"n_dedup", lit(0L)) - coalesce($"n_g", lit(0L)))
+          .as("n_filter_dropped"),
         coalesce($"span_removed", lit(0L)).as("span_tokens_removed"),
         coalesce($"docs_kept", lit(0L)).as("docs_kept"),
         coalesce($"toks_kept", lit(0L)).as("toks_kept"),
@@ -2644,6 +2720,123 @@ object PipelineOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "q200_trained_filter_release" ->
+      """WITH tk AS (
+           SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             unnest(string_split_regex(text, '\s+')) AS tok
+           FROM documents),
+         sf AS (
+           SELECT doc_id, any_value(y) AS y,
+             CAST(('0x' || substr(md5(tok), 1, 15))::UBIGINT % 32 AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY doc_id, dim),
+         f AS MATERIALIZED (
+           SELECT * FROM sf
+           UNION ALL
+           SELECT DISTINCT doc_id, y, CAST(32 AS BIGINT) AS dim, CAST(1 AS BIGINT) AS cnt FROM tk),
+         dims AS (SELECT unnest(generate_series(0, 32)) AS dim),
+         tr AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 5 <> 0),
+         w1 AS MATERIALIZED (
+           SELECT d.dim, COALESCE(CAST(sum(tr.y * tr.cnt) AS BIGINT), 0) AS w
+           FROM dims d LEFT JOIN tr ON tr.dim = d.dim GROUP BY 1),
+         m2 AS MATERIALIZED (
+           SELECT tr.doc_id, any_value(tr.y) AS y, CAST(sum(tr.cnt * w1.w) AS BIGINT) AS dot
+           FROM tr JOIN w1 ON w1.dim = tr.dim GROUP BY 1),
+         mis2 AS MATERIALIZED (SELECT doc_id FROM m2 WHERE y * dot <= 0),
+         d2 AS (SELECT t.dim, CAST(sum(t.y * t.cnt) AS BIGINT) AS dw
+                FROM tr t JOIN mis2 m ON m.doc_id = t.doc_id GROUP BY 1),
+         w2 AS MATERIALIZED (
+           SELECT w1.dim, w1.w + COALESCE(d2.dw, 0) AS w
+           FROM w1 LEFT JOIN d2 ON d2.dim = w1.dim),
+         m3 AS MATERIALIZED (
+           SELECT tr.doc_id, any_value(tr.y) AS y, CAST(sum(tr.cnt * w2.w) AS BIGINT) AS dot
+           FROM tr JOIN w2 ON w2.dim = tr.dim GROUP BY 1),
+         mis3 AS MATERIALIZED (SELECT doc_id FROM m3 WHERE y * dot <= 0),
+         d3 AS (SELECT t.dim, CAST(sum(t.y * t.cnt) AS BIGINT) AS dw
+                FROM tr t JOIN mis3 m ON m.doc_id = t.doc_id GROUP BY 1),
+         w3 AS MATERIALIZED (
+           SELECT w2.dim, w2.w + COALESCE(d3.dw, 0) AS w
+           FROM w2 LEFT JOIN d3 ON d3.dim = w2.dim),
+         dots AS MATERIALIZED (
+           SELECT f.doc_id, any_value(f.y) AS y,
+             CAST(sum(f.cnt * (w1.w + w2.w + w3.w)) AS BIGINT) AS dot
+           FROM f JOIN w1 ON w1.dim = f.dim JOIN w2 ON w2.dim = f.dim
+             JOIN w3 ON w3.dim = f.dim
+           GROUP BY f.doc_id),
+         np AS (SELECT CAST((count(*) + 9) // 10 AS BIGINT) AS k
+                FROM dots WHERE doc_id % 5 <> 0 AND y = 1),
+         th AS (
+           SELECT dot AS t FROM (
+             SELECT dot, CAST(row_number() OVER (ORDER BY dot, doc_id) AS BIGINT) AS r
+             FROM dots WHERE doc_id % 5 <> 0 AND y = 1) x, np
+           WHERE x.r = np.k),
+         acc AS MATERIALIZED (
+           SELECT doc_id FROM dots WHERE dot >= (SELECT t FROM th)),
+         raw AS MATERIALIZED (
+           SELECT doc_id, lang, source, text,
+             string_split_regex(text, '\s+') AS toks
+           FROM documents),
+         keep AS (SELECT min(doc_id) AS doc_id FROM raw GROUP BY text),
+         dd AS MATERIALIZED (SELECT raw.* FROM raw JOIN keep USING (doc_id)),
+         t AS MATERIALIZED (
+           SELECT dd.doc_id, dd.source, dd.toks FROM dd JOIN acc USING (doc_id)),
+         w AS (
+           SELECT doc_id,
+             unnest(generate_series(1, len(toks) - 7)) AS i,
+             unnest(list_transform(generate_series(1, len(toks) - 7),
+               j -> substring(md5(array_to_string(toks[j:j+7], ' ')), 1, 16))) AS h
+           FROM t WHERE len(toks) >= 8),
+         nd AS (SELECT h FROM w GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+         dw AS (SELECT w.doc_id, w.i FROM w JOIN nd ON w.h = nd.h),
+         cov AS (
+           SELECT DISTINCT doc_id, i + g AS p
+           FROM dw, generate_series(0, 7) AS gs(g)),
+         pos AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) AS p
+           FROM t),
+         keptagg AS (
+           SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+           FROM pos LEFT JOIN cov
+             ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+           WHERE cov.p IS NULL
+           GROUP BY 1),
+         cleaned AS MATERIALIZED (
+           SELECT t.doc_id, dd.lang,
+             CAST(len(t.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS removed,
+             CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_clean
+           FROM t LEFT JOIN keptagg k USING (doc_id)
+             JOIN dd USING (doc_id)),
+         ranked AS (
+           SELECT lang, doc_id, n_clean,
+             sum(n_clean) OVER (PARTITION BY lang
+               ORDER BY n_clean DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM cleaned WHERE n_clean >= 1),
+         keptc AS (
+           SELECT lang, CAST(count(*) AS BIGINT) AS docs_kept,
+             CAST(max(cum) AS BIGINT) AS toks_kept
+           FROM ranked WHERE cum <= 3000 GROUP BY 1),
+         inc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in
+                 FROM raw GROUP BY 1),
+         ddc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_dedup
+                 FROM dd GROUP BY 1),
+         gc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g
+                FROM dd JOIN acc USING (doc_id) GROUP BY 1),
+         spanc AS (SELECT lang, CAST(sum(removed) AS BIGINT) AS span_removed
+                   FROM cleaned GROUP BY 1)
+         SELECT inc.lang, inc.n_in,
+           CAST(inc.n_in - coalesce(ddc.n_dedup, 0) AS BIGINT) AS n_dup_dropped,
+           CAST(coalesce(ddc.n_dedup, 0) - coalesce(gc.n_g, 0) AS BIGINT)
+             AS n_filter_dropped,
+           CAST(coalesce(spanc.span_removed, 0) AS BIGINT) AS span_tokens_removed,
+           CAST(coalesce(keptc.docs_kept, 0) AS BIGINT) AS docs_kept,
+           CAST(coalesce(keptc.toks_kept, 0) AS BIGINT) AS toks_kept,
+           CAST(1000 * coalesce(keptc.toks_kept, 0) // 3000 AS BIGINT)
+             AS fill_permille
+         FROM inc LEFT JOIN ddc USING (lang) LEFT JOIN gc USING (lang)
+           LEFT JOIN spanc USING (lang) LEFT JOIN keptc USING (lang)
+         ORDER BY inc.lang""",
     "q194_preference_pairs" ->
       """WITH sc AS (
            SELECT doc_id, lang,

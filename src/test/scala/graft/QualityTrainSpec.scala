@@ -101,6 +101,53 @@ class QualityTrainSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q200's trained gate reconciles with a driver-side replay") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang").collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+", -1)
+        val x = Array.fill(33)(0L)
+        toks.foreach(t => x(md5Bucket(t)) += 1L)
+        x(32) = 1L
+        (r.getLong(0), if (r.getString(2) == "en") 1L else -1L, x,
+          r.getString(1))
+      }
+    val train = docs.filter(_._1 % 5 != 0)
+    def dot(w: Array[Long], x: Array[Long]): Long =
+      w.indices.map(i => w(i) * x(i)).sum
+    var w = Array.fill(33)(0L)
+    val snaps = (1 to 3).map { _ =>
+      val mis = train.filter { case (_, y, x, _) => y * dot(w, x) <= 0 }
+      val delta = Array.fill(33)(0L)
+      mis.foreach { case (_, y, x, _) =>
+        x.indices.foreach(i => delta(i) += y * x(i)) }
+      w = w.indices.map(i => w(i) + delta(i)).toArray
+      w
+    }
+    val wavg = snaps.transpose.map(_.sum).toArray
+    val trposDots = train.filter(_._2 == 1L)
+      .map(t => (dot(wavg, t._3), t._1)).sorted
+    val k = ((trposDots.length + 9) / 10)
+    val t = trposDots(k - 1)._1
+    val accepted = docs.filter(d => dot(wavg, d._3) >= t).map(_._1).toSet
+    // >= 90% of train positives clear the calibrated threshold
+    val kept = trposDots.count(_._1 >= t)
+    assert(kept * 10 >= trposDots.length * 9)
+    // the report's per-lang filter drops equal the replayed gate's
+    val keepIds = docs.groupBy(_._4).values.map(_.map(_._1).min).toSet
+    val langOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dropByLang = docs.filter(d => keepIds(d._1) && !accepted(d._1))
+      .groupBy(d => langOf(d._1)).view.mapValues(_.length.toLong).toMap
+    val got = graft.operators.PipelineOps
+      .defs("q200_trained_filter_release")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    got.foreach { case (lang, nDrop) =>
+      assert(nDrop == dropByLang.getOrElse(lang, 0L), lang)
+    }
+  }
+
   test("epoch 1 misclassifies everything and the pocket is the argmin") {
     val rows = TextOps.defs("q192_quality_train")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(5)))).toMap
