@@ -234,6 +234,33 @@ object StreamBench {
       "knn_store_qps" -> qps
     }
 
+    // Binary-store vector serving (queries/s): the same query stream
+    // served from the PERSISTED 1-bit tier — 16-byte codes scan +
+    // bucket-pruned refine — read beside knn_store_qps for what the
+    // compressed sidecar buys a disk-backed serve.
+    val binaryStore = {
+      import spark.implicits._
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft_binary_store_bench"
+      graft.operators.BinaryStore.build(
+        index.toSeq.toDF("vec_id", "qv"), dir)
+      val in = MemoryStream[StreamOps.VecEvent]
+      val q = StreamOps.binaryStoreServeStream(in.toDS(), dir, k = 10,
+        width = 64) {
+        (df, _) => df.write.format("noop").mode("overwrite").save()
+      }
+      val chunks = queries.grouped(math.max(1, batchSize / 20)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val qps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] binary_store_qps: $qps%.0f/s")
+      "binary_store_qps" -> qps
+    }
+
     // PQ-store vector serving (queries/s): the same query stream ADC-
     // served from the COMPRESSED store — per-batch cost adds the 8×16
     // per-query lookup tables on the probe side, but the probed posting
@@ -533,8 +560,8 @@ object StreamBench {
     }
 
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, binary, aucMon, knnStore,
-      pqStore, cdc, attrib, curation, release, decontam, wmDetect, dsir, incr,
-      pack, drift, maxsim, hybrid, semdedup)
+      binaryStore, pqStore, cdc, attrib, curation, release, decontam,
+      wmDetect, dsir, incr, pack, drift, maxsim, hybrid, semdedup)
   }
 
   def main(args: Array[String]): Unit = {

@@ -1520,6 +1520,33 @@ object StreamOps {
     }
   }
 
+  /** Streaming serve from the PERSISTED binary tier — the store-stream
+    * corner of the binary serving matrix (q191 batch / binaryAnnStream
+    * broadcast / q195 store): each micro-batch of query vectors packs
+    * its own codes and runs [[graft.operators.BinaryStore.serve]]
+    * against the stored relations — the 16-byte codes scan plus the
+    * bucket-pruned refine fetch — handing ranked matches to `emit`
+    * with the batch id. The store is immutable (build-once), so no
+    * per-trigger manifest re-open is needed; the plan cost per
+    * trigger IS the store's serve cost, which is what
+    * StreamBench's binary_store_qps row measures against knn_store_qps.
+    */
+  def binaryStoreServeStream(qs: Dataset[VecEvent], dir: String,
+      k: Int = 5, width: Int = 20)(
+      emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    toForeachBatch(qs.toDF(), OutputMode.Append) { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val s = batch.sparkSession
+        val queries = graft.operators.VectorOps.binaryCodes(
+          batch.select(col("qid").as("vec_id"), col("qv")))
+          .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+            col("w0").as("qw0"), col("w1").as("qw1"))
+        emit(graft.operators.BinaryStore.serve(s, dir, queries, k, width),
+          batchId)
+      }
+    }
+  }
+
   /** STREAMING EMBEDDING-DRIFT MONITOR — the online half of the batch
     * drift entry (q174): each micro-batch of incoming vectors is
     * assigned to the REFERENCE centroids (one broadcast-argmin pass,

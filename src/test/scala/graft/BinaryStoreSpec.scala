@@ -67,6 +67,37 @@ class BinaryStoreSpec extends SparkSpec {
       s"vector fetch read $scanned bucket files for one query")
   }
 
+  test("store serve stream equals the batch serve at every boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = VectorOps.quantized(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val queries = emb.filter(_._1 % 50 == 0).take(12).map { case (id, v) =>
+      graft.streaming.StreamOps.VecEvent(id,
+        new java.sql.Timestamp(1_436_918_400_000L), v)
+    }
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val in = MemoryStream[graft.streaming.StreamOps.VecEvent]
+    val q = graft.streaming.StreamOps.binaryStoreServeStream(
+      in.toDS(), dir, k = 5) { (df, _) =>
+      got ++= df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    }
+    try {
+      in.addData(queries.take(5).toSeq); q.processAllAvailable()
+      in.addData(queries.drop(5).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val qdf = VectorOps.binaryCodes(
+      queries.toSeq.toDF("vec_id", "ts", "qv").select($"vec_id", $"qv"))
+      .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    val want = BinaryStore.serve(spark, dir, qdf, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sortBy(x => (x._1, x._2)).toSeq ==
+      want.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("serve returns the refined top-k in rank order") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
