@@ -87,7 +87,12 @@ object Plans {
     "q191_binary_sign_ann" -> "binary-sign ANN: one map pass packs 64-bit codes; the Hamming scan folds corpus×queries to 20 rows/query MAP-SIDE via the bounded top-k aggregator; the refine join brings back full vectors for shortlist ids only",
     "q192_quality_train" -> "perceptron trainer: feature build is one scan to a dense 33-long array per doc; each epoch is a codegen'd map (weights inlined as an array literal) + a VecSum partial aggregate — driver state 33 longs, the Lloyd loop posture",
     "q193_labeler_agreement" -> "labeler kappa: three integer label tests in one scan, contingency cells partial-aggregate to (pair × source) rows — the only exchange is labeler-pair × source cardinality",
-    "q194_preference_pairs" -> "preference pairs: both rank directions compile to WindowGroupLimit (partitions pre-prune to local top-4 before the per-language exchange); the pair join matches 4 rows per language")
+    "q194_preference_pairs" -> "preference pairs: both rank directions compile to WindowGroupLimit (partitions pre-prune to local top-4 before the per-language exchange); the pair join matches 4 rows per language",
+    "q195_binary_store" -> "binary tier from disk: stage 1 scans ONLY the 16-byte codes relation; the refine fetch pushes the shortlist's bucket set as a partition filter on the vectors relation (<=20 of 64 dirs for one query)",
+    "q196_auc_exact" -> "exact AUC: one scan collapses to (source x permille-score) counts; the tie-group window and the kappa-grade integer rational run on that tiny relation",
+    "q198_threshold_calibration" -> "threshold calibration: the 90%-recall order statistic is one per-source rank window over the positives (k grows with the corpus - the documented log-histogram swap point); admit counts run in one pass",
+    "q199_data_map" -> "data map: three epoch snapshots inline as array literals into ONE fused codegen'd margin pass over the checkpointed features; the rollup exchange carries (source x 4) rows",
+    "q200_trained_filter_release" -> "trained-filter release: q155's chain with the gate = averaged-perceptron score >= calibrated threshold; training is driver-bounded (33 longs), scoring one inlined-weights map, chain stages keep their own postures")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

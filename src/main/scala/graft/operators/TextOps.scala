@@ -535,10 +535,11 @@ object TextOps {
     * The deployment knob every scored filter ships with, stated as
     * exact integers so both engines agree on the boundary document.
     *
-    * Scale: positives rank inside WindowGroupLimit-prunable per-source
-    * windows only to the k-th element; the admit counts reuse the
-    * q196 collapsed (source × score) relation, so nothing after the
-    * scan is corpus-sized.
+    * Scale: the order statistic is one rank window over the positives
+    * per source (parallel across sources; k itself grows with the
+    * corpus, so at extreme scale the selection swaps for a two-pass
+    * log-histogram bracket — [[graft.functions.LogHistogram]]); the
+    * admit counts run on the per-doc frame in one pass.
     */
   private def q198(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
