@@ -115,6 +115,7 @@ object TextOps {
     "q35_langid" -> ((s, d) => q35(s, d)),
     "q36_winnow_fingerprints" -> ((s, d) => q36(s, d)),
     "q61_minhash_md5" -> ((s, d) => q61(s, d)),
+    "q201_lsh_operating_points" -> ((s, d) => q201(s, d)),
     "q148_split_leakage" -> ((s, d) => q148(s, d)),
     "q150_zipf_profile" -> ((s, d) => q150(s, d)),
     "q63_winnow_md5" -> ((s, d) => q63(s, d)),
@@ -1788,6 +1789,79 @@ object TextOps {
     md5LshScoredPairs(s, d)
       .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
       .orderBy($"id1", $"id2")
+  }
+
+  /** LSH OPERATING-POINT table — q173's tuning-curve discipline applied
+    * to the text-dedup side: the SAME 16-value MinHash signature banded
+    * four ways ((bands, rows) = (2,8) / (4,4) / (8,2) / (16,1) — the
+    * S-curve family), each configuration's candidate pairs counted and
+    * scored against the VERIFIED SINGLE-MINHASH CEILING: the (16,1)
+    * candidates (any shared minhash) exactly checked for Jaccard ≥ 1/2
+    * (integer cross-multiplied, 2·|∩| ≥ |∪|). The ceiling is q173's
+    * routing-ceiling move — a J ≥ 1/2 pair escapes all 16 hashes with
+    * probability ≤ (1−J)¹⁶ ≤ 2⁻¹⁶, so the denominator bias is
+    * ≤ 0.02‰ — and it is what makes the table computable at corpus
+    * scale: exact verification touches only candidate pairs (the
+    * banded join's output, linear in true-duplicate mass), never
+    * all-pairs, which on a duplicate-heavy corpus no exact method
+    * avoids (the first cut verified length-pruned all-pairs and did
+    * not come back at sf10). The halving family nests ((2,8) ⊂ (4,4)
+    * ⊂ (8,2) ⊂ (16,1)), so every config's hits are a subset of the
+    * ceiling and the (16,1) row reads recall 1000 by construction —
+    * the table's anchor row. Bands key on the RAW signature slice (no
+    * extra hash), so the DuckDB oracle replays membership exactly.
+    */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (base, _) = md5LshBanded(s, d)
+    val sized = base.select($"doc_id", $"hset", $"sig",
+        size($"hset").cast("long").as("sz"))
+      .localCheckpoint(true)
+    def candsOf(b: Int, r: Int): DataFrame = {
+      val banded = sized.select($"doc_id", explode(expr(
+          s"transform(sequence(0, ${b - 1}), i -> struct(i AS bidx, slice(sig, i*$r + 1, $r) AS bandval))"))
+          .as("e"))
+        .select($"doc_id", $"e.bidx".as("bidx"), $"e.bandval".as("bandval"))
+      banded.as("a").join(banded.as("b"),
+          col("a.bidx") === col("b.bidx") &&
+            col("a.bandval") === col("b.bandval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    val cand161 = candsOf(16, 1)
+    // exact verify ONLY the ceiling candidates (shuffle-join the two
+    // hash-set sides at pair cardinality — the exactJaccardRecheck
+    // posture)
+    val truth = cand161
+      .join(sized.select($"doc_id".as("id1"), $"hset".as("h1"),
+        $"sz".as("sz1")), "id1")
+      .join(sized.select($"doc_id".as("id2"), $"hset".as("h2"),
+        $"sz".as("sz2")), "id2")
+      .withColumn("inter",
+        size(array_intersect($"h1", $"h2")).cast("long"))
+      .withColumn("uni", $"sz1" + $"sz2" - $"inter")
+      .filter($"uni" > 0L && $"inter" * 2L >= $"uni")
+      .select($"id1", $"id2")
+      .localCheckpoint(true)
+    val nTruth = truth.count()
+    val rows = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+      val cand = candsOf(b, r)
+      val nCand = cand.count()
+      val nHit = cand.join(truth, Seq("id1", "id2"), "left_semi").count()
+      (b.toLong, r.toLong, nTruth, nCand, nHit,
+        if (nTruth == 0L) -1L else nHit * 1000L / nTruth,
+        if (nCand == 0L) -1L else nHit * 1000L / nCand)
+    } :+ {
+      val nCand = cand161.count()
+      (16L, 1L, nTruth, nCand, nTruth,
+        if (nTruth == 0L) -1L else 1000L,
+        if (nCand == 0L) -1L else nTruth * 1000L / nCand)
+    }
+    rows.toDF("bands", "rows", "n_truth", "n_candidates", "n_hit",
+      "recall_permille", "precision_permille")
+      .orderBy($"bands")
   }
 
   /** Train/val/test split + near-dup leakage audit — the split-hygiene
@@ -3603,6 +3677,72 @@ object TextOps {
                 WHEN sc_es = best THEN 'es'
                 ELSE 'fr' END AS predicted
          FROM b ORDER BY doc_id""",
+    "q201_lsh_operating_points" ->
+      (DuckMacros.Sm64 + "WITH " + Md5LshBandedSql + """,
+         cand_2_8 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT doc_id, i AS bidx, sig[i*8 + 1 : i*8 + 8] AS bandval
+                 FROM sigs, unnest(generate_series(0, 1)) AS t(i)) a
+           JOIN (SELECT doc_id, i AS bidx, sig[i*8 + 1 : i*8 + 8] AS bandval
+                 FROM sigs, unnest(generate_series(0, 1)) AS t(i)) b
+             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+         cand_4_4 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT doc_id, i AS bidx, sig[i*4 + 1 : i*4 + 4] AS bandval
+                 FROM sigs, unnest(generate_series(0, 3)) AS t(i)) a
+           JOIN (SELECT doc_id, i AS bidx, sig[i*4 + 1 : i*4 + 4] AS bandval
+                 FROM sigs, unnest(generate_series(0, 3)) AS t(i)) b
+             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+         cand_8_2 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT doc_id, i AS bidx, sig[i*2 + 1 : i*2 + 2] AS bandval
+                 FROM sigs, unnest(generate_series(0, 7)) AS t(i)) a
+           JOIN (SELECT doc_id, i AS bidx, sig[i*2 + 1 : i*2 + 2] AS bandval
+                 FROM sigs, unnest(generate_series(0, 7)) AS t(i)) b
+             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+         cand_16_1 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT doc_id, i AS bidx, sig[i*1 + 1 : i*1 + 1] AS bandval
+                 FROM sigs, unnest(generate_series(0, 15)) AS t(i)) a
+           JOIN (SELECT doc_id, i AS bidx, sig[i*1 + 1 : i*1 + 1] AS bandval
+                 FROM sigs, unnest(generate_series(0, 15)) AS t(i)) b
+             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+         truth AS MATERIALIZED (
+           SELECT id1, id2 FROM (
+             SELECT c.id1, c.id2,
+               len(list_intersect(ha.hh, hb.hh)) AS inter,
+               len(ha.hh) + len(hb.hh) AS ssum
+             FROM cand_16_1 c
+             JOIN hs ha ON ha.doc_id = c.id1
+             JOIN hs hb ON hb.doc_id = c.id2)
+           WHERE ssum - inter > 0 AND 2 * inter >= ssum - inter)
+         SELECT bands, rows, n_truth, n_candidates, n_hit,
+           CAST(CASE WHEN n_truth = 0 THEN -1 ELSE n_hit * 1000 // n_truth END AS BIGINT) AS recall_permille,
+           CAST(CASE WHEN n_candidates = 0 THEN -1 ELSE n_hit * 1000 // n_candidates END AS BIGINT) AS precision_permille
+         FROM (SELECT CAST(2 AS BIGINT) AS bands, CAST(8 AS BIGINT) AS rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_2_8) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_2_8 c
+              JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hit
+         UNION ALL
+         SELECT CAST(4 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_4_4) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_4_4 c
+              JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hit
+         UNION ALL
+         SELECT CAST(8 AS BIGINT) AS bands, CAST(2 AS BIGINT) AS rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_8_2) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_8_2 c
+              JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hit
+         UNION ALL
+         SELECT CAST(16 AS BIGINT) AS bands, CAST(1 AS BIGINT) AS rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_16_1) AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_16_1 c
+              JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hit)
+         ORDER BY bands"""),
     "q61_minhash_md5" ->
       (DuckMacros.Sm64 + "WITH " + Md5LshChainSql +
       """
