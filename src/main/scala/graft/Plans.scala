@@ -92,7 +92,8 @@ object Plans {
     "q196_auc_exact" -> "exact AUC: one scan collapses to (source x permille-score) counts; the tie-group window and the kappa-grade integer rational run on that tiny relation",
     "q198_threshold_calibration" -> "threshold calibration: the 90%-recall order statistic is one per-source rank window over the positives (k grows with the corpus - the documented log-histogram swap point); admit counts run in one pass",
     "q199_data_map" -> "data map: three epoch snapshots inline as array literals into ONE fused codegen'd margin pass over the checkpointed features; the rollup exchange carries (source x 4) rows",
-    "q200_trained_filter_release" -> "trained-filter release: q155's chain with the gate = averaged-perceptron score >= calibrated threshold; training is driver-bounded (33 longs), scoring one inlined-weights map, chain stages keep their own postures")
+    "q200_trained_filter_release" -> "trained-filter release: q155's chain with the gate = averaged-perceptron score >= calibrated threshold; training is driver-bounded (33 longs), scoring one inlined-weights map, chain stages keep their own postures",
+    "q201_lsh_operating_points" -> "LSH operating points: four band-keyed id-only joins off one checkpointed signature relation; exact verification only on the (16,1) ceiling candidates (never all-pairs)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

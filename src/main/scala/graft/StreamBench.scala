@@ -201,7 +201,8 @@ object StreamBench {
         (toks.distinct.length.toLong * 1000 / toks.length).toInt,
         if (toks.length >= 20 && toks.length <= 1000) 1 else 0)
     }
-    val aucMon = rate("auc_eps", scoreEvents, docBatch)(in =>
+    val aucMon = rate("auc_eps", scoreEvents, docBatch,
+      OutputMode.Update)(in =>
       StreamOps.aucMonitorStream(in.toDS()).toDF())
 
     // Stored-index vector serving (queries/s): the same query stream

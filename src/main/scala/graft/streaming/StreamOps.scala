@@ -1541,7 +1541,8 @@ object StreamOps {
           batch.select(col("qid").as("vec_id"), col("qv")))
           .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
             col("w0").as("qw0"), col("w1").as("qw1"))
-        emit(graft.operators.BinaryStore.serve(s, dir, queries, k, width),
+        emit(graft.operators.BinaryStore.serve(s, dir, queries, k, width,
+          cached = true),
           batchId)
       }
     }
