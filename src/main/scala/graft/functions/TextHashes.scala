@@ -315,6 +315,22 @@ object TextHashes {
     new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
   }
 
+  def md5BucketCountsFromArrayData(arr: ArrayData, buckets: Int): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](buckets + 1)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      out((md5h60(md, arr.getUTF8String(j).toString) % buckets).toInt) += 1L
+      j += 1
+    }
+    out(buckets) = 1L
+    new GenericArrayData(out)
+  }
+
+  def md5BucketCounts(tokens: Column, buckets: Int): Column =
+    column(Md5BucketCountsExpr(expression(tokens), buckets))
+
   /** md5-derived 60-bit token hash (shared by the oracle-reproducible
     * minhash/simhash/winnow family: first 15 hex chars of md5).
     */
@@ -543,6 +559,25 @@ case class Md5HashSetExpr(child: Expression) extends UnaryExpression {
       s"graft.functions.TextHashes.md5HashSetFromArrayData($c)")
   override def prettyName: String = "md5_hash_set"
   override protected def withNewChildInternal(c: Expression): Md5HashSetExpr = copy(child = c)
+}
+
+/** array<string> → dense array<long> of `buckets`+1 hashed-token
+  * counts (md5-h60 % buckets, bias 1 in the last slot) — the q192
+  * feature vector computed in ONE codegen'd map pass, replacing an
+  * explode + two token-scale groupBy shuffles (sf10: the trainer's
+  * feature build dominated its wall before this).
+  */
+case class Md5BucketCountsExpr(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextHashes.md5BucketCountsFromArrayData(
+      input.asInstanceOf[ArrayData], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashes.md5BucketCountsFromArrayData($c, $buckets)")
+  override def prettyName: String = "md5_bucket_counts"
+  override protected def withNewChildInternal(c: Expression): Md5BucketCountsExpr = copy(child = c)
 }
 
 case class Md5MinHashSigExpr(child: Expression, k: Int)

@@ -240,19 +240,15 @@ object TextOps {
       d: String): (DataFrame, Seq[EpochRun], Long) =
     perceptronCache.computeIfAbsent(d, _ => {
       import s.implicits._
+      // ONE codegen'd map pass: the native Md5BucketCountsExpr builds
+      // the dense 33-long vector in-row (bucket = md5-h60 % 32, the
+      // q98 identity the oracle replays via '0x'||substr(md5)) — the
+      // explode + two token-scale groupBy shuffles of the first cut
+      // are gone (sf10 A/B in BENCH_SF10's round12c note)
       val feats = docs(s, d)
         .select($"doc_id", $"source",
           when($"lang" === "en", 1L).otherwise(-1L).as("y"),
-          explode($"toks").as("tok"))
-        .withColumn("dim",
-          conv(substring(md5($"tok"), 1, 15), 16, 10).cast("long") % 32)
-        .groupBy($"doc_id", $"source", $"y", $"dim")
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy($"doc_id", $"source", $"y")
-        .agg(map_from_entries(collect_list(struct($"dim", $"cnt"))).as("fm"))
-        .select($"doc_id", $"source", $"y",
-          expr("concat(transform(sequence(0L, 31L), b -> coalesce(fm[b], 0L)), array(1L))")
-            .as("x"))
+          TextHashes.md5BucketCounts($"toks", 32).as("x"))
         .localCheckpoint(true)
       val train = feats.filter($"doc_id" % 5 =!= 0)
       val test = feats.filter($"doc_id" % 5 === 0)
