@@ -97,30 +97,46 @@ object Bench {
     }
     val results = selected.map(n => n -> (0 until reps).map(_ => run(n)))
     val mins = results.map { case (k, vs) => k -> vs.min }
-    val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
+    // Locale.ROOT everywhere below: the artifact is machine-read JSON —
+    // f"" interpolators use the JVM default locale and emit `1,05` on
+    // comma-decimal hosts. 3 decimals (ms) keeps the FINAL line short:
+    // the driver records only the last 2000 chars of stdout and parses
+    // the metric line out of that tail, so round 12's full-precision
+    // line (>2000 chars with spread + stream maps) lost its head and
+    // the artifact read `parsed: null`. The compact line below is the
+    // LAST thing printed and budgeted ~1.5k chars; the full-precision
+    // detail goes on its own earlier line for local reading.
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    val qs = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
     // per-query max/min over the reps — a spread near 1.0 marks a stable
     // measurement; large spreads flag host-interference windows so a
     // round-over-round "regression" can be read against the noise floor
-    // Locale.ROOT: the artifact is machine-read JSON — f"" interpolators
-    // use the JVM default locale and emit `1,05` on comma-decimal hosts
-    val spread = results.map { case (k, vs) =>
+    val spreads = results.map { case (k, vs) =>
       val ok = vs.filter(_ > 0)
-      val r = if (ok.isEmpty) -1.0 else ok.max / ok.min
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.2f",
-        Double.box(r))
-    }.mkString("{", ",", "}")
+      k -> (if (ok.isEmpty) -1.0 else ok.max / ok.min)
+    }
+    val spreadDetail = spreads
+      .map { case (k, r) => "\"" + k + "\":" + fmt(r, 2) }
+      .mkString("{", ",", "}")
     val total = mins.map(_._2).filter(_ >= 0).sum
-    // streaming rates (events/docs/queries per second) — same JSON line so
-    // the driver's per-round artifact records them; SPARK_GRAFT_STREAM=0
-    // skips for batch-only iteration
+    // streaming rates (events/docs/queries per second) — kept on the
+    // final line (the driver's per-round artifact records them) but at
+    // %.0f they cost ~20 chars/rate; SPARK_GRAFT_STREAM=0 skips for
+    // batch-only iteration
     val stream =
       if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) "{}"
       else StreamBench.measure(spark, nBids = 400000, batchSize = 100000)
-        .map { case (k, v) => "\"" + k + "\":" + String.format(
-          java.util.Locale.ROOT, "%.0f", Double.box(v)) }
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 0) }
         .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$reps,"spread":$spread,"stream":$stream,"sf":"$sfDir"}""")
+    // "bench_detail", not "metric": the driver scans its stdout tail
+    // for the metric line, and this full-precision line must never be
+    // mistaken for it
+    println(s"""{"bench_detail":{"spread":$spreadDetail,"mins":${
+      mins.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")}}}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"reps":$reps,"spread_max":${fmt(spreads.map(_._2).max, 2)},"stream":$stream,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -216,7 +216,7 @@ object StreamBench {
       // wider window is free — no mutation, no GC)
       spark.conf.set("spark.graft.index.retainEpochs", "2")
       val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_knn_store_bench"
+        graft.operators.Scratch.dir(spark, "knn_store_bench")
       graft.operators.IvfIndex.build(
         index.toSeq.toDF("vec_id", "qv"), dir)
       val in = MemoryStream[StreamOps.VecEvent]
@@ -241,8 +241,9 @@ object StreamBench {
     // compressed sidecar buys a disk-backed serve.
     val binaryStore = {
       import spark.implicits._
+      spark.conf.set("spark.graft.index.retainEpochs", "2")
       val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_binary_store_bench"
+        graft.operators.Scratch.dir(spark, "binary_store_bench")
       graft.operators.BinaryStore.build(
         index.toSeq.toDF("vec_id", "qv"), dir)
       val in = MemoryStream[StreamOps.VecEvent]
@@ -269,7 +270,7 @@ object StreamBench {
     val pqStore = {
       import spark.implicits._
       val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_pq_store_bench"
+        graft.operators.Scratch.dir(spark, "pq_store_bench")
       graft.operators.IvfIndex.buildPq(
         index.toSeq.toDF("vec_id", "qv"), dir)
       val in = MemoryStream[StreamOps.VecEvent]
@@ -351,7 +352,7 @@ object StreamBench {
       spark.conf.set(key, "false")
       try {
         import org.apache.spark.sql.functions._
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_sb_incr"
+        val dir = graft.operators.Scratch.dir(spark, "sb_incr")
         val (oldHalf, newHalf) = docEvents.splitAt(docEvents.size / 2)
         val oldDf = oldHalf.toDF()
           .withColumn("toks", split(col("text"), "\\s+"))
@@ -452,7 +453,7 @@ object StreamBench {
           org.apache.spark.sql.functions.split(
             org.apache.spark.sql.functions.col("text"), "\\s+"))
       val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_maxsim_bench"
+        graft.operators.Scratch.dir(spark, "maxsim_bench")
       graft.operators.MaxSimStore.build(corpus, dir)
       val nQ = math.max(nBids / 100, 500)
       val qEvents: Seq[StreamOps.DocEvent] = (0L until nQ.toLong).map { i =>
@@ -503,7 +504,7 @@ object StreamBench {
         stats0.dl.localCheckpoint(true),
         stats0.nAvg.localCheckpoint(true))
       val dir =
-        s"${System.getProperty("java.io.tmpdir")}/graft_hybrid_bench"
+        graft.operators.Scratch.dir(spark, "hybrid_bench")
       graft.operators.IvfIndex.build(
         (0L until corpusN.toLong).map(i => (i, synthVec(i)))
           .toDF("vec_id", "qv"), dir)

@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Manifest commit protocol for FLAT (cell-less) persisted stores —
+  * the [[IvfIndex]] control plane (reference lifecycle:
+  * `flock/src/datasource` keeps sources immutable; mutability here is
+  * the standard manifest-pointer table design) restated for stores
+  * whose data is one generation list instead of a per-cell map:
+  * [[BinaryStore]] (codes + bucketed vectors) and [[MaxSimStore]]
+  * (chunks + postings + df partials).
+  *
+  * State machine (identical to the index's):
+  *   1. Mutations write data ONLY into `gen=`/`del=` directories no
+  *      committed manifest references.
+  *   2. The manifest for epoch N+1 is written to a temp file and
+  *      RENAMED into place — the atomic commit point — guarded by an
+  *      optimistic-concurrency check (a stale or duplicate epoch fails
+  *      loudly; POSIX rename would otherwise replace the winner's
+  *      commit silently).
+  *   3. Only after the commit may GC reclaim what no RETAINED manifest
+  *      references (`spark.graft.index.retainEpochs` — ONE knob for
+  *      every manifest store, so a deployment that raises the
+  *      time-travel window protects its sidecar tiers with the same
+  *      setting that protects the index).
+  *
+  * Ingest exactly-once state is the index's bounded form: `ingestLow`
+  * is the contiguous high-water mark, `ingested` holds only
+  * out-of-order generations above it, so a sequential writer (a
+  * streaming sink naming gen = batchId + 1) keeps the manifest O(1)
+  * in stream length. `nextInternal` hands out negative generation ids
+  * for compaction outputs — sign-disjoint from caller generations, so
+  * an ingest replay can never clobber folded data.
+  */
+private[graft] object FlatManifest {
+
+  /** One committed flat-store state. `gens` is the live generation
+    * list; `tombs` the committed tombstone-set ids in effect at this
+    * epoch (snapshot-scoped — a time-travel read never sees a later
+    * delete).
+    */
+  case class Snap(epoch: Long, gens: Seq[Long], tombs: Seq[Long],
+      ingested: Set[Long], ingestLow: Long, nextInternal: Long) {
+    def committedIngest(gen: Long): Boolean =
+      gen <= ingestLow || ingested.contains(gen)
+    def withIngested(gen: Long): Snap = {
+      var set = ingested + gen
+      var low = ingestLow
+      while (set.contains(low + 1)) { low += 1; set -= low }
+      copy(ingested = set, ingestLow = low)
+    }
+  }
+
+  def fs(s: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def manifestName(epoch: Long) = f"manifest-$epoch%09d"
+
+  def retainEpochs(s: SparkSession): Int =
+    math.max(1, s.conf.get("spark.graft.index.retainEpochs", "1").toInt)
+
+  private def parse(s: SparkSession, dir: String, p: Path): Snap = {
+    val f = fs(s, dir)
+    val in = f.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val epoch = p.getName.stripPrefix("manifest-").toLong
+    var gens = Seq.empty[Long]
+    var tombs = Seq.empty[Long]
+    var ingested = Set.empty[Long]
+    var ingestLow = 0L
+    var nextInternal = -1L
+    var sawGens = false
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { ln =>
+      val Array(k, v) = ln.split("=", 2)
+      def longs = if (v.isEmpty) Seq.empty[Long]
+        else v.split(",").map(_.toLong).toSeq
+      k match {
+        case "gens" => gens = longs; sawGens = true
+        case "tombs" => tombs = longs
+        case "ingested" => ingested = longs.toSet
+        case "ingest_low" => ingestLow = v.toLong
+        case "next_internal" => nextInternal = v.toLong
+        case other => throw new IllegalStateException(
+          s"unknown flat-manifest key '$other' in $p")
+      }
+    }
+    require(sawGens, s"manifest $p names no generation list")
+    Snap(epoch, gens, tombs, ingested, ingestLow, nextInternal)
+  }
+
+  private def manifestPaths(s: SparkSession, dir: String): Seq[Path] = {
+    val found = fs(s, dir).globStatus(new Path(dir, "manifest-*"))
+    if (found == null) Seq.empty else found.map(_.getPath).toSeq
+  }
+
+  def read(s: SparkSession, dir: String): Snap = {
+    val paths = manifestPaths(s, dir)
+    require(paths.nonEmpty,
+      s"no committed manifest under $dir — not a store (or build crashed pre-commit)")
+    parse(s, dir, paths.maxBy(_.getName.stripPrefix("manifest-").toLong))
+  }
+
+  /** The snapshot committed AS OF `epoch` — fails loudly outside the
+    * retention window; `verifyData` existence-checks every referenced
+    * path (store-layout-specific) so a pruned scan can never silently
+    * return partial results over reclaimed directories.
+    */
+  def readAt(s: SparkSession, dir: String, epoch: Long)(
+      verifyData: Snap => Unit): Snap = {
+    val p = new Path(dir, manifestName(epoch))
+    require(fs(s, dir).exists(p),
+      s"store $dir has no readable epoch $epoch — outside the " +
+        "retention window (spark.graft.index.retainEpochs) or never " +
+        "committed")
+    val snap = parse(s, dir, p)
+    val latest = read(s, dir)
+    require(latest.epoch - epoch < retainEpochs(s),
+      s"epoch $epoch of $dir is outside the retained data window " +
+        s"(latest ${latest.epoch}, retainEpochs ${retainEpochs(s)}) — " +
+        "its manifest file survives for recovery but its data may be " +
+        "GC'd; raise spark.graft.index.retainEpochs before mutating")
+    verifyData(snap)
+    snap
+  }
+
+  def retained(s: SparkSession, dir: String): Seq[Snap] = {
+    val paths = manifestPaths(s, dir)
+    require(paths.nonEmpty, s"no committed manifest under $dir")
+    val latest = paths.map(_.getName.stripPrefix("manifest-").toLong).max
+    paths.filter(_.getName.stripPrefix("manifest-").toLong >
+        latest - retainEpochs(s))
+      .map(p => parse(s, dir, p))
+  }
+
+  /** Publish a snapshot: temp write + checked rename under the
+    * optimistic-concurrency guard (see [[IvfIndex.commitSnapshot]] for
+    * the lost-update scenario the guard turns into a loud error).
+    * Superseded manifests beyond the retention window plus one spare
+    * are deleted.
+    */
+  def commit(s: SparkSession, dir: String, snap: Snap): Unit = {
+    val f = fs(s, dir)
+    val tmp = new Path(dir, s".manifest-tmp-${snap.epoch}")
+    val out = f.create(tmp, true)
+    try {
+      val sb = new StringBuilder
+      sb.append(s"gens=${snap.gens.sorted.mkString(",")}\n")
+      sb.append(s"tombs=${snap.tombs.sorted.mkString(",")}\n")
+      sb.append(s"ingest_low=${snap.ingestLow}\n")
+      sb.append(s"ingested=${snap.ingested.toSeq.sorted.mkString(",")}\n")
+      sb.append(s"next_internal=${snap.nextInternal}\n")
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    val committed = f.globStatus(new Path(dir, "manifest-*"))
+    val latest =
+      if (committed == null || committed.isEmpty) 0L
+      else committed.map(_.getPath.getName.stripPrefix("manifest-").toLong).max
+    val dest = new Path(dir, manifestName(snap.epoch))
+    if (latest >= snap.epoch || f.exists(dest)) {
+      f.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"store $dir: epoch ${snap.epoch} is stale (latest committed " +
+          s"$latest) — a concurrent mutation won the race; re-read and " +
+          "re-apply")
+    }
+    require(f.rename(tmp, dest),
+      s"manifest commit failed: rename $tmp -> $dest returned false")
+    val old = f.globStatus(new Path(dir, "manifest-*"))
+    if (old != null) old.map(_.getPath)
+      .filter(_.getName.stripPrefix("manifest-").toLong <
+        snap.epoch - retainEpochs(s))
+      .foreach(p => f.delete(p, false))
+  }
+
+  /** Reclaim generation/tombstone directories no retained manifest
+    * references, under each listed data root (`root -> partition
+    * prefix`, e.g. `codes -> gen=`, `tombstones -> del=`). For roots
+    * with nested partitioning (vectors/gen=N/bucket=B) only the TOP
+    * level is generation-keyed, which is the level GC removes. Also
+    * sweeps dead `.manifest-tmp-` files. Returns per-kind removal
+    * counts.
+    */
+  def gcSweep(s: SparkSession, dir: String,
+      genRoots: Seq[String], tombRoots: Seq[String]): Map[String, Long] = {
+    val snaps = retained(s, dir)
+    val f = fs(s, dir)
+    val liveGens = snaps.flatMap(_.gens).toSet
+    val liveTombs = snaps.flatMap(_.tombs).toSet
+    var orphanGens = 0L
+    var orphanTombs = 0L
+    var tmpManifests = 0L
+    genRoots.foreach { root =>
+      val rp = new Path(dir, root)
+      if (f.exists(rp))
+        f.listStatus(rp).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith("gen=")).foreach { gd =>
+            if (!liveGens.contains(gd.getName.stripPrefix("gen=").toLong)) {
+              require(f.delete(gd, true), s"gc failed to delete $gd")
+              orphanGens += 1
+            }
+          }
+    }
+    tombRoots.foreach { root =>
+      val rp = new Path(dir, root)
+      if (f.exists(rp)) {
+        if (liveTombs.isEmpty) {
+          orphanTombs += f.listStatus(rp).count(st =>
+            st.isDirectory && st.getPath.getName.startsWith("del="))
+          require(f.delete(rp, true), s"gc failed to delete $rp")
+        } else {
+          f.listStatus(rp).filter(_.isDirectory).map(_.getPath)
+            .filter(_.getName.startsWith("del=")).foreach { dd =>
+              if (!liveTombs.contains(
+                  dd.getName.stripPrefix("del=").toLong)) {
+                require(f.delete(dd, true), s"gc failed to delete $dd")
+                orphanTombs += 1
+              }
+            }
+        }
+      }
+    }
+    f.listStatus(new Path(dir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      // a temp for a FUTURE epoch may belong to a commit in flight —
+      // only temps that can never win the concurrency check are dead
+      if (n.startsWith(".manifest-tmp-") &&
+          n.stripPrefix(".manifest-tmp-").toLong <= snaps.map(_.epoch).max) {
+        require(f.delete(p, false), s"gc failed to delete $p")
+        tmpManifests += 1
+      }
+    }
+    Map("orphan_gen_dirs" -> orphanGens,
+      "orphan_tombstone_sets" -> orphanTombs,
+      "tmp_manifests" -> tmpManifests)
+  }
+
+  /** Prepare a build's target directory — the [[IvfIndex]] "owns but
+    * does not silently destroy" rule: wipe only when absent, empty, or
+    * recognizably this store's artifact set.
+    */
+  def prepareBuildDir(s: SparkSession, dir: String,
+      knownChildren: Set[String]): Unit = {
+    val f = fs(s, dir)
+    val p = new Path(dir)
+    if (f.exists(p)) {
+      val foreign = f.listStatus(p).map(_.getPath.getName).filterNot { n =>
+        n.startsWith("manifest-") || n.startsWith(".manifest-tmp-") ||
+          n == "_SUCCESS" || knownChildren.contains(n)
+      }
+      require(foreign.isEmpty,
+        s"refusing to build into $dir: it contains non-store content " +
+          s"(${foreign.take(5).mkString(", ")}) — builds wipe their " +
+          "target, so the target must be empty or an existing store")
+      f.delete(p, true)
+    }
+    f.mkdirs(p)
+  }
+}
+
+/** Scratch directories for catalog entries and bench tools that build a
+  * store as part of their run. Paths are FIXED per (process, name):
+  * stable across Bench reps and repeated in-session Verify runs (the
+  * builds wipe and rebuild — no accumulation), but suffixed with the
+  * Spark application id so two CONCURRENT processes (say a driver
+  * Verify beside a builder's local run) can never serve each other's
+  * half-written store — the round-12 advice finding on the previously
+  * shared literal paths.
+  */
+private[graft] object Scratch {
+  def dir(s: SparkSession, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${s.sparkContext.applicationId}/$name"
+}

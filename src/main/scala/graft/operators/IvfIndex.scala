@@ -2022,12 +2022,14 @@ object IvfIndex {
       .orderBy($"cid")
   }
 
-  /** Per-entry scratch index dirs: FIXED paths (re-runs overwrite via
-    * build's directory wipe — Bench reps and repeated Verify runs
-    * must not accumulate appended postings), distinct per entry.
+  /** Per-entry scratch index dirs: FIXED per (process, entry) — stable
+    * across Bench reps and repeated in-session Verify runs (re-runs
+    * overwrite via build's directory wipe, no accumulation) but
+    * distinct across concurrent processes ([[Scratch]]).
     */
   private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index/$name"
+    Scratch.dir(org.apache.spark.sql.SparkSession.active,
+      s"ivf_index/$name")
 
   /** Build → persist → serve, end-to-end through the parquet roundtrip.
     * Result rows are q147's serve joined with each neighbor cell's

@@ -631,8 +631,7 @@ object PipelineOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val budget = 3000L
-    val dir =
-      s"${System.getProperty("java.io.tmpdir")}/graft_release_digest/q190"
+    val dir = Scratch.dir(s, "release_digest/q190")
     writeReleaseDigest(s, d, dir, budget)
     val textdig = s.read.parquet(s"$dir/textdig")
     val windig = s.read.parquet(s"$dir/windig")

@@ -152,6 +152,7 @@ object TextOps {
     "q163_hybrid_retrieval" -> ((s, d) => q163(s, d)),
     "q178_maxsim_chunks" -> ((s, d) => q178(s, d)),
     "q182_maxsim_store" -> ((s, d) => q182(s, d)),
+    "q203_maxsim_store_mutated" -> ((s, d) => q203(s, d)),
     "q166_reservoir_sample" -> ((s, d) => q166(s, d)),
     "q167_kneser_ney" -> ((s, d) => q167(s, d))
   )
@@ -253,10 +254,14 @@ object TextOps {
       val train = feats.filter($"doc_id" % 5 =!= 0)
       val test = feats.filter($"doc_id" % 5 === 0)
       var w = Array.fill(33)(0L)
+      // coalesce: sum() over an EMPTY split is null, and a tiny corpus
+      // can leave the held-out fifth (or the train side) empty — the
+      // trainer must degrade to (0, 0), not NPE on getLong
       def errCount(df: DataFrame, weights: Array[Long]): (Long, Long) = {
         val Array(r) = df.withColumn("margin", marginCol(weights)).agg(
           count(lit(1)).as("n"),
-          sum(when($"margin" <= 0L, 1L).otherwise(0L)).as("m")).collect()
+          coalesce(sum(when($"margin" <= 0L, 1L).otherwise(0L)),
+            lit(0L)).as("m")).collect()
         (r.getLong(0), r.getLong(1))
       }
       // epoch e: nMiscl measures the INCOMING weights w_{e-1}; the
@@ -266,7 +271,8 @@ object TextOps {
         val scored = train.withColumn("margin", marginCol(w))
         val Array(stat) = scored.agg(
           count(lit(1)).as("n"),
-          sum(when($"margin" <= 0L, 1L).otherwise(0L)).as("m")).collect()
+          coalesce(sum(when($"margin" <= 0L, 1L).otherwise(0L)),
+            lit(0L)).as("m")).collect()
         val (nTrain, nMiscl) = (stat.getLong(0), stat.getLong(1))
         val delta = scored.filter($"margin" <= 0L)
           .select(expr("transform(x, v -> v * y)").as("yx"))
@@ -293,12 +299,16 @@ object TextOps {
         .toMap + (epochs.last.epoch -> lastTrainErr)
     val pocketEpoch = epochs.map(e => (trainErrOf(e.epoch), e.epoch)).min._2
     val pe = epochs(pocketEpoch.toInt - 1)
+    // permille guards: an empty split yields -1 (the suite's marker for
+    // an undefined metric) instead of / by zero on a tiny corpus
+    def permille(num: Long, den: Long): Long =
+      if (den == 0L) -1L else num * 1000L / den
     val rows = epochs.map { e =>
-      (e.epoch, e.nTrain, e.nMiscl, e.nMiscl * 1000L / e.nTrain,
-        e.nTestErr * 1000L / e.nTest, e.w.map(math.abs).sum)
+      (e.epoch, e.nTrain, e.nMiscl, permille(e.nMiscl, e.nTrain),
+        permille(e.nTestErr, e.nTest), e.w.map(math.abs).sum)
     } :+ ((-1L, pe.nTrain, trainErrOf(pocketEpoch),
-      trainErrOf(pocketEpoch) * 1000L / pe.nTrain,
-      pe.nTestErr * 1000L / pe.nTest, pe.w.map(math.abs).sum))
+      permille(trainErrOf(pocketEpoch), pe.nTrain),
+      permille(pe.nTestErr, pe.nTest), pe.w.map(math.abs).sum))
     rows.toDF("epoch", "n_train", "n_miscl", "train_err_permille",
       "test_err_permille", "w_l1")
       .orderBy($"epoch")
@@ -2485,9 +2495,45 @@ object TextOps {
     */
   private def q182(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_maxsim/q182"
+    val dir = Scratch.dir(s, "maxsim/q182")
     MaxSimStore.build(docs(s, d), dir)
     MaxSimStore.serve(s, dir, docs(s, d).filter($"doc_id" % 100 === 0))
+  }
+
+  /** MaxSim store through the FULL MUTATION LIFECYCLE — the q203 gate
+    * entry for [[MaxSimStore]]'s manifest protocol (q202's shape on
+    * the chunk index): build on doc_id % 3 ≠ 2, ingest the rest as an
+    * exactly-once generation (REPLAYED once — a double ingest would
+    * double candidate mass and fail the hash), tombstone every
+    * doc_id ≡ 3 (mod 7), then serve the %100 query sample BEFORE
+    * compaction (phase 0) and AFTER (phase 1). The oracle replays the
+    * df-at-commit prefix rule per generation (gen 0's prefixes under
+    * the base corpus's df, gen 1's under the full df), the stored-df
+    * query-side selection, and the delete mask — both phases from one
+    * computation, so the hash proves ingest exactly-once, masking,
+    * the versioned routing rule, and compaction transparency.
+    */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Scratch.dir(s, "maxsim/q203")
+    val corpus = docs(s, d)
+    MaxSimStore.build(corpus.filter($"doc_id" % 3 =!= 2), dir)
+    val g1 = corpus.filter($"doc_id" % 3 === 2)
+    MaxSimStore.addBatch(s, dir, g1, gen = 1L)
+    MaxSimStore.addBatch(s, dir, g1, gen = 1L) // replay: committed no-op
+    MaxSimStore.delete(s, dir,
+      corpus.filter($"doc_id" % 7 === 3).select($"doc_id"))
+    val queries = corpus.filter($"doc_id" % 100 === 0)
+    def phaseReport(p: Long): DataFrame =
+      MaxSimStore.serve(s, dir, queries)
+        .select(lit(p).as("phase"), $"query_doc", $"rk", $"cand_doc",
+          $"score", $"n_chunks_hit")
+    // phase 0 must materialize before compact: its plan reads the
+    // pre-fold generation directories, GC'd after the fold commits
+    val pre = phaseReport(0L).localCheckpoint(true)
+    MaxSimStore.compact(s, dir)
+    pre.unionByName(phaseReport(1L))
+      .orderBy($"phase", $"query_doc", $"rk")
   }
 
   private def q178(s: SparkSession, d: String): DataFrame = {
@@ -2712,12 +2758,12 @@ object TextOps {
       .orderBy($"lang", $"pick")
   }
 
-  /** q178's relational replay — ALSO the q182 oracle: the persisted
-    * store serve must be transparent, so it hashes against the
-    * identical SQL.
+  /** Shared corpus CTEs of the MaxSim oracles: chunking, chunk ids,
+    * multiplicity, dim-hashed vectors, norms, chunk-token membership,
+    * and the full-corpus df — everything before prefix selection.
     */
-  private def maxSimOracleSql: String =
-      """WITH t AS (
+  private def maxSimCorpusCtes: String =
+      """t AS (
            SELECT doc_id, string_split_regex(text, '\s+') AS toks
            FROM documents),
          b AS (
@@ -2765,19 +2811,14 @@ object TextOps {
          tokd AS (SELECT DISTINCT doc_id, h, tok FROM ctoks),
          dfr AS (
            SELECT tok, CAST(count(*) AS BIGINT) AS tok_df
-           FROM tokd GROUP BY 1),
-         pref AS (
-           SELECT doc_id, h, tok FROM (
-             SELECT doc_id, h, tok, row_number() OVER (
-               PARTITION BY doc_id, h ORDER BY tok_df, tok) AS pos
-             FROM tokd JOIN dfr USING (tok))
-           WHERE pos <= 2),
-         cand AS (
-           SELECT DISTINCT a.doc_id AS qdoc, a.h AS qh,
-             c.doc_id AS cdoc, c.h AS cc
-           FROM pref a JOIN pref c USING (tok)
-           WHERE a.doc_id % 100 = 0 AND a.doc_id <> c.doc_id),
-         dotr AS (
+           FROM tokd GROUP BY 1)"""
+
+  /** The shared scoring tail: candidate pairs -> exact integer qcos2,
+    * max per candidate chunk, multiplicity-weighted sum per candidate
+    * doc. Expects a `cand (qdoc, qh, cdoc, cc)` CTE in scope.
+    */
+  private def maxSimScoreCtes: String =
+      """dotr AS (
            SELECT qdoc, qh, cdoc, cc,
              CAST(sum(va.cnt * vb.cnt) AS BIGINT) AS dot
            FROM cand
@@ -2798,7 +2839,26 @@ object TextOps {
            SELECT qdoc, cdoc, CAST(sum(d.m * mx.mx) AS BIGINT) AS score,
              CAST(count(*) AS BIGINT) AS n_chunks_hit
            FROM mx JOIN mr d ON d.doc_id = mx.qdoc AND d.h = mx.qh
-           GROUP BY 1, 2)
+           GROUP BY 1, 2)"""
+
+  /** q178's relational replay — ALSO the q182 oracle: the persisted
+    * store serve must be transparent, so it hashes against the
+    * identical SQL.
+    */
+  private def maxSimOracleSql: String =
+    s"""WITH $maxSimCorpusCtes,
+         pref AS (
+           SELECT doc_id, h, tok FROM (
+             SELECT doc_id, h, tok, row_number() OVER (
+               PARTITION BY doc_id, h ORDER BY tok_df, tok) AS pos
+             FROM tokd JOIN dfr USING (tok))
+           WHERE pos <= 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS qdoc, a.h AS qh,
+             c.doc_id AS cdoc, c.h AS cc
+           FROM pref a JOIN pref c USING (tok)
+           WHERE a.doc_id % 100 = 0 AND a.doc_id <> c.doc_id),
+         $maxSimScoreCtes
          SELECT qdoc AS query_doc, CAST(rk AS BIGINT) AS rk,
            cdoc AS cand_doc, score, n_chunks_hit
          FROM (
@@ -2807,9 +2867,61 @@ object TextOps {
            FROM sco)
          WHERE rk <= 5 ORDER BY query_doc, rk"""
 
+  /** The q203 lifecycle replay: per-generation prefix df scopes
+    * (gen 0 under the base corpus df, gen 1 under the full df —
+    * "df at commit"), stored-df query-side selection, the delete
+    * mask on the corpus side, and both serve phases from one
+    * computation (compaction preserves committed prefixes, so
+    * pre/post rows are identical by design).
+    */
+  private def q203OracleSql: String =
+    s"""WITH $maxSimCorpusCtes,
+         dfr0 AS (
+           SELECT tok, CAST(count(*) AS BIGINT) AS tok_df
+           FROM tokd WHERE doc_id % 3 <> 2 GROUP BY 1),
+         pref0 AS (
+           SELECT doc_id, h, tok FROM (
+             SELECT doc_id, h, tok, row_number() OVER (
+               PARTITION BY doc_id, h ORDER BY tok_df, tok) AS pos
+             FROM tokd JOIN dfr0 USING (tok)
+             WHERE doc_id % 3 <> 2)
+           WHERE pos <= 2),
+         pref1 AS (
+           SELECT doc_id, h, tok FROM (
+             SELECT doc_id, h, tok, row_number() OVER (
+               PARTITION BY doc_id, h ORDER BY tok_df, tok) AS pos
+             FROM tokd JOIN dfr USING (tok)
+             WHERE doc_id % 3 = 2)
+           WHERE pos <= 2),
+         cpref AS (
+           SELECT * FROM pref0 UNION ALL SELECT * FROM pref1),
+         qpref AS (
+           SELECT doc_id, h, tok FROM (
+             SELECT doc_id, h, tok, row_number() OVER (
+               PARTITION BY doc_id, h ORDER BY tok_df, tok) AS pos
+             FROM tokd JOIN dfr USING (tok)
+             WHERE doc_id % 100 = 0)
+           WHERE pos <= 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS qdoc, a.h AS qh,
+             c.doc_id AS cdoc, c.h AS cc
+           FROM qpref a JOIN cpref c USING (tok)
+           WHERE a.doc_id <> c.doc_id AND c.doc_id % 7 <> 3),
+         $maxSimScoreCtes
+         SELECT ph.phase, qdoc AS query_doc, CAST(rk AS BIGINT) AS rk,
+           cdoc AS cand_doc, score, n_chunks_hit
+         FROM (
+           SELECT qdoc, cdoc, score, n_chunks_hit, row_number() OVER (
+             PARTITION BY qdoc ORDER BY score DESC, cdoc) AS rk
+           FROM sco)
+         CROSS JOIN (SELECT CAST(0 AS BIGINT) AS phase
+                     UNION ALL SELECT CAST(1 AS BIGINT)) ph
+         WHERE rk <= 5 ORDER BY ph.phase, query_doc, rk"""
+
   def oracles: Map[String, String] = Map(
     "q178_maxsim_chunks" -> maxSimOracleSql,
     "q182_maxsim_store" -> maxSimOracleSql,
+    "q203_maxsim_store_mutated" -> q203OracleSql,
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
     // (DuckMacros.M32): the band-fold xxhash64 and the recheck's token
     // xxhash64 only matter through EQUALITY, so the oracle bands on the

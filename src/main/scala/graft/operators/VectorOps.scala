@@ -44,7 +44,8 @@ object VectorOps {
     "q181_semdedup_capped" -> ((s, d) => q181(s, d)),
     "q187_semantic_decontam" -> ((s, d) => q187(s, d)),
     "q191_binary_sign_ann" -> ((s, d) => q191(s, d)),
-    "q195_binary_store" -> ((s, d) => q195(s, d))
+    "q195_binary_store" -> ((s, d) => q195(s, d)),
+    "q202_binary_store_mutated" -> ((s, d) => q202(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -707,6 +708,12 @@ object VectorOps {
         case "live" =>
           val live = emb.filter($"vec_id" % 7 =!= 0)
           (live, live.filter($"vec_id" % 100 === 0))
+        case "bin_live" =>
+          // q202's mutated binary store: every vector is eventually
+          // ingested, ids % 7 = 3 are deleted; queries stay the q191
+          // set (external queries may be absent from the corpus)
+          (emb.filter($"vec_id" % 7 =!= 3),
+            emb.filter($"vec_id" % 100 === 0))
         case other => throw new IllegalArgumentException(
           s"unknown exact-top population '$other'")
       }
@@ -835,14 +842,18 @@ object VectorOps {
     * neighbor asc) total order even past k ties (neighbor ids stay
     * < 2^40 — the MakeBigSf sf10 corpus reaches ~10^9 — and
     * 64·2^40 + 2^40 < 2^53 keeps the double carry exact).
-    * Checkpointed: every consumer (refine fetch, ham-recall join,
-    * the store's bucket collection) re-reads the small result.
+    * Checkpointed by default: every consumer (refine fetch, ham-recall
+    * join, the store's bucket collection) re-reads the small result.
+    * `checkpoint = false` hands back the lazy plan for single-consumer
+    * paths — the store's CACHED serving loop fuses shortlist + refine
+    * into one job per trigger instead of paying a checkpoint action it
+    * never re-reads (the round-12 binary_store_qps lead).
     */
   private[graft] def hamShortlist(codes: DataFrame, queries: DataFrame,
-      width: Int): DataFrame = {
+      width: Int, checkpoint: Boolean = true): DataFrame = {
     val s = codes.sparkSession
     import s.implicits._
-    codes.crossJoin(broadcast(
+    val out = codes.crossJoin(broadcast(
         queries.select($"query_id", $"qw0", $"qw1")))
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id",
@@ -856,7 +867,7 @@ object VectorOps {
       .select($"query_id", posexplode($"top"))
       .select($"query_id", $"col.id".as("neighbor"),
         ($"pos" + 1).cast("long").as("srank"))
-      .localCheckpoint(true)
+    if (checkpoint) out.localCheckpoint(true) else out
   }
 
   /** Stage 2: exact integer L2 re-rank of the shortlist rows only —
@@ -884,10 +895,10 @@ object VectorOps {
     * so the stored tier hashes against q191's own oracle.
     */
   private[graft] def binaryRecallReport(s: SparkSession, d: String,
-      shortlist: DataFrame, refined: DataFrame,
-      queries: DataFrame): DataFrame = {
+      shortlist: DataFrame, refined: DataFrame, queries: DataFrame,
+      exactTag: String = "full"): DataFrame = {
     import s.implicits._
-    val ex = exactTop(s, d, "full").filter($"rank" <= 5)
+    val ex = exactTop(s, d, exactTag).filter($"rank" <= 5)
       .select($"query_id", $"neighbor")
     val hamTop5 = shortlist.filter($"srank" <= 5)
       .join(ex, Seq("query_id", "neighbor"), "left_semi")
@@ -940,12 +951,55 @@ object VectorOps {
     */
   private def q195(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_binary/q195"
+    val dir = Scratch.dir(s, "binary/q195")
     val emb = quantized(s, d)
     BinaryStore.build(emb, dir)
     val queries = binaryQueries(emb)
     val (shortlist, refined) = BinaryStore.serveStages(s, dir, queries, 20)
     binaryRecallReport(s, d, shortlist, refined, queries)
+  }
+
+  /** Binary tier through the FULL MUTATION LIFECYCLE — the q202 gate
+    * entry for [[BinaryStore]]'s manifest protocol (q158's shape on
+    * the 1-bit tier): build on two-thirds of the corpus, ingest the
+    * rest as two exactly-once generations (one deliberately REPLAYED —
+    * a double-ingest would double rows and fail the hash), tombstone
+    * every id ≡ 3 (mod 7), then serve the q191 report against the
+    * LIVE exact ground truth BEFORE compaction (phase 0) and AFTER
+    * (phase 1). The oracle replays the live set relationally and
+    * emits both phases from one computation, so the hash match proves
+    * ingest exactly-once, delete masking, and compaction transparency
+    * end-to-end — not just "rows came back".
+    *
+    * Scale: each lifecycle step costs its batch (pack pass + two
+    * partitioned writes; tombstone append; one live rewrite); the two
+    * serves are the q191 plan against the committed snapshot.
+    */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Scratch.dir(s, "binary/q202")
+    val emb = quantized(s, d)
+    BinaryStore.build(emb.filter($"vec_id" % 3 =!= 2), dir)
+    val gen1 = emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0)
+    BinaryStore.addBatch(s, dir, gen1, gen = 1L)
+    BinaryStore.addBatch(s, dir, gen1, gen = 1L) // replay: committed no-op
+    BinaryStore.addBatch(s, dir,
+      emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 1), gen = 2L)
+    BinaryStore.delete(s, dir, emb.filter($"vec_id" % 7 === 3)
+      .select($"vec_id"))
+    val queries = binaryQueries(emb)
+    def phaseReport(phase: Long): DataFrame = {
+      val (shortlist, refined) = BinaryStore.serveStages(s, dir, queries, 20)
+      binaryRecallReport(s, d, shortlist, refined, queries, "bin_live")
+        .select(lit(phase).as("phase"), $"query_id", $"k", $"n_ham",
+          $"n_refined", $"recall_ham_permille", $"recall_ref_permille")
+    }
+    // phase 0 MUST materialize before compact: its plan reads the
+    // pre-fold generation directories, which the post-commit GC
+    // reclaims (retainEpochs defaults to 1)
+    val pre = phaseReport(0L).localCheckpoint(true)
+    BinaryStore.compact(s, dir)
+    pre.unionByName(phaseReport(1L)).orderBy($"phase", $"query_id")
   }
 
   /** SemDeDup over the CONVERGED coarse quantizer — the semantic member
@@ -1781,8 +1835,15 @@ object VectorOps {
            st.dsum // st.n_s AS mean_dist
          FROM stot st JOIN tvd t USING (slice) ORDER BY slice"""
 
-  private val BinaryAnnOracleSql: String =
-      """WITH m AS (
+  /** The binary-tier oracle, parameterized: `livePred(alias)` filters
+    * the CORPUS side (stage-1 scan and exact ground truth) to the
+    * store's live contents; `phased` replays the result under both a
+    * pre- and post-compaction phase id (identical rows by construction
+    * — compaction transparency proved through the hash gate).
+    */
+  private def binaryAnnOracleSql(livePred: String => String,
+      phased: Boolean): String =
+      s"""WITH m AS (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
              AS qv
@@ -1804,7 +1865,8 @@ object VectorOps {
            SELECT q.query_id, c.vec_id AS neighbor,
              CAST(bit_count(xor(c.w0, q.w0))
                 + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS ham
-           FROM c, qs q WHERE c.vec_id <> q.query_id),
+           FROM c, qs q
+           WHERE c.vec_id <> q.query_id AND ${livePred("c")}),
          sl AS (
            SELECT query_id, neighbor, ham,
              row_number() OVER (PARTITION BY query_id
@@ -1828,7 +1890,8 @@ object VectorOps {
              CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
                x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
            FROM m mc, m mq
-           WHERE mq.vec_id % 100 = 0 AND mc.vec_id <> mq.vec_id),
+           WHERE mq.vec_id % 100 = 0 AND mc.vec_id <> mq.vec_id
+             AND ${livePred("mc")}),
          ex AS (
            SELECT query_id, neighbor FROM (
              SELECT query_id, neighbor,
@@ -1858,17 +1921,28 @@ object VectorOps {
              CAST(sum(n_ham) AS BIGINT) AS n_ham,
              CAST(sum(n_refined) AS BIGINT) AS n_refined
            FROM per)
-         SELECT query_id, k, n_ham, n_refined,
+         SELECT ${if (phased) "ph.phase, " else ""}query_id, k,
+           n_ham, n_refined,
            CAST(n_ham * 1000 // k AS BIGINT) AS recall_ham_permille,
            CAST(n_refined * 1000 // k AS BIGINT) AS recall_ref_permille
          FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
-         ORDER BY query_id"""
+         ${if (phased)
+        "CROSS JOIN (SELECT CAST(0 AS BIGINT) AS phase UNION ALL SELECT CAST(1 AS BIGINT)) ph"
+      else ""}
+         ORDER BY ${if (phased) "ph.phase, " else ""}query_id"""
+
+  private val BinaryAnnOracleSql: String =
+    binaryAnnOracleSql(_ => "TRUE", phased = false)
+
+  private def q202OracleSql: String =
+    binaryAnnOracleSql(a => s"$a.vec_id % 7 <> 3", phased = true)
 
   def oracles: Map[String, String] = Map(
     "q191_binary_sign_ann" -> BinaryAnnOracleSql,
     // the store entry IS q191's computation served from disk — same
     // report, same oracle (the q182/q178 transparent-store discipline)
     "q195_binary_store" -> BinaryAnnOracleSql,
+    "q202_binary_store_mutated" -> q202OracleSql,
     "q149_kmeans_convergence" -> q149OracleSql,
     "q147_ivf_learned" -> q147OracleSql,
     "q171_semdedup_lloyd" -> q171OracleSql,

@@ -24,7 +24,7 @@ object MaxSimStoreBench {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_msbench"
+    val dir = graft.operators.Scratch.dir(spark, "msbench")
     val docs = graft.operators.TextOps.docs(spark, sfDir)
     def timed(tag: String)(body: => Unit): Unit = {
       val walls = (1 to reps).map { _ =>

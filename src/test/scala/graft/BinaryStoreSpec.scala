@@ -78,16 +78,18 @@ class BinaryStoreSpec extends SparkSpec {
         new java.sql.Timestamp(1_436_918_400_000L), v)
     }
     val got = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
-    val in = MemoryStream[graft.streaming.StreamOps.VecEvent]
-    val q = graft.streaming.StreamOps.binaryStoreServeStream(
-      in.toDS(), dir, k = 5) { (df, _) =>
-      got ++= df.collect().map(r =>
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    withIndexRetention(2) {
+      val in = MemoryStream[graft.streaming.StreamOps.VecEvent]
+      val q = graft.streaming.StreamOps.binaryStoreServeStream(
+        in.toDS(), dir, k = 5) { (df, _) =>
+        got ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      }
+      try {
+        in.addData(queries.take(5).toSeq); q.processAllAvailable()
+        in.addData(queries.drop(5).toSeq); q.processAllAvailable()
+      } finally q.stop()
     }
-    try {
-      in.addData(queries.take(5).toSeq); q.processAllAvailable()
-      in.addData(queries.drop(5).toSeq); q.processAllAvailable()
-    } finally q.stop()
     val qdf = VectorOps.binaryCodes(
       queries.toSeq.toDF("vec_id", "ts", "qv").select($"vec_id", $"qv"))
       .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
@@ -96,6 +98,63 @@ class BinaryStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.sortBy(x => (x._1, x._2)).toSeq ==
       want.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
+  test("serve stream picks up a MID-STREAM commit on the next trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    withIndexRetention(2) {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft_binstore_mut").toString
+      val emb = VectorOps.quantized(spark, sfDir)
+      BinaryStore.build(emb.filter($"vec_id" % 2 === 0), d)
+      val queries = emb.collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .filter(_._1 % 50 == 0).take(8).map { case (id, v) =>
+          graft.streaming.StreamOps.VecEvent(id,
+            new java.sql.Timestamp(1_436_918_400_000L), v)
+        }
+      val qdf = VectorOps.binaryCodes(
+        queries.toSeq.toDF("vec_id", "ts", "qv").select($"vec_id", $"qv"))
+        .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
+          $"w0".as("qw0"), $"w1".as("qw1"))
+      val perBatch =
+        scala.collection.mutable.ArrayBuffer[Set[(Long, Long, Long, Long)]]()
+      val in = MemoryStream[graft.streaming.StreamOps.VecEvent]
+      val q = graft.streaming.StreamOps.binaryStoreServeStream(
+        in.toDS(), d, k = 5) { (df, _) =>
+        perBatch += df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      }
+      try {
+        def batchServe() = BinaryStore.serve(spark, d, qdf, k = 5)
+          .collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        // trigger 1 against the base epoch
+        val wantBase = batchServe()
+        in.addData(queries.toSeq); q.processAllAvailable()
+        // commit an ingest + a delete between triggers
+        BinaryStore.addBatch(spark, d, emb.filter($"vec_id" % 2 === 1),
+          gen = 1L)
+        BinaryStore.delete(spark, d,
+          emb.filter($"vec_id" % 11 === 0).select($"vec_id"))
+        val wantMut = batchServe()
+        in.addData(queries.toSeq); q.processAllAvailable()
+        // and a compaction (epoch bump, old generations GC'd after
+        // the retained window) must stay serve-transparent
+        BinaryStore.compact(spark, d)
+        in.addData(queries.toSeq); q.processAllAvailable()
+        assert(perBatch.size === 3)
+        assert(perBatch(0) === wantBase)
+        assert(perBatch(1) === wantMut,
+          "second trigger did not see the mid-stream commit")
+        assert(perBatch(2) === wantMut,
+          "compaction changed the served rows")
+        assert(wantBase !== wantMut,
+          "mutation should have changed some served neighbor")
+      } finally q.stop()
+    }
   }
 
   test("serve returns the refined top-k in rank order") {

@@ -496,4 +496,148 @@ class IndexModelSpec extends SparkSpec {
       }
     }
   }
+
+  // ---------- binary (1-bit) tier: the same model discipline ----------
+
+  private def packWords(v: Seq[Long]): (Long, Long) = {
+    var w0 = 0L; var w1 = 0L
+    (0 until 32).foreach { i =>
+      if (v(i) > 0) w0 |= 1L << i
+      if (v(i + 32) > 0) w1 |= 1L << i
+    }
+    (w0, w1)
+  }
+
+  /** Driver replica of the two-stage binary serve: Hamming shortlist
+    * of `width` by (ham asc, id asc) over the model contents, exact
+    * L2 re-rank, top-k by (dist asc, id asc).
+    */
+  private def driverBinaryServe(contents: Map[Long, Vec],
+      queries: Seq[(Long, Vec)], width: Int = 20, k: Int = 5)
+      : Set[(Long, Long, Long, Long)] = {
+    queries.flatMap { case (qid, qv) =>
+      val (qw0, qw1) = packWords(qv)
+      val short = contents.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          val (w0, w1) = packWords(v)
+          (java.lang.Long.bitCount(w0 ^ qw0)
+            + java.lang.Long.bitCount(w1 ^ qw1), id, v)
+        }
+        .sortBy { case (h, id, _) => (h, id) }.take(width)
+      short.map { case (_, id, v) => (id, d2(v, qv)) }
+        .sortBy { case (id, dist) => (dist, id) }.take(k)
+        .zipWithIndex
+        .map { case ((id, dist), r) => (qid, (r + 1).toLong, id, dist) }
+    }.toSet
+  }
+
+  private def binStoreServe(dir: String,
+      queries: org.apache.spark.sql.DataFrame, cached: Boolean,
+      epoch: Option[Long] = None): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val qs = graft.operators.VectorOps.binaryCodes(queries)
+      .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
+        $"w0".as("qw0"), $"w1".as("qw1"))
+    graft.operators.BinaryStore
+      .serve(spark, dir, qs, k = 5, width = 20, cached = cached,
+        epoch = epoch)
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  /** The round-13 extension: [[graft.operators.BinaryStore]] under the
+    * same seeded-interleaving model check as the index — ingest
+    * (including a REPLAYED generation), delete, compact, vacuum — with
+    * contents, both serve paths (the cached one exercising the
+    * epoch-keyed refresh across every commit), and a random retained
+    * epoch's time-travel replay verified after every step.
+    */
+  test("binary store: random mutation interleavings match the driver model") {
+    import spark.implicits._
+    withIndexRetention(512) {
+      val emb = VectorOps.quantized(spark, sfDir)
+        .as[(Long, Seq[Long])].collect()
+      val queries = emb.filter(_._1 % 100 == 0)
+      val queryDf = queries.toSeq.toDF("vec_id", "qv")
+
+      Seq(3L, 31L).foreach { seed =>
+        val rng = new scala.util.Random(seed)
+        val dir = tmp(s"bin$seed")
+        val base = emb.filter(_._1 % 3 != 0)
+        val pool = scala.collection.mutable.Queue(
+          emb.filter(_._1 % 3 == 0).grouped(25).toSeq: _*)
+        graft.operators.BinaryStore.build(
+          base.toSeq.toDF("vec_id", "qv"), dir)
+        var live = base.map(_._1).toSet
+        var deleted = Set.empty[Long]
+        var nextGen = 1L
+        var committedBatches = Map.empty[Long, Seq[(Long, Seq[Long])]]
+        val history = scala.collection.mutable.Buffer[
+          (Long, Set[(Long, Long, Long, Long)])]()
+        history += 1L -> binStoreServe(dir, queryDf, cached = false)
+
+        (1 to 14).foreach { step =>
+          val op = rng.nextInt(5)
+          op match {
+            case 0 if pool.nonEmpty => // ingest
+              val batch = pool.dequeue()
+              graft.operators.BinaryStore.addBatch(spark, dir,
+                batch.toSeq.toDF("vec_id", "qv"), gen = nextGen)
+              committedBatches += nextGen -> batch.toSeq
+              nextGen += 1
+              live = live ++ batch.map(_._1)
+            case 1 if committedBatches.nonEmpty => // ingest REPLAY: no-op
+              val (g, b) = committedBatches.toSeq
+                .apply(rng.nextInt(committedBatches.size))
+              graft.operators.BinaryStore.addBatch(spark, dir,
+                b.toDF("vec_id", "qv"), gen = g)
+            case 2 if (live -- deleted).nonEmpty => // delete
+              val victims = (live -- deleted).toSeq.sorted
+                .filter(_ => rng.nextInt(5) == 0).take(50)
+              if (victims.nonEmpty) {
+                graft.operators.BinaryStore.delete(spark, dir,
+                  victims.toDF("vec_id"))
+                deleted = deleted ++ victims
+              }
+            case 3 => // compact: fold + physical delete
+              graft.operators.BinaryStore.compact(spark, dir)
+              live = live -- deleted
+              deleted = Set.empty
+              val rep = graft.operators.BinaryStore
+                .genReport(spark, dir)
+                .as[(Long, Long)].collect().toMap
+              assert(rep.keySet.subsetOf(Set(0L, -1L)),
+                s"seed $seed step $step: generations did not fold: $rep")
+            case _ => // vacuum is a metadata no-op on live state
+              graft.operators.BinaryStore.vacuum(spark, dir).collect()
+          }
+          val want = emb.filter(e =>
+              live.contains(e._1) && !deleted.contains(e._1)).toMap
+          val got = graft.operators.BinaryStore.liveCodes(spark, dir)
+            .select($"vec_id", $"w0", $"w1")
+            .as[(Long, Long, Long)].collect()
+          assert(got.map(_._1).distinct.length === got.length,
+            s"seed $seed step $step: duplicate ids in live codes")
+          assert(got.map(_._1).toSet === want.keySet,
+            s"seed $seed step $step op $op: content id drift")
+          got.foreach { case (id, w0, w1) =>
+            assert((w0, w1) === packWords(want(id)),
+              s"seed $seed step $step: code bytes drifted for $id") }
+          val wantServe = driverBinaryServe(want, queries.toSeq)
+          val cur = binStoreServe(dir, queryDf, cached = false)
+          assert(cur === wantServe,
+            s"seed $seed step $step op $op: serve drift")
+          // cached path: the epoch-keyed cache must refresh across
+          // every commit and match the uncached rows exactly
+          assert(binStoreServe(dir, queryDf, cached = true) === wantServe,
+            s"seed $seed step $step op $op: CACHED serve drift")
+          history += graft.operators.FlatManifest.read(spark, dir).epoch ->
+            cur
+          val (ep, wantAt) = history(rng.nextInt(history.size))
+          assert(binStoreServe(dir, queryDf, cached = false,
+              epoch = Some(ep)) === wantAt,
+            s"seed $seed step $step: epoch $ep replay drifted")
+        }
+      }
+    }
+  }
 }

@@ -124,4 +124,50 @@ class MaxSimStoreSpec extends SparkSpec {
     assert(emitted.flatMap(_._2).sortBy(r => (r._1, r._2)) ===
       all.sortBy(r => (r._1, r._2)))
   }
+
+  test("lifecycle: exactly-once ingest, delete mask, time travel, compaction transparency") {
+    import spark.implicits._
+    withIndexRetention(16) {
+      val dir = tmp("lifecycle")
+      val corpus = corpusDocs.localCheckpoint(true)
+      MaxSimStore.build(corpus.filter($"doc_id" % 3 =!= 2), dir)
+      val g1 = corpus.filter($"doc_id" % 3 === 2)
+      MaxSimStore.addBatch(spark, dir, g1, gen = 1L)
+      val queries = corpus.filter($"doc_id" % 100 === 0)
+        .localCheckpoint(true)
+      def rows(epoch: Option[Long] = None) =
+        MaxSimStore.serve(spark, dir, queries, epoch = epoch)
+          .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val afterIngest = rows()
+      assert(afterIngest.nonEmpty)
+      // a replayed generation is a committed no-op
+      MaxSimStore.addBatch(spark, dir, g1, gen = 1L)
+      assert(rows() === afterIngest)
+      val epochPreDelete =
+        graft.operators.FlatManifest.read(spark, dir).epoch
+      // delete a doc that currently surfaces as a candidate
+      val victim = afterIngest.map(_._3).min
+      MaxSimStore.delete(spark, dir, Seq(victim).toDF("doc_id"))
+      val afterDelete = rows()
+      assert(!afterDelete.exists(_._3 == victim),
+        "tombstoned doc still served as a candidate")
+      assert(afterDelete !== afterIngest)
+      // time travel: the pre-delete epoch still serves the victim
+      assert(rows(Some(epochPreDelete)) === afterIngest,
+        "pre-delete epoch replay drifted")
+      // compaction folds generations but must not change served rows
+      MaxSimStore.compact(spark, dir)
+      assert(rows() === afterDelete, "compaction changed served rows")
+      val snap = graft.operators.FlatManifest.read(spark, dir)
+      assert(snap.gens.length === 1 && snap.gens.head < 0
+          && snap.tombs.isEmpty,
+        s"compaction did not fold: $snap")
+      // an empty ingest batch commits its generation without data
+      MaxSimStore.addBatch(spark, dir,
+        corpus.filter($"doc_id" < 0), gen = 9L)
+      assert(rows() === afterDelete)
+      assert(graft.operators.FlatManifest.read(spark, dir)
+        .committedIngest(9L))
+    }
+  }
 }
