@@ -724,9 +724,24 @@ object IvfIndex {
     * spans labels.
     */
   def serveLabeled(s: SparkSession, dir: String, queries: DataFrame,
-      probes: Int = 2, k: Int = 5): DataFrame = {
+      probes: Int = 2, k: Int = 5): DataFrame =
+    serveLabeledSnap(s, dir, readSnapshot(s, dir), queries, probes, k)
+
+  /** [[serveLabeled]] pinned to a RETAINED epoch — labeled parity for
+    * [[serveAt]] (round-13 task: the labeled lifecycle landed in round
+    * 12; its time-travel read serves with the centroid version AND
+    * tombstone set in force at that epoch, exactly like the unlabeled
+    * path).
+    */
+  def serveLabeledAt(s: SparkSession, dir: String, epoch: Long,
+      queries: DataFrame, probes: Int = 2, k: Int = 5): DataFrame =
+    serveLabeledSnap(s, dir, readSnapshotAt(s, dir, epoch), queries,
+      probes, k)
+
+  private def serveLabeledSnap(s: SparkSession, dir: String,
+      snap: Snapshot, queries: DataFrame, probes: Int,
+      k: Int): DataFrame = {
     import s.implicits._
-    val snap = readSnapshot(s, dir)
     val cents = centroidsOf(s, dir, snap)
     val post = masked(s, dir, snap)
     val probed = queries.crossJoin(broadcast(cents))

@@ -116,6 +116,9 @@ object TextOps {
     "q36_winnow_fingerprints" -> ((s, d) => q36(s, d)),
     "q61_minhash_md5" -> ((s, d) => q61(s, d)),
     "q201_lsh_operating_points" -> ((s, d) => q201(s, d)),
+    "q204_lsh_sampled_ceiling" -> ((s, d) => q204(s, d)),
+    "q205_doremi_weights" -> ((s, d) => q205(s, d)),
+    "q206_doremi_mixture" -> ((s, d) => q206(s, d)),
     "q148_split_leakage" -> ((s, d) => q148(s, d)),
     "q150_zipf_profile" -> ((s, d) => q150(s, d)),
     "q63_winnow_md5" -> ((s, d) => q63(s, d)),
@@ -1317,6 +1320,177 @@ object TextOps {
       .orderBy($"source")
   }
 
+  /** DoReMi-style mixture-weight training (Xie et al. 2023's
+    * Domain-Reweighting-with-Minimax shape, q144/q192's in-engine
+    * discipline): iterative multiplicative-weights over per-domain
+    * EXCESS LOSS, with the engine's exact whole-bit unigram costs
+    * standing in for the proxy-model loss. Per round, the corpus
+    * model is the MIXTURE-WEIGHTED unigram (each source's token rates
+    * in 2⁻³⁰ units, weighted by the current ppm weights — so the
+    * reference model moves with the weights, which is what makes the
+    * loop a fixed-point iteration rather than a one-shot ranking);
+    * each domain's excess = max(0, cost-under-mixture −
+    * cost-under-self) in permille whole bits per token; the update is
+    * integer multiplicative, w·(1024 + excess/8)/1024, renormalized
+    * to ppm. [[DoremiRounds]] fixed rounds; driver state = one weight
+    * vector. Out-of-distribution domains (high excess) gain weight
+    * until the mixture model covers them — the DoReMi minimax
+    * dynamic, integer-exact so the DuckDB oracle replays every round
+    * unrolled.
+    *
+    * Scale: the (source, tok, c) relation builds once (one map-side
+    * combined corpus pass, checkpointed); each round is one
+    * vocab-scale mixture aggregation + one (source × vocab)-row cost
+    * join folding to |sources| rows — 2 bounded exchanges per round,
+    * nothing driver-sized but the weight vector.
+    */
+  private[graft] val DoremiRounds = 5
+  private[graft] val DoremiScale = 1073741824L // 2^30 token-rate units
+
+  private val doremiCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Seq[(Long, String, Long, Long, Long)], Map[String, Long], Long)]()
+
+  /** (per-round rows (round, source, w_ppm, excess_permille,
+    * w_next_ppm), final weights by source, total corpus tokens).
+    */
+  /** Smooth integer log2 in PERMILLE BITS — the whole-bit
+    * `length(bin())` device floors to the bit boundary, and that
+    * ±1-bit quantization (up to ±1000‰ per token) swamps the ~50–100‰
+    * KL signal the mixture loop feeds on (the first cut read excess 0
+    * on every source and never moved a weight — recorded failure).
+    * This one keeps a 10-bit mantissa with the quadratic
+    * log2(1+t) ≈ t + 0.2885·t(1−t) correction: ≤ ~5‰ absolute error,
+    * every step integer-exact and engine-independent (shift, div).
+    * `lqSql(x)` is the Spark SQL form; the DuckDB oracle evaluates
+    * the same arithmetic through the `lqt`/`lq` macros.
+    */
+  private def lqtSql(x: String): String =
+    s"((CASE WHEN length(bin($x)) - 1 >= 10 " +
+      s"THEN $x div shiftleft(cast(1 as bigint), cast(length(bin($x)) as int) - 11) " +
+      s"ELSE $x * shiftleft(cast(1 as bigint), 11 - cast(length(bin($x)) as int)) END" +
+      s" - 1024L) * 1000L div 1024L)"
+  private[graft] def lqSql(x: String): String =
+    s"(CASE WHEN $x <= 0L THEN 0L ELSE " +
+      s"1000L * (length(bin($x)) - 1) + ${lqtSql(x)} + " +
+      s"(${lqtSql(x)} * (1000L - ${lqtSql(x)})) div 3466L END)"
+
+  private[graft] def logq(x: Long): Long =
+    if (x <= 0L) 0L
+    else {
+      val b = 63L - java.lang.Long.numberOfLeadingZeros(x)
+      val m10 = if (b >= 10) x >> (b - 10) else x << (10 - b)
+      val tt = (m10 - 1024L) * 1000L / 1024L
+      1000L * b + tt + tt * (1000L - tt) / 3466L
+    }
+
+  private[graft] def doremiRun(s: SparkSession,
+      d: String): (Seq[(Long, String, Long, Long, Long)],
+      Map[String, Long], Long) =
+    doremiCache.computeIfAbsent(d, _ => {
+      import s.implicits._
+      val sc = docs(s, d)
+        .select($"source", explode($"toks").as("tok"))
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val nsRows = sc.groupBy($"source")
+        .agg(sum($"c").as("n_s"),
+          sum($"c" * expr(lqSql("c"))).as("selfmass"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val sources = nsRows.keys.toSeq.sorted
+      val totalTokens = nsRows.values.map(_._1).sum
+      // permille-bits per token of coding each source under its OWN
+      // unigram (round-independent)
+      val selfCost: Map[String, Long] = nsRows.map { case (src, (n, sm)) =>
+        src -> (n * logq(n) - sm) / n
+      }
+      var w: Map[String, Long] =
+        sources.map(_ -> 1000000L / sources.length).toMap
+      val rows = (1 to DoremiRounds).flatMap { r =>
+        val wDf = sources.map(src => (src, w(src), nsRows(src)._1))
+          .toDF("source", "w", "n_s")
+        val mix = sc.join(broadcast(wDf), "source")
+          .select($"tok",
+            ($"w" * expr(s"c * ${DoremiScale}L div n_s")).as("m"))
+          .groupBy($"tok").agg(sum($"m").as("m"))
+        val mixtot = mix.agg(sum($"m")).collect()(0).getLong(0)
+        val mixmass = sc.join(mix, "tok")
+          .groupBy($"source")
+          .agg(sum($"c" * expr(lqSql("m"))).as("mm"))
+          .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+        val excess: Map[String, Long] = sources.map { src =>
+          val (n, _) = nsRows(src)
+          val costMix = (n * logq(mixtot) - mixmass(src)) / n
+          src -> math.max(0L, costMix - selfCost(src))
+        }.toMap
+        val wRaw: Map[String, Long] = sources.map(src =>
+          src -> w(src) * (1024L + excess(src) / 2L) / 1024L).toMap
+        val tot = wRaw.values.sum
+        // floor at 1 ppm: DoReMi never zeroes a domain's support, and
+        // a 0 weight would zero mix masses for its exclusive tokens
+        val wNext: Map[String, Long] = sources.map(src =>
+          src -> math.max(1L, wRaw(src) * 1000000L / tot)).toMap
+        val out = sources.map(src =>
+          (r.toLong, src, w(src), excess(src), wNext(src)))
+        w = wNext
+        out
+      }
+      (rows, w, totalTokens)
+    })
+
+  private def q205(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (rows, _, _) = doremiRun(s, d)
+    rows.toDF("round", "source", "w_ppm", "excess_permille", "w_next_ppm")
+      .orderBy($"round", $"source")
+  }
+
+  /** The mixture MATERIALIZED — the sampler q205's weights feed (the
+    * composed half of the DoReMi loop, q200's
+    * train-then-consume-in-engine discipline): each source's token
+    * budget is its learned ppm share of the corpus token mass, and
+    * docs are admitted per source in deterministic md5(doc_id) order
+    * (content-free, the q148 split convention) while the tokens
+    * admitted BEFORE a doc are under budget — prefix-greedy, so one
+    * doc may overshoot (the q189 rule). Per source: learned weight,
+    * budget, admitted doc/token mass, and fill permille.
+    *
+    * Scale: one window cumsum per source partition over (doc, token
+    * count) rows; the weights are driver state from the shared
+    * training run (session-cached — q205 and this entry train once).
+    */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (_, wFinal, totalTokens) = doremiRun(s, d)
+    val wDf = wFinal.toSeq.sorted.map { case (src, wp) =>
+      (src, wp, wp * totalTokens / 1000000L)
+    }.toDF("source", "w_ppm", "budget_tokens")
+    val perDoc = docs(s, d)
+      .select($"source", $"doc_id", size($"toks").cast("long").as("nt"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15)," +
+          " 16, 10) as bigint)").as("hk"))
+    val cum = perDoc
+      .withColumn("cum_before",
+        coalesce(sum($"nt").over(Window.partitionBy($"source")
+          .orderBy($"hk", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.join(broadcast(wDf), "source")
+      .filter($"cum_before" < $"budget_tokens")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_admitted"),
+        sum($"nt").as("n_tokens_admitted"))
+      .join(wDf, Seq("source"), "right")
+      .select($"source", $"w_ppm", $"budget_tokens",
+        coalesce($"n_docs_admitted", lit(0L)).as("n_docs_admitted"),
+        coalesce($"n_tokens_admitted", lit(0L)).as("n_tokens_admitted"))
+      .withColumn("fill_permille",
+        when($"budget_tokens" === 0L, -1L)
+          .otherwise(expr("n_tokens_admitted * 1000 div budget_tokens")))
+      .orderBy($"source")
+  }
+
   /** Watermark detection (Kirchenbauer et al. 2023 shape): under a
     * green-list watermark, each generated token is biased toward the
     * "green" half of the vocabulary, where green membership is a seeded
@@ -1867,6 +2041,88 @@ object TextOps {
     }
     rows.toDF("bands", "rows", "n_truth", "n_candidates", "n_hit",
       "recall_permille", "precision_permille")
+      .orderBy($"bands")
+  }
+
+  /** SAMPLED ceiling mode of the LSH operating-point audit — q201 with
+    * the expensive stage estimated: q201's verified ceiling
+    * exactly-checks EVERY (16,1) candidate (4.98M at sf10, ~70% true
+    * on the near-dup-dense driver corpus — 206.6 s, the round-12 tail
+    * item), which is the right spend for a release gate but not for a
+    * routine operating-point refresh. Here a deterministic 1-in-8
+    * HASH sample of the candidate set (pair key = 60-bit md5 prefix of
+    * "id1_id2" — membership replayed exactly by DuckDB, the q148
+    * split-bucket convention; no RNG, no seed state) is
+    * exactly-verified instead, and each banding's recall is estimated
+    * against the SAMPLED truth (a uniform truth subsample, since
+    * banding hits are a fixed property of the pair). Reported beside
+    * the estimate: the scaled truth-mass estimator (t·N/n, exact
+    * integer division) and a 95% normal-approximation half-width on
+    * the sampling proportion in permille — the audit's stated
+    * uncertainty, computed with the IDENTICAL double expression in
+    * both engines. The exact mode's numbers must sit inside the bound
+    * (checked at sf10 in the round notes); candidate COUNTS stay
+    * exact — only the verify mass is sampled, so the wall cut tracks
+    * the sample rate.
+    */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (base, _) = md5LshBanded(s, d)
+    val sized = base.select($"doc_id", $"hset", $"sig",
+        size($"hset").cast("long").as("sz"))
+      .localCheckpoint(true)
+    def candsOf(b: Int, r: Int): DataFrame = {
+      val banded = sized.select($"doc_id", explode(expr(
+          s"transform(sequence(0, ${b - 1}), i -> struct(i AS bidx, slice(sig, i*$r + 1, $r) AS bandval))"))
+          .as("e"))
+        .select($"doc_id", $"e.bidx".as("bidx"), $"e.bandval".as("bandval"))
+      banded.as("a").join(banded.as("b"),
+          col("a.bidx") === col("b.bidx") &&
+            col("a.bandval") === col("b.bandval") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    val cand161 = candsOf(16, 1)
+    val nCand161 = cand161.count()
+    val samp = cand161.filter(expr(
+        "cast(conv(substring(md5(concat(cast(id1 as string), '_', " +
+          "cast(id2 as string))), 1, 15), 16, 10) as bigint) % 8") === 0L)
+      .localCheckpoint(true)
+    val nSample = samp.count()
+    val struth = samp
+      .join(sized.select($"doc_id".as("id1"), $"hset".as("h1"),
+        $"sz".as("sz1")), "id1")
+      .join(sized.select($"doc_id".as("id2"), $"hset".as("h2"),
+        $"sz".as("sz2")), "id2")
+      .withColumn("inter",
+        size(array_intersect($"h1", $"h2")).cast("long"))
+      .withColumn("uni", $"sz1" + $"sz2" - $"inter")
+      .filter($"uni" > 0L && $"inter" * 2L >= $"uni")
+      .select($"id1", $"id2")
+      .localCheckpoint(true)
+    val tS = struth.count()
+    val truthEst =
+      if (nSample == 0L) -1L else tS * nCand161 / nSample
+    // 95% half-width on the sampled truth proportion, permille — the
+    // SAME double expression tree the oracle evaluates (IEEE ops are
+    // bit-deterministic when the operation order matches)
+    val ci =
+      if (nSample == 0L) -1L
+      else math.floor(1960.0 *
+        math.sqrt(tS.toDouble * (nSample - tS) / nSample) / nSample).toLong
+    val rows = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
+      val cand = candsOf(b, r)
+      val nCand = cand.count()
+      val nHit = cand.join(struth, Seq("id1", "id2"), "left_semi").count()
+      (b.toLong, r.toLong, nCand, nSample, tS, nHit, truthEst,
+        if (tS == 0L) -1L else nHit * 1000L / tS, ci)
+    } :+ ((16L, 1L, nCand161, nSample, tS, tS, truthEst,
+      if (tS == 0L) -1L else 1000L, ci))
+    rows.toDF("bands", "rows", "n_candidates", "n_sample",
+      "n_truth_sample", "n_hit_sample", "truth_est",
+      "recall_est_permille", "ci_halfwidth_permille")
       .orderBy($"bands")
   }
 
@@ -2918,8 +3174,166 @@ object TextOps {
                      UNION ALL SELECT CAST(1 AS BIGINT)) ph
          WHERE rk <= 5 ORDER BY ph.phase, query_doc, rk"""
 
+  /** The four banding configurations' candidate-pair CTEs over `sigs`
+    * (from Md5LshBandedSql) — shared by the exact (q201) and sampled
+    * (q204) operating-point oracles.
+    */
+  private val LshCandCtes: String =
+      """cand_2_8 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT doc_id, i AS bidx, sig[i*8 + 1 : i*8 + 8] AS bandval
+                 FROM sigs, unnest(generate_series(0, 1)) AS t(i)) a
+           JOIN (SELECT doc_id, i AS bidx, sig[i*8 + 1 : i*8 + 8] AS bandval
+                 FROM sigs, unnest(generate_series(0, 1)) AS t(i)) b
+             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+         cand_4_4 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT doc_id, i AS bidx, sig[i*4 + 1 : i*4 + 4] AS bandval
+                 FROM sigs, unnest(generate_series(0, 3)) AS t(i)) a
+           JOIN (SELECT doc_id, i AS bidx, sig[i*4 + 1 : i*4 + 4] AS bandval
+                 FROM sigs, unnest(generate_series(0, 3)) AS t(i)) b
+             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+         cand_8_2 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT doc_id, i AS bidx, sig[i*2 + 1 : i*2 + 2] AS bandval
+                 FROM sigs, unnest(generate_series(0, 7)) AS t(i)) a
+           JOIN (SELECT doc_id, i AS bidx, sig[i*2 + 1 : i*2 + 2] AS bandval
+                 FROM sigs, unnest(generate_series(0, 7)) AS t(i)) b
+             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+         cand_16_1 AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT doc_id, i AS bidx, sig[i*1 + 1 : i*1 + 1] AS bandval
+                 FROM sigs, unnest(generate_series(0, 15)) AS t(i)) a
+           JOIN (SELECT doc_id, i AS bidx, sig[i*1 + 1 : i*1 + 1] AS bandval
+                 FROM sigs, unnest(generate_series(0, 15)) AS t(i)) b
+             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id)"""
+
+  /** Unrolled DoReMi rounds (the q144/q147 discipline): w1 = uniform
+    * ppm; per round r, the mixture unigram mix_r, its total, each
+    * source's whole-bit cost mass under it, the clamped excess vs the
+    * (round-free) self cost, and the renormalized multiplicative
+    * update w_{r+1}. Every aggregate is MATERIALIZED — the chained
+    * CTEs would otherwise re-expand exponentially.
+    */
+  /** The lq()/lqt() macros: DuckDB's copy of [[lqSql]]'s smooth
+    * permille-bits log2 (one level of macro nesting — the exponential-
+    * expansion caveat is about CHAINED macros).
+    */
+  private def doremiMacros: String =
+    """CREATE OR REPLACE MACRO lqt(x) AS
+         ((CASE WHEN len(bin(x)) - 1 >= 10
+             THEN x // (CAST(1 AS BIGINT) << (len(bin(x)) - 11))
+             ELSE x * (CAST(1 AS BIGINT) << (11 - len(bin(x)))) END
+           - 1024) * 1000 // 1024);
+       CREATE OR REPLACE MACRO lq(x) AS
+         (CASE WHEN x <= 0 THEN 0 ELSE
+           1000 * (len(bin(x)) - 1) + lqt(x)
+             + (lqt(x) * (1000 - lqt(x))) // 3466 END);
+    """
+
+  private def doremiCtes: String = {
+    val sb = new StringBuilder
+    sb ++= """sc AS MATERIALIZED (
+           SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT source, unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents)
+           GROUP BY 1, 2),
+         ns AS MATERIALIZED (
+           SELECT source, CAST(sum(c) AS BIGINT) AS n_s,
+             CAST(sum(c * lq(c)) AS BIGINT) AS selfmass
+           FROM sc GROUP BY 1),
+         selfc AS (
+           SELECT source, n_s,
+             CAST((n_s * lq(n_s) - selfmass) // n_s AS BIGINT) AS cself
+           FROM ns),
+         nsrc AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ns),
+         w1 AS (SELECT source, CAST(1000000 // nsrc.k AS BIGINT) AS w
+                FROM ns CROSS JOIN nsrc)"""
+    for (r <- 1 to DoremiRounds) {
+      sb ++= s""",
+         mix$r AS MATERIALIZED (
+           SELECT sc.tok,
+             CAST(sum(w.w * (sc.c * $DoremiScale // ns.n_s)) AS BIGINT)
+               AS m
+           FROM sc JOIN ns USING (source) JOIN w$r w USING (source)
+           GROUP BY 1),
+         mt$r AS (SELECT CAST(sum(m) AS BIGINT) AS mt FROM mix$r),
+         mm$r AS MATERIALIZED (
+           SELECT sc.source,
+             CAST(sum(sc.c * lq(mix.m)) AS BIGINT) AS mm
+           FROM sc JOIN mix$r mix USING (tok) GROUP BY 1),
+         ex$r AS (
+           SELECT s.source, w.w,
+             greatest(CAST(0 AS BIGINT),
+               CAST((s.n_s * lq(mt.mt) - mm.mm) // s.n_s - s.cself
+                 AS BIGINT)) AS excess
+           FROM selfc s JOIN mm$r mm USING (source)
+             JOIN w$r w USING (source) CROSS JOIN mt$r mt),
+         wp$r AS (
+           SELECT source, w, excess,
+             CAST(w * (1024 + excess // 2) // 1024 AS BIGINT) AS wraw
+           FROM ex$r),
+         wt$r AS (SELECT CAST(sum(wraw) AS BIGINT) AS t FROM wp$r),
+         w${r + 1} AS (
+           SELECT source,
+             greatest(CAST(1 AS BIGINT),
+               CAST(wraw * 1000000 // wt$r.t AS BIGINT)) AS w
+           FROM wp$r CROSS JOIN wt$r)"""
+    }
+    sb.result()
+  }
+
+  private def q205OracleSql: String = {
+    val rounds = (1 to DoremiRounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, wp.source,
+           wp.w AS w_ppm, wp.excess AS excess_permille,
+           wn.w AS w_next_ppm
+         FROM wp$r wp JOIN w${r + 1} wn USING (source)""")
+      .mkString("\n         UNION ALL\n         ")
+    s"""${doremiMacros}WITH $doremiCtes
+         SELECT round, source, w_ppm, excess_permille, w_next_ppm FROM (
+         $rounds)
+         ORDER BY round, source"""
+  }
+
+  private def q206OracleSql: String =
+    s"""${doremiMacros}WITH $doremiCtes,
+         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS tt FROM ns),
+         wfin AS (
+           SELECT source, w AS w_ppm,
+             CAST(w * tot.tt // 1000000 AS BIGINT) AS budget_tokens
+           FROM w${DoremiRounds + 1} CROSS JOIN tot),
+         pd AS (
+           SELECT source, doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nt,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS UBIGINT) AS hk
+           FROM documents),
+         cum AS (
+           SELECT source, doc_id, nt,
+             CAST(coalesce(sum(nt) OVER (PARTITION BY source
+               ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM pd),
+         adm AS (
+           SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(c.nt) AS BIGINT) AS n_tokens
+           FROM cum c JOIN wfin USING (source)
+           WHERE cum_before < budget_tokens GROUP BY 1)
+         SELECT w.source, w.w_ppm, w.budget_tokens,
+           CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs_admitted,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens_admitted,
+           CAST(CASE WHEN w.budget_tokens = 0 THEN -1
+             ELSE coalesce(a.n_tokens, 0) * 1000 // w.budget_tokens END
+             AS BIGINT) AS fill_permille
+         FROM wfin w LEFT JOIN adm a ON a.source = w.source
+         ORDER BY w.source"""
+
   def oracles: Map[String, String] = Map(
     "q178_maxsim_chunks" -> maxSimOracleSql,
+    "q205_doremi_weights" -> q205OracleSql,
+    "q206_doremi_mixture" -> q206OracleSql,
     "q182_maxsim_store" -> maxSimOracleSql,
     "q203_maxsim_store_mutated" -> q203OracleSql,
     // q33/q34/q36 replay the JVM MurmurHash3-based signatures exactly
@@ -3786,35 +4200,8 @@ object TextOps {
                 ELSE 'fr' END AS predicted
          FROM b ORDER BY doc_id""",
     "q201_lsh_operating_points" ->
-      (DuckMacros.Sm64 + "WITH " + Md5LshBandedSql + """,
-         cand_2_8 AS MATERIALIZED (
-           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           FROM (SELECT doc_id, i AS bidx, sig[i*8 + 1 : i*8 + 8] AS bandval
-                 FROM sigs, unnest(generate_series(0, 1)) AS t(i)) a
-           JOIN (SELECT doc_id, i AS bidx, sig[i*8 + 1 : i*8 + 8] AS bandval
-                 FROM sigs, unnest(generate_series(0, 1)) AS t(i)) b
-             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
-         cand_4_4 AS MATERIALIZED (
-           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           FROM (SELECT doc_id, i AS bidx, sig[i*4 + 1 : i*4 + 4] AS bandval
-                 FROM sigs, unnest(generate_series(0, 3)) AS t(i)) a
-           JOIN (SELECT doc_id, i AS bidx, sig[i*4 + 1 : i*4 + 4] AS bandval
-                 FROM sigs, unnest(generate_series(0, 3)) AS t(i)) b
-             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
-         cand_8_2 AS MATERIALIZED (
-           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           FROM (SELECT doc_id, i AS bidx, sig[i*2 + 1 : i*2 + 2] AS bandval
-                 FROM sigs, unnest(generate_series(0, 7)) AS t(i)) a
-           JOIN (SELECT doc_id, i AS bidx, sig[i*2 + 1 : i*2 + 2] AS bandval
-                 FROM sigs, unnest(generate_series(0, 7)) AS t(i)) b
-             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
-         cand_16_1 AS MATERIALIZED (
-           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-           FROM (SELECT doc_id, i AS bidx, sig[i*1 + 1 : i*1 + 1] AS bandval
-                 FROM sigs, unnest(generate_series(0, 15)) AS t(i)) a
-           JOIN (SELECT doc_id, i AS bidx, sig[i*1 + 1 : i*1 + 1] AS bandval
-                 FROM sigs, unnest(generate_series(0, 15)) AS t(i)) b
-             ON a.bidx = b.bidx AND a.bandval = b.bandval AND a.doc_id < b.doc_id),
+      (DuckMacros.Sm64 + "WITH " + Md5LshBandedSql + ",\n" +
+        LshCandCtes + """,
          truth AS MATERIALIZED (
            SELECT id1, id2 FROM (
              SELECT c.id1, c.id2,
@@ -3851,6 +4238,60 @@ object TextOps {
            (SELECT CAST(count(*) AS BIGINT) FROM cand_16_1 c
               JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hit)
          ORDER BY bands"""),
+    "q204_lsh_sampled_ceiling" ->
+      (DuckMacros.Sm64 + "WITH " + Md5LshBandedSql + ",\n" +
+        LshCandCtes + """,
+         samp AS MATERIALIZED (
+           SELECT id1, id2 FROM cand_16_1
+           WHERE CAST('0x' || substring(md5(CAST(id1 AS VARCHAR) || '_'
+               || CAST(id2 AS VARCHAR)), 1, 15) AS UBIGINT) % 8 = 0),
+         struth AS MATERIALIZED (
+           SELECT id1, id2 FROM (
+             SELECT c.id1, c.id2,
+               len(list_intersect(ha.hh, hb.hh)) AS inter,
+               len(ha.hh) + len(hb.hh) AS ssum
+             FROM samp c
+             JOIN hs ha ON ha.doc_id = c.id1
+             JOIN hs hb ON hb.doc_id = c.id2)
+           WHERE ssum - inter > 0 AND 2 * inter >= ssum - inter),
+         st AS (
+           SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample,
+             (SELECT CAST(count(*) AS BIGINT) FROM struth) AS t_s,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_16_1) AS n161),
+         cfg AS (
+           SELECT CAST(2 AS BIGINT) AS bands, CAST(8 AS BIGINT) AS rows,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_2_8) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_2_8 c
+                JOIN struth t ON t.id1 = c.id1 AND t.id2 = c.id2)
+               AS n_hit_sample
+           UNION ALL
+           SELECT CAST(4 AS BIGINT), CAST(4 AS BIGINT),
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_4_4),
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_4_4 c
+                JOIN struth t ON t.id1 = c.id1 AND t.id2 = c.id2)
+           UNION ALL
+           SELECT CAST(8 AS BIGINT), CAST(2 AS BIGINT),
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_8_2),
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_8_2 c
+                JOIN struth t ON t.id1 = c.id1 AND t.id2 = c.id2)
+           UNION ALL
+           SELECT CAST(16 AS BIGINT), CAST(1 AS BIGINT),
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_16_1),
+             (SELECT CAST(count(*) AS BIGINT) FROM struth))
+         SELECT bands, rows, n_candidates, st.n_sample,
+           st.t_s AS n_truth_sample, n_hit_sample,
+           CAST(CASE WHEN st.n_sample = 0 THEN -1
+             ELSE st.t_s * st.n161 // st.n_sample END AS BIGINT)
+             AS truth_est,
+           CAST(CASE WHEN st.t_s = 0 THEN -1
+             ELSE n_hit_sample * 1000 // st.t_s END AS BIGINT)
+             AS recall_est_permille,
+           CAST(CASE WHEN st.n_sample = 0 THEN -1
+             ELSE CAST(floor(1960.0 * sqrt(CAST(st.t_s AS DOUBLE)
+               * (st.n_sample - st.t_s) / st.n_sample) / st.n_sample)
+               AS BIGINT) END AS BIGINT) AS ci_halfwidth_permille
+         FROM cfg CROSS JOIN st ORDER BY bands"""),
     "q61_minhash_md5" ->
       (DuckMacros.Sm64 + "WITH " + Md5LshChainSql +
       """

@@ -931,14 +931,62 @@ object VectorOps {
         $"w0".as("qw0"), $"w1".as("qw1"))
   }
 
+  /** The q191/q195 OPERATING-POINT table (round 13: the q173/q201
+    * tuning-curve discipline applied to the binary tier's one knob):
+    * ONE Hamming scan at the widest shortlist (100), then every
+    * narrower width's refined top-5 derived by rank-filtering — the
+    * halving-family nesting argument: refined@width w = exact-L2 top-5
+    * among shortlist rows with srank ≤ w, so widths 20/64/100 cost one
+    * extra window over the 100-deep relation, not three scans. Raw
+    * Hamming recall@5 is width-independent (the ham top-5 is a prefix
+    * of every width) and repeats per row so each width reads as a
+    * complete (raw, refined) operating point. Per (width, query) plus
+    * a per-width overall rollup.
+    */
+  private[graft] def binaryWidthReport(s: SparkSession, d: String,
+      refined: DataFrame, queries: DataFrame,
+      exactTag: String = "full"): DataFrame = {
+    import s.implicits._
+    val widths = Seq(20L, 64L, 100L).toDF("width")
+    val ex = exactTop(s, d, exactTag).filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
+    val hamTop5 = refined.filter($"srank" <= 5)
+      .join(ex, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_ham"))
+    val refTop5 = refined.crossJoin(broadcast(widths))
+      .filter($"srank" <= $"width")
+      .withColumn("wrank", row_number().over(
+        Window.partitionBy($"width", $"query_id")
+          .orderBy($"dist", $"neighbor")))
+      .filter($"wrank" <= 5)
+      .join(ex, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"width", $"query_id").agg(count(lit(1)).as("n_refined"))
+    val per = queries.select($"query_id").crossJoin(broadcast(widths))
+      .join(hamTop5, Seq("query_id"), "left")
+      .join(refTop5, Seq("width", "query_id"), "left")
+      .select($"width", $"query_id", lit(5L).as("k"),
+        coalesce($"n_ham", lit(0L)).as("n_ham"),
+        coalesce($"n_refined", lit(0L)).as("n_refined"))
+    val overall = per.groupBy($"width")
+      .agg(sum($"k").as("k"), sum($"n_ham").as("n_ham"),
+        sum($"n_refined").as("n_refined"))
+      .select($"width", lit(-1L).as("query_id"), $"k", $"n_ham",
+        $"n_refined")
+    per.unionByName(overall)
+      .select($"width", $"query_id", $"k", $"n_ham", $"n_refined",
+        expr("n_ham * 1000 div k").as("recall_ham_permille"),
+        expr("n_refined * 1000 div k").as("recall_ref_permille"))
+      .orderBy($"width", $"query_id")
+  }
+
   private def q191(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = quantized(s, d)
     val codes = binaryCodes(emb)
     val queries = binaryQueries(emb)
-    val shortlist = hamShortlist(codes, queries, 20)
+    val shortlist = hamShortlist(codes, queries, 100)
     val refined = refineRank(shortlist, emb, queries)
-    binaryRecallReport(s, d, shortlist, refined, queries)
+    binaryWidthReport(s, d, refined, queries)
   }
 
   /** Binary tier SERVED FROM DISK — the q195 gate entry: build the
@@ -955,8 +1003,8 @@ object VectorOps {
     val emb = quantized(s, d)
     BinaryStore.build(emb, dir)
     val queries = binaryQueries(emb)
-    val (shortlist, refined) = BinaryStore.serveStages(s, dir, queries, 20)
-    binaryRecallReport(s, d, shortlist, refined, queries)
+    val (_, refined) = BinaryStore.serveStages(s, dir, queries, 100)
+    binaryWidthReport(s, d, refined, queries)
   }
 
   /** Binary tier through the FULL MUTATION LIFECYCLE — the q202 gate
@@ -1841,9 +1889,12 @@ object VectorOps {
     * pre- and post-compaction phase id (identical rows by construction
     * — compaction transparency proved through the hash gate).
     */
-  private def binaryAnnOracleSql(livePred: String => String,
-      phased: Boolean): String =
-      s"""WITH m AS (
+  /** Shared head of the binary-tier oracles: quantization, packed
+    * codes, the query sample, the Hamming ranking over the (possibly
+    * live-filtered) corpus, and the exact live ground truth.
+    */
+  private def binaryAnnHeadCtes(livePred: String => String): String =
+      s"""m AS (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
              AS qv
@@ -1872,6 +1923,24 @@ object VectorOps {
              row_number() OVER (PARTITION BY query_id
                ORDER BY ham, neighbor) AS srank
            FROM h),
+         exd AS (
+           SELECT mq.vec_id AS query_id, mc.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+           FROM m mc, m mq
+           WHERE mq.vec_id % 100 = 0 AND mc.vec_id <> mq.vec_id
+             AND ${livePred("mc")}),
+         ex AS (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS r
+             FROM exd) WHERE r <= 5)"""
+
+  /** Single-width (20) replay — the q202 lifecycle gate's shape. */
+  private def binaryAnnOracleSql(livePred: String => String,
+      phased: Boolean): String =
+      s"""WITH ${binaryAnnHeadCtes(livePred)},
          s20 AS (SELECT * FROM sl WHERE srank <= 20),
          rf AS (
            SELECT s.query_id, s.neighbor,
@@ -1885,19 +1954,6 @@ object VectorOps {
              row_number() OVER (PARTITION BY query_id
                ORDER BY dist, neighbor) AS rrank
            FROM rf),
-         exd AS (
-           SELECT mq.vec_id AS query_id, mc.vec_id AS neighbor,
-             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
-               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
-           FROM m mc, m mq
-           WHERE mq.vec_id % 100 = 0 AND mc.vec_id <> mq.vec_id
-             AND ${livePred("mc")}),
-         ex AS (
-           SELECT query_id, neighbor FROM (
-             SELECT query_id, neighbor,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY dist, neighbor) AS r
-             FROM exd) WHERE r <= 5),
          nh AS (
            SELECT s.query_id, count(*) AS n_ham
            FROM s20 s JOIN ex e
@@ -1931,8 +1987,61 @@ object VectorOps {
       else ""}
          ORDER BY ${if (phased) "ph.phase, " else ""}query_id"""
 
-  private val BinaryAnnOracleSql: String =
-    binaryAnnOracleSql(_ => "TRUE", phased = false)
+  /** Widened replay — the q191/q195 operating-point table: one
+    * 100-deep Hamming shortlist, refined top-5 derived per width by
+    * rank-filtering (the nesting argument in [[binaryWidthReport]]).
+    */
+  private def binaryAnnWidthOracleSql: String =
+      s"""WITH ${binaryAnnHeadCtes(_ => "TRUE")},
+         s100 AS (SELECT * FROM sl WHERE srank <= 100),
+         widths AS (SELECT CAST(20 AS BIGINT) AS width
+                    UNION ALL SELECT CAST(64 AS BIGINT)
+                    UNION ALL SELECT CAST(100 AS BIGINT)),
+         rf AS MATERIALIZED (
+           SELECT s.query_id, s.neighbor, s.srank,
+             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+           FROM s100 s
+           JOIN m mc ON mc.vec_id = s.neighbor
+           JOIN m mq ON mq.vec_id = s.query_id),
+         rr AS (
+           SELECT w.width, r.query_id, r.neighbor,
+             row_number() OVER (PARTITION BY w.width, r.query_id
+               ORDER BY r.dist, r.neighbor) AS wrank
+           FROM rf r CROSS JOIN widths w
+           WHERE r.srank <= w.width),
+         nh AS (
+           SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_ham
+           FROM s100 s JOIN ex e
+             ON e.query_id = s.query_id AND e.neighbor = s.neighbor
+           WHERE s.srank <= 5 GROUP BY 1),
+         nr AS (
+           SELECT r.width, r.query_id,
+             CAST(count(*) AS BIGINT) AS n_refined
+           FROM rr r JOIN ex e
+             ON e.query_id = r.query_id AND e.neighbor = r.neighbor
+           WHERE r.wrank <= 5 GROUP BY 1, 2),
+         per AS (
+           SELECT w.width, q.query_id, CAST(5 AS BIGINT) AS k,
+             CAST(coalesce(nh.n_ham, 0) AS BIGINT) AS n_ham,
+             CAST(coalesce(nr.n_refined, 0) AS BIGINT) AS n_refined
+           FROM qs q CROSS JOIN widths w
+           LEFT JOIN nh ON nh.query_id = q.query_id
+           LEFT JOIN nr ON nr.width = w.width
+             AND nr.query_id = q.query_id),
+         al AS (
+           SELECT width, CAST(-1 AS BIGINT) AS query_id,
+             CAST(sum(k) AS BIGINT) AS k,
+             CAST(sum(n_ham) AS BIGINT) AS n_ham,
+             CAST(sum(n_refined) AS BIGINT) AS n_refined
+           FROM per GROUP BY 1)
+         SELECT width, query_id, k, n_ham, n_refined,
+           CAST(n_ham * 1000 // k AS BIGINT) AS recall_ham_permille,
+           CAST(n_refined * 1000 // k AS BIGINT) AS recall_ref_permille
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
+         ORDER BY width, query_id"""
+
+  private val BinaryAnnOracleSql: String = binaryAnnWidthOracleSql
 
   private def q202OracleSql: String =
     binaryAnnOracleSql(a => s"$a.vec_id % 7 <> 3", phased = true)

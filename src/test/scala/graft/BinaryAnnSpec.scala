@@ -27,8 +27,10 @@ class BinaryAnnSpec extends SparkSpec {
     tmp
   }
 
-  /** The exact oracle rule, straight-line Scala. */
-  private def reference(): Map[Long, (Long, Long)] = {
+  /** The exact oracle rule, straight-line Scala: per query, the raw
+    * Hamming recall hits and the refined hits per shortlist width.
+    */
+  private def reference(): Map[Long, (Long, Map[Long, Long])] = {
     val raw = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) ->
@@ -41,36 +43,53 @@ class BinaryAnnSpec extends SparkSpec {
       a.indices.map(i => { val d = a(i) - b(i); d * d }).sum
     queries.map { q =>
       val others = raw.keys.filter(_ != q).toSeq
-      val short = others.sortBy(n => (ham(raw(n), raw(q)), n)).take(20)
+      val short = others.sortBy(n => (ham(raw(n), raw(q)), n)).take(100)
       val hamTop5 = short.take(5).toSet
-      val refTop5 = short.sortBy(n => (dist(raw(n), raw(q)), n)).take(5).toSet
       val exact = others.sortBy(n => (dist(raw(n), raw(q)), n)).take(5).toSet
-      q -> ((hamTop5.intersect(exact).size.toLong,
-        refTop5.intersect(exact).size.toLong))
+      val perWidth = Seq(20, 64, 100).map { w =>
+        val refTop5 = short.take(w)
+          .sortBy(n => (dist(raw(n), raw(q)), n)).take(5).toSet
+        w.toLong -> refTop5.intersect(exact).size.toLong
+      }.toMap
+      q -> ((hamTop5.intersect(exact).size.toLong, perWidth))
     }.toMap
   }
 
   test("q191 matches the driver brute force on a clustered corpus") {
+    // widened shape (round 13): (width, query_id, k, n_ham, n_refined, …)
     val got = VectorOps.defs("q191_binary_sign_ann")(spark, dir)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(2), r.getLong(3)))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
     val ref = reference()
-    ref.foreach { case (q, (nh, nr)) =>
-      assert(got(q) == ((nh, nr)), s"query $q: got ${got(q)} want ($nh,$nr)")
+    Seq(20L, 64L, 100L).foreach { w =>
+      ref.foreach { case (q, (nh, byWidth)) =>
+        assert(got((w, q)) == ((nh, byWidth(w))),
+          s"width $w query $q: got ${got((w, q))} want ($nh,${byWidth(w)})")
+      }
+      val overall = got((w, -1L))
+      assert(overall._1 == ref.values.map(_._1).sum)
+      assert(overall._2 == ref.values.map(_._2(w)).sum)
     }
-    val overall = got(-1L)
-    assert(overall._1 == ref.values.map(_._1).sum)
-    assert(overall._2 == ref.values.map(_._2).sum)
   }
 
   test("refine never loses a shortlist-surviving true neighbor") {
     // structural: exact-top5 ∩ shortlist ⊆ refined-top5, so per query
-    // n_refined >= n_ham — on the constructed corpus AND the driver data
+    // n_refined >= n_ham — on the constructed corpus AND the driver
+    // data; and widening the shortlist can only help (monotone in
+    // width for each query, the nesting argument)
     for (d <- Seq(dir, sfDir)) {
       val rows = VectorOps.defs("q191_binary_sign_ann")(spark, d).collect()
-      rows.filter(_.getLong(0) >= 0).foreach { r =>
-        assert(r.getLong(3) >= r.getLong(2),
-          s"query ${r.getLong(0)} in $d: refined ${r.getLong(3)} < ham ${r.getLong(2)}")
+      rows.filter(_.getLong(1) >= 0).foreach { r =>
+        assert(r.getLong(4) >= r.getLong(3),
+          s"width ${r.getLong(0)} query ${r.getLong(1)} in $d: " +
+            s"refined ${r.getLong(4)} < ham ${r.getLong(3)}")
+      }
+      val byQuery = rows.filter(_.getLong(1) >= 0)
+        .groupBy(_.getLong(1)).values
+      byQuery.foreach { qs =>
+        val sorted = qs.sortBy(_.getLong(0)).map(_.getLong(4)).toSeq
+        assert(sorted == sorted.sorted,
+          s"refined recall not monotone in width: $sorted")
       }
     }
   }

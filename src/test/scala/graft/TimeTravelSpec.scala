@@ -58,6 +58,57 @@ class TimeTravelSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.retainEpochs")
   }
 
+  test("labeled store: serveLabeledAt replays retained epochs; labeled clone pins them") {
+    import spark.implicits._
+    withIndexRetention(8) {
+      val emb = VectorOps.quantizedLabeled(spark, sfDir)
+      val queries = emb.filter($"vec_id" % 100 === 0)
+      val dir = tmp("labtt")
+      def served(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      IvfIndex.buildLabeled(emb.filter($"vec_id" % 5 =!= 0), dir,
+        seedSmallest = true) // epoch 1
+      val at1 = served(IvfIndex.serveLabeled(spark, dir, queries))
+      IvfIndex.addBatchLabeled(spark, dir,
+        emb.filter($"vec_id" % 5 === 0), gen = 1L) // epoch 2
+      val at2 = served(IvfIndex.serveLabeled(spark, dir, queries))
+      IvfIndex.delete(spark, dir,
+        emb.filter($"vec_id" % 7 === 0).select($"vec_id")) // epoch 3
+      val at3 = served(IvfIndex.serveLabeled(spark, dir, queries))
+      IvfIndex.compact(spark, dir) // epoch 4
+      val at4 = served(IvfIndex.serveLabeled(spark, dir, queries))
+      assert(at1 != at2 && at2 != at3, "labeled mutations changed nothing")
+      assert(at3 === at4, "compaction changed the filtered serve")
+      // the labeled time-travel read: every retained epoch replays the
+      // filtered serve bit-identically, deletes stay epoch-scoped
+      (1L to 4L).zip(Seq(at1, at2, at3, at4)).foreach { case (ep, want) =>
+        assert(served(IvfIndex.serveLabeledAt(spark, dir, ep, queries))
+            === want, s"labeled epoch $ep replay drifted")
+      }
+      // snapshotDiff runs label-blind on the labeled layout: overall
+      // adds = epoch-2 ingests not later deleted is WRONG — the diff is
+      // vs epoch 3, which masks the delete, so adds exclude %7 ids and
+      // removes are epoch-1 members the delete took away
+      val diff = IvfIndex.snapshotDiff(spark, dir, 1L, 3L)
+        .filter($"cid" === -1L).collect()(0)
+      val wantAdded = emb.filter($"vec_id" % 5 === 0 &&
+        $"vec_id" % 7 =!= 0).count()
+      val wantRemoved = emb.filter($"vec_id" % 5 =!= 0 &&
+        $"vec_id" % 7 === 0).count()
+      assert(diff.getAs[Long]("n_added") === wantAdded)
+      assert(diff.getAs[Long]("n_removed") === wantRemoved)
+      // labeled clone of a retained EARLIER epoch serves it exactly,
+      // and mutating the clone cannot reach the source's history
+      val dst = tmp("labttclone")
+      IvfIndex.cloneAt(spark, dir, 2L, dst)
+      assert(served(IvfIndex.serveLabeled(spark, dst, queries)) === at2)
+      IvfIndex.delete(spark, dst,
+        emb.filter($"vec_id" % 3 === 0).select($"vec_id"))
+      assert(served(IvfIndex.serveLabeledAt(spark, dir, 2L, queries))
+          === at2, "clone mutation leaked into the source's epoch")
+    }
+  }
+
   test("the default retention window GCs history and serveAt fails loudly") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)
