@@ -2044,31 +2044,39 @@ object TextOps {
       .orderBy($"bands")
   }
 
-  /** SAMPLED ceiling mode of the LSH operating-point audit — q201 with
-    * the expensive stage estimated: q201's verified ceiling
-    * exactly-checks EVERY (16,1) candidate (4.98M at sf10, ~70% true
-    * on the near-dup-dense driver corpus — 206.6 s, the round-12 tail
-    * item), which is the right spend for a release gate but not for a
-    * routine operating-point refresh. Here a deterministic 1-in-8
-    * HASH sample of the candidate set (pair key = 60-bit md5 prefix of
-    * "id1_id2" — membership replayed exactly by DuckDB, the q148
-    * split-bucket convention; no RNG, no seed state) is
-    * exactly-verified instead, and each banding's recall is estimated
-    * against the SAMPLED truth (a uniform truth subsample, since
-    * banding hits are a fixed property of the pair). Reported beside
-    * the estimate: the scaled truth-mass estimator (t·N/n, exact
-    * integer division) and a 95% normal-approximation half-width on
-    * the sampling proportion in permille — the audit's stated
-    * uncertainty, computed with the IDENTICAL double expression in
-    * both engines. The exact mode's numbers must sit inside the bound
-    * (checked at sf10 in the round notes); candidate COUNTS stay
-    * exact — only the verify mass is sampled, so the wall cut tracks
-    * the sample rate.
+  /** SAMPLED ceiling mode of the LSH operating-point audit — q201
+    * with the audit universe DOC-SAMPLED: q201's exact table pays its
+    * wall in the four banded self-joins AND the exact ceiling verify
+    * (sf10: ~195 s, and the round-13 A/B showed candidate GENERATION,
+    * not verification, is ~3/4 of it — a pair-only verify sample cut
+    * just 195 -> 159 s, a recorded correction to the round-12
+    * attribution). Here the %5 audit slice is further restricted to a
+    * deterministic 1-in-4 md5(doc_id) subsample (the q148 bucket
+    * convention — membership replayed exactly by DuckDB, no RNG), so
+    * every downstream join shrinks ~16x in pair mass and EVERY
+    * surviving (16,1) candidate is exactly verified — the counts are
+    * exact statements about the subuniverse. Reported per banding:
+    * the subuniverse candidate/truth/hit counts, the quadratic
+    * truth-mass extrapolation (x16 — exact in expectation when a
+    * pair's endpoints land in the sample independently; duplicate
+    * CLUSTERS correlate endpoints, the documented caveat), each
+    * config's recall estimate vs the subuniverse ceiling, and a 95%
+    * normal-approximation half-width on that recall (computed with
+    * the IDENTICAL double expression in both engines). At p̂ ∈ {0, 1}
+    * the normal half-width degenerates to 0 — read such a row as "no
+    * miss observed among n_truth_sample" (rule-of-three upper bound
+    * ≈ 3000/n ‰), not as an exact claim about the full corpus. The
+    * exact mode (q201) stays the release gate; this is the routine
+    * refresh.
     */
   private def q204(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (base, _) = md5LshBanded(s, d)
-    val sized = base.select($"doc_id", $"hset", $"sig",
+    val sized = base
+      .filter(expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 15)," +
+          " 16, 10) as bigint) % 4") === 0L)
+      .select($"doc_id", $"hset", $"sig",
         size($"hset").cast("long").as("sz"))
       .localCheckpoint(true)
     def candsOf(b: Int, r: Int): DataFrame = {
@@ -2085,13 +2093,7 @@ object TextOps {
         .localCheckpoint(true)
     }
     val cand161 = candsOf(16, 1)
-    val nCand161 = cand161.count()
-    val samp = cand161.filter(expr(
-        "cast(conv(substring(md5(concat(cast(id1 as string), '_', " +
-          "cast(id2 as string))), 1, 15), 16, 10) as bigint) % 8") === 0L)
-      .localCheckpoint(true)
-    val nSample = samp.count()
-    val struth = samp
+    val truth = cand161
       .join(sized.select($"doc_id".as("id1"), $"hset".as("h1"),
         $"sz".as("sz1")), "id1")
       .join(sized.select($"doc_id".as("id2"), $"hset".as("h2"),
@@ -2102,27 +2104,25 @@ object TextOps {
       .filter($"uni" > 0L && $"inter" * 2L >= $"uni")
       .select($"id1", $"id2")
       .localCheckpoint(true)
-    val tS = struth.count()
-    val truthEst =
-      if (nSample == 0L) -1L else tS * nCand161 / nSample
-    // 95% half-width on the sampled truth proportion, permille — the
-    // SAME double expression tree the oracle evaluates (IEEE ops are
-    // bit-deterministic when the operation order matches)
-    val ci =
-      if (nSample == 0L) -1L
+    val tS = truth.count()
+    val truthEst = tS * 16L
+    // 95% half-width on each config's recall estimate, permille — the
+    // SAME double expression tree the oracle evaluates
+    def ci(h: Long): Long =
+      if (tS == 0L) -1L
       else math.floor(1960.0 *
-        math.sqrt(tS.toDouble * (nSample - tS) / nSample) / nSample).toLong
+        math.sqrt(h.toDouble * (tS - h) / tS) / tS).toLong
     val rows = Seq((2, 8), (4, 4), (8, 2)).map { case (b, r) =>
       val cand = candsOf(b, r)
       val nCand = cand.count()
-      val nHit = cand.join(struth, Seq("id1", "id2"), "left_semi").count()
-      (b.toLong, r.toLong, nCand, nSample, tS, nHit, truthEst,
-        if (tS == 0L) -1L else nHit * 1000L / tS, ci)
-    } :+ ((16L, 1L, nCand161, nSample, tS, tS, truthEst,
-      if (tS == 0L) -1L else 1000L, ci))
-    rows.toDF("bands", "rows", "n_candidates", "n_sample",
-      "n_truth_sample", "n_hit_sample", "truth_est",
-      "recall_est_permille", "ci_halfwidth_permille")
+      val nHit = cand.join(truth, Seq("id1", "id2"), "left_semi").count()
+      (b.toLong, r.toLong, nCand, tS, nHit, truthEst,
+        if (tS == 0L) -1L else nHit * 1000L / tS, ci(nHit))
+    } :+ ((16L, 1L, cand161.count(), tS, tS, truthEst,
+      if (tS == 0L) -1L else 1000L, ci(tS)))
+    rows.toDF("bands", "rows", "n_candidates", "n_truth_sample",
+      "n_hit_sample", "truth_est", "recall_est_permille",
+      "ci_halfwidth_permille")
       .orderBy($"bands")
   }
 
@@ -3178,7 +3178,10 @@ object TextOps {
     * (from Md5LshBandedSql) — shared by the exact (q201) and sampled
     * (q204) operating-point oracles.
     */
-  private val LshCandCtes: String =
+  private def lshCandCtes(src: String): String = LshCandCtesTpl
+    .replace("FROM sigs,", s"FROM $src,")
+
+  private val LshCandCtesTpl: String =
       """cand_2_8 AS MATERIALIZED (
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            FROM (SELECT doc_id, i AS bidx, sig[i*8 + 1 : i*8 + 8] AS bandval
@@ -4201,7 +4204,7 @@ object TextOps {
          FROM b ORDER BY doc_id""",
     "q201_lsh_operating_points" ->
       (DuckMacros.Sm64 + "WITH " + Md5LshBandedSql + ",\n" +
-        LshCandCtes + """,
+        lshCandCtes("sigs") + """,
          truth AS MATERIALIZED (
            SELECT id1, id2 FROM (
              SELECT c.id1, c.id2,
@@ -4239,57 +4242,53 @@ object TextOps {
               JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2) AS n_hit)
          ORDER BY bands"""),
     "q204_lsh_sampled_ceiling" ->
-      (DuckMacros.Sm64 + "WITH " + Md5LshBandedSql + ",\n" +
-        LshCandCtes + """,
-         samp AS MATERIALIZED (
-           SELECT id1, id2 FROM cand_16_1
-           WHERE CAST('0x' || substring(md5(CAST(id1 AS VARCHAR) || '_'
-               || CAST(id2 AS VARCHAR)), 1, 15) AS UBIGINT) % 8 = 0),
-         struth AS MATERIALIZED (
+      (DuckMacros.Sm64 + "WITH " + Md5LshBandedSql + """,
+         sigs4 AS MATERIALIZED (
+           SELECT * FROM sigs
+           WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+             1, 15) AS UBIGINT) % 4 = 0),
+         """ + lshCandCtes("sigs4") + """,
+         truth AS MATERIALIZED (
            SELECT id1, id2 FROM (
              SELECT c.id1, c.id2,
                len(list_intersect(ha.hh, hb.hh)) AS inter,
                len(ha.hh) + len(hb.hh) AS ssum
-             FROM samp c
+             FROM cand_16_1 c
              JOIN hs ha ON ha.doc_id = c.id1
              JOIN hs hb ON hb.doc_id = c.id2)
            WHERE ssum - inter > 0 AND 2 * inter >= ssum - inter),
-         st AS (
-           SELECT
-             (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample,
-             (SELECT CAST(count(*) AS BIGINT) FROM struth) AS t_s,
-             (SELECT CAST(count(*) AS BIGINT) FROM cand_16_1) AS n161),
+         st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth)
+                  AS t_s),
          cfg AS (
            SELECT CAST(2 AS BIGINT) AS bands, CAST(8 AS BIGINT) AS rows,
-             (SELECT CAST(count(*) AS BIGINT) FROM cand_2_8) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_2_8)
+               AS n_candidates,
              (SELECT CAST(count(*) AS BIGINT) FROM cand_2_8 c
-                JOIN struth t ON t.id1 = c.id1 AND t.id2 = c.id2)
+                JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2)
                AS n_hit_sample
            UNION ALL
            SELECT CAST(4 AS BIGINT), CAST(4 AS BIGINT),
              (SELECT CAST(count(*) AS BIGINT) FROM cand_4_4),
              (SELECT CAST(count(*) AS BIGINT) FROM cand_4_4 c
-                JOIN struth t ON t.id1 = c.id1 AND t.id2 = c.id2)
+                JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2)
            UNION ALL
            SELECT CAST(8 AS BIGINT), CAST(2 AS BIGINT),
              (SELECT CAST(count(*) AS BIGINT) FROM cand_8_2),
              (SELECT CAST(count(*) AS BIGINT) FROM cand_8_2 c
-                JOIN struth t ON t.id1 = c.id1 AND t.id2 = c.id2)
+                JOIN truth t ON t.id1 = c.id1 AND t.id2 = c.id2)
            UNION ALL
            SELECT CAST(16 AS BIGINT), CAST(1 AS BIGINT),
              (SELECT CAST(count(*) AS BIGINT) FROM cand_16_1),
-             (SELECT CAST(count(*) AS BIGINT) FROM struth))
-         SELECT bands, rows, n_candidates, st.n_sample,
+             (SELECT CAST(count(*) AS BIGINT) FROM truth))
+         SELECT bands, rows, n_candidates,
            st.t_s AS n_truth_sample, n_hit_sample,
-           CAST(CASE WHEN st.n_sample = 0 THEN -1
-             ELSE st.t_s * st.n161 // st.n_sample END AS BIGINT)
-             AS truth_est,
+           CAST(st.t_s * 16 AS BIGINT) AS truth_est,
            CAST(CASE WHEN st.t_s = 0 THEN -1
              ELSE n_hit_sample * 1000 // st.t_s END AS BIGINT)
              AS recall_est_permille,
-           CAST(CASE WHEN st.n_sample = 0 THEN -1
-             ELSE CAST(floor(1960.0 * sqrt(CAST(st.t_s AS DOUBLE)
-               * (st.n_sample - st.t_s) / st.n_sample) / st.n_sample)
+           CAST(CASE WHEN st.t_s = 0 THEN -1
+             ELSE CAST(floor(1960.0 * sqrt(CAST(n_hit_sample AS DOUBLE)
+               * (st.t_s - n_hit_sample) / st.t_s) / st.t_s)
                AS BIGINT) END AS BIGINT) AS ci_halfwidth_permille
          FROM cfg CROSS JOIN st ORDER BY bands"""),
     "q61_minhash_md5" ->
