@@ -184,9 +184,12 @@ object MaxSimStore {
     val s = dset.sparkSession
     FlatManifest.prepareBuildDir(s, dir,
       Set("chunks", "postings", "df", "tombstones"))
-    val (_, _, tokd) = TextOps.maxSimChunkRels(dset)
+    // pin the doc set once so the df relation and writeGen's chunk
+    // derivation see the SAME materialization (mirrors addBatch)
+    val docsCkpt = dset.localCheckpoint(true)
+    val (_, _, tokd) = TextOps.maxSimChunkRels(docsCkpt)
     val dfRel = tokd.groupBy(col("tok")).agg(count(lit(1)).as("tok_df"))
-    writeGen(dset, dir, 0L, dfRel)
+    writeGen(docsCkpt, dir, 0L, dfRel)
     FlatManifest.commit(s, dir, Snap(epoch = 1L, gens = Seq(0L),
       tombs = Nil, ingested = Set.empty, ingestLow = 0L,
       nextInternal = -1L))

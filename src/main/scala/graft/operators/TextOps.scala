@@ -1331,7 +1331,7 @@ object TextOps {
     * loop a fixed-point iteration rather than a one-shot ranking);
     * each domain's excess = max(0, cost-under-mixture −
     * cost-under-self) in permille whole bits per token; the update is
-    * integer multiplicative, w·(1024 + excess/8)/1024, renormalized
+    * integer multiplicative, w·(1024 + excess/2)/1024, renormalized
     * to ppm. [[DoremiRounds]] fixed rounds; driver state = one weight
     * vector. Out-of-distribution domains (high excess) gain weight
     * until the mixture model covers them — the DoReMi minimax

@@ -2029,10 +2029,13 @@ object StreamOps {
     * chunked, hashed, and vectorized in flight (batch-bounded work),
     * its rare-term prefixes route through the store's bucket-pruned
     * posting directories, and the top-k candidate docs emit with the
-    * batch id. The store is immutable, so there is no retention
-    * contract to enforce — a rebuild lands under a new directory and
-    * the stream restarts against it (the release-cadence pattern, vs
-    * the IvfIndex manifest's in-place epochs).
+    * batch id. The store is MUTABLE (manifest lifecycle: addBatch /
+    * delete / compact / vacuum), so serves follow the epoch-keyed
+    * retention contract shared with the other serve streams: each
+    * trigger reads the manifest committed at that moment, and
+    * `graft.store.retainEpochs >= 2` (enforced below) keeps the prior
+    * epoch's generation directories alive for the duration of any
+    * mid-flight batch while maintenance commits land concurrently.
     *
     * Scale: per trigger the corpus-side reads are the batch's probed
     * bucket directories (≤ [[graft.operators.MaxSimStore.Buckets]]) and
@@ -2041,13 +2044,15 @@ object StreamOps {
     * memory at any stream length.
     */
   def maxSimServeStream(docsDs: Dataset[DocEvent], dir: String,
-      k: Int = 5)(emit: (DataFrame, Long) => Unit): StreamingQuery =
+      k: Int = 5)(emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    requireServeRetention(docsDs.sparkSession)
     toForeachBatch(docsDs.toDF(), OutputMode.Append) { (batch, batchId) =>
       if (!batch.isEmpty)
         emit(graft.operators.MaxSimStore.serve(batch.sparkSession, dir,
           batch.withColumn("toks", split(col("text"), "\\s+"))
             .select(col("doc_id"), col("toks")), k), batchId)
     }
+  }
 
   /** [[knnIndexServeStream]] for the PQ-COMPRESSED store: per trigger
     * the batch's queries run the exact-integer ADC serve
