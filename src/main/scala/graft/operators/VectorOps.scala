@@ -45,7 +45,9 @@ object VectorOps {
     "q187_semantic_decontam" -> ((s, d) => q187(s, d)),
     "q191_binary_sign_ann" -> ((s, d) => q191(s, d)),
     "q195_binary_store" -> ((s, d) => q195(s, d)),
-    "q202_binary_store_mutated" -> ((s, d) => q202(s, d))
+    "q202_binary_store_mutated" -> ((s, d) => q202(s, d)),
+    "q207_ivf_binary" -> ((s, d) => q207(s, d)),
+    "q208_ivf_binary_store" -> ((s, d) => q208(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -793,18 +795,21 @@ object VectorOps {
     * float32 row — the 16× footprint cut that makes the Hamming scan
     * an in-cache pass at corpus scale.
     */
+  private[graft] val SignW0Sql: String =
+    """aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+               (acc, i) -> acc + IF(qv[i] > 0,
+                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+
+  private[graft] val SignW1Sql: String =
+    """aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+               (acc, i) -> acc + IF(qv[i + 32] > 0,
+                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""
+
   private[graft] def binaryCodes(emb: DataFrame): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     emb.select($"vec_id", $"qv",
-      expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-               (acc, i) -> acc + IF(qv[i] > 0,
-                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
-        .as("w0"),
-      expr("""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-               (acc, i) -> acc + IF(qv[i + 32] > 0,
-                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))""")
-        .as("w1"))
+      expr(SignW0Sql).as("w0"), expr(SignW1Sql).as("w1"))
   }
 
   /** Binary (sign-bit) quantization ANN — the fourth compression tier
@@ -1048,6 +1053,203 @@ object VectorOps {
     val pre = phaseReport(0L).localCheckpoint(true)
     BinaryStore.compact(s, dir)
     pre.unionByName(phaseReport(1L)).orderBy($"phase", $"query_id")
+  }
+
+  // ---------- IVF×binary composed tier (q207) ----------
+
+  /** Probe levels / shortlist widths the composed-tier report sweeps.
+    * Nesting keeps the sweep one scan: probed cells at nprobe=1 are a
+    * prefix of nprobe=4's, and every width's refined top-5 derives by
+    * rank-filtering the widest shortlist (the q191 width-table
+    * argument, applied per probe level).
+    */
+  private[graft] val IvfBinProbes = Seq(1L, 2L, 4L)
+  private[graft] val IvfBinWidths = Seq(20L, 100L)
+  private[graft] val IvfBinMaxProbe = 4
+
+  /** Sign-bit codes WITH their coarse cell: one argmin pass against
+    * `cents` (broadcast), then the same codegen'd pack as
+    * [[binaryCodes]] — (vec_id, qv, cid, w0, w1).
+    */
+  private[graft] def ivfBinCodes(emb: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    argminPacked(emb, cents, carryQv = true)
+      .select($"vec_id", $"qv", $"cid",
+        expr(SignW0Sql).as("w0"), expr(SignW1Sql).as("w1"))
+  }
+
+  /** Route queries to their [[IvfBinMaxProbe]] nearest cells with the
+    * probe rank carried — (query_id, qw0, qw1, cid, prank). Centroids
+    * broadcast; the serving batch is bounded (q40's query-set note).
+    */
+  private[graft] def ivfBinRoute(queries: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val s = queries.sparkSession
+    import s.implicits._
+    queries.crossJoin(broadcast(cents))
+      .withColumn("dist",
+        graft.functions.VectorMath.sqDistLong($"q_qv", $"cq"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"dist", $"cid")))
+      .filter($"prank" <= IvfBinMaxProbe)
+      .select($"query_id", $"qw0", $"qw1", $"cid", $"prank")
+  }
+
+  /** The composed-tier operating-point table shared by q207 (in-memory)
+    * and the persisted store's gate: per (nprobe, width, query) plus a
+    * per-point overall rollup, recall@5 of the raw Hamming top-5 and of
+    * the exact-refined top-5 against the shared exact ground truth.
+    *
+    * ONE Hamming pass at the widest operating point: candidates are
+    * the probed cells' codes (cells partition the corpus, so a
+    * neighbor appears at most once), folding MAP-SIDE to 100 rows per
+    * (query, probed cell) through the bounded top-k aggregator with
+    * (ham, neighbor) packed into the carried id — every narrower
+    * nprobe's shortlist is then a filter + re-rank of this ≤
+    * 4·100-rows-per-query relation, and every width's refined top-5 a
+    * rank filter over ONE exact-refine join (the q191/q195 width-table
+    * discipline, with the probe dimension stacked on top).
+    */
+  private[graft] def ivfBinaryReport(s: SparkSession, d: String,
+      cellCodes: DataFrame, routed: DataFrame, queries: DataFrame,
+      refineVecs: DataFrame => DataFrame,
+      exactTag: String = "full"): DataFrame = {
+    import s.implicits._
+    val P = 1099511627776L // 2^40: ham·P + neighbor stays below 2^53
+    val cell100 = cellCodes
+      .join(broadcast(routed), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"prank",
+        (expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS BIGINT)")
+          * P + $"vec_id").as("packed"))
+      .groupBy($"query_id", $"prank")
+      .agg(graft.functions.BoundedAggs.topScored(
+        -$"packed".cast("double"), $"packed", lit(true), 100).as("top"))
+      .select($"query_id", $"prank", explode($"top.id").as("packed"))
+      .select($"query_id", $"prank",
+        expr(s"packed div ${P}L").as("ham"),
+        expr(s"packed % ${P}L").as("neighbor"))
+      .localCheckpoint(true)
+    val rf = cell100.select($"query_id", $"neighbor").distinct()
+      .join(refineVecs(cell100).select($"vec_id".as("neighbor"), $"qv"),
+        "neighbor")
+      .join(broadcast(queries.select($"query_id", $"q_qv")), "query_id")
+      .select($"query_id", $"neighbor",
+        graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+      .localCheckpoint(true)
+    val probes = IvfBinProbes.toDF("nprobe")
+    val widths = IvfBinWidths.toDF("width")
+    val sl = cell100.join(broadcast(probes), $"prank" <= $"nprobe")
+      .withColumn("srank", row_number().over(
+        Window.partitionBy($"nprobe", $"query_id")
+          .orderBy($"ham", $"neighbor")))
+      .filter($"srank" <= IvfBinWidths.max)
+      .localCheckpoint(true)
+    val ex = exactTop(s, d, exactTag).filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
+    val nh = sl.filter($"srank" <= 5)
+      .join(ex, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"nprobe", $"query_id").agg(count(lit(1)).as("n_ham"))
+    val nr = sl.crossJoin(broadcast(widths))
+      .filter($"srank" <= $"width")
+      .join(rf, Seq("query_id", "neighbor"))
+      .withColumn("wrank", row_number().over(
+        Window.partitionBy($"nprobe", $"width", $"query_id")
+          .orderBy($"dist", $"neighbor")))
+      .filter($"wrank" <= 5)
+      .join(ex, Seq("query_id", "neighbor"), "left_semi")
+      .groupBy($"nprobe", $"width", $"query_id")
+      .agg(count(lit(1)).as("n_refined"))
+    val per = queries.select($"query_id")
+      .crossJoin(broadcast(probes)).crossJoin(broadcast(widths))
+      .join(nh, Seq("nprobe", "query_id"), "left")
+      .join(nr, Seq("nprobe", "width", "query_id"), "left")
+      .select($"nprobe", $"width", $"query_id", lit(5L).as("k"),
+        coalesce($"n_ham", lit(0L)).as("n_ham"),
+        coalesce($"n_refined", lit(0L)).as("n_refined"))
+    val overall = per.groupBy($"nprobe", $"width")
+      .agg(sum($"k").as("k"), sum($"n_ham").as("n_ham"),
+        sum($"n_refined").as("n_refined"))
+      .select($"nprobe", $"width", lit(-1L).as("query_id"), $"k",
+        $"n_ham", $"n_refined")
+    per.unionByName(overall)
+      .select($"nprobe", $"width", $"query_id", $"k", $"n_ham",
+        $"n_refined",
+        expr("n_ham * 1000 div k").as("recall_ham_permille"),
+        expr("n_refined * 1000 div k").as("recall_ref_permille"))
+      .orderBy($"nprobe", $"width", $"query_id")
+  }
+
+  /** IVF×BINARY COMPOSED serve — the standard billion-vector recipe
+    * and the adjudicated fix for the flat 1-bit tier's candidate mass
+    * (the flat serve Hamming-scans EVERY code; here stage 0 routes
+    * through the LEARNED coarse quantizer — the q147 lloydTrain loop —
+    * stage 1 Hamming-scans ONLY the probed cells' codes, and stage 2
+    * exact-refines the shortlist). The report sweeps nprobe × width
+    * operating points against the shared exact ground truth, so the
+    * recall cost of the routing cut is measured, not assumed.
+    *
+    * Scale: training is the q147 loop (per-round work one broadcast
+    * argmin exchange); the serve's candidate mass is Σ probed-cell
+    * sizes ≈ (nprobe/k)·N vs the flat tier's N — an 8× cut at
+    * nprobe=2, k=16, growing with k at fleet scale — and every
+    * per-candidate byte stays the 16-byte code. Candidates fold
+    * map-side to ≤ 100·nprobe rows per query; the refine join fetches
+    * full vectors for shortlist ids only. The persisted form
+    * partitions codes by cell so a serve READS only probed
+    * directories ([[IvfBinaryStore]]).
+    */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = quantized(s, d)
+    val seeds = emb.filter($"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"qv".as("cq"))
+    val (cents, _) = lloydTrain(emb, seeds, LloydMaxIters, LloydMinImprove)
+    val cellCodes = ivfBinCodes(emb, cents)
+    val queries = binaryQueries(emb)
+    val routed = ivfBinRoute(queries, cents)
+    ivfBinaryReport(s, d, cellCodes, routed, queries, _ => emb)
+  }
+
+  /** The composed tier PERSISTED and MUTATED — the q202 lifecycle
+    * gate on [[IvfBinaryStore]]: build (router trained on the build
+    * two-thirds), ingest the rest as two exactly-once generations (one
+    * deliberately replayed), tombstone every id ≡ 3 (mod 7), serve the
+    * q207 operating-point report BEFORE compaction (phase 0) and AFTER
+    * (phase 1). The oracle re-trains the router relationally on the
+    * build subset, assigns the live set against it (one rule covers
+    * build rows and ingested generations), and emits both phases from
+    * one computation — so the hash proves ingest exactly-once under
+    * the fixed router, delete masking, cell-partition-pruned serving,
+    * and compaction transparency end-to-end.
+    */
+  private def q208(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Scratch.dir(s, "ivfbin/q208")
+    val emb = quantized(s, d)
+    IvfBinaryStore.build(emb.filter($"vec_id" % 3 =!= 2), dir)
+    val gen1 = emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0)
+    IvfBinaryStore.addBatch(s, dir, gen1, gen = 1L)
+    IvfBinaryStore.addBatch(s, dir, gen1, gen = 1L) // replay: no-op
+    IvfBinaryStore.addBatch(s, dir,
+      emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 1), gen = 2L)
+    IvfBinaryStore.delete(s, dir, emb.filter($"vec_id" % 7 === 3)
+      .select($"vec_id"))
+    val queries = binaryQueries(emb)
+    def phaseReport(phase: Long): DataFrame =
+      IvfBinaryStore.serveReport(s, d, dir, queries, "bin_live")
+        .select(lit(phase).as("phase"), $"nprobe", $"width", $"query_id",
+          $"k", $"n_ham", $"n_refined", $"recall_ham_permille",
+          $"recall_ref_permille")
+    // phase 0 MUST materialize before compact: its plan reads the
+    // pre-fold generation directories, which the post-commit GC
+    // reclaims (retainEpochs defaults to 1)
+    val pre = phaseReport(0L).localCheckpoint(true)
+    IvfBinaryStore.compact(s, dir)
+    pre.unionByName(phaseReport(1L))
+      .orderBy($"phase", $"nprobe", $"width", $"query_id")
   }
 
   /** SemDeDup over the CONVERGED coarse quantizer — the semantic member
@@ -2046,12 +2248,160 @@ object VectorOps {
   private def q202OracleSql: String =
     binaryAnnOracleSql(a => s"$a.vec_id % 7 <> 3", phased = true)
 
+  /** q207/q208 replay: the unrolled Lloyd loop over `srcWhere`'s
+    * training subset (converged centroids cstar), the LIVE corpus
+    * assigned against cstar (one rule covers build rows and ingested
+    * generations — a_r assigns against c_r, so astar ≡ argmin vs
+    * cstar), sign-bit packing, query routing with probe rank,
+    * per-(query, probed-cell) top-100 Hamming shortlist, then every
+    * (nprobe, width) operating point derived by rank filters —
+    * structurally the engine's own derivation, so equality is
+    * step-for-step. `phased` duplicates the report across the q202
+    * phase pair (compaction transparency from ONE computation).
+    */
+  private def ivfBinaryOracleSql(srcWhere: String, livePred: String,
+      phased: Boolean): String =
+    s"""WITH ${lloydCtes(LloydMaxIters, LloydMinImprove, srcWhere)},
+         ${lloydStarCtes(LloydMaxIters)},
+         liv AS MATERIALIZED (
+           SELECT vec_id, qv FROM allq WHERE $livePred),
+         asg AS MATERIALIZED (
+           SELECT vec_id, cid FROM (
+             SELECT l.vec_id, c.cid,
+               row_number() OVER (PARTITION BY l.vec_id ORDER BY
+                 CAST(list_sum(list_transform(list_zip(l.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT),
+                 c.cid) AS rn
+             FROM liv l, cstar c) WHERE rn = 1),
+         cod AS MATERIALIZED (
+           SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+               i -> CASE WHEN qv[i + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << i)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+               i -> CASE WHEN qv[i + 33] > 0
+                 THEN (CAST(1 AS BIGINT) << i)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+           FROM allq),
+         qs AS (SELECT vec_id AS query_id, qv FROM allq
+                WHERE vec_id % 100 = 0),
+         qc AS (SELECT vec_id AS query_id, w0 AS qw0, w1 AS qw1
+                FROM cod WHERE vec_id % 100 = 0),
+         qrt AS (
+           SELECT query_id, cid, prank FROM (
+             SELECT qs.query_id, c.cid,
+               row_number() OVER (PARTITION BY qs.query_id ORDER BY
+                 CAST(list_sum(list_transform(list_zip(qs.qv, c.cq),
+                   z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT),
+                 c.cid) AS prank
+             FROM qs, cstar c) WHERE prank <= $IvfBinMaxProbe),
+         h AS (
+           SELECT r.query_id, r.prank, a.vec_id AS neighbor,
+             CAST(bit_count(xor(cd.w0, qc.qw0))
+                + bit_count(xor(cd.w1, qc.qw1)) AS BIGINT) AS ham
+           FROM qrt r
+           JOIN asg a ON a.cid = r.cid
+           JOIN cod cd ON cd.vec_id = a.vec_id
+           JOIN qc ON qc.query_id = r.query_id
+           WHERE a.vec_id <> r.query_id),
+         cell100 AS MATERIALIZED (
+           SELECT query_id, prank, neighbor, ham FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id, prank
+               ORDER BY ham, neighbor) AS cr FROM h) WHERE cr <= 100),
+         probes AS (SELECT CAST(1 AS BIGINT) AS nprobe
+                    UNION ALL SELECT CAST(2 AS BIGINT)
+                    UNION ALL SELECT CAST(4 AS BIGINT)),
+         widths AS (SELECT CAST(20 AS BIGINT) AS width
+                    UNION ALL SELECT CAST(100 AS BIGINT)),
+         sl AS MATERIALIZED (
+           SELECT nprobe, query_id, neighbor, ham, srank FROM (
+             SELECT p.nprobe, c.query_id, c.neighbor, c.ham,
+               row_number() OVER (PARTITION BY p.nprobe, c.query_id
+                 ORDER BY c.ham, c.neighbor) AS srank
+             FROM cell100 c JOIN probes p ON c.prank <= p.nprobe)
+           WHERE srank <= 100),
+         rf AS MATERIALIZED (
+           SELECT d.query_id, d.neighbor,
+             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+           FROM (SELECT DISTINCT query_id, neighbor FROM cell100) d
+           JOIN allq mc ON mc.vec_id = d.neighbor
+           JOIN allq mq ON mq.vec_id = d.query_id),
+         exd AS (
+           SELECT mq.vec_id AS query_id, mc.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+           FROM liv mc, allq mq
+           WHERE mq.vec_id % 100 = 0 AND mc.vec_id <> mq.vec_id),
+         ex AS (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS r
+             FROM exd) WHERE r <= 5),
+         nh AS (
+           SELECT s.nprobe, s.query_id, CAST(count(*) AS BIGINT) AS n_ham
+           FROM sl s JOIN ex e
+             ON e.query_id = s.query_id AND e.neighbor = s.neighbor
+           WHERE s.srank <= 5 GROUP BY 1, 2),
+         rr AS (
+           SELECT s.nprobe, w.width, s.query_id, s.neighbor,
+             row_number() OVER (PARTITION BY s.nprobe, w.width,
+               s.query_id ORDER BY f.dist, s.neighbor) AS wrank
+           FROM sl s
+           JOIN rf f ON f.query_id = s.query_id
+             AND f.neighbor = s.neighbor
+           CROSS JOIN widths w
+           WHERE s.srank <= w.width),
+         nr AS (
+           SELECT r.nprobe, r.width, r.query_id,
+             CAST(count(*) AS BIGINT) AS n_refined
+           FROM rr r JOIN ex e
+             ON e.query_id = r.query_id AND e.neighbor = r.neighbor
+           WHERE r.wrank <= 5 GROUP BY 1, 2, 3),
+         per AS (
+           SELECT p.nprobe, w.width, qq.query_id, CAST(5 AS BIGINT) AS k,
+             CAST(coalesce(nh.n_ham, 0) AS BIGINT) AS n_ham,
+             CAST(coalesce(nr.n_refined, 0) AS BIGINT) AS n_refined
+           FROM (SELECT query_id FROM qs) qq
+           CROSS JOIN probes p CROSS JOIN widths w
+           LEFT JOIN nh ON nh.nprobe = p.nprobe
+             AND nh.query_id = qq.query_id
+           LEFT JOIN nr ON nr.nprobe = p.nprobe AND nr.width = w.width
+             AND nr.query_id = qq.query_id),
+         al AS (
+           SELECT nprobe, width, CAST(-1 AS BIGINT) AS query_id,
+             CAST(sum(k) AS BIGINT) AS k,
+             CAST(sum(n_ham) AS BIGINT) AS n_ham,
+             CAST(sum(n_refined) AS BIGINT) AS n_refined
+           FROM per GROUP BY 1, 2)
+         SELECT ${if (phased) "ph.phase, " else ""}nprobe, width,
+           query_id, k, n_ham, n_refined,
+           CAST(n_ham * 1000 // k AS BIGINT) AS recall_ham_permille,
+           CAST(n_refined * 1000 // k AS BIGINT) AS recall_ref_permille
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
+         ${if (phased)
+        "CROSS JOIN (SELECT CAST(0 AS BIGINT) AS phase UNION ALL SELECT CAST(1 AS BIGINT)) ph"
+      else ""}
+         ORDER BY ${if (phased) "ph.phase, " else ""}nprobe, width,
+           query_id"""
+
+  private def q207OracleSql: String =
+    ivfBinaryOracleSql("", "TRUE", phased = false)
+
+  private def q208OracleSql: String =
+    ivfBinaryOracleSql("WHERE vec_id % 3 <> 2", "vec_id % 7 <> 3",
+      phased = true)
+
   def oracles: Map[String, String] = Map(
     "q191_binary_sign_ann" -> BinaryAnnOracleSql,
     // the store entry IS q191's computation served from disk — same
     // report, same oracle (the q182/q178 transparent-store discipline)
     "q195_binary_store" -> BinaryAnnOracleSql,
     "q202_binary_store_mutated" -> q202OracleSql,
+    "q207_ivf_binary" -> q207OracleSql,
+    "q208_ivf_binary_store" -> q208OracleSql,
     "q149_kmeans_convergence" -> q149OracleSql,
     "q147_ivf_learned" -> q147OracleSql,
     "q171_semdedup_lloyd" -> q171OracleSql,
