@@ -302,7 +302,7 @@ object IvfBinaryStore {
     * directories (numFiles spec-pinned), which is the composed tier's
     * byte story on disk.
     */
-  private def probedCodes(s: SparkSession, dir: String, snap: Snap,
+  private[graft] def probedCodes(s: SparkSession, dir: String, snap: Snap,
       routed: DataFrame): DataFrame = {
     import s.implicits._
     val cids = routed.select($"cid").distinct().as[Long].collect().toSeq
