@@ -361,4 +361,55 @@ object MaxSimStore {
       .select($"cdoc", $"cc", $"vb", $"n2b")
     TextOps.maxSimScore(cand, av, bv, qmRel, k)
   }
+
+  /** [[serve]] with BOUNDED full-precision scoring mass — the q209
+    * operating point from the stored relations: the probed candidate
+    * pairs are first scored with 4-bit proxy codes (derived map-side
+    * from the stored chunk vectors — one packed long per chunk moves
+    * through the pair join; a deployment can persist the codes as a
+    * sidecar generation to skip even that derivation read), each
+    * query admits its top `docCap` docs by proxy MaxSim, and only the
+    * admitted docs' pairs reach the full-vector scoring join. Same
+    * output shape as [[serve]]; recall vs the uncapped ranking is
+    * measured by the q209 gate entry, so a deployment picks its
+    * docCap from that table.
+    */
+  def serveCapped(s: SparkSession, dir: String, queryDocs: DataFrame,
+      k: Int = 5, docCap: Int = TextOps.MaxSimDocCaps.max.toInt,
+      epoch: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val snap = epoch.fold(FlatManifest.read(s, dir))(e =>
+      FlatManifest.readAt(s, dir, e)(verifyData(s, dir)))
+    val (qvec, qmRel, qtokd) = TextOps.maxSimChunkRels(queryDocs)
+    val qtoks = qtokd.select($"tok").distinct()
+      .withColumn("bucket", bucketCol($"tok"))
+      .localCheckpoint(true)
+    val qbuckets = qtoks.select($"bucket").distinct()
+      .as[Long].collect().toSeq
+    val qdf = dfPartsOf(s, dir, snap)
+      .filter($"bucket".isin(qbuckets: _*))
+      .join(broadcast(qtoks.select($"tok")), Seq("tok"), "left_semi")
+      .groupBy($"tok").agg(sum($"tok_df").as("tok_df"))
+    val qpref = TextOps.maxSimRarePrefix(qtokd, qdf)
+      .localCheckpoint(true)
+    val pbuckets = qpref.select(bucketCol($"tok").as("b")).distinct()
+      .as[Long].collect().toSeq
+    val postings = maskDocs(s, dir, snap,
+      postingsOf(s, dir, snap).filter($"bucket".isin(pbuckets: _*)))
+    val pairs = qpref.select($"doc_id".as("qdoc"), $"h".as("qh"), $"tok")
+      .join(postings.select($"cdoc", $"cc", $"tok"), "tok")
+      .filter($"qdoc" =!= $"cdoc")
+      .select($"qdoc", $"qh", $"cdoc", $"cc").distinct()
+    val corpusChunks = maskDocs(s, dir, snap, chunksOf(s, dir, snap))
+    val cand = TextOps.maxSimProxyAdmit(pairs,
+      qvec.select($"doc_id", $"h", $"v"),
+      corpusChunks.select($"cdoc".as("doc_id"), $"cc".as("h"),
+        $"vb".as("v")),
+      qmRel, docCap)
+      .select($"qdoc", $"qh", $"cdoc", $"cc")
+    val av = qvec.select($"doc_id".as("qdoc"), $"h".as("qh"),
+      $"v".as("va"), $"n2".as("n2a"))
+    val bv = corpusChunks.select($"cdoc", $"cc", $"vb", $"n2b")
+    TextOps.maxSimScore(cand, av, bv, qmRel, k)
+  }
 }

@@ -154,6 +154,7 @@ object TextOps {
     "q186_watermark_detect" -> ((s, d) => q186(s, d)),
     "q163_hybrid_retrieval" -> ((s, d) => q163(s, d)),
     "q178_maxsim_chunks" -> ((s, d) => q178(s, d)),
+    "q209_maxsim_capped" -> ((s, d) => q209(s, d)),
     "q182_maxsim_store" -> ((s, d) => q182(s, d)),
     "q203_maxsim_store_mutated" -> ((s, d) => q203(s, d)),
     "q166_reservoir_sample" -> ((s, d) => q166(s, d)),
@@ -2698,15 +2699,95 @@ object TextOps {
     * WindowGroupLimit under the (doc, chunk) partition).
     */
   private[graft] def maxSimRarePrefix(tokd: DataFrame,
-      dfRel: DataFrame): DataFrame = {
+      dfRel: DataFrame, carryDf: Boolean = false): DataFrame = {
     val s = tokd.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    tokd.join(dfRel, "tok")
+    val ranked = tokd.join(dfRel, "tok")
       .withColumn("pos", row_number().over(
         Window.partitionBy($"doc_id", $"h").orderBy($"tok_df", $"tok")))
       .filter($"pos" <= 2)
-      .select($"doc_id", $"h", $"tok")
+    if (carryDf) ranked.select($"doc_id", $"h", $"tok", $"tok_df")
+    else ranked.select($"doc_id", $"h", $"tok")
+  }
+
+  /** Per-query admitted-candidate-DOC operating points for the
+    * BOUNDED MaxSim serve (q209). Nesting keeps the sweep one exact
+    * scoring pass — a cap-16 doc set is a prefix of cap-256's under
+    * the shared admission rank.
+    */
+  private[graft] val MaxSimDocCaps = Seq(16L, 64L, 256L)
+
+  /** 4-bit magnitude decode of one packed-vector dim: the whole-bit
+    * integer log (length of the binary string, 0 for 0, saturated at
+    * 15) — the same value both engines compute exactly, so the proxy
+    * ranking replays bit-for-bit.
+    */
+  private def dec(col: String, i: Int): String =
+    s"CASE WHEN $col[$i] = 0 THEN 0L ELSE " +
+      s"least(15L, CAST(length(bin($col[$i])) AS BIGINT)) END"
+
+  /** Per-query candidate-DOC admission via a COMPRESSED-VECTOR PROXY
+    * pass — the two-stage serving discipline (the binary tier's
+    * shortlist idea applied to MaxSim): every candidate pair is first
+    * scored with 4-bit whole-bit-log magnitudes of its chunk vectors
+    * (per pair, exact integer pcos2 over values ≤ 15 — ONE long of
+    * code instead of 19 through the heavy join), the proxy MaxSim
+    * folds per candidate doc exactly like the real score, and only
+    * each query's top `docCap` docs by (proxy score, cdoc) reach the
+    * full-precision scoring join.
+    *
+    * Two rejected cheaper cuts, measured: token-level admission (pairs
+    * in df order: 40–200‰ recall@5; evidence-ranked docs: 32–720‰) —
+    * on a uniform-vocabulary corpus the rare-prefix df carries almost
+    * no ranking signal, so the admission signal must come from the
+    * vectors themselves; the 4-bit proxy is the cheapest
+    * representation that preserves the ranking.
+    *
+    * Expects `pairs` (qdoc, qh, cdoc, cc) distinct, `qvec`/`cvec` as
+    * (doc_id, h, v) for the query and corpus chunk vectors (the same
+    * relation in memory; the stored chunks relation at serve), `mRel`
+    * from [[maxSimChunkRels]]; returns (qdoc, qh, cdoc, cc, drank).
+    * Deterministic end to end — the DuckDB oracle replays membership
+    * exactly.
+    */
+  private[graft] def maxSimProxyAdmit(pairs: DataFrame, qvec: DataFrame,
+      cvec: DataFrame, mRel: DataFrame, docCap: Int): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val decSum = (0 until 16).map(i => s"${dec("v", i)} * ${dec("v", i)}")
+      .mkString(" + ")
+    // ONE packed long of 4-bit magnitudes per chunk moves through the
+    // pair join — 1/19th of the full-precision row
+    val packSql = (0 until 16).map(i =>
+      s"shiftleft(${dec("v", i)}, ${i * 4})").mkString(" + ")
+    val pq = qvec.join(pairs.select($"qdoc", $"qh").distinct(),
+        $"doc_id" === $"qdoc" && $"h" === $"qh", "left_semi")
+      .select($"doc_id".as("qdoc"), $"h".as("qh"),
+        expr(packSql).as("pva"), expr(decSum).as("n2pa"))
+    val pc = cvec.select($"doc_id".as("cdoc"), $"h".as("cc"),
+      expr(packSql).as("pvb"), expr(decSum).as("n2pb"))
+    val pdotSum = (0 until 16).map(i =>
+      s"(shiftright(pva, ${i * 4}) & 15L) * " +
+        s"(shiftright(pvb, ${i * 4}) & 15L)").mkString(" + ")
+    val prox = pairs.join(broadcast(pq), Seq("qdoc", "qh"))
+      .join(pc.hint("SHUFFLE_HASH"), Seq("cdoc", "cc"))
+      .withColumn("pdot", expr(pdotSum))
+      .withColumn("pcos2", expr("(pdot * pdot * 1000L) div (n2pa * n2pb)"))
+    val pmx = prox.groupBy($"qdoc", $"qh", $"cdoc")
+      .agg(max($"pcos2").as("pmx"))
+    val admitted = pmx
+      .join(mRel.select($"doc_id".as("qdoc"), $"h".as("qh"), $"m"),
+        Seq("qdoc", "qh"))
+      .groupBy($"qdoc", $"cdoc").agg(sum($"m" * $"pmx").as("pscore"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy($"qdoc")
+          .orderBy($"pscore".desc, $"cdoc")).cast("long"))
+      .filter($"drank" <= docCap)
+      .select($"qdoc", $"cdoc", $"drank")
+    pairs.join(admitted, Seq("qdoc", "cdoc"))
+      .select($"qdoc", $"qh", $"cdoc", $"cc", $"drank")
   }
 
   /** The MaxSim scoring tail shared by q178 and the store serve:
@@ -2810,6 +2891,108 @@ object TextOps {
     val bv = vec.select($"doc_id".as("cdoc"), $"h".as("cc"),
       $"v".as("vb"), $"n2".as("n2b"))
     maxSimScore(cand, av, bv, mRel, 5)
+  }
+
+  /** MaxSim with BOUNDED full-precision scoring mass — the
+    * operating-point answer to q178's one honest scale negative (the
+    * scoring join moves every candidate pair's 19-long vectors,
+    * unbounded per query for hot prefixes): a PROXY stage scores all
+    * candidate pairs with one packed long of 4-bit magnitudes each
+    * ([[maxSimProxyAdmit]] — the binary-shortlist discipline on the
+    * chunk tier), each query admits its top [[MaxSimDocCaps]] docs by
+    * proxy MaxSim, and only the admitted docs' pairs reach the
+    * full-precision join. The report scores every cap from ONE exact
+    * pass at the widest cap (admission ranks nest) and evaluates
+    * recall@5 of each capped top-5 against the UNCAPPED q178 ranking,
+    * next to the per-query admitted and uncapped pair counts — so the
+    * mass cut and its recall price are measured in the same table.
+    *
+    * Scale: stage 1 touches the same pair mass but moves 1 long + 1
+    * norm per chunk instead of 19 longs (the very volume ratio that
+    * made q178's first relational cut spill at sf10); stage 2 moves
+    * full vectors for ≤ docCap docs per query. The exact side remains
+    * in this entry as its audit (the q201/q204 relationship); a
+    * routine serve uses the capped path alone
+    * ([[MaxSimStore.serveCapped]]).
+    */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val (vec, mRel, tokd) = maxSimChunkRels(docs(s, d))
+    val dfRel = tokd.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
+    val pref = maxSimRarePrefix(tokd, dfRel)
+    val qpref = pref.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("qdoc"), $"h".as("qh"), $"tok")
+    // q178's exact candidate set — stage 1 scores ALL of it, but with
+    // 1-long proxy codes; only admitted docs' pairs see full vectors
+    val pairs = qpref
+      .join(pref.select($"doc_id".as("cdoc"), $"h".as("cc"), $"tok"),
+        "tok")
+      .filter($"qdoc" =!= $"cdoc")
+      .select($"qdoc", $"qh", $"cdoc", $"cc").distinct()
+      .localCheckpoint(true)
+    val capped = maxSimProxyAdmit(pairs, vec,
+      vec.select($"doc_id", $"h", $"v"), mRel,
+      MaxSimDocCaps.max.toInt).localCheckpoint(true)
+    val av = vec.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("qdoc"), $"h".as("qh"),
+        $"v".as("va"), $"n2".as("n2a"))
+    val bv = vec.select($"doc_id".as("cdoc"), $"h".as("cc"),
+      $"v".as("vb"), $"n2".as("n2b"))
+    // ONE scoring join at the widest cap, admission rank carried
+    val scored = capped.join(broadcast(av), Seq("qdoc", "qh"))
+      .join(bv.hint("SHUFFLE_HASH"), Seq("cdoc", "cc"))
+      .withColumn("dot", graft.functions.VectorMath.dotLong($"va", $"vb"))
+      .withColumn("qcos2", expr("(dot * dot * 1000L) div (n2a * n2b)"))
+      .select($"qdoc", $"qh", $"cdoc", $"cc", $"drank", $"qcos2")
+      .localCheckpoint(true)
+    val caps = MaxSimDocCaps.toDF("cap")
+    val cmx = scored.crossJoin(broadcast(caps)).filter($"drank" <= $"cap")
+      .groupBy($"cap", $"qdoc", $"qh", $"cdoc").agg(max($"qcos2").as("mx"))
+    val csco = cmx
+      .join(mRel.select($"doc_id".as("qdoc"), $"h".as("qh"), $"m"),
+        Seq("qdoc", "qh"))
+      .groupBy($"cap", $"qdoc", $"cdoc")
+      .agg(sum($"m" * $"mx").as("score"))
+    val ctop = csco.withColumn("rk", row_number().over(
+        Window.partitionBy($"cap", $"qdoc")
+          .orderBy($"score".desc, $"cdoc")))
+      .filter($"rk" <= 5).select($"cap", $"qdoc", $"cdoc")
+    // the uncapped q178 ranking is this entry's audit ground truth
+    val ex = maxSimScore(pairs, av, bv, mRel, 5)
+      .select($"query_doc".as("qdoc"), $"cand_doc".as("cdoc"))
+      .localCheckpoint(true)
+    val kRel = ex.groupBy($"qdoc").agg(count(lit(1)).as("k"))
+    val nPairsFull = pairs.groupBy($"qdoc")
+      .agg(count(lit(1)).as("n_pairs_full"))
+    val nPairs = capped.crossJoin(broadcast(caps))
+      .filter($"drank" <= $"cap")
+      .groupBy($"cap", $"qdoc").agg(count(lit(1)).as("n_pairs"))
+    val hits = ctop.join(ex, Seq("qdoc", "cdoc"), "left_semi")
+      .groupBy($"cap", $"qdoc").agg(count(lit(1)).as("n_hit"))
+    val per = docs(s, d).filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("qdoc")).crossJoin(broadcast(caps))
+      .join(kRel, Seq("qdoc"), "left")
+      .join(nPairs, Seq("cap", "qdoc"), "left")
+      .join(nPairsFull, Seq("qdoc"), "left")
+      .join(hits, Seq("cap", "qdoc"), "left")
+      .select($"cap", $"qdoc".as("query_doc"),
+        coalesce($"k", lit(0L)).as("k"),
+        coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_pairs_full", lit(0L)).as("n_pairs_full"),
+        coalesce($"n_hit", lit(0L)).as("n_hit"))
+    val overall = per.groupBy($"cap")
+      .agg(sum($"k").as("k"), sum($"n_pairs").as("n_pairs"),
+        sum($"n_pairs_full").as("n_pairs_full"),
+        sum($"n_hit").as("n_hit"))
+      .select($"cap", lit(-1L).as("query_doc"), $"k", $"n_pairs",
+        $"n_pairs_full", $"n_hit")
+    per.unionByName(overall)
+      .select($"cap", $"query_doc", $"k", $"n_pairs", $"n_pairs_full",
+        $"n_hit",
+        expr("CASE WHEN k = 0 THEN 1000L ELSE n_hit * 1000 div k END")
+          .as("recall_permille"))
+      .orderBy($"cap", $"query_doc")
   }
 
   /** The corpus-constant BM25 relations (the lexical side's "index"):
@@ -3123,6 +3306,137 @@ object TextOps {
            FROM sco)
          WHERE rk <= 5 ORDER BY query_doc, rk"""
 
+  /** q209 replay: the q178 candidate set, the 4-bit whole-bit-log
+    * proxy scoring, the proxy-ranked candidate-doc admission, one
+    * exact scoring pass at the widest cap re-aggregated per cap, and
+    * the uncapped q178 ranking as the recall ground truth —
+    * structurally the engine's own derivation.
+    */
+  private def q209OracleSql: String =
+    s"""WITH $maxSimCorpusCtes,
+         pref AS MATERIALIZED (
+           SELECT doc_id, h, tok FROM (
+             SELECT doc_id, h, tok, row_number() OVER (
+               PARTITION BY doc_id, h ORDER BY tok_df, tok) AS pos
+             FROM tokd JOIN dfr USING (tok))
+           WHERE pos <= 2),
+         cand AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id AS qdoc, a.h AS qh,
+             c.doc_id AS cdoc, c.h AS cc
+           FROM pref a JOIN pref c USING (tok)
+           WHERE a.doc_id % 100 = 0 AND a.doc_id <> c.doc_id),
+         decv AS MATERIALIZED (
+           SELECT doc_id, h, dim,
+             least(15, CAST(length(bin(cnt)) AS BIGINT)) AS dv
+           FROM vec),
+         pn2 AS (
+           SELECT doc_id, h, CAST(sum(dv * dv) AS BIGINT) AS n2p
+           FROM decv GROUP BY 1, 2),
+         pdotr AS (
+           SELECT p.qdoc, p.qh, p.cdoc, p.cc,
+             CAST(sum(va.dv * vb.dv) AS BIGINT) AS pdot
+           FROM cand p
+           JOIN decv va ON va.doc_id = p.qdoc AND va.h = p.qh
+           JOIN decv vb ON vb.doc_id = p.cdoc AND vb.h = p.cc
+             AND vb.dim = va.dim
+           GROUP BY 1, 2, 3, 4),
+         psc AS (
+           SELECT qdoc, qh, cdoc,
+             (pdot * pdot * 1000) // (na.n2p * nb.n2p) AS pcos2
+           FROM pdotr
+           JOIN pn2 na ON na.doc_id = pdotr.qdoc AND na.h = pdotr.qh
+           JOIN pn2 nb ON nb.doc_id = pdotr.cdoc AND nb.h = pdotr.cc),
+         pmx AS (
+           SELECT qdoc, qh, cdoc, max(pcos2) AS pmx
+           FROM psc GROUP BY 1, 2, 3),
+         padm AS MATERIALIZED (
+           SELECT qdoc, cdoc, CAST(drank AS BIGINT) AS drank FROM (
+             SELECT qdoc, cdoc, row_number() OVER (PARTITION BY qdoc
+               ORDER BY pscore DESC, cdoc) AS drank
+             FROM (SELECT qdoc, cdoc,
+                     CAST(sum(d.m * pmx.pmx) AS BIGINT) AS pscore
+                   FROM pmx JOIN mr d
+                     ON d.doc_id = pmx.qdoc AND d.h = pmx.qh
+                   GROUP BY 1, 2))
+           WHERE drank <= ${MaxSimDocCaps.max}),
+         capped AS MATERIALIZED (
+           SELECT c.qdoc, c.qh, c.cdoc, c.cc, a.drank
+           FROM cand c JOIN padm a
+             ON a.qdoc = c.qdoc AND a.cdoc = c.cdoc),
+         cdotr AS (
+           SELECT c.qdoc, c.qh, c.cdoc, c.cc, c.drank,
+             CAST(sum(va.cnt * vb.cnt) AS BIGINT) AS dot
+           FROM capped c
+           JOIN vec va ON va.doc_id = c.qdoc AND va.h = c.qh
+           JOIN vec vb ON vb.doc_id = c.cdoc AND vb.h = c.cc
+             AND vb.dim = va.dim
+           GROUP BY 1, 2, 3, 4, 5),
+         csc AS MATERIALIZED (
+           SELECT qdoc, qh, cdoc, cc, drank,
+             (dot * dot * 1000) // (na.n2 * nb.n2) AS qcos2
+           FROM cdotr
+           JOIN n2 na ON na.doc_id = cdotr.qdoc AND na.h = cdotr.qh
+           JOIN n2 nb ON nb.doc_id = cdotr.cdoc AND nb.h = cdotr.cc),
+         caps AS (${MaxSimDocCaps.map(c =>
+        s"SELECT CAST($c AS BIGINT) AS cap").mkString(" UNION ALL ")}),
+         cmx AS (
+           SELECT p.cap, s.qdoc, s.qh, s.cdoc, max(s.qcos2) AS mx
+           FROM csc s JOIN caps p ON s.drank <= p.cap
+           GROUP BY 1, 2, 3, 4),
+         csco AS (
+           SELECT cap, qdoc, cdoc,
+             CAST(sum(d.m * cmx.mx) AS BIGINT) AS score
+           FROM cmx JOIN mr d ON d.doc_id = cmx.qdoc AND d.h = cmx.qh
+           GROUP BY 1, 2, 3),
+         ctop AS (
+           SELECT cap, qdoc, cdoc FROM (
+             SELECT cap, qdoc, cdoc, row_number() OVER (
+               PARTITION BY cap, qdoc ORDER BY score DESC, cdoc) AS rk
+             FROM csco) WHERE rk <= 5),
+         $maxSimScoreCtes,
+         ex AS MATERIALIZED (
+           SELECT qdoc, cdoc FROM (
+             SELECT qdoc, cdoc, row_number() OVER (
+               PARTITION BY qdoc ORDER BY score DESC, cdoc) AS rk
+             FROM sco) WHERE rk <= 5),
+         krel AS (SELECT qdoc, CAST(count(*) AS BIGINT) AS k
+                  FROM ex GROUP BY 1),
+         npf AS (SELECT qdoc, CAST(count(*) AS BIGINT) AS n_pairs_full
+                 FROM cand GROUP BY 1),
+         np AS (
+           SELECT p.cap, c.qdoc, CAST(count(*) AS BIGINT) AS n_pairs
+           FROM capped c JOIN caps p ON c.drank <= p.cap GROUP BY 1, 2),
+         ht AS (
+           SELECT t.cap, t.qdoc, CAST(count(*) AS BIGINT) AS n_hit
+           FROM ctop t JOIN ex ON ex.qdoc = t.qdoc AND ex.cdoc = t.cdoc
+           GROUP BY 1, 2),
+         per AS (
+           SELECT p.cap, qd.qdoc AS query_doc,
+             CAST(coalesce(krel.k, 0) AS BIGINT) AS k,
+             CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+             CAST(coalesce(npf.n_pairs_full, 0) AS BIGINT)
+               AS n_pairs_full,
+             CAST(coalesce(ht.n_hit, 0) AS BIGINT) AS n_hit
+           FROM (SELECT DISTINCT doc_id AS qdoc FROM documents
+                 WHERE doc_id % 100 = 0) qd
+           CROSS JOIN caps p
+           LEFT JOIN krel ON krel.qdoc = qd.qdoc
+           LEFT JOIN np ON np.cap = p.cap AND np.qdoc = qd.qdoc
+           LEFT JOIN npf ON npf.qdoc = qd.qdoc
+           LEFT JOIN ht ON ht.cap = p.cap AND ht.qdoc = qd.qdoc),
+         al AS (
+           SELECT cap, CAST(-1 AS BIGINT) AS query_doc,
+             CAST(sum(k) AS BIGINT) AS k,
+             CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+             CAST(sum(n_pairs_full) AS BIGINT) AS n_pairs_full,
+             CAST(sum(n_hit) AS BIGINT) AS n_hit
+           FROM per GROUP BY 1)
+         SELECT cap, query_doc, k, n_pairs, n_pairs_full, n_hit,
+           CAST(CASE WHEN k = 0 THEN 1000
+                ELSE n_hit * 1000 // k END AS BIGINT) AS recall_permille
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
+         ORDER BY cap, query_doc"""
+
   /** The q203 lifecycle replay: per-generation prefix df scopes
     * (gen 0 under the base corpus df, gen 1 under the full df —
     * "df at commit"), stored-df query-side selection, the delete
@@ -3335,6 +3649,7 @@ object TextOps {
 
   def oracles: Map[String, String] = Map(
     "q178_maxsim_chunks" -> maxSimOracleSql,
+    "q209_maxsim_capped" -> q209OracleSql,
     "q205_doremi_weights" -> q205OracleSql,
     "q206_doremi_mixture" -> q206OracleSql,
     "q182_maxsim_store" -> maxSimOracleSql,
