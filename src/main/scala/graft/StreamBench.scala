@@ -289,6 +289,63 @@ object StreamBench {
       "pq_store_qps" -> qps
     }
 
+    // IVF-routed binary serving (queries/s): the COMPOSED tier — route
+    // through the stored centroids, Hamming-scan only probed cells'
+    // codes, exact-refine — read beside binary_store_qps (flat scan of
+    // every code) and knn_store_qps (full-precision probed serve) for
+    // what the composition buys at the same k.
+    val ivfbinStore = {
+      import spark.implicits._
+      spark.conf.set("spark.graft.index.retainEpochs", "2")
+      val dir =
+        graft.operators.Scratch.dir(spark, "ivfbin_store_bench")
+      graft.operators.IvfBinaryStore.build(
+        index.toSeq.toDF("vec_id", "qv"), dir)
+      val in = MemoryStream[StreamOps.VecEvent]
+      val q = StreamOps.ivfBinaryServeStream(in.toDS(), dir, k = 10,
+        nprobe = 2, width = 64) {
+        (df, _) => df.write.format("noop").mode("overwrite").save()
+      }
+      val chunks = queries.grouped(math.max(1, batchSize / 20)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val qps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] ivfbin_store_qps: $qps%.0f/s")
+      "ivfbin_store_qps" -> qps
+    }
+
+    // Streaming 1-bit store ingest (vectors/s): pack + commit one
+    // generation per batch under the flat manifest, condition-driven
+    // compaction — the write half of the binary serving tier.
+    val binIngest = {
+      import spark.implicits._
+      val dir = graft.operators.Scratch.dir(spark, "bin_ingest_bench")
+      val (baseHalf, streamHalf) = index.toSeq.splitAt(index.size / 2)
+      graft.operators.BinaryStore.build(
+        baseHalf.toDF("vec_id", "qv"), dir)
+      val events = streamHalf.map { case (id, v) =>
+        StreamOps.IndexVec(id, v) }
+      val in = MemoryStream[StreamOps.IndexVec]
+      val q = StreamOps.binaryIngestStream(in.toDS(), dir)
+      // 8 batches over the stream half: the rate is dominated by the
+      // per-commit fixed cost (two partitioned writes + manifest), so
+      // it reads as commits/s × batch rows — scale rows, not commits
+      val chunks = events.grouped(math.max(1, events.size / 8)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val vps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] bin_ingest_vps: $vps%.0f/s")
+      "bin_ingest_vps" -> vps
+    }
+
     // CDC upsert materialization (changes/s): per-key latest-version
     // state (ts, seq) with tombstoned deletes — 64k hot keys so state
     // stays bounded while every change is a state hit.
@@ -477,6 +534,59 @@ object StreamBench {
       "maxsim_qps" -> qps
     }
 
+    // MaxSim in the HOT-PREFIX regime: genDocs' 30-word vocabulary
+    // makes every posting list corpus-sized — the unbounded-candidate
+    // case the q209 cap exists for. Uncapped vs the capped (proxy-
+    // admission) serve on the SAME store and queries. Honest reading:
+    // the proxy stage traverses the SAME pair mass with ~3x fewer
+    // bytes per row, so it wins only where the scoring exchange is
+    // byte-bound (the sf10 regime BENCH_SF10 measures); at this
+    // in-memory scale it reads as a second pass and the capped row
+    // comes out SLOWER — the recorded small-scale negative, same shape
+    // as the binary tier's page-cached one.
+    val maxsimHot = {
+      import spark.implicits._
+      val hotDocs = genDocs(3000)
+      val corpus = hotDocs.map(d => (d.doc_id, d.text))
+        .toDF("doc_id", "text")
+        .withColumn("toks",
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), "\\s+"))
+      val dir = graft.operators.Scratch.dir(spark, "maxsim_hot_bench")
+      graft.operators.MaxSimStore.build(corpus, dir)
+      val qEvents = hotDocs.take(120)
+      def run(name: String,
+          serve: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+          : (String, Double) = {
+        val in = MemoryStream[StreamOps.DocEvent]
+        val q = StreamOps.toForeachBatch(in.toDS().toDF(),
+          OutputMode.Append) { (batch, _) =>
+          if (!batch.isEmpty)
+            serve(batch.withColumn("toks",
+              org.apache.spark.sql.functions.split(
+                org.apache.spark.sql.functions.col("text"), "\\s+"))
+              .select(org.apache.spark.sql.functions.col("doc_id"),
+                org.apache.spark.sql.functions.col("toks")))
+              .write.format("noop").mode("overwrite").save()
+        }
+        val chunks = qEvents.grouped(30).toSeq
+        in.addData(chunks.head)
+        q.processAllAvailable()
+        val t0 = System.nanoTime()
+        chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+        val secs = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        val qps = chunks.tail.map(_.size).sum / secs
+        Console.err.println(f"[StreamBench] $name: $qps%.0f/s")
+        name -> qps
+      }
+      (run("maxsim_hot_qps",
+        b => graft.operators.MaxSimStore.serve(spark, dir, b)),
+        run("maxsim_hot_capped_qps",
+          b => graft.operators.MaxSimStore.serveCapped(spark, dir, b,
+            docCap = 64)))
+    }
+
     // Streaming hybrid retrieval (queries/s): per-trigger BM25 over the
     // fixed corpus stats + dense top-20 from the persisted IVF store,
     // integer-RRF fused — q163's serving tier. Same 5k-word synthetic
@@ -562,8 +672,9 @@ object StreamBench {
     }
 
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, binary, aucMon, knnStore,
-      binaryStore, pqStore, cdc, attrib, curation, release, decontam,
-      wmDetect, dsir, incr, pack, drift, maxsim, hybrid, semdedup)
+      binaryStore, ivfbinStore, binIngest, pqStore, cdc, attrib, curation,
+      release, decontam, wmDetect, dsir, incr, pack, drift, maxsim,
+      maxsimHot._1, maxsimHot._2, hybrid, semdedup)
   }
 
   def main(args: Array[String]): Unit = {
