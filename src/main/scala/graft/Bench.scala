@@ -95,7 +95,55 @@ object Bench {
         headline.filter(n => ps.exists(n.startsWith)) ++ extras
       case None => headline
     }
-    val results = selected.map(n => n -> (0 until reps).map(_ => run(n)))
+    // CPU-steal accounting per rep sweep: three rounds of driver-bench
+    // contention were adjudicated post-hoc from spread alone — the
+    // /proc/stat steal counter names the cause in-artifact. Sweeps run
+    // rep-MAJOR (all queries once per sweep) so one steal delta
+    // describes one rep of everything.
+    def cpuJiffies(): (Long, Long) = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1)
+          .map(_.toLong)
+        (f(7), f.sum) // steal, total
+      } catch { case _: Throwable => (0L, 1L) } finally src.close()
+    }
+    // auto-retry: a sweep whose steal share exceeds the bound was
+    // measured on a contended host — run an extra sweep (bounded) so
+    // the min-of-sweeps stands on at least one clean pass; after the
+    // planned sweeps, one more retry if the spread still screams
+    val StealRetryPm = 50L
+    val SpreadRetryBound = 3.0
+    val MaxExtraSweeps = 2
+    val sweepTimes =
+      scala.collection.mutable.Buffer[Map[String, Double]]()
+    val sweepSteal = scala.collection.mutable.Buffer[Long]()
+    var extras = 0
+    def oneSweep(): Long = {
+      val (s0, t0) = cpuJiffies()
+      val times = selected.map(n => n -> run(n)).toMap
+      val (s1, t1) = cpuJiffies()
+      val pm = if (t1 > t0) (s1 - s0) * 1000 / (t1 - t0) else 0L
+      sweepTimes += times; sweepSteal += pm
+      pm
+    }
+    var sweep = 0
+    while (sweep < reps) {
+      val pm = oneSweep()
+      if (pm > StealRetryPm && extras < MaxExtraSweeps) extras += 1
+      else sweep += 1
+    }
+    def spreadOf(vs: Seq[Double]): Double = {
+      val ok = vs.filter(_ > 0)
+      if (ok.isEmpty) -1.0 else ok.max / ok.min
+    }
+    if (extras < MaxExtraSweeps &&
+        selected.map(n => spreadOf(sweepTimes.map(_(n)).toSeq))
+          .max > SpreadRetryBound) {
+      extras += 1
+      oneSweep()
+    }
+    val results = selected.map(n => n -> sweepTimes.map(_(n)).toSeq)
     val mins = results.map { case (k, vs) => k -> vs.min }
     // Locale.ROOT everywhere below: the artifact is machine-read JSON —
     // f"" interpolators use the JVM default locale and emit `1,05` on
@@ -136,7 +184,8 @@ object Bench {
     println(s"""{"bench_detail":{"spread":$spreadDetail,"mins":${
       mins.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")}}}""")
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"reps":$reps,"spread_max":${fmt(spreads.map(_._2).max, 2)},"stream":$stream,"sf":"$sfDir"}""")
+    val stealArr = sweepSteal.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"reps":${sweepTimes.size},"spread_max":${fmt(spreads.map(_._2).max, 2)},"rep_steal_pm":$stealArr,"stream":$stream,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
