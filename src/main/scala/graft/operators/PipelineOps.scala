@@ -66,7 +66,8 @@ object PipelineOps {
     "q185_dsir_select" -> ((s, d) => q185(s, d)),
     "q188_release_diff" -> ((s, d) => q188(s, d)),
     "q189_incremental_release" -> ((s, d) => q189(s, d)),
-    "q190_incremental_from_store" -> ((s, d) => q190(s, d))
+    "q190_incremental_from_store" -> ((s, d) => q190(s, d)),
+    "q210_doremi_release" -> ((s, d) => q210(s, d))
   )
 
   /** EPOCH-ORDER MANIFEST — the reproducible data-ordering artifact a
@@ -729,6 +730,60 @@ object PipelineOps {
         expr(s"1000 * coalesce(toks_kept, 0) div $budget")
           .as("fill_permille"))
       .orderBy($"lang")
+  }
+
+  /** Release with the LEARNED mixture as its budget stage — the q200
+    * discipline (train in-engine, consume in-engine) applied to
+    * DoReMi: [[TextOps.doremiRun]] learns per-source weights on the
+    * full corpus (q205's training, session-shared), the q155 chain
+    * head runs unchanged (exact text dedup → quality gate → span
+    * cleanup), and the budget stage is [[TextOps.doremiAdmission]] —
+    * q206's md5-ordered prefix-greedy rule — with each source's token
+    * budget its learned ppm share of the SURVIVORS' clean token mass.
+    * One audit row per source: corpus in, chain survivors, learned
+    * weight, budget, admitted docs/tokens, fill. The oracle replays
+    * the five training rounds (q205's unrolled CTEs), the full chain
+    * (q155's CTEs), and the admission cumsum end-to-end.
+    *
+    * Scale: training is q205's bounded loop (one weight vector of
+    * driver state); the chain keeps q155's postures; the admission is
+    * one window cumsum per source over (doc, n_clean) pairs — the
+    * q206 plan on the survivor relation.
+    */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ReleaseStages(docsAll, deduped, _, cleaned, _) =
+      releaseStages(s, d, 3000L)
+    val (_, wFinal, _) = TextOps.doremiRun(s, d)
+    // pin the survivor relation: admission, totals, and the per-source
+    // rollups must all read ONE materialization
+    val surv = cleaned.filter($"n_clean" >= 1L)
+      .join(deduped.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"doc_id", $"n_clean".as("nt"))
+      .localCheckpoint(true)
+    val totalClean = surv.agg(coalesce(sum($"nt"), lit(0L)))
+      .collect()(0).getLong(0)
+    val wDf = wFinal.toSeq.sorted.map { case (src, wp) =>
+      (src, wp, wp * totalClean / 1000000L)
+    }.toDF("source", "w_ppm", "budget_tokens")
+    val adm = TextOps.doremiAdmission(surv, wDf)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs_admitted"),
+        sum($"nt").as("n_tokens_admitted"))
+    val inC = docsAll.groupBy($"source").agg(count(lit(1)).as("n_in"))
+    val svC = surv.groupBy($"source").agg(count(lit(1)).as("n_survivors"))
+    inC.join(svC, Seq("source"), "left")
+      .join(wDf, Seq("source"), "left")
+      .join(adm, Seq("source"), "left")
+      .select($"source", $"n_in",
+        coalesce($"n_survivors", lit(0L)).as("n_survivors"),
+        $"w_ppm", $"budget_tokens",
+        coalesce($"n_docs_admitted", lit(0L)).as("n_docs_admitted"),
+        coalesce($"n_tokens_admitted", lit(0L)).as("n_tokens_admitted"))
+      .withColumn("fill_permille",
+        when($"budget_tokens" === 0L, -1L)
+          .otherwise(expr("n_tokens_admitted * 1000 div budget_tokens")))
+      .orderBy($"source")
   }
 
   /** Release gated by the engine's OWN trained filter — the full
@@ -2466,6 +2521,65 @@ object PipelineOps {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM cleaned$x WHERE n_clean >= 1)"""
 
+  /** q210 replay: q205's unrolled DoReMi training (macros + five
+    * materialized rounds), q155's chain head (raw → dedup → quality →
+    * span cleanup via [[spanBudgetCtes]]), then q206's admission
+    * cumsum over the survivors with budgets on the clean token mass.
+    */
+  private def q210OracleSql: String =
+    s"""${TextOps.doremiMacros}WITH ${TextOps.doremiCtes},
+         raw AS MATERIALIZED (
+           SELECT doc_id, lang, source, text,
+             string_split_regex(text, '\\s+') AS toks
+           FROM documents),
+         keep AS (SELECT min(doc_id) AS doc_id FROM raw GROUP BY text),
+         dd AS MATERIALIZED (SELECT raw.* FROM raw JOIN keep USING (doc_id)),
+         t AS MATERIALIZED (
+           SELECT doc_id, source, toks FROM dd
+           WHERE len(toks) BETWEEN 20 AND 1000),
+         ${spanBudgetCtes("t", "")},
+         surv AS MATERIALIZED (
+           SELECT dd.source, c.doc_id, c.n_clean AS nt
+           FROM cleaned c JOIN dd USING (doc_id)
+           WHERE c.n_clean >= 1),
+         tcl AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS tt
+                 FROM surv),
+         wfin AS (
+           SELECT source, w AS w_ppm,
+             CAST(w * tcl.tt // 1000000 AS BIGINT) AS budget_tokens
+           FROM w${TextOps.DoremiRounds + 1} CROSS JOIN tcl),
+         cum AS (
+           SELECT source, doc_id, nt,
+             CAST(coalesce(sum(nt) OVER (PARTITION BY source
+               ORDER BY CAST('0x' ||
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                 AS UBIGINT), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM surv),
+         adm AS (
+           SELECT c.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(c.nt) AS BIGINT) AS n_tokens
+           FROM cum c JOIN wfin USING (source)
+           WHERE cum_before < budget_tokens GROUP BY 1),
+         inc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+                 FROM raw GROUP BY 1),
+         svc AS (SELECT source, CAST(count(*) AS BIGINT) AS n_survivors
+                 FROM surv GROUP BY 1)
+         SELECT inc.source, inc.n_in,
+           CAST(coalesce(svc.n_survivors, 0) AS BIGINT) AS n_survivors,
+           w.w_ppm, w.budget_tokens,
+           CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs_admitted,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens_admitted,
+           CAST(CASE WHEN w.budget_tokens = 0 THEN -1
+             ELSE coalesce(a.n_tokens, 0) * 1000 // w.budget_tokens END
+             AS BIGINT) AS fill_permille
+         FROM inc
+         LEFT JOIN svc USING (source)
+         LEFT JOIN wfin w ON w.source = inc.source
+         LEFT JOIN adm a ON a.source = inc.source
+         ORDER BY inc.source"""
+
   /** The q184 oracle's head: raw → dedup → quality (`t`), the survivor
     * Lloyd + capped recursion, the semantic drop set, and the
     * post-semantic survivors (`t2`) — shared verbatim by the q188 diff
@@ -2868,6 +2982,7 @@ object PipelineOps {
     "q188_release_diff" -> q188OracleSql,
     "q189_incremental_release" -> q189OracleSql,
     "q190_incremental_from_store" -> q190OracleSql,
+    "q210_doremi_release" -> q210OracleSql,
     "q169_pagerank" -> q169OracleSql,
     "q107_cdc_chunks" ->
       """WITH t AS (

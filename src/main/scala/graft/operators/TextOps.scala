@@ -1440,6 +1440,36 @@ object TextOps {
       (rows, w, totalTokens)
     })
 
+  /** q206's admission rule as a REUSABLE stage — the budget gate the
+    * composed release (q210) swaps in for q155's per-language greedy.
+    * Over an explicit (source, doc_id, nt) frame and a (source, w_ppm,
+    * budget_tokens) weight table: docs admit per source in
+    * deterministic md5(doc_id) order (content-free, the q148 split
+    * convention) while the token mass admitted BEFORE a doc is under
+    * budget — prefix-greedy, so one doc may overshoot (the q189 rule).
+    * Returns the admitted rows with their frame columns intact.
+    *
+    * Scale: one window cumsum per source partition; the weight table
+    * is |sources| rows and broadcasts.
+    */
+  private[graft] def doremiAdmission(perDoc: DataFrame,
+      wDf: DataFrame): DataFrame = {
+    val s = perDoc.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    perDoc
+      .withColumn("hk",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15)," +
+          " 16, 10) as bigint)"))
+      .withColumn("cum_before",
+        coalesce(sum($"nt").over(Window.partitionBy($"source")
+          .orderBy($"hk", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(wDf), "source")
+      .filter($"cum_before" < $"budget_tokens")
+      .drop("hk", "cum_before")
+  }
+
   private def q205(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (rows, _, _) = doremiRun(s, d)
@@ -1463,22 +1493,13 @@ object TextOps {
     */
   private def q206(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val (_, wFinal, totalTokens) = doremiRun(s, d)
     val wDf = wFinal.toSeq.sorted.map { case (src, wp) =>
       (src, wp, wp * totalTokens / 1000000L)
     }.toDF("source", "w_ppm", "budget_tokens")
     val perDoc = docs(s, d)
-      .select($"source", $"doc_id", size($"toks").cast("long").as("nt"),
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15)," +
-          " 16, 10) as bigint)").as("hk"))
-    val cum = perDoc
-      .withColumn("cum_before",
-        coalesce(sum($"nt").over(Window.partitionBy($"source")
-          .orderBy($"hk", $"doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    cum.join(broadcast(wDf), "source")
-      .filter($"cum_before" < $"budget_tokens")
+      .select($"source", $"doc_id", size($"toks").cast("long").as("nt"))
+    doremiAdmission(perDoc, wDf)
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs_admitted"),
         sum($"nt").as("n_tokens_admitted"))
@@ -3536,7 +3557,7 @@ object TextOps {
     * permille-bits log2 (one level of macro nesting — the exponential-
     * expansion caveat is about CHAINED macros).
     */
-  private def doremiMacros: String =
+  private[graft] def doremiMacros: String =
     """CREATE OR REPLACE MACRO lqt(x) AS
          ((CASE WHEN len(bin(x)) - 1 >= 10
              THEN x // (CAST(1 AS BIGINT) << (len(bin(x)) - 11))
@@ -3548,7 +3569,7 @@ object TextOps {
              + (lqt(x) * (1000 - lqt(x))) // 3466 END);
     """
 
-  private def doremiCtes: String = {
+  private[graft] def doremiCtes: String = {
     val sb = new StringBuilder
     sb ++= """sc AS MATERIALIZED (
            SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM (

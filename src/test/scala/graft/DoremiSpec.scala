@@ -102,4 +102,60 @@ class DoremiSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     assert(got === want)
   }
+
+  test("q210's budget stage IS q206's admission, on the chain survivors") {
+    import spark.implicits._
+    // 1. the composed release's admitted set equals a driver replay of
+    //    q206's rule (same hash order, same prefix-greedy cut) over the
+    //    chain's survivor relation with clean-mass budgets
+    val (_, wFinal, _) = TextOps.doremiRun(spark, sfDir)
+    def h60(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val st = graft.operators.PipelineOps.releaseStages(spark, sfDir, 3000L)
+    val surv = st.cleaned.filter($"n_clean" >= 1L)
+      .join(st.deduped.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"doc_id", $"n_clean".as("nt"))
+      .as[(String, Long, Long)].collect()
+    val totalClean = surv.map(_._3).sum
+    val want = surv.groupBy(_._1).map { case (s0, ds) =>
+      val budget = wFinal(s0) * totalClean / 1000000L
+      var cum = 0L; var nd = 0L; var ntk = 0L
+      ds.sortBy { case (_, id, _) => (h60(id), id) }.foreach {
+        case (_, _, nt) =>
+          if (cum < budget) { nd += 1; ntk += nt }
+          cum += nt
+      }
+      s0 -> ((nd, ntk))
+    }
+    val got = SparkEntry.queries("q210_doremi_release")(spark, sfDir)
+      .select($"source", $"n_docs_admitted", $"n_tokens_admitted")
+      .as[(String, Long, Long)].collect()
+      .filter { case (_, nd, _) => nd > 0L }
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want.filter(_._2._1 > 0L))
+    // 2. the SAME helper on the raw corpus reproduces q206 exactly —
+    //    the executable tie between the composed entry's budget stage
+    //    and the mixture entry
+    val (_, _, totalTokens) = TextOps.doremiRun(spark, sfDir)
+    val wDf = wFinal.toSeq.sorted.map { case (src, wp) =>
+      (src, wp, wp * totalTokens / 1000000L)
+    }.toDF("source", "w_ppm", "budget_tokens")
+    val perDoc = TextOps.docs(spark, sfDir)
+      .select($"source", $"doc_id", size($"toks").cast("long").as("nt"))
+    val viaHelper = TextOps.doremiAdmission(perDoc, wDf)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("nd"), sum($"nt").as("ntk"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val q206Rows = SparkEntry.queries("q206_doremi_mixture")(spark, sfDir)
+      .select($"source", $"n_docs_admitted", $"n_tokens_admitted")
+      .as[(String, Long, Long)].collect()
+      .filter(_._2 > 0L)
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaHelper === q206Rows)
+  }
 }
