@@ -379,6 +379,179 @@ object BinaryStore {
     (shortlist, VectorOps.refineRank(shortlist, vecs, queries))
   }
 
+  // ---------- labeled (tenant) layout ----------
+
+  /** Labeled sibling of [[writeGen]] — the [[IvfIndex.buildLabeled]]
+    * pruning discipline applied to the flat tier: codes partition
+    * `gen=…/label=…` so a same-label serve's stage-1 scan statically
+    * prunes to the batch's label directories (the unselected tenants'
+    * 1-bit bytes are never opened). Generation stays the TOP level —
+    * [[FlatManifest.gcSweep]] and [[verifyData]] reclaim/check
+    * generation directories by name, and a label-first layout would
+    * hide them (the labeled soak caught exactly that on the first
+    * cut). Vectors keep the (gen, bucket) layout with `label` as a
+    * data column (the refine fetch is id-keyed and label-blind — the
+    * shortlist is already same-label). The codes write repartitions on
+    * label so each directory gets one file, not one per task (the q156
+    * small-files lesson).
+    */
+  private def writeGenLabeled(emb: DataFrame, dir: String,
+      gen: Long): Unit = {
+    val s = emb.sparkSession
+    import s.implicits._
+    VectorOps.binaryCodes(emb.select($"vec_id", $"qv"))
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+      .select($"vec_id", $"w0", $"w1", lit(gen).as("gen"), $"label")
+      .repartition($"label")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "label").parquet(codesDir(dir))
+    emb.select($"vec_id", $"qv", $"label", lit(gen).as("gen"),
+        pmod($"vec_id", lit(Buckets)).as("bucket"))
+      .repartition($"bucket")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen", "bucket").parquet(vecsDir(dir))
+  }
+
+  /** Build the LABELED store from (vec_id, qv, label) — same manifest
+    * protocol as [[build]]; the layout is what differs (see
+    * [[writeGenLabeled]]). A store is labeled or not for its lifetime;
+    * mixing entry points corrupts neither (the manifest is shared) but
+    * serves would miss the label columns.
+    */
+  def buildLabeled(emb: DataFrame, dir: String): Unit = {
+    val s = emb.sparkSession
+    FlatManifest.prepareBuildDir(s, dir,
+      Set("codes", "vectors", "tombstones"))
+    writeGenLabeled(emb, dir, 0L)
+    FlatManifest.commit(s, dir, Snap(epoch = 1L, gens = Seq(0L),
+      tombs = Nil, ingested = Set.empty, ingestLow = 0L,
+      nextInternal = -1L))
+    invalidateCache(s, dir)
+  }
+
+  /** [[addBatch]] for the labeled layout — identical exactly-once
+    * commit protocol, labeled generation files.
+    */
+  def addBatchLabeled(s: SparkSession, dir: String, newVecs: DataFrame,
+      gen: Long): DataFrame = {
+    require(gen > 0L,
+      s"ingest generations are caller-named positives (got $gen)")
+    val snap = FlatManifest.read(s, dir)
+    if (!snap.committedIngest(gen)) {
+      val batch = newVecs.select(col("vec_id"), col("qv"), col("label"))
+        .localCheckpoint(true)
+      if (batch.isEmpty)
+        FlatManifest.commit(s, dir,
+          snap.withIngested(gen).copy(epoch = snap.epoch + 1))
+      else {
+        writeGenLabeled(batch, dir, gen)
+        FlatManifest.commit(s, dir, snap.withIngested(gen)
+          .copy(epoch = snap.epoch + 1,
+            gens = (snap.gens :+ gen).distinct))
+      }
+    }
+    genReport(s, dir)
+  }
+
+  /** [[compact]] for the labeled layout: the fold rewrite reads the
+    * label column off the vectors relation and re-emits labeled
+    * generation files, so labels survive compaction ([[delete]] /
+    * [[vacuum]] / [[genReport]] are label-blind and shared).
+    */
+  def compactLabeled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = FlatManifest.read(s, dir)
+    val codes = codesOf(s, dir, snap)
+    val tomb = tombstonesOf(s, dir, snap)
+      .map(_.select($"vec_id").distinct().localCheckpoint(true))
+    val Array(stat) = codes
+      .agg(count(lit(1)).as("n_before"),
+        coalesce(countDistinct($"gen"), lit(0L)).as("n_gens"))
+      .collect()
+    val nBefore = stat.getLong(0)
+    val nRemoved = tomb.fold(0L)(t =>
+      codes.join(broadcast(t), "vec_id").count())
+    val doFold = nRemoved > 0 || snap.gens.length > 1
+    if (doFold) {
+      val newGen = snap.nextInternal
+      val live = tomb.fold(vectorsOf(s, dir, snap))(t =>
+        vectorsOf(s, dir, snap)
+          .join(broadcast(t), Seq("vec_id"), "left_anti"))
+        .select($"vec_id", $"qv", $"label")
+      val liveCkpt = live.localCheckpoint(true)
+      val any = !liveCkpt.isEmpty
+      if (any) writeGenLabeled(liveCkpt, dir, newGen)
+      FlatManifest.commit(s, dir, snap.copy(epoch = snap.epoch + 1,
+        gens = if (any) Seq(newGen) else Seq.empty,
+        tombs = Nil, nextInternal = newGen - 1L))
+    } else if (snap.tombs.nonEmpty) {
+      FlatManifest.commit(s, dir,
+        snap.copy(epoch = snap.epoch + 1, tombs = Nil))
+    }
+    gcSweep(s, dir)
+    Seq((nBefore, nRemoved, stat.getLong(1), nBefore - nRemoved,
+        if (doFold) 1L else 0L))
+      .toDF("n_before", "n_removed", "n_gens_before", "n_after",
+        "compacted")
+  }
+
+  /** Same-label two-stage serve for a labeled query batch (query_id,
+    * q_qv, qw0, qw1, label): the stage-1 scan filters codes to the
+    * BATCH'S distinct labels (a driver-bounded static partition filter
+    * on the `label=…` directories — the [[IvfIndex.serveLabeled]]
+    * pruning discipline), the Hamming join matches per-query labels
+    * exactly, and the refine fetch stays the bucket-pruned id join.
+    */
+  def serveLabeledStages(s: SparkSession, dir: String,
+      queries: DataFrame, width: Int): (DataFrame, DataFrame) =
+    serveLabeledStagesSnap(s, dir, FlatManifest.read(s, dir), queries,
+      width)
+
+  /** [[serveLabeledStages]] pinned to a RETAINED epoch — labeled time
+    * travel, free under the manifest protocol.
+    */
+  def serveLabeledStagesAt(s: SparkSession, dir: String, epoch: Long,
+      queries: DataFrame, width: Int): (DataFrame, DataFrame) =
+    serveLabeledStagesSnap(s, dir,
+      FlatManifest.readAt(s, dir, epoch)(verifyData(s, dir)), queries,
+      width)
+
+  private def serveLabeledStagesSnap(s: SparkSession, dir: String,
+      snap: Snap, queries: DataFrame, width: Int)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val labels = queries.select($"label").distinct().as[Long].collect()
+      .toSeq
+    val codes = codesOf(s, dir, snap)
+      .filter($"label".isin(labels: _*))
+      .select($"vec_id", $"w0", $"w1", $"label")
+    val maskedCodes = tombstonesOf(s, dir, snap).fold(codes)(t =>
+      codes.join(broadcast(t.select($"vec_id").distinct()),
+        Seq("vec_id"), "left_anti"))
+    val shortlist = VectorOps.hamShortlistLabeled(maskedCodes, queries,
+      width)
+    val buckets = shortlist
+      .select(pmod($"neighbor", lit(Buckets)).as("bucket"))
+      .distinct().as[Long].collect().toSeq
+    val vecs = vectorsOf(s, dir, snap)
+      .filter($"bucket".isin(buckets: _*))
+    (shortlist, VectorOps.refineRank(shortlist, vecs, queries))
+  }
+
+  /** Ranked same-label top-k from the labeled store. */
+  def serveLabeled(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int, width: Int = 20, epoch: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val (_, refined) = epoch.fold(
+      serveLabeledStages(s, dir, queries, width))(e =>
+      serveLabeledStagesAt(s, dir, e, queries, width))
+    refined.filter($"rrank" <= k)
+      .select($"query_id", $"rrank".as("rank"), $"neighbor", $"dist")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** Ranked top-k from the stored index — the plain serving surface.
     * `cached = true` pins the store's relations in memory for a
     * serving loop (the streaming path), refreshed per committed epoch;

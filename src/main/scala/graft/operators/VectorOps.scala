@@ -47,7 +47,8 @@ object VectorOps {
     "q195_binary_store" -> ((s, d) => q195(s, d)),
     "q202_binary_store_mutated" -> ((s, d) => q202(s, d)),
     "q207_ivf_binary" -> ((s, d) => q207(s, d)),
-    "q208_ivf_binary_store" -> ((s, d) => q208(s, d))
+    "q208_ivf_binary_store" -> ((s, d) => q208(s, d)),
+    "q211_binary_store_labeled" -> ((s, d) => q211(s, d))
   )
 
   /** Hard-negative mining for contrastive training — per query vector,
@@ -737,6 +738,33 @@ object VectorOps {
         .localCheckpoint(true)
     })
 
+  /** Same-label exact ground truth for the labeled binary store's gate
+    * (q211): per query, the exact int64-L2 top-20 over the LIVE
+    * same-label population (ids % 7 = 3 deleted — the q202 fixture's
+    * lifecycle). Session-cached like [[exactTop]].
+    */
+  private[graft] def exactTopLabeled(s: SparkSession,
+      d: String): DataFrame =
+    exactTopCache.computeIfAbsent((d, "bin_labeled_live"), _ => {
+      import s.implicits._
+      val emb = quantizedLabeled(s, d)
+      val corpus = emb.filter($"vec_id" % 7 =!= 3)
+      val queries = emb.filter($"vec_id" % 100 === 0)
+      corpus.join(broadcast(queries
+          .select($"vec_id".as("query_id"), $"qv".as("q_qv"), $"label")),
+          "label")
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id".as("neighbor"),
+          graft.functions.VectorMath.sqDistLong($"qv", $"q_qv").as("dist"))
+        .groupBy($"query_id")
+        .agg(graft.functions.BoundedAggs.topScored(
+          -$"dist".cast("double"), $"neighbor", lit(true), 20).as("top"))
+        .select($"query_id", posexplode($"top"))
+        .select($"query_id", $"col.id".as("neighbor"),
+          ($"pos" + 1).cast("long").as("rank"))
+        .localCheckpoint(true)
+    })
+
   /** SEMANTIC decontamination — the embedding-space sibling of q82/q139
     * (those are lexical 8-gram tests; paraphrased benchmark leakage has
     * no shared 8-gram and only THIS test sees it). For every held-out
@@ -860,6 +888,32 @@ object VectorOps {
     import s.implicits._
     val out = codes.crossJoin(broadcast(
         queries.select($"query_id", $"qw0", $"qw1")))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id",
+        $"vec_id".as("neighbor"),
+        (expr("CAST(bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1) AS BIGINT)"))
+          .as("ham"))
+      .groupBy($"query_id")
+      .agg(graft.functions.BoundedAggs.topScored(
+        -($"ham" * 1099511627776L + $"neighbor").cast("double"),
+        $"neighbor", lit(true), width).as("top"))
+      .select($"query_id", posexplode($"top"))
+      .select($"query_id", $"col.id".as("neighbor"),
+        ($"pos" + 1).cast("long").as("srank"))
+    if (checkpoint) out.localCheckpoint(true) else out
+  }
+
+  /** Labeled sibling of [[hamShortlist]]: the Hamming scan joins codes
+    * to the broadcast query batch ON label, so each query ranks only
+    * its own tenant's codes — same bounded top-k fold per query.
+    */
+  private[graft] def hamShortlistLabeled(codes: DataFrame,
+      queries: DataFrame, width: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    val s = codes.sparkSession
+    import s.implicits._
+    val out = codes.join(broadcast(
+        queries.select($"query_id", $"qw0", $"qw1", $"label")), "label")
       .filter($"vec_id" =!= $"query_id")
       .select($"query_id",
         $"vec_id".as("neighbor"),
@@ -1052,6 +1106,88 @@ object VectorOps {
     // reclaims (retainEpochs defaults to 1)
     val pre = phaseReport(0L).localCheckpoint(true)
     BinaryStore.compact(s, dir)
+    pre.unionByName(phaseReport(1L)).orderBy($"phase", $"query_id")
+  }
+
+  /** Labeled query batch for the labeled store gate: the q191 query
+    * set (every 100th vector) carrying its tenant label.
+    */
+  private[graft] def binaryQueriesLabeled(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    binaryCodes(emb.filter($"vec_id" % 100 === 0)
+        .select($"vec_id", $"qv"))
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+      .select($"vec_id".as("query_id"), $"qv".as("q_qv"),
+        $"w0".as("qw0"), $"w1".as("qw1"), $"label")
+  }
+
+  /** LABELED (tenant) flat binary store through the full mutation
+    * lifecycle — q202's fixture on [[BinaryStore.buildLabeled]]'s
+    * label-partitioned layout, completing the serving matrix's label
+    * dimension for the flat tiers (q165 is the compressed-cell
+    * sibling): build on two-thirds, ingest the rest as two
+    * exactly-once generations (one REPLAYED), tombstone ids ≡ 3
+    * (mod 7), serve the SAME-LABEL recall report before (phase 0) and
+    * after (phase 1) [[BinaryStore.compactLabeled]] — labels must
+    * survive the fold rewrite or phase 1's Hamming scan matches
+    * nothing. Recall is against the same-label live exact top-k
+    * ([[exactTopLabeled]]); per-query k is that query's ground-truth
+    * row count (a tenant with < 6 live members has a smaller exact
+    * top-5 — the q209 accounting).
+    *
+    * Scale: the labeled serve's stage-1 scan statically prunes to the
+    * batch's `label=…` directories; everything else is the q202
+    * lifecycle cost model.
+    */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = Scratch.dir(s, "binary/q211")
+    val emb = quantizedLabeled(s, d)
+    BinaryStore.buildLabeled(emb.filter($"vec_id" % 3 =!= 2), dir)
+    val gen1 = emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 0)
+    BinaryStore.addBatchLabeled(s, dir, gen1, gen = 1L)
+    BinaryStore.addBatchLabeled(s, dir, gen1, gen = 1L) // replay: no-op
+    BinaryStore.addBatchLabeled(s, dir,
+      emb.filter($"vec_id" % 3 === 2 && $"vec_id" % 2 === 1), gen = 2L)
+    BinaryStore.delete(s, dir, emb.filter($"vec_id" % 7 === 3)
+      .select($"vec_id"))
+    val queries = binaryQueriesLabeled(emb)
+    val ex = exactTopLabeled(s, d).filter($"rank" <= 5)
+      .select($"query_id", $"neighbor")
+    val kRel = ex.groupBy($"query_id").agg(count(lit(1)).as("k"))
+    def phaseReport(phase: Long): DataFrame = {
+      val (shortlist, refined) =
+        BinaryStore.serveLabeledStages(s, dir, queries, 20)
+      val hamTop5 = shortlist.filter($"srank" <= 5)
+        .join(ex, Seq("query_id", "neighbor"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_ham"))
+      val refTop5 = refined.filter($"rrank" <= 5)
+        .join(ex, Seq("query_id", "neighbor"), "left_semi")
+        .groupBy($"query_id").agg(count(lit(1)).as("n_refined"))
+      val per = queries.select($"query_id", $"label")
+        .join(kRel, Seq("query_id"), "left")
+        .join(hamTop5, Seq("query_id"), "left")
+        .join(refTop5, Seq("query_id"), "left")
+        .select($"query_id", $"label",
+          coalesce($"k", lit(0L)).as("k"),
+          coalesce($"n_ham", lit(0L)).as("n_ham"),
+          coalesce($"n_refined", lit(0L)).as("n_refined"))
+      val overall = per.groupBy()
+        .agg(sum($"k").as("k"), sum($"n_ham").as("n_ham"),
+          sum($"n_refined").as("n_refined"))
+        .select(lit(-1L).as("query_id"), lit(-1L).as("label"), $"k",
+          $"n_ham", $"n_refined")
+      per.unionByName(overall)
+        .select(lit(phase).as("phase"), $"query_id", $"label", $"k",
+          $"n_ham", $"n_refined",
+          expr("CASE WHEN k = 0 THEN 1000L ELSE n_ham * 1000 div k END")
+            .as("recall_ham_permille"),
+          expr("CASE WHEN k = 0 THEN 1000L ELSE n_refined * 1000 div k END")
+            .as("recall_ref_permille"))
+    }
+    val pre = phaseReport(0L).localCheckpoint(true)
+    BinaryStore.compactLabeled(s, dir)
     pre.unionByName(phaseReport(1L)).orderBy($"phase", $"query_id")
   }
 
@@ -2248,6 +2384,110 @@ object VectorOps {
   private def q202OracleSql: String =
     binaryAnnOracleSql(a => s"$a.vec_id % 7 <> 3", phased = true)
 
+  /** q211 replay: the q202 lifecycle oracle with the label dimension —
+    * the Hamming candidate join and the exact ground truth both filter
+    * to SAME-LABEL live rows, per-query k is the ground-truth row
+    * count, and the report duplicates across the compaction phase pair
+    * (label survival through the fold rewrite is exactly what phase 1
+    * re-proves).
+    */
+  private def q211OracleSql: String =
+    s"""WITH m AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS qv
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, label, qv,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+               i -> CASE WHEN qv[i + 1] > 0
+                 THEN (CAST(1 AS BIGINT) << i)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(generate_series(0, 31),
+               i -> CASE WHEN qv[i + 33] > 0
+                 THEN (CAST(1 AS BIGINT) << i)
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS w1
+           FROM m),
+         qs AS (SELECT vec_id AS query_id, label, qv, w0, w1
+                FROM c WHERE vec_id % 100 = 0),
+         h AS (
+           SELECT q.query_id, c.vec_id AS neighbor,
+             CAST(bit_count(xor(c.w0, q.w0))
+                + bit_count(xor(c.w1, q.w1)) AS BIGINT) AS ham
+           FROM c JOIN qs q ON c.label = q.label
+           WHERE c.vec_id <> q.query_id AND c.vec_id % 7 <> 3),
+         sl AS (
+           SELECT query_id, neighbor, ham,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY ham, neighbor) AS srank
+           FROM h),
+         s20 AS (SELECT * FROM sl WHERE srank <= 20),
+         rf AS (
+           SELECT s.query_id, s.neighbor, s.srank,
+             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+           FROM s20 s
+           JOIN m mc ON mc.vec_id = s.neighbor
+           JOIN m mq ON mq.vec_id = s.query_id),
+         rr AS (
+           SELECT query_id, neighbor,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor) AS rrank
+           FROM rf),
+         exd AS (
+           SELECT mq.vec_id AS query_id, mc.vec_id AS neighbor,
+             CAST(list_sum(list_transform(list_zip(mc.qv, mq.qv),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS dist
+           FROM m mc, m mq
+           WHERE mq.vec_id % 100 = 0 AND mc.vec_id <> mq.vec_id
+             AND mc.label = mq.label AND mc.vec_id % 7 <> 3),
+         ex AS (
+           SELECT query_id, neighbor FROM (
+             SELECT query_id, neighbor,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist, neighbor) AS r
+             FROM exd) WHERE r <= 5),
+         kq AS (SELECT query_id, CAST(count(*) AS BIGINT) AS k
+                FROM ex GROUP BY 1),
+         nh AS (
+           SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_ham
+           FROM s20 s JOIN ex e
+             ON e.query_id = s.query_id AND e.neighbor = s.neighbor
+           WHERE s.srank <= 5 GROUP BY 1),
+         nr AS (
+           SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_refined
+           FROM rr r JOIN ex e
+             ON e.query_id = r.query_id AND e.neighbor = r.neighbor
+           WHERE r.rrank <= 5 GROUP BY 1),
+         per AS (
+           SELECT q.query_id, q.label,
+             CAST(coalesce(kq.k, 0) AS BIGINT) AS k,
+             CAST(coalesce(nh.n_ham, 0) AS BIGINT) AS n_ham,
+             CAST(coalesce(nr.n_refined, 0) AS BIGINT) AS n_refined
+           FROM qs q
+           LEFT JOIN kq ON kq.query_id = q.query_id
+           LEFT JOIN nh ON nh.query_id = q.query_id
+           LEFT JOIN nr ON nr.query_id = q.query_id),
+         al AS (
+           SELECT CAST(-1 AS BIGINT) AS query_id,
+             CAST(-1 AS BIGINT) AS label,
+             CAST(sum(k) AS BIGINT) AS k,
+             CAST(sum(n_ham) AS BIGINT) AS n_ham,
+             CAST(sum(n_refined) AS BIGINT) AS n_refined
+           FROM per)
+         SELECT ph.phase, query_id, label, k, n_ham, n_refined,
+           CAST(CASE WHEN k = 0 THEN 1000
+             ELSE n_ham * 1000 // k END AS BIGINT)
+             AS recall_ham_permille,
+           CAST(CASE WHEN k = 0 THEN 1000
+             ELSE n_refined * 1000 // k END AS BIGINT)
+             AS recall_ref_permille
+         FROM (SELECT * FROM per UNION ALL SELECT * FROM al)
+         CROSS JOIN (SELECT CAST(0 AS BIGINT) AS phase
+                     UNION ALL SELECT CAST(1 AS BIGINT)) ph
+         ORDER BY ph.phase, query_id"""
+
   /** q207/q208 replay: the unrolled Lloyd loop over `srcWhere`'s
     * training subset (converged centroids cstar), the LIVE corpus
     * assigned against cstar (one rule covers build rows and ingested
@@ -2402,6 +2642,7 @@ object VectorOps {
     "q202_binary_store_mutated" -> q202OracleSql,
     "q207_ivf_binary" -> q207OracleSql,
     "q208_ivf_binary_store" -> q208OracleSql,
+    "q211_binary_store_labeled" -> q211OracleSql,
     "q149_kmeans_convergence" -> q149OracleSql,
     "q147_ivf_learned" -> q147OracleSql,
     "q171_semdedup_lloyd" -> q171OracleSql,

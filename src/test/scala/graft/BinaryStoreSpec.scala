@@ -157,6 +157,51 @@ class BinaryStoreSpec extends SparkSpec {
     }
   }
 
+  test("labeled layout: label-partitioned codes, same-label pruned serve") {
+    import spark.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("graft_binstore_lbl").toString
+    val emb = VectorOps.quantizedLabeled(spark, sfDir)
+    BinaryStore.buildLabeled(emb, d)
+    // layout: every codes file lives under label=…/gen=…
+    val files = spark.read.parquet(s"$d/codes").inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/label=")),
+      s"codes not label-partitioned: ${files.take(2).mkString(",")}")
+    // a one-label batch's stage-1 relation statically prunes to that
+    // label's directories — the filter the labeled serve applies
+    // (inputFiles ignores pruning; read the scan's numFiles METRIC)
+    val labels = emb.select($"label").distinct().as[Long].collect()
+    assert(labels.length > 1, "fixture needs >1 label")
+    val one = spark.read.parquet(s"$d/codes")
+      .filter($"label" === labels.min)
+    one.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case o => (o.children ++ o.subqueries).flatMap(scans)
+    }
+    val pruned = scans(one.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).max
+    assert(pruned < files.length,
+      s"label filter read $pruned of ${files.length} code files")
+    // every served neighbor carries the query's label
+    val queries = VectorOps.binaryQueriesLabeled(emb)
+    val served = BinaryStore.serveLabeled(spark, d, queries, k = 5)
+    val lbl = emb.select($"vec_id", $"label")
+      .as[(Long, Long)].collect().toMap
+    val qlbl = queries.select($"query_id", $"label")
+      .as[(Long, Long)].collect().toMap
+    served.select($"query_id", $"neighbor").as[(Long, Long)].collect()
+      .foreach { case (q, n) =>
+        assert(lbl(n) == qlbl(q), s"query $q (label ${qlbl(q)}) " +
+          s"served cross-label neighbor $n (label ${lbl(n)})")
+      }
+  }
+
   test("serve returns the refined top-k in rank order") {
     import spark.implicits._
     val emb = VectorOps.quantized(spark, sfDir)

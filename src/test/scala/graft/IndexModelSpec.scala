@@ -640,4 +640,104 @@ class IndexModelSpec extends SparkSpec {
       }
     }
   }
+
+  /** Same-label serve replica for the LABELED flat store: each query
+    * ranks only model rows carrying its label.
+    */
+  private def driverBinaryServeLabeled(
+      contents: Map[Long, (Vec, Long)],
+      queries: Seq[(Long, Vec, Long)], width: Int = 20, k: Int = 5)
+      : Set[(Long, Long, Long, Long)] = {
+    queries.flatMap { case (qid, qv, ql) =>
+      val same = contents.collect {
+        case (id, (v, l)) if l == ql && id != qid => id -> v }
+      driverBinaryServe(same, Seq(qid -> qv), width, k)
+    }.toSet
+  }
+
+  private def binStoreServeLabeled(dir: String,
+      queries: org.apache.spark.sql.DataFrame,
+      epoch: Option[Long] = None): Set[(Long, Long, Long, Long)] = {
+    import spark.implicits._
+    val qs = graft.operators.VectorOps
+      .binaryQueriesLabeled(queries)
+    graft.operators.BinaryStore
+      .serveLabeled(spark, dir, qs, k = 5, width = 20, epoch = epoch)
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  /** Round-14: the LABELED flat store under the model check — labels
+    * must survive ingest, replay, delete masking, compaction's fold
+    * rewrite, and time travel; every serve is same-label only.
+    */
+  test("labeled binary store: random interleavings match the same-label model") {
+    import spark.implicits._
+    withIndexRetention(512) {
+      val emb = VectorOps.quantizedLabeled(spark, sfDir)
+        .as[(Long, Seq[Long], Long)].collect()
+      val queryDf = emb.filter(_._1 % 100 == 0).toSeq
+        .toDF("vec_id", "qv", "label")
+      val queries = emb.filter(_._1 % 100 == 0)
+        .map { case (id, v, l) => (id, v, l) }.toSeq
+
+      val rng = new scala.util.Random(7L)
+      val dir = tmp("binlbl7")
+      val base = emb.filter(_._1 % 3 != 0)
+      val pool = scala.collection.mutable.Queue(
+        emb.filter(_._1 % 3 == 0).grouped(25).toSeq: _*)
+      graft.operators.BinaryStore.buildLabeled(
+        base.toSeq.toDF("vec_id", "qv", "label"), dir)
+      var live = base.map(_._1).toSet
+      var deleted = Set.empty[Long]
+      var nextGen = 1L
+      var committedBatches = Map.empty[Long, Seq[(Long, Seq[Long], Long)]]
+      val history = scala.collection.mutable.Buffer[
+        (Long, Set[(Long, Long, Long, Long)])]()
+      history += 1L -> binStoreServeLabeled(dir, queryDf)
+
+      (1 to 12).foreach { step =>
+        val op = rng.nextInt(5)
+        op match {
+          case 0 if pool.nonEmpty =>
+            val batch = pool.dequeue()
+            graft.operators.BinaryStore.addBatchLabeled(spark, dir,
+              batch.toSeq.toDF("vec_id", "qv", "label"), gen = nextGen)
+            committedBatches += nextGen -> batch.toSeq
+            nextGen += 1
+            live = live ++ batch.map(_._1)
+          case 1 if committedBatches.nonEmpty => // replay: no-op
+            val (g, b) = committedBatches.toSeq
+              .apply(rng.nextInt(committedBatches.size))
+            graft.operators.BinaryStore.addBatchLabeled(spark, dir,
+              b.toDF("vec_id", "qv", "label"), gen = g)
+          case 2 if (live -- deleted).nonEmpty =>
+            val victims = (live -- deleted).toSeq.sorted
+              .filter(_ => rng.nextInt(5) == 0).take(50)
+            if (victims.nonEmpty) {
+              graft.operators.BinaryStore.delete(spark, dir,
+                victims.toDF("vec_id"))
+              deleted = deleted ++ victims
+            }
+          case 3 =>
+            graft.operators.BinaryStore.compactLabeled(spark, dir)
+            live = live -- deleted
+            deleted = Set.empty
+          case _ =>
+            graft.operators.BinaryStore.vacuum(spark, dir).collect()
+        }
+        val want = emb.filter(e =>
+            live.contains(e._1) && !deleted.contains(e._1))
+          .map { case (id, v, l) => id -> ((v, l)) }.toMap
+        val wantServe = driverBinaryServeLabeled(want, queries)
+        val cur = binStoreServeLabeled(dir, queryDf)
+        assert(cur === wantServe, s"step $step op $op: labeled serve drift")
+        history += graft.operators.FlatManifest.read(spark, dir).epoch ->
+          cur
+        val (ep, wantAt) = history(rng.nextInt(history.size))
+        assert(binStoreServeLabeled(dir, queryDf,
+            epoch = Some(ep)) === wantAt,
+          s"step $step: labeled epoch $ep replay drifted")
+      }
+    }
+  }
 }
