@@ -84,7 +84,7 @@ object Plans {
     "q187_semantic_decontam" -> "semantic decontamination: broadcast eval vectors (BNLJ = the q37 class), per-eval argmax via an order-free packed max aggregate — map-side partials collapse to |eval| rows before the single exchange",
     "q188_release_diff" -> "release diff: both budget tails over ONE shared dedup/quality head (checkpointed), diff joins carry (doc_id, lang, n_clean) triples only — fixed-width, release-sized, language-cardinality rollups",
     "q189_incremental_release" -> "incremental release: the corpus-scale old-window digest joins shuffle-keyed on the 16-hex hash (NOT broadcast — the q136 exchange class; production scans the release's materialized digest instead of deriving it), everything downstream is batch-sized",
-    "q191_binary_sign_ann" -> "binary-sign ANN: one map pass packs 64-bit codes; the Hamming scan folds corpus×queries to 20 rows/query MAP-SIDE via the bounded top-k aggregator; the refine join brings back full vectors for shortlist ids only",
+    "q191_binary_sign_ann" -> "binary-sign ANN width table: ONE 100-deep Hamming scan (map-side bounded top-k, checkpointed); widths 20/64/100 derive by rank filters — the wrank re-rank compiles to WindowGroupLimit, so the width sweep costs one window over the 100-deep relation, never a second corpus scan",
     "q192_quality_train" -> "perceptron trainer: feature build is one scan to a dense 33-long array per doc; each epoch is a codegen'd map (weights inlined as an array literal) + a VecSum partial aggregate — driver state 33 longs, the Lloyd loop posture",
     "q193_labeler_agreement" -> "labeler kappa: three integer label tests in one scan, contingency cells partial-aggregate to (pair × source) rows — the only exchange is labeler-pair × source cardinality",
     "q194_preference_pairs" -> "preference pairs: both rank directions compile to WindowGroupLimit (partitions pre-prune to local top-4 before the per-language exchange); the pair join matches 4 rows per language",
@@ -93,7 +93,14 @@ object Plans {
     "q198_threshold_calibration" -> "threshold calibration: the 90%-recall order statistic is one per-source rank window over the positives (k grows with the corpus - the documented log-histogram swap point); admit counts run in one pass",
     "q199_data_map" -> "data map: three epoch snapshots inline as array literals into ONE fused codegen'd margin pass over the checkpointed features; the rollup exchange carries (source x 4) rows",
     "q200_trained_filter_release" -> "trained-filter release: q155's chain with the gate = averaged-perceptron score >= calibrated threshold; training is driver-bounded (33 longs), scoring one inlined-weights map, chain stages keep their own postures",
-    "q201_lsh_operating_points" -> "LSH operating points: four band-keyed id-only joins off one checkpointed signature relation; exact verification only on the (16,1) ceiling candidates (never all-pairs)")
+    "q201_lsh_operating_points" -> "LSH operating points: four band-keyed id-only joins off one checkpointed signature relation; exact verification only on the (16,1) ceiling candidates (never all-pairs)",
+    "q204_lsh_sampled_ceiling" -> "sampled LSH ceiling: deterministic 1-in-4 md5 doc sample applied BEFORE the checkpoint, so all four banded self-joins and the exact verify run ~16x smaller; estimator + CI assemble driver-side (LocalTableScan report)",
+    "q205_doremi_weights" -> "DoReMi training: corpus work is ONE checkpointed (source,tok,c) relation; each round's mixture/cost aggregates are vocab-bounded exchanges collected to |sources| rows — the report is driver state (LocalTableScan)",
+    "q206_doremi_mixture" -> "DoReMi admission: one md5-ordered cumsum window per source partition over (doc, n_tok); the learned weight table broadcasts (|sources| rows); nothing else touches the corpus",
+    "q207_ivf_binary" -> "IVF-routed binary tier: converged-Lloyd routing (broadcast 16-row centroids), Hamming scan confined to probed cells, per-(query,cell) top-100 folds map-side; operating points derive by rank filters off the one probed scan",
+    "q208_ivf_binary_store" -> "composed tier from disk: cid-partitioned codes read under the probe list's static partition filter; the lifecycle report is two serves (pre/post compaction) of the q207 shape against the committed snapshot",
+    "q209_maxsim_capped" -> "capped MaxSim: the 4-bit proxy stage admits <= cap candidate docs per query (checkpointed rank relation); ONE full-vector SHUFFLE_HASH scoring join at the widest cap, every narrower cap derived by the carried admission rank",
+    "q210_doremi_release" -> "DoReMi-budgeted release: q155's chain head unchanged (checkpointed survivor relation), budgets = learned ppm x clean token mass, admission = q206's cumsum window per source over the survivors; weight table broadcasts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -241,6 +241,85 @@ class PlanSpec extends SparkSpec {
       s"q150 must share the count exchange:\n${fin.take(1200)}")
   }
 
+  test("q204/q205 reports assemble driver-side off checkpointed stages") {
+    // Both entries do ALL corpus work at construction time (sampled
+    // banded joins + exact verify for q204; the five training rounds'
+    // vocab-bounded aggregates for q205), materialized through
+    // checkpoints/collects — the emitted report must therefore plan to
+    // a LocalTableScan with NO parquet scan left at action time. A
+    // parquet scan here would mean a corpus pass re-runs per action.
+    for (q <- Seq("q204_lsh_sampled_ceiling", "q205_doremi_weights")) {
+      val p = plan(SparkEntry.queries(q)(spark, sfDir))
+      assert(p.contains("LocalTableScan"), s"$q:\n${p.take(400)}")
+      assert(!p.contains("Scan parquet"),
+        s"$q re-scans the corpus at action time:\n${p.take(800)}")
+    }
+  }
+
+  test("q206/q210 admission: one source cumsum window, weights broadcast") {
+    // The DoReMi admission (q206 on the raw corpus, q210 on the chain
+    // survivors) must cost ONE source-keyed exchange feeding the
+    // cumsum window — the per-source admitted rollup reuses that
+    // partitioning (no second corpus exchange) — and the learned
+    // weight table must arrive as a broadcast LocalTableScan, never a
+    // shuffled join side.
+    val p206 = plan(graft.operators.TextOps
+      .defs("q206_doremi_mixture")(spark, sfDir))
+    assert(p206.linesIterator.count(_.contains("Window ")) >= 1)
+    // of the source-keyed exchanges, exactly ONE may touch the corpus
+    // (the cumsum window's); any other is the |sources|-row weight
+    // table's side of the report outer join
+    val l206 = p206.linesIterator.toVector
+    def ind206(l: String): Int = l.length - l.dropWhile(c =>
+      c == ' ' || c == ':' || c == '+' || c == '-').length
+    val corpusEx = l206.zipWithIndex
+      .filter(_._1.contains("Exchange hashpartitioning(source"))
+      .count { case (l, i) =>
+        val here = ind206(l)
+        (l +: l206.drop(i + 1).takeWhile(x =>
+          x.trim.isEmpty || ind206(x) > here))
+          .exists(_.contains("Scan parquet"))
+      }
+    assert(corpusEx == 1,
+      s"q206 must shuffle the corpus on source exactly once, found $corpusEx:\n${p206.take(1200)}")
+    val p210 = plan(graft.operators.PipelineOps
+      .defs("q210_doremi_release")(spark, sfDir))
+    // the chain head is checkpointed: the only parquet read left is
+    // the raw per-source input rollup; admission + survivor rollups
+    // ride Scan ExistingRDD
+    val scans210 = p210.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans210 == 1,
+      s"q210 must read documents once at action time, found $scans210")
+    assert(p210.linesIterator.count(_.contains("Window ")) == 1,
+      "q210 must window only the admission cumsum")
+    // every broadcast subtree is the |sources|-row weight table
+    val lines = p210.linesIterator.toVector
+    def ind(l: String): Int = l.length - l.dropWhile(c =>
+      c == ' ' || c == ':' || c == '+' || c == '-').length
+    val marks = lines.zipWithIndex.filter(_._1.contains("BroadcastExchange"))
+    assert(marks.nonEmpty)
+    marks.foreach { case (l, i) =>
+      val here = ind(l)
+      val sub = (l +: lines.drop(i + 1).takeWhile(x =>
+        x.trim.isEmpty || ind(x) > here)).mkString("\n")
+      assert(sub.contains("LocalTableScan"),
+        s"q210 broadcasts a non-driver-sized subtree:\n${sub.take(400)}")
+    }
+  }
+
+  test("q191 width table: rank re-ranks bound via WindowGroupLimit, no rescan") {
+    // Round-13 form: ONE 100-deep Hamming scan (checkpointed at entry
+    // construction — it must NOT appear in the action-time plan as a
+    // topscored aggregate or a codes-relation rescan); widths derive
+    // by rank filters whose row_number <= 5 compiles to
+    // WindowGroupLimit — partial top-5 per task before the width
+    // window's exchange.
+    val p = plan(VectorOps.defs("q191_binary_sign_ann")(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(!p.contains("topscored"),
+      "q191's Hamming scan must be checkpointed, not re-planned")
+  }
+
   test("rank-k window filters compile to WindowGroupLimit (partial top-k)") {
     // Spark 3.5+ plants WindowGroupLimit below the shuffle for
     // row_number()-filter patterns — per-partition top-k BEFORE the
