@@ -346,6 +346,61 @@ object StreamBench {
       "bin_ingest_vps" -> vps
     }
 
+    // Streaming ingest for the IVF-ROUTED binary store (vectors/s):
+    // each batch assigns against the STORED router, lands
+    // cell-partitioned under its own generation, condition-driven
+    // compaction — the composed tier's write half.
+    val ivfbinIngest = {
+      import spark.implicits._
+      val dir =
+        graft.operators.Scratch.dir(spark, "ivfbin_ingest_bench")
+      val (baseHalf, streamHalf) = index.toSeq.splitAt(index.size / 2)
+      graft.operators.IvfBinaryStore.build(
+        baseHalf.toDF("vec_id", "qv"), dir)
+      val events = streamHalf.map { case (id, v) =>
+        StreamOps.IndexVec(id, v) }
+      val in = MemoryStream[StreamOps.IndexVec]
+      val q = StreamOps.ivfBinaryIngestStream(in.toDS(), dir)
+      val chunks = events.grouped(math.max(1, events.size / 8)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val vps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] ivfbin_ingest_vps: $vps%.0f/s")
+      "ivfbin_ingest_vps" -> vps
+    }
+
+    // Streaming MaxSim chunk-store ingest (docs/s): each batch chunks,
+    // hashes, and vectorizes in flight and commits as its own
+    // generation under the df-at-commit prefix rule.
+    val msIngest = {
+      import spark.implicits._
+      val dir = graft.operators.Scratch.dir(spark, "ms_ingest_bench")
+      val msDocs = genDocs(3000)
+      val (baseHalf, streamHalf) = msDocs.splitAt(msDocs.size / 2)
+      graft.operators.MaxSimStore.build(
+        baseHalf.toDF("doc_id", "ts", "text")
+          .withColumn("toks",
+            org.apache.spark.sql.functions.split($"text", "\\s+"))
+          .select($"doc_id", $"toks"), dir)
+      val in = MemoryStream[StreamOps.DocEvent]
+      val q = StreamOps.maxSimIngestStream(in.toDS(), dir)
+      val chunks = streamHalf.grouped(
+        math.max(1, streamHalf.size / 8)).toSeq
+      in.addData(chunks.head)
+      q.processAllAvailable()
+      val t0 = System.nanoTime()
+      chunks.tail.foreach { c => in.addData(c); q.processAllAvailable() }
+      val secs = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val dps = chunks.tail.map(_.size).sum / secs
+      Console.err.println(f"[StreamBench] ms_ingest_dps: $dps%.0f/s")
+      "ms_ingest_dps" -> dps
+    }
+
     // CDC upsert materialization (changes/s): per-key latest-version
     // state (ts, seq) with tombstoned deletes — 64k hot keys so state
     // stays bounded while every change is a state hit.
@@ -672,7 +727,8 @@ object StreamBench {
     }
 
     Seq(q5, q11, ingest, neardup, hh, funnel, knn, binary, aucMon, knnStore,
-      binaryStore, ivfbinStore, binIngest, pqStore, cdc, attrib, curation,
+      binaryStore, ivfbinStore, binIngest, ivfbinIngest, msIngest, pqStore,
+      cdc, attrib, curation,
       release, decontam, wmDetect, dsir, incr, pack, drift, maxsim,
       maxsimHot._1, maxsimHot._2, hybrid, semdedup)
   }
