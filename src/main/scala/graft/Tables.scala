@@ -13,6 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Schema metadata cache, keyed on the parquet path. A bare
+    * `spark.read.parquet(path)` runs a one-task schema-INFERENCE job per
+    * call (ParquetUtils.mergeSchemasInParallel) — ~40 ms each, and a
+    * 6-table join paid six of them on every invocation (measured: ~240 ms
+    * of tpch_q05's 1.06 s, guide §1/§6). Caching the inferred StructType
+    * and passing it back via `.schema(...)` skips the job; this is
+    * catalog METADATA (what any engine's catalog holds), not data or
+    * results — the scan still reads parquet from scratch every run.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   /** Load one table. Parquet scan → Catalyst handles pushdown/pruning.
     * `events.ts` is TIMESTAMP(NANOS), which Spark's parquet reader rejects;
     * read it as nanos-since-epoch long and convert to a microsecond
@@ -46,7 +59,10 @@ object Tables {
     // it here makes the cap enforcement independent of any session
     // builder's config (LiftOverflowSpec proves the failure mode).
     spark.conf.set("spark.sql.ansi.enabled", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     // only the driver's NANOS files surface ts as a long; re-materialized
     // copies (MakeBigSf) already store a proper timestamp — leave those
     val fixed =

@@ -144,11 +144,19 @@ object TpchFull {
     */
   private def q05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    t(s, d, "customer")
-      .join(t(s, d, "orders"), $"c_custkey" === $"o_custkey")
-      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
-        $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
-      .join(t(s, d, "lineitem"), $"o_orderkey" === $"l_orderkey")
+    // lineitem is the fact side: keep it as the PROBE of every join.
+    // The previous shape (customer ⋈ orders ⋈ lineitem, written order)
+    // made the planner BROADCAST lineitem itself under the 10 MB estimate
+    // at small SFs (600k-row single-threaded broadcast build; and the one
+    // shape that must never happen at 100 TB). With lineitem first, the
+    // planner broadcasts the filtered orders⋈customer side when small and
+    // degrades to a shuffle join at scale — both correct (guide §3.1).
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders")
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(t(s, d, "customer"), $"o_custkey" === $"c_custkey")
       .join(t(s, d, "supplier"),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(t(s, d, "nation")), $"s_nationkey" === $"n_nationkey")

@@ -126,10 +126,13 @@ object TpchLike {
   /** Q10 shape: top 20 customers by revenue with nation context. */
   private def q47(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // lineitem stays the PROBE side: the previous customer⋈orders-first
+    // order made the planner broadcast the filtered lineitem itself at
+    // small SFs (the one shape that cannot survive 100 TB); fact-first,
+    // the dims broadcast when small and degrade to shuffle joins at scale
     val l = Tables(s, d, "lineitem").filter($"l_returnflag" === "R")
-    Tables(s, d, "customer")
-      .join(Tables(s, d, "orders"), $"c_custkey" === $"o_custkey")
-      .join(l, $"o_orderkey" === $"l_orderkey")
+    l.join(Tables(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, d, "customer"), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables(s, d, "nation")), $"c_nationkey" === $"n_nationkey")
       .groupBy($"c_custkey", $"c_name", $"n_name")
       .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))

@@ -170,20 +170,37 @@ object Nexmark {
       b_date_time = new Timestamp(eventTimestamp(id, eps)))
   }
 
+  /** Partition count for generating n events: one slice per ~50k events,
+    * capped at the session's core count. Events are ~100 B, so a slice is
+    * a few MB of output — generation is per-id seeded (any slicing yields
+    * identical rows), and right-sizing slices to the DATA VOLUME instead
+    * of inheriting `spark.range`'s default (always defaultParallelism)
+    * stops a 46k-row catalog run from fanning every downstream stage into
+    * 32 tasks of ~1.4k rows each, where per-task fixed cost dominates
+    * (guide §2.2 "fewer, larger partitions"). Large n still spreads over
+    * every core.
+    */
+  def genSlices(spark: SparkSession, n: Long): Int =
+    math.max(1L, math.min(n / 50000L,
+      spark.sparkContext.defaultParallelism.toLong)).toInt
+
   /** Distributed generation: ids 0..n over `spark.range` partitions. */
   def persons(spark: SparkSession, n: Long, eps: Long = 1000): Dataset[Person] = {
     import spark.implicits._
-    spark.range(0, n).filter(i => kindOf(i) == 0).map(i => genPerson(i, eps))
+    spark.range(0, n, 1, genSlices(spark, n))
+      .filter(i => kindOf(i) == 0).map(i => genPerson(i, eps))
   }
 
   def auctions(spark: SparkSession, n: Long, eps: Long = 1000): Dataset[Auction] = {
     import spark.implicits._
-    spark.range(0, n).filter(i => kindOf(i) == 1).map(i => genAuction(i, eps))
+    spark.range(0, n, 1, genSlices(spark, n))
+      .filter(i => kindOf(i) == 1).map(i => genAuction(i, eps))
   }
 
   def bids(spark: SparkSession, n: Long, eps: Long = 1000): Dataset[Bid] = {
     import spark.implicits._
-    spark.range(0, n).filter(i => kindOf(i) == 2).map(i => genBid(i, eps))
+    spark.range(0, n, 1, genSlices(spark, n))
+      .filter(i => kindOf(i) == 2).map(i => genBid(i, eps))
   }
 
   /** q13 side input: key = 0..10000, value = key (actor.rs:575-629 loads a
@@ -220,7 +237,7 @@ object Ysb {
 
   def adEvents(spark: SparkSession, n: Long, eps: Long = 1000): Dataset[AdEvent] = {
     import spark.implicits._
-    spark.range(0, n).map { i =>
+    spark.range(0, n, 1, Nexmark.genSlices(spark, n)).map { i =>
       val rng = new Nexmark.Rng(i)
       AdEvent(
         user_id = f"user-${rng.nextInt(1000)}%04d",
