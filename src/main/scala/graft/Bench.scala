@@ -172,16 +172,39 @@ object Bench {
     // streaming rates (events/docs/queries per second) — kept on the
     // final line (the driver's per-round artifact records them) but at
     // %.0f they cost ~20 chars/rate; SPARK_GRAFT_STREAM=0 skips for
-    // batch-only iteration
+    // batch-only iteration. Batch sweeps are protected by min-of-sweeps
+    // + the steal retry; streaming rates were SINGLE-SHOT until round 14
+    // (a contended window halves micro-batch-latency-bound rates), so
+    // the same discipline applies: if the measuring window's steal share
+    // exceeds the bound, run one more pass and keep each scenario's best
+    // rate (max — rates, not times).
+    val streamSteal = scala.collection.mutable.Buffer[Long]()
+    def streamPass(): Seq[(String, Double)] = {
+      val (s0, t0) = cpuJiffies()
+      val r = StreamBench.measure(spark, nBids = 400000, batchSize = 100000)
+      val (s1, t1) = cpuJiffies()
+      streamSteal += (if (t1 > t0) (s1 - s0) * 1000 / (t1 - t0) else 0L)
+      r
+    }
     val stream =
       if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) "{}"
-      else StreamBench.measure(spark, nBids = 400000, batchSize = 100000)
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 0) }
-        .mkString("{", ",", "}")
+      else {
+        val first = streamPass()
+        val rates =
+          if (streamSteal.head <= StealRetryPm) first
+          else {
+            val second = streamPass().toMap
+            first.map { case (k, v) =>
+              k -> math.max(v, second.getOrElse(k, v)) }
+          }
+        rates.map { case (k, v) => "\"" + k + "\":" + fmt(v, 0) }
+          .mkString("{", ",", "}")
+      }
     // "bench_detail", not "metric": the driver scans its stdout tail
     // for the metric line, and this full-precision line must never be
     // mistaken for it
-    println(s"""{"bench_detail":{"spread":$spreadDetail,"mins":${
+    println(s"""{"bench_detail":{"stream_steal_pm":${
+      streamSteal.mkString("[", ",", "]")},"spread":$spreadDetail,"mins":${
       mins.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")}}}""")
     val stealArr = sweepSteal.mkString("[", ",", "]")

@@ -69,7 +69,10 @@ object Multimodal {
     */
   def assets(spark: SparkSession, n: Long): Dataset[Asset] = {
     import spark.implicits._
-    spark.range(0, n).map { id =>
+    // volume-sized generation partitions (see Nexmark.genSlices): the
+    // 2k-asset catalog run otherwise fans every downstream stage into
+    // defaultParallelism tasks of ~60 rows, all per-task fixed cost
+    spark.range(0, n, 1, graft.sources.Nexmark.genSlices(spark, n)).map { id =>
       val rng = new graft.sources.Nexmark.Rng(id)
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
       val (w, h, f) = kind match {

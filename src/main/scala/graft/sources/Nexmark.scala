@@ -208,8 +208,8 @@ object Nexmark {
     */
   def sideInput(spark: SparkSession, n: Int = 10000): DataFrame = {
     import spark.implicits._
-    spark.range(0, n).select($"id".cast("int").as("key"),
-      $"id".cast("int").as("value"))
+    spark.range(0, n, 1, genSlices(spark, n))
+      .select($"id".cast("int").as("key"), $"id".cast("int").as("value"))
   }
 }
 
@@ -230,7 +230,8 @@ object Ysb {
 
   def campaigns(spark: SparkSession, nCampaigns: Int = 100): Dataset[Campaign] = {
     import spark.implicits._
-    spark.range(0, nCampaigns.toLong * 10).map { i =>
+    spark.range(0, nCampaigns.toLong * 10, 1,
+        Nexmark.genSlices(spark, nCampaigns.toLong * 10)).map { i =>
       Campaign(c_ad_id = s"ad-${i}", campaign_id = s"campaign-${i / 10}")
     }
   }
