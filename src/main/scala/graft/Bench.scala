@@ -189,9 +189,16 @@ object Bench {
     val stream =
       if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) "{}"
       else {
+        // Tighter bound than the batch sweeps: batch is protected by
+        // min-of-N sweeps on top of the retry, streaming is not, and a
+        // measured 33‰ window halved the store-tier rates (ivfbin
+        // 2,655→1,512 same-host A/B) — at 33‰ of ALL cpu jiffies the
+        // mostly-single-threaded streaming phases are far more than 33‰
+        // contended.
+        val StreamStealRetryPm = 20L
         val first = streamPass()
         val rates =
-          if (streamSteal.head <= StealRetryPm) first
+          if (streamSteal.head <= StreamStealRetryPm) first
           else {
             val second = streamPass().toMap
             first.map { case (k, v) =>
