@@ -1844,7 +1844,7 @@ object TextOps {
     // skips their exact-intersect recheck entirely (the recheck, not the
     // banding, dominates at scale — measured 348k candidates at sf0.1).
     val candIds = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("merge"),
         col("a.bandhash") === col("b.bandhash") &&
           col("a.doc_id") < col("b.doc_id") &&
           lit(5) * least(col("a.sz"), col("b.sz")) >
@@ -1975,7 +1975,7 @@ object TextOps {
     // output: J ≤ min/max ≤ 0.8 pairs fail the strict > 0.8 recheck)
     val (base, banded) = md5LshBanded(s, d)
     val candIds = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.as("b").hint("merge"),
         col("a.bandhash") === col("b.bandhash") &&
           col("a.doc_id") < col("b.doc_id") &&
           lit(5) * least(col("a.sz"), col("b.sz")) >
