@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g, not 8g: local[32] runs 32 concurrent vectorized parquet
+  // readers in ONE JVM — at 8g the bench's parallel-scan stages spent
+  // 0.8+ s/stage in GC (task run-vs-cpu gap 300-450‰, QTasks round 15);
+  // at 24g the same stages read zero GC. The sandbox has 128 GiB;
+  // 0.75 g/core matches guide §5's executor-sizing posture.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

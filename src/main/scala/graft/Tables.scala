@@ -21,10 +21,19 @@ object Tables {
     * and passing it back via `.schema(...)` skips the job; this is
     * catalog METADATA (what any engine's catalog holds), not data or
     * results — the scan still reads parquet from scratch every run.
+    *
+    * RESTRICTION (round-14 advice): the cache is keyed on path with no
+    * invalidation, so rewriting a path WITH A DIFFERENT SCHEMA inside
+    * one JVM would serve the stale StructType. No flow does this
+    * (MakeBigSf reads src, writes dst; regroup_sf.py is out-of-process
+    * and schema-preserving); a tool that regenerates data in place must
+    * call [[clearSchemaCache]] first.
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]()
+
+  private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
 
   /** Load one table. Parquet scan → Catalyst handles pushdown/pruning.
     * `events.ts` is TIMESTAMP(NANOS), which Spark's parquet reader rejects;

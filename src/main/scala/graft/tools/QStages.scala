@@ -11,8 +11,8 @@ import scala.collection.mutable
   *
   * Usage: runMain graft.tools.QStages <sfDir> <name1,name2,...> [reps=2]
   *
-  * Each query runs `reps`+1 times through the noop sink; the first run
-  * warms codegen/broadcast paths and is dropped. For the LAST run the
+  * Each query runs `reps` warm runs (codegen/broadcast/schema caches)
+  * plus one measured run through the noop sink. For the MEASURED run the
   * listener prints one line per stage: wall (submission→completion),
   * summed executor run/CPU time, input bytes, shuffle read/write bytes,
   * task count — plus the query wall so driver-only time (planning,
@@ -27,6 +27,8 @@ object QStages {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.openCostInBytes",
+        graft.Bench.scanOpenCost(sfDir, cpus.toInt).toString)
       .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -61,10 +63,17 @@ object QStages {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      (1 until reps).foreach(_ => once()) // warm runs, dropped
+      (0 until reps).foreach(_ => once()) // warm runs, dropped
       buf.synchronized(buf.clear())
       val wall = once()
-      Thread.sleep(200) // let listener drain
+      // listener delivery is async: poll until the buffer stops growing
+      // (bounded) instead of one blind sleep
+      var last = -1; var stable = 0; var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        val n = buf.synchronized(buf.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
       val rows = buf.synchronized(buf.sortBy(_.id).toVector)
       println(f"== $name wall=$wall%.3f s  stages=${rows.size} " +
         f"stageWallSum=${rows.map(_.wallMs).sum / 1e3}%.3f s")
