@@ -1825,32 +1825,41 @@ object TextOps {
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id", array_sort(array_distinct($"toks")).as("set"))
       .withColumn("sig", TextHashes.minhashSig($"set", k, 1))
-    // Band join carries only (doc_id, set size, bandhash): each band
-    // (index + its minhash slice) folds to ONE xxhash64 long, so the
-    // self-join shuffles and compares a single long instead of an array —
-    // the pair dedup then runs on two longs. A 64-bit band collision can
-    // only ADD a candidate, and candidates are exact-rechecked below.
+    // Band join carries (doc_id, set size, band array, band index,
+    // bandhash): each band (index + its minhash slice) folds to ONE
+    // xxhash64 long, so the self-join shuffles and compares longs — and
+    // carrying the folded per-doc band ARRAY (`bands` longs, linear in
+    // corpus size) lets the join emit each pair only at its FIRST shared
+    // band: a pair matching at band i is kept iff no band k < i matched,
+    // so the output is unique by construction and the former
+    // `.distinct()` — a full exchange of the CANDIDATE-PAIR mass, the
+    // one super-linear relation in the pipeline — disappears (round-15
+    // task 3; round 14 rejected a first-match filter that compared raw
+    // k-long signature slices, ~3× the folded array's bytes). The join
+    // keys on (band index, bandhash) exactly like the DuckDB oracle's
+    // (b, bandval) candidate join; a 64-bit fold collision can only ADD
+    // a candidate, and candidates are exact-rechecked below.
     val banded = base.select($"doc_id", size($"set").as("sz"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
-    // Candidate pairs dedup on two longs via distinct (a first-matching-
-    // band filter would avoid this shuffle, but the per-row slice
-    // comparisons cost ~3× the shuffle it saves — measured at sf0.1);
-    // token sets re-attach afterwards by broadcast so the pair set never
-    // shuffles arrays. The size-compatibility predicate is output-neutral
-    // pruning: |A∩B| ≤ min ⇒ J ≤ min/max, so 5·min ≤ 4·max can never
-    // pass the J > 0.8 recheck — dropping those pairs INSIDE the join
-    // prunes most of the candidate set before the distinct shuffle and
-    // skips their exact-intersect recheck entirely (the recheck, not the
-    // banding, dominates at scale — measured 348k candidates at sf0.1).
+        expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))").as("bandarr"))
+      .select($"doc_id", $"sz", $"bandarr", posexplode($"bandarr"))
+      .withColumnRenamed("pos", "bidx")
+      .withColumnRenamed("col", "bandhash")
+    // The size-compatibility predicate is output-neutral pruning:
+    // |A∩B| ≤ min ⇒ J ≤ min/max, so 5·min ≤ 4·max can never pass the
+    // J > 0.8 recheck — dropping those pairs INSIDE the join prunes most
+    // of the candidate set before it reaches the recheck attaches (the
+    // recheck, not the banding, dominates at scale — measured 348k
+    // candidates at sf0.1).
     val candIds = banded.as("a")
       .join(banded.as("b").hint("merge"),
-        col("a.bandhash") === col("b.bandhash") &&
+        col("a.bidx") === col("b.bidx") &&
+          col("a.bandhash") === col("b.bandhash") &&
           col("a.doc_id") < col("b.doc_id") &&
           lit(5) * least(col("a.sz"), col("b.sz")) >
-            lit(4) * greatest(col("a.sz"), col("b.sz")))
+            lit(4) * greatest(col("a.sz"), col("b.sz")) &&
+          firstSharedBand(bands))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
     // The recheck intersects sorted xxhash64 TOKEN HASHES, not token
     // strings: primitive 8-byte compares in the hot merge loop and
     // 8 bytes per token on the wire. A 64-bit collision could inflate
@@ -1865,6 +1874,21 @@ object TextOps {
       .select($"id1", $"id2", round($"jaccard", 4).as("jaccard"))
       .orderBy($"id1", $"id2")
   }
+
+  /** First-shared-band predicate for the banded pair self-joins: keep a
+    * match at band index `bidx` iff no band k < bidx already matched —
+    * each pair is emitted exactly once, so the pair relation needs no
+    * distinct exchange. Unrolled over the (compile-time, ≤8) band count
+    * into a flat AND of GetArrayItem comparisons: an `exists(zip_with(
+    * slice…))` formulation is CodegenFallback — interpreted per
+    * GENERATED pair with two array allocations, measured 3× the whole
+    * query (q33 0.9 → 3.4 s) before this unroll.
+    */
+  private def firstSharedBand(bands: Int) =
+    (0 until bands - 1).map { k =>
+      (col("a.bidx") <= k) ||
+        (col("a.bandarr").getItem(k) =!= col("b.bandarr").getItem(k))
+    }.reduceOption(_ && _).getOrElse(lit(true))
 
   /** Exact-Jaccard recheck of LSH candidate pairs: attach each side's
     * sorted token-hash set by a doc_id equi-join, linear-merge intersect,
@@ -1953,35 +1977,46 @@ object TextOps {
     * hash-space Jaccard — collisions and all — is oracle-reproducible,
     * not merely collision-improbable.
     */
+  /** Band count of the md5 LSH family (k=16, 4 bands × 4 rows). */
+  private[graft] val Md5LshBands = 4
+
   private[graft] def md5LshBanded(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val k = 16; val bands = 4; val rows = k / bands
+    val k = 16; val bands = Md5LshBands; val rows = k / bands
     // native one-pass digest+sort+dedup (TextHashes.Md5HashSetExpr) —
     // bit-identical to the SQL chain the oracle replays, ~3× cheaper
     // than hex-string conv per token
     val base = docs(s, d).filter($"doc_id" % 5 === 0)
       .select($"doc_id", TextHashes.md5HashSet($"toks").as("hset"))
       .withColumn("sig", TextHashes.minhashFromHashes($"hset", k))
+    // folded band ARRAY carried per row so the pair join can keep each
+    // pair at its first shared band only — see q33's banded relation
     val banded = base.select($"doc_id", size($"hset").as("sz"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))")).as("bandhash"))
+        expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(b, slice(sig, b*$rows + 1, $rows)))").as("bandarr"))
+      .select($"doc_id", $"sz", $"bandarr", posexplode($"bandarr"))
+      .withColumnRenamed("pos", "bidx")
+      .withColumnRenamed("col", "bandhash")
     (base, banded)
   }
 
   private[graft] def md5LshScoredPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // band → single xxhash64 long + size-compatibility prune inside the
-    // join; see q33 for both rationales (the prune cannot change the
-    // output: J ≤ min/max ≤ 0.8 pairs fail the strict > 0.8 recheck)
+    // band → single xxhash64 long + size-compatibility prune + first-
+    // shared-band uniqueness inside the join; see q33 for all three
+    // rationales (the prune cannot change the output: J ≤ min/max ≤ 0.8
+    // pairs fail the strict > 0.8 recheck; first-match makes the pair
+    // set unique by construction, so no distinct exchange is needed)
     val (base, banded) = md5LshBanded(s, d)
     val candIds = banded.as("a")
       .join(banded.as("b").hint("merge"),
-        col("a.bandhash") === col("b.bandhash") &&
+        col("a.bidx") === col("b.bidx") &&
+          col("a.bandhash") === col("b.bandhash") &&
           col("a.doc_id") < col("b.doc_id") &&
           lit(5) * least(col("a.sz"), col("b.sz")) >
-            lit(4) * greatest(col("a.sz"), col("b.sz")))
+            lit(4) * greatest(col("a.sz"), col("b.sz")) &&
+          firstSharedBand(Md5LshBands))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
     // corpus-sized sets → shuffle-join recheck (see exactJaccardRecheck)
     exactJaccardRecheck(candIds, base.select($"doc_id", $"hset"))
   }
