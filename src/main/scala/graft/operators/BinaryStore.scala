@@ -57,24 +57,22 @@ object BinaryStore {
 
   // ---------- data plane ----------
 
-  /** Write one generation's codes + bucketed vectors (dynamic partition
-    * overwrite: a crashed attempt's partial files are replaced by the
-    * re-run before its commit, never read — they are in no manifest).
+  /** Write one generation's codes + bucketed vectors (tmp-dir write +
+    * one rename per root — [[FlatManifest.writeGenDir]]: a crashed
+    * attempt's files are replaced by the re-run before its commit,
+    * never read — they are in no manifest).
     */
   private def writeGen(emb: DataFrame, dir: String, gen: Long): Unit = {
     val s = emb.sparkSession
     import s.implicits._
-    VectorOps.binaryCodes(emb)
-      .select($"vec_id", $"w0", $"w1", lit(gen).as("gen"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen").parquet(codesDir(dir))
-    emb.select($"vec_id", $"qv", lit(gen).as("gen"),
-        pmod($"vec_id", lit(Buckets)).as("bucket"))
-      .repartition($"bucket")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "bucket").parquet(vecsDir(dir))
+    FlatManifest.writeGenDir(
+      VectorOps.binaryCodes(emb).select($"vec_id", $"w0", $"w1"),
+      codesDir(dir), gen)
+    FlatManifest.writeGenDir(
+      emb.select($"vec_id", $"qv",
+          pmod($"vec_id", lit(Buckets)).as("bucket"))
+        .repartition($"bucket"),
+      vecsDir(dir), gen, Seq("bucket"))
   }
 
   private def emptyCodes(s: SparkSession): DataFrame =
@@ -399,19 +397,17 @@ object BinaryStore {
       gen: Long): Unit = {
     val s = emb.sparkSession
     import s.implicits._
-    VectorOps.binaryCodes(emb.select($"vec_id", $"qv"))
-      .join(emb.select($"vec_id", $"label"), "vec_id")
-      .select($"vec_id", $"w0", $"w1", lit(gen).as("gen"), $"label")
-      .repartition($"label")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "label").parquet(codesDir(dir))
-    emb.select($"vec_id", $"qv", $"label", lit(gen).as("gen"),
-        pmod($"vec_id", lit(Buckets)).as("bucket"))
-      .repartition($"bucket")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "bucket").parquet(vecsDir(dir))
+    FlatManifest.writeGenDir(
+      VectorOps.binaryCodes(emb.select($"vec_id", $"qv"))
+        .join(emb.select($"vec_id", $"label"), "vec_id")
+        .select($"vec_id", $"w0", $"w1", $"label")
+        .repartition($"label"),
+      codesDir(dir), gen, Seq("label"))
+    FlatManifest.writeGenDir(
+      emb.select($"vec_id", $"qv", $"label",
+          pmod($"vec_id", lit(Buckets)).as("bucket"))
+        .repartition($"bucket"),
+      vecsDir(dir), gen, Seq("bucket"))
   }
 
   /** Build the LABELED store from (vec_id, qv, label) — same manifest

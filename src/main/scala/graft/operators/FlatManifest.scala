@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Manifest commit protocol for FLAT (cell-less) persisted stores —
   * the [[IvfIndex]] control plane (reference lifecycle:
@@ -175,6 +175,39 @@ private[graft] object FlatManifest {
       .foreach(p => f.delete(p, false))
   }
 
+  /** Write ONE generation under a data root: the frame (WITHOUT its gen
+    * column) writes plain into `<root>/.gen-tmp-<gen>` — partitioned by
+    * `innerPartitions` if given — and ONE directory rename publishes it
+    * as `<root>/gen=<gen>`. Replaces the previous dynamic-partition-
+    * overwrite writes, whose commit stages and moves every partition
+    * directory one by one on the driver: for micro-batch generations
+    * that commit path cost ~3× the write itself (round-15 IngestProbe:
+    * 64-bucket vectors write 1.0–2.0 s dyn-overwrite vs 0.4 s
+    * tmp+rename at 128 rows). On-disk layout and read semantics are
+    * identical (`gen` stays a discovered partition directory; the tmp
+    * dir's leading dot hides it from partition discovery). Crash
+    * discipline is unchanged: nothing under the root is live until the
+    * manifest commits — a crashed attempt's tmp dir is overwritten by
+    * the replay, a rename-then-manifest-crash leaves a gen dir no
+    * manifest references (deleted here before the replay's rename, and
+    * swept by GC otherwise).
+    */
+  def writeGenDir(df: DataFrame, root: String, gen: Long,
+      innerPartitions: Seq[String] = Nil): Unit = {
+    val s = df.sparkSession
+    val f = fs(s, root)
+    val tmp = new Path(root, s".gen-tmp-$gen")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (innerPartitions.isEmpty) w
+     else w.partitionBy(innerPartitions: _*)).parquet(tmp.toString)
+    val dest = new Path(root, s"gen=$gen")
+    if (f.exists(dest))
+      require(f.delete(dest, true),
+        s"stale uncommitted generation dir $dest could not be replaced")
+    require(f.rename(tmp, dest),
+      s"generation publish failed: rename $tmp -> $dest returned false")
+  }
+
   /** Reclaim generation/tombstone directories no retained manifest
     * references, under each listed data root (`root -> partition
     * prefix`, e.g. `codes -> gen=`, `tombstones -> del=`). For roots
@@ -195,13 +228,24 @@ private[graft] object FlatManifest {
     genRoots.foreach { root =>
       val rp = new Path(dir, root)
       if (f.exists(rp))
-        f.listStatus(rp).filter(_.isDirectory).map(_.getPath)
-          .filter(_.getName.startsWith("gen=")).foreach { gd =>
-            if (!liveGens.contains(gd.getName.stripPrefix("gen=").toLong)) {
+        f.listStatus(rp).filter(_.isDirectory).map(_.getPath).foreach { gd =>
+          val n = gd.getName
+          if (n.startsWith("gen=") &&
+              !liveGens.contains(n.stripPrefix("gen=").toLong)) {
+            require(f.delete(gd, true), s"gc failed to delete $gd")
+            orphanGens += 1
+          } else if (n.startsWith(".gen-tmp-")) {
+            // a tmp dir survives only a crash between write and rename;
+            // it is garbage once its generation is committed anywhere
+            // (the committing replay wrote and renamed its OWN tmp)
+            val g = n.stripPrefix(".gen-tmp-").toLong
+            if (liveGens.contains(g) ||
+                snaps.exists(_.committedIngest(g))) {
               require(f.delete(gd, true), s"gc failed to delete $gd")
-              orphanGens += 1
+              tmpManifests += 1
             }
           }
+        }
     }
     tombRoots.foreach { root =>
       val rp = new Path(dir, root)

@@ -73,18 +73,16 @@ object IvfBinaryStore {
       gen: Long): Unit = {
     val s = assigned.sparkSession
     import s.implicits._
-    assigned.select($"vec_id", $"cid",
+    FlatManifest.writeGenDir(
+      assigned.select($"vec_id", $"cid",
         expr(VectorOps.SignW0Sql).as("w0"),
-        expr(VectorOps.SignW1Sql).as("w1"), lit(gen).as("gen"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "cid").parquet(codesDir(dir))
-    assigned.select($"vec_id", $"qv", lit(gen).as("gen"),
-        pmod($"vec_id", lit(Buckets)).as("bucket"))
-      .repartition($"bucket")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "bucket").parquet(vecsDir(dir))
+        expr(VectorOps.SignW1Sql).as("w1")),
+      codesDir(dir), gen, Seq("cid"))
+    FlatManifest.writeGenDir(
+      assigned.select($"vec_id", $"qv",
+          pmod($"vec_id", lit(Buckets)).as("bucket"))
+        .repartition($"bucket"),
+      vecsDir(dir), gen, Seq("bucket"))
   }
 
   private def emptyCodes(s: SparkSession): DataFrame =

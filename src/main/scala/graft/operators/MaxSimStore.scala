@@ -92,26 +92,22 @@ object MaxSimStore {
     val s = dset.sparkSession
     import s.implicits._
     val (vec, mRel, tokd) = TextOps.maxSimChunkRels(dset)
-    vec.join(mRel, Seq("doc_id", "h"))
-      .select($"doc_id".as("cdoc"), $"h".as("cc"),
-        $"v".as("vb"), $"n2".as("n2b"), $"m", lit(gen).as("gen"))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen").parquet(chunksDir(dir))
-    TextOps.maxSimRarePrefix(tokd, dfForPrefix)
-      .select($"doc_id".as("cdoc"), $"h".as("cc"), $"tok",
-        lit(gen).as("gen"), bucketCol($"tok").as("bucket"))
-      .repartition($"bucket")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "bucket").parquet(postDir(dir))
-    tokd.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
-      .select($"tok", $"tok_df", lit(gen).as("gen"),
-        bucketCol($"tok").as("bucket"))
-      .repartition($"bucket")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("gen", "bucket").parquet(dfDir(dir))
+    FlatManifest.writeGenDir(
+      vec.join(mRel, Seq("doc_id", "h"))
+        .select($"doc_id".as("cdoc"), $"h".as("cc"),
+          $"v".as("vb"), $"n2".as("n2b"), $"m"),
+      chunksDir(dir), gen)
+    FlatManifest.writeGenDir(
+      TextOps.maxSimRarePrefix(tokd, dfForPrefix)
+        .select($"doc_id".as("cdoc"), $"h".as("cc"), $"tok",
+          bucketCol($"tok").as("bucket"))
+        .repartition($"bucket"),
+      postDir(dir), gen, Seq("bucket"))
+    FlatManifest.writeGenDir(
+      tokd.groupBy($"tok").agg(count(lit(1)).as("tok_df"))
+        .select($"tok", $"tok_df", bucketCol($"tok").as("bucket"))
+        .repartition($"bucket"),
+      dfDir(dir), gen, Seq("bucket"))
   }
 
   private def emptyChunks(s: SparkSession): DataFrame =
@@ -266,29 +262,22 @@ object MaxSimStore {
     if (doFold) {
       val newGen = snap.nextInternal
       val liveChunks = maskDocs(s, dir, snap, chunks)
-        .select($"cdoc", $"cc", $"vb", $"n2b", $"m", lit(newGen).as("gen"))
+        .select($"cdoc", $"cc", $"vb", $"n2b", $"m")
         .localCheckpoint(true)
       val livePost = maskDocs(s, dir, snap, postingsOf(s, dir, snap))
-        .select($"cdoc", $"cc", $"tok", lit(newGen).as("gen"), $"bucket")
+        .select($"cdoc", $"cc", $"tok", $"bucket")
         .localCheckpoint(true)
       val dfSum = dfPartsOf(s, dir, snap)
         .groupBy($"tok").agg(sum($"tok_df").as("tok_df"))
-        .select($"tok", $"tok_df", lit(newGen).as("gen"),
-          bucketCol($"tok").as("bucket"))
+        .select($"tok", $"tok_df", bucketCol($"tok").as("bucket"))
         .localCheckpoint(true)
       val any = !liveChunks.isEmpty
       if (any) {
-        liveChunks.write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen").parquet(chunksDir(dir))
-        livePost.repartition($"bucket")
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen", "bucket").parquet(postDir(dir))
-        dfSum.repartition($"bucket")
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("gen", "bucket").parquet(dfDir(dir))
+        FlatManifest.writeGenDir(liveChunks, chunksDir(dir), newGen)
+        FlatManifest.writeGenDir(livePost.repartition($"bucket"),
+          postDir(dir), newGen, Seq("bucket"))
+        FlatManifest.writeGenDir(dfSum.repartition($"bucket"),
+          dfDir(dir), newGen, Seq("bucket"))
       }
       FlatManifest.commit(s, dir, snap.copy(epoch = snap.epoch + 1,
         gens = if (any) Seq(newGen) else Seq.empty,
